@@ -1,0 +1,169 @@
+"""Query catalog: every implemented operator exposed as (spark fn, oracle SQL).
+
+Each entry is one operator/query shape from SURVEY.md §2 (reference tier) or
+the mandated extension tiers, realized over the driver's TPC-H-ish testdata
+(FIXTURES.md §C maps reference semantics onto these tables).
+
+Float-determinism discipline (SURVEY.md §7.4 hazard 4): aggregate sums/avgs
+over doubles are rounded *inside* the aggregation step in BOTH engines, and
+every derived ratio is computed from those already-rounded values — identical
+inputs + identical IEEE ops -> identical doubles, so the driver's value-hash
+matches exactly.  Every ratio is NULLIF-guarded on both sides (hazard 2).
+Timestamps are emitted as formatted strings on both sides (engine-neutral).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.io.readers import read_testdata
+
+TIER_REFERENCE = "reference"
+TIER_EXTENSION = "extension"
+TIER_LLM = "llm"
+TIER_STREAMING = "streaming"
+
+
+@dataclasses.dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tier: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tier: str = TIER_REFERENCE):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tier)
+        return fn
+
+    return deco
+
+
+def _nz(col: F.Column) -> F.Column:
+    """NULLIF(x, 0) as double — division guard matching the oracle."""
+    return F.nullif(col.cast("double"), F.lit(0.0))
+
+
+# ===========================================================================
+# Reference tier — the reference's relational core recast onto oracle tables
+# ===========================================================================
+
+
+@query(
+    "flagship_revenue_by_nation",
+    oracle="""
+WITH agg AS (
+  SELECT r_name, n_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         COUNT(DISTINCT o_orderkey) AS num_orders,
+         COUNT(*) AS num_items,
+         ROUND(SUM(l_quantity), 2) AS total_qty,
+         ROUND(AVG(l_discount), 6) AS avg_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue, num_orders, num_items, total_qty, avg_discount,
+       ROUND(revenue   / NULLIF(num_orders, 0), 6) AS revenue_per_order,
+       ROUND(total_qty / NULLIF(num_items, 0),  6) AS qty_per_item
+FROM agg
+""",
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature shape in one query (SURVEY.md §7.2): multi-way
+    inner equi-join (R2) -> group-by sum (R1) -> aliased projection (R5) ->
+    derived ratio metrics (R7).  Reference cites: joins dag-transform.py:171-181,
+    agg :166-169, metrics :205-236.
+
+    Scale notes: nation/region are broadcast (dimension-sized at any SF); the
+    lineitem⋈orders and orders⋈customer joins shuffle on their keys and AQE
+    handles skew; aggregation is partial+final so the shuffle after the join
+    carries one row per (region, nation) per partition.
+    """
+    t = read_testdata(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    agg = joined.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count_distinct(F.col("o_orderkey")).alias("num_orders"),
+        F.count(F.lit(1)).alias("num_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+    return agg.select(
+        "*",
+        F.round(F.col("revenue") / _nz(F.col("num_orders")), 6).alias("revenue_per_order"),
+        F.round(F.col("total_qty") / _nz(F.col("num_items")), 6).alias("qty_per_item"),
+    )
+
+
+@query(
+    "rollup_sum_by_supplier",
+    oracle="""
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT)            AS num_items,
+       ROUND(SUM(l_quantity), 2)           AS total_qty,
+       ROUND(SUM(l_extendedprice), 2)      AS total_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS total_charge
+FROM lineitem
+GROUP BY l_suppkey
+""",
+)
+def rollup_sum_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 in isolation: the reference's player->team groupBy-sum rollup
+    (dag-transform.py:166-169) as lineitem->supplier.  Partial aggregation
+    means the shuffle carries |suppliers| rows per partition, not |lineitem|.
+    """
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("num_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("total_charge"),
+    )
+
+
+@query(
+    "projection_rename_quoted",
+    oracle="""
+SELECT c_custkey                       AS "Customer Key",
+       c_name                          AS "Customer Name",
+       c_mktsegment                    AS "Market Segment",
+       ROUND(c_acctbal, 2)             AS "Account Balance ($)",
+       ROUND(c_acctbal / 100.0, 6)     AS "Balance Ratio (%)"
+FROM customer
+""",
+)
+def projection_rename_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/R6: projection + rename with the reference's hazardous column-name
+    style — spaces, parens, '%' (reference dag-transform.py:182-201; name
+    hazard noted at :190).  Backtick discipline on the Spark side, double
+    quotes on the oracle side (SURVEY.md §7.4 hazard 1)."""
+    c = read_testdata(spark, sf_dir, "customer")["customer"]
+    projected = c.select(
+        F.col("c_custkey").alias("Customer Key"),
+        F.col("c_name").alias("Customer Name"),
+        F.col("c_mktsegment").alias("Market Segment"),
+        F.round(F.col("c_acctbal"), 2).alias("Account Balance ($)"),
+    )
+    return projected.withColumn(
+        "Balance Ratio (%)", F.round(F.expr("`Account Balance ($)` / 100.0"), 6)
+    )
