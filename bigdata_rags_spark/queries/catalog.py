@@ -167,3 +167,12 @@ def projection_rename_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected.withColumn(
         "Balance Ratio (%)", F.round(F.expr("`Account Balance ($)` / 100.0"), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier modules register themselves on import (each uses @query).
+# Imported last so the registry/decorator exist; keep at module bottom.
+# ---------------------------------------------------------------------------
+
+from bigdata_rags_spark.queries import reference_shapes as _reference_shapes  # noqa: E402,F401
+from bigdata_rags_spark.queries import extensions as _extensions  # noqa: E402,F401

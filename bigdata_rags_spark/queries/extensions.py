@@ -1,0 +1,586 @@
+"""Extension tier: relational operators absent from the reference
+(SURVEY.md §2.4's verified-absent list), added as first-class engine surface.
+
+Every query here is declarative DataFrame API -> Catalyst; the oracle SQL is
+the semantic contract.  Determinism notes:
+- top-k queries order by a total order (unique key as tiebreak);
+- window orderings include a unique key so rank/lag are deterministic;
+- timestamps are emitted as formatted strings (engine-neutral).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.io.readers import read_testdata
+from bigdata_rags_spark.queries.catalog import TIER_EXTENSION, query
+
+
+def _q(name: str, oracle: str | None):
+    return query(name, oracle, tier=TIER_EXTENSION)
+
+
+# ---------------------------------------------------------------------------
+# filter / predicate pushdown
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "filter_pushdown_highvalue",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'R' AND l_discount BETWEEN 0.02 AND 0.08
+""",
+)
+def filter_pushdown_highvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate + projection: both reach the parquet scan
+    (PushedFilters/ReadSchema in .explain) — nothing else is read."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_returnflag") == "R")
+            & F.col("l_discount").between(0.02, 0.08)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@_q(
+    "topk_orders_by_price",
+    """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: planned as TakeOrderedAndProject (per-partition k + driver
+    merge of k*P rows) — no global sort at any scale.  o_orderkey breaks
+    price ties for determinism."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderpriority",
+        )
+    )
+
+
+@_q(
+    "distinct_nation_segments",
+    """
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+""",
+)
+def distinct_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate on all columns; partial agg keeps the
+    shuffle at |distinct| per partition."""
+    c = read_testdata(spark, sf_dir, "customer")["customer"]
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# non-inner joins
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "left_join_customer_orders",
+    """
+SELECT c_custkey, c_mktsegment,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS num_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+)
+def left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (the reference
+    only ever inner-joins; SURVEY §2.4)."""
+    t = read_testdata(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@_q(
+    "semi_join_customers_with_urgent",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+)
+def semi_join_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — dedup-free existence check; Spark never materializes
+    right-side columns."""
+    t = read_testdata(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_q(
+    "anti_join_customers_no_orders",
+    """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_testdata(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@_q(
+    "full_outer_join_supplier_customer_nations",
+    """
+WITH s AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS num_suppliers
+           FROM supplier GROUP BY s_nationkey),
+     c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS num_customers
+           FROM customer GROUP BY c_nationkey)
+SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+       COALESCE(num_suppliers, 0) AS num_suppliers,
+       COALESCE(num_customers, 0) AS num_customers
+FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
+""",
+)
+def full_outer_join_supplier_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_testdata(spark, sf_dir, "supplier", "customer")
+    s = t["supplier"].groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("num_suppliers"))
+    c = t["customer"].groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("num_customers"))
+    return (
+        s.join(c, F.col("s_nationkey") == F.col("c_nationkey"), "full_outer")
+        .select(
+            F.coalesce("s_nationkey", "c_nationkey").alias("nationkey"),
+            F.coalesce("num_suppliers", F.lit(0)).alias("num_suppliers"),
+            F.coalesce("num_customers", F.lit(0)).alias("num_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation breadth
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_suite_by_segment",
+    """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT)           AS num_customers,
+       COUNT(DISTINCT c_nationkey)        AS num_nations,
+       ROUND(AVG(c_acctbal), 6)           AS avg_bal,
+       ROUND(MIN(c_acctbal), 2)           AS min_bal,
+       ROUND(MAX(c_acctbal), 2)           AS max_bal,
+       ROUND(SUM(c_acctbal), 2)           AS sum_bal,
+       ROUND(STDDEV_SAMP(c_acctbal), 4)   AS std_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_suite_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg/min/max/count-distinct/stddev (none exist in the reference).
+    stddev rounded to 4: both engines use Welford-style accumulation whose
+    merge order can differ in the last ulps."""
+    c = read_testdata(spark, sf_dir, "customer")["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("num_customers"),
+        F.count_distinct("c_nationkey").alias("num_nations"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+    )
+
+
+@_q(
+    "rollup_status_priority",
+    """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT)         AS num_orders,
+       ROUND(SUM(o_totalprice), 2)      AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from the reference).  NULL group keys are
+    COALESCEd to a sentinel on both sides so the value-hash is well-defined."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "num_orders",
+            "revenue",
+        )
+    )
+
+
+@_q(
+    "cube_returnflag_linestatus",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT)      AS num_items,
+       ROUND(SUM(l_quantity), 2)     AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("num_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "num_items",
+            "total_qty",
+        )
+    )
+
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6)      AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6)      AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog — the canonical wide-aggregate scan; one pass, partial
+    agg, 4-6 rows out regardless of input size."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_rank_orders_in_segment",
+    """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS total_price,
+         RANK()       OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT * FROM ranked WHERE rnk <= 5
+""",
+)
+def window_rank_orders_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/row_number windows + filter-on-rank (top-N per group).  The window
+    shuffles once on the partition key; o_orderkey tiebreak makes it
+    deterministic."""
+    t = read_testdata(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.rank().over(w).alias("rnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@_q(
+    "window_lag_running_sum",
+    """
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice, 2) AS total_price,
+       ROUND(COALESCE(LAG(o_totalprice) OVER w, 0), 2) AS prev_price,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lag_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running sum + moving average over a per-customer time order
+    (ROWS frames; unique-key tiebreak for determinism)."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "set_ops_nation_membership",
+    """
+WITH sup_nations  AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+     cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     both_n   AS (SELECT nationkey FROM sup_nations INTERSECT SELECT nationkey FROM cust_nations),
+     cust_only AS (SELECT nationkey FROM cust_nations EXCEPT SELECT nationkey FROM sup_nations),
+     all_n    AS (SELECT nationkey FROM sup_nations UNION SELECT nationkey FROM cust_nations)
+SELECT 'both' AS membership, CAST(COUNT(*) AS BIGINT) AS n FROM both_n
+UNION ALL
+SELECT 'customer_only', CAST(COUNT(*) AS BIGINT) FROM cust_only
+UNION ALL
+SELECT 'any', CAST(COUNT(*) AS BIGINT) FROM all_n
+""",
+)
+def set_ops_nation_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except (all absent from the reference)."""
+    t = read_testdata(spark, sf_dir, "supplier", "customer")
+    sup = t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    cust = t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    counts = [
+        sup.intersect(cust).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("both").alias("membership"), "n"
+        ),
+        cust.exceptAll(sup).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("customer_only").alias("membership"), "n"
+        ),
+        sup.union(cust).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("any").alias("membership"), "n"
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scalar functions: string / date / math / conditional
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "string_functions_parts",
+    """
+SELECT p_partkey,
+       UPPER(p_brand)                       AS brand_upper,
+       LOWER(p_type)                        AS type_lower,
+       CAST(LENGTH(p_name) AS INT)          AS name_len,
+       SUBSTRING(p_type, 1, 5)              AS type_prefix,
+       REPLACE(p_name, ' ', '_')            AS name_snake,
+       CONCAT(p_brand, ':', p_type)         AS brand_type,
+       CASE WHEN p_size >= 25 THEN 'large'
+            WHEN p_size >= 10 THEN 'medium'
+            ELSE 'small' END                AS size_class
+FROM part
+""",
+)
+def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_testdata(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@_q(
+    "date_functions_orders",
+    """
+SELECT CAST(YEAR(o_orderdate) AS INT)   AS order_year,
+       CAST(MONTH(o_orderdate) AS INT)  AS order_month,
+       STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(COUNT(*) AS BIGINT)         AS num_orders,
+       ROUND(SUM(o_totalprice), 2)      AS revenue
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month extraction + date_trunc, emitted as engine-neutral strings."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "math_functions_lineitem",
+    """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SQRT(l_extendedprice), 6)        AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 6)      AS price_ln,
+       CAST(CEIL(l_quantity) AS BIGINT)       AS qty_ceil,
+       CAST(FLOOR(l_quantity) AS BIGINT)      AS qty_floor,
+       ABS(l_quantity - 25)                   AS qty_dev,
+       ROUND(POWER(l_discount, 2), 8)         AS disc_sq,
+       CAST(l_quantity AS BIGINT) % 7         AS qty_mod
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+)
+def math_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.round(F.pow("l_discount", 2), 8).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
+
+
+@_q(
+    "conditional_agg_priority_matrix",
+    """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_priority,
+       ROUND(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END), 2) AS high_revenue
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def conditional_agg_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (TPC-H Q12 shape)."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority"),
+        F.round(F.sum(F.when(high, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+            "high_revenue"
+        ),
+    )
+
+
+@_q(
+    "correlated_scalar_above_avg",
+    """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_mktsegment = c.c_mktsegment)
+""",
+)
+def correlated_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated by hand into an agg+join —
+    the plan Spark/Catalyst would produce anyway (broadcast of 5 group rows).
+    Strict `>` comparison uses unrounded averages on both sides (the filter,
+    not the output, decides membership)."""
+    c = read_testdata(spark, sf_dir, "customer")["customer"]
+    seg_avg = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.avg("c_acctbal").alias("seg_avg")
+    )
+    return (
+        c.join(F.broadcast(seg_avg), F.col("c_mktsegment") == F.col("seg"))
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "c_mktsegment")
+    )
