@@ -1,0 +1,20 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from bigdata_rags_spark.dedup.exact import dup_clusters, exact_dedup, with_content_hash
+from bigdata_rags_spark.dedup.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from bigdata_rags_spark.dedup.simhash import simhash16, simhash_near_pairs
+
+__all__ = [
+    "dup_clusters",
+    "exact_dedup",
+    "with_content_hash",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash16",
+    "simhash_near_pairs",
+]

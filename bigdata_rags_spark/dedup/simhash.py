@@ -1,0 +1,89 @@
+"""SimHash document fingerprinting (Charikar 2002 / Manku et al. WWW'07 shape).
+
+16-bit variant, fully declarative and oracle-portable: each token's hash is
+the first 4 hex chars of md5 (16 bits, identical in every engine); bit b of
+the fingerprint is 1 iff more token-hashes have bit b set than not (strictly
+positive majority).  Near-dup candidates = fingerprint collisions or low
+Hamming distance.
+
+The per-(doc, bit) vote is expressed as an explode over 16 bit positions —
+|docs| x distinct-tokens x 16 narrow rows, one shuffle to aggregate votes,
+one to assemble fingerprints.  No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.functions.text import ws_tokens
+
+SIMHASH_BITS = 16
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) with simhash in [0, 65535]."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("token"),
+    )
+    # 16-bit token hash from the md5 hex prefix (conv: hex -> decimal string)
+    th = toks.withColumn(
+        "token_hash", F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
+    )
+    bits = th.select(
+        "doc_id",
+        "token_hash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    # expr form: the SQL shift functions take a column shift amount (the
+    # Python F.shiftright/shiftleft helpers only accept literal ints)
+    votes = bits.withColumn(
+        "vote", F.expr("CASE WHEN (shiftright(token_hash, bit) & 1) = 1 THEN 1 ELSE -1 END")
+    )
+    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1, bit) ELSE 0 END"))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pairs whose fingerprints differ in <= max_hamming bits.
+
+    Joins on the fingerprint split into two 8-bit halves (a pair within
+    Hamming distance <=2 of a 16-bit hash... must match at least one half
+    only when max_hamming <= 1 per half; for the general case at scale use
+    multi-probe banding — here both halves are tried, which is exact for
+    max_hamming <= 1 and high-recall for 2).
+    """
+    sh = simhash16(df, id_col, text_col)
+    halves = sh.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        F.floor(F.col("simhash") / 256).cast("bigint").alias("hi"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    cand = (
+        a.join(
+            b,
+            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,465 @@
+"""LLM-training-data pipeline tier (BASELINE.json north-star mandate):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+and text analysis over the ``documents`` and ``embeddings`` tables.
+
+Everything here is backed by the library operators in ``dedup/``,
+``similarity/`` and ``functions/text.py`` — the catalog entry is a thin
+binding of those operators to the testdata tables plus the DuckDB oracle
+mirror.  All hash functions are md5-derived specifically so the oracle can
+recompute them exactly (engine-private hashes like xxhash64 would make these
+rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.dedup.exact import dup_clusters, exact_dedup
+from bigdata_rags_spark.dedup.minhash import lsh_candidate_pairs, ngram_jaccard_pairs
+from bigdata_rags_spark.dedup.simhash import simhash16
+from bigdata_rags_spark.functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    bpe_token_count,
+    content_hash,
+    norm_text,
+    punct_count,
+    stopword_hits,
+    word_shingles,
+    ws_tokens,
+)
+from bigdata_rags_spark.io.readers import read_testdata
+from bigdata_rags_spark.queries.catalog import TIER_LLM, query
+from bigdata_rags_spark.similarity.knn import brute_force_topk, cosine_pairs_above
+
+# DuckDB fragments mirroring functions/text.py (single source of truth for
+# the Spark side; these strings are the oracle's equivalent definitions).
+_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SQL_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _llm(name: str, oracle: str | None):
+    return query(name, oracle, tier=TIER_LLM)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@_llm(
+    "exact_dedup_docs",
+    f"""
+SELECT md5({_SQL_NORM}) AS content_hash,
+       MIN(doc_id)      AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM documents
+GROUP BY 1
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5, deterministic keeper."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return exact_dedup(docs)
+
+
+@_llm(
+    "exact_dup_clusters",
+    f"""
+SELECT md5({_SQL_NORM}) AS content_hash,
+       MIN(doc_id)      AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+)
+def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return dup_clusters(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+
+@_llm(
+    "minhash_lsh_candidates",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS token FROM documents
+),
+mh AS (
+  SELECT doc_id, s.seed,
+         MIN(substr(md5(CAST(s.seed AS VARCHAR) || ':' || token), 1, 16)) AS minhash
+  FROM toks
+  CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         string_agg(minhash, '' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle->minhash->band->bucket-join near-dup candidates; md5-derived
+    minhashes make the whole pipeline oracle-checkable (dedup/minhash.py)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return lsh_candidate_pairs(docs, num_hashes=12, rows_per_band=2)
+
+
+@_llm(
+    "ngram_jaccard_near_dups",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, intersection,
+       ROUND(intersection / CAST(sa.n + sb.n - intersection AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE ROUND(intersection / CAST(sa.n + sb.n - intersection AS DOUBLE), 6) >= 0.5
+""",
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram-shingle Jaccard >= 0.5 pairs (shingle self-join bounds
+    the pair explosion to actual collisions)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@_llm(
+    "simhash_fingerprints",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS token FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::INTEGER AS token_hash FROM toks
+),
+bits AS (
+  SELECT doc_id, token_hash, unnest(range(0, 16)) AS bit FROM th
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (token_hash >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return simhash16(docs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_COSINE = (
+    "list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv))"
+    " / sqrt(list_dot_product(cv, cv))"
+)
+
+
+@_llm(
+    "embedding_cosine_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id, ROUND({_SQL_COSINE}, 6) AS similarity
+  FROM q CROSS JOIN c WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, similarity, rank FROM r WHERE rank <= 5
+""",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<5 (exact baseline;
+    similarity/knn.py; LSH variant covered by rows-only tests)."""
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+@_llm(
+    "embedding_near_dup_pairs",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
+               / sqrt(list_dot_product(b.v, b.v)), 6) AS similarity
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, similarity FROM p WHERE similarity >= 0.4
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold on the rounded similarity
+    so the boundary is engine-deterministic)."""
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_pairs_above(e, threshold=0.4)
+
+
+@_llm(
+    "embedding_norm_stats",
+    """
+WITH e AS (
+  SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM e GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_rags_spark.functions.vectors import as_double_array, norm
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        e.withColumn("nrm", norm(as_double_array(F.col("embedding"))))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+@_llm(
+    "langid_stopword_heuristic",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+hits AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         {_sql_hits('en')} AS en_hits,
+         {_sql_hits('es')} AS es_hits,
+         {_sql_hits('fr')} AS fr_hits,
+         {_sql_hits('de')} AS de_hits
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(en_hits / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 6) AS en_ratio,
+       CASE
+         WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'unknown'
+         WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         WHEN fr_hits >= de_hits THEN 'fr'
+         ELSE 'de'
+       END AS predicted_lang
+FROM hits
+""",
+)
+def langid_stopword_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (deterministic heuristic; the testdata's
+    ``lang`` column rides along as the label for accuracy eval)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    t = docs.select("doc_id", F.col("lang").alias("labeled_lang"), ws_tokens(F.col("text")).alias("toks"))
+    hits = t.select(
+        "doc_id",
+        "labeled_lang",
+        F.size("toks").alias("n_tokens"),
+        *[stopword_hits(F.col("toks"), STOPWORDS[g]).alias(f"{g}_hits") for g in ("en", "es", "fr", "de")],
+    )
+    zero = (
+        (F.col("en_hits") == 0)
+        & (F.col("es_hits") == 0)
+        & (F.col("fr_hits") == 0)
+        & (F.col("de_hits") == 0)
+    )
+    return hits.select(
+        "doc_id",
+        "labeled_lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("en_hits") / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"), 6
+        ).alias("en_ratio"),
+        F.when(zero, "unknown")
+        .when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") >= F.col("de_hits")),
+            "en",
+        )
+        .when(
+            (F.col("es_hits") >= F.col("fr_hits")) & (F.col("es_hits") >= F.col("de_hits")),
+            "es",
+        )
+        .when(F.col("fr_hits") >= F.col("de_hits"), "fr")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
+@_llm(
+    "text_quality_scores",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars_m FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars_m, CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(LENGTH(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+         CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         {_sql_hits('en')} AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_chars_m, n_words,
+       ROUND(word_chars / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS avg_word_len,
+       ROUND(n_punct / CAST(NULLIF(n_chars_m, 0) AS DOUBLE), 6)  AS punct_ratio,
+       ROUND(stop_hits / CAST(NULLIF(n_words, 0) AS DOUBLE), 6)  AS stopword_ratio,
+       ROUND(LEAST(n_words / 100e0, 1.0) * 0.5
+             + (stop_hits / CAST(NULLIF(n_words, 0) AS DOUBLE)) * 0.5, 6) AS quality_score
+FROM m
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality features + composite score —
+    the standard pre-training corpus filters (all codegen'd expressions)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    t = docs.select(
+        "doc_id",
+        "text",
+        ws_tokens(F.col("text")).alias("toks"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+    )
+    m = t.select(
+        "doc_id",
+        "n_chars_m",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias("word_chars"),
+        punct_count(F.col("text")).cast("bigint").alias("n_punct"),
+        stopword_hits(F.col("toks"), STOPWORDS["en"]).alias("stop_hits"),
+    )
+    nw = F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+    return m.select(
+        "doc_id",
+        "n_chars_m",
+        "n_words",
+        F.round(F.col("word_chars") / nw, 6).alias("avg_word_len"),
+        F.round(F.col("n_punct") / F.nullif(F.col("n_chars_m"), F.lit(0)).cast("double"), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.col("stop_hits") / nw, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (F.col("stop_hits") / nw) * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@_llm(
+    "token_count_stats",
+    f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+       ROUND(LENGTH(text) / CAST(NULLIF(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')), 0) AS DOUBLE), 6)
+         AS chars_per_token
+FROM documents
+""",
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (tokenizer-budget probe)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.length("text") / F.nullif(bpe_token_count(F.col("text")), F.lit(0)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+@_llm(
+    "doc_fingerprint_minshingle",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS shingle
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, MIN(md5(shingle)) AS shingle_fingerprint,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, md5({_SQL_NORM}) AS content_hash, fp.shingle_fingerprint, fp.n_shingles
+FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+""",
+)
+def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + min-shingle-hash (a
+    1-permutation winnowing-style fingerprint robust to small edits)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(ws_tokens(F.col("text")), 5))).alias("shingle"),
+    )
+    fp = sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("shingle_fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    return (
+        docs.select("doc_id", content_hash(F.col("text")).alias("content_hash"))
+        .join(fp, "doc_id")
+        .select("doc_id", "content_hash", "shingle_fingerprint", "n_shingles")
+    )

@@ -1,0 +1,9 @@
+"""Similarity search over embedding columns."""
+
+from bigdata_rags_spark.similarity.knn import (
+    brute_force_topk,
+    cosine_pairs_above,
+    lsh_bucketed_topk,
+)
+
+__all__ = ["brute_force_topk", "cosine_pairs_above", "lsh_bucketed_topk"]

@@ -1,0 +1,109 @@
+"""Behavioral tests for the dedup/similarity operators on corpora with
+PLANTED duplicates (the sf0.01 documents table has none, so oracle parity
+alone would never prove the detectors detect)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.dedup.exact import dup_clusters, exact_dedup
+from bigdata_rags_spark.dedup.minhash import lsh_candidate_pairs, ngram_jaccard_pairs
+from bigdata_rags_spark.dedup.simhash import simhash16, simhash_near_pairs
+from bigdata_rags_spark.similarity.knn import (
+    brute_force_topk,
+    cosine_pairs_above,
+    lsh_bucketed_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the window and the birds sing in the morning light over the hills"
+)
+OTHER = (
+    "completely different text about spark query engines and shuffle "
+    "partitions with adaptive execution and broadcast join strategies"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("morning", "evening")),  # near dup of 1
+        (4, OTHER),
+        (5, "short text"),
+        (6, "  " + BASE + "  "),  # whitespace-normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id_and_normalizes(docs):
+    clusters = {r["keeper_id"]: r["cluster_size"] for r in exact_dedup(docs).collect()}
+    # 1, 2 and 6 (whitespace variant) collapse to keeper 1
+    assert clusters[1] == 3
+    assert clusters[3] == 1
+    dups = dup_clusters(docs).collect()
+    assert len(dups) == 1 and dups[0]["keeper_id"] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should share a band
+    assert (1, 4) not in pairs  # unrelated docs must not
+
+
+def test_ngram_jaccard_scores_planted_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_docs_same_fingerprint(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert fp[1] == fp[2] == fp[6]
+    assert 0 <= fp[1] < 2**16
+    near = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs).collect()}
+    assert (1, 2) in near
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    dim = 16
+
+    def one_hot(i: int) -> list[float]:
+        return [1.0 if j == i else 0.0 for j in range(dim)]
+
+    # orthogonal basis vectors (pairwise cosine 0) + one near-copy of vec 1
+    near = [1.0 if j == 1 else (0.05 if j == 3 else 0.0) for j in range(dim)]
+    n = math.sqrt(sum(v * v for v in near))
+    rows = [(i, one_hot(i)) for i in range(dim)] + [(100, [v / n for v in near])]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_brute_force_topk_finds_nearest(vectors):
+    out = brute_force_topk(vectors.filter(F.col("vec_id") == 1), vectors, k=3).collect()
+    assert [r["neighbor_id"] for r in out][0] == 100  # the bumped copy of vec 1
+    assert out[0]["similarity"] > 0.99
+    assert len(out) == 3 and [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_cosine_pairs_above_threshold(vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_pairs_above(vectors, threshold=0.99).collect()}
+    assert pairs == {(1, 100)}
+
+
+def test_lsh_bucketed_topk_recalls_near_identical(vectors):
+    out = lsh_bucketed_topk(
+        vectors.filter(F.col("vec_id") == 1), vectors, k=3, n_planes=6, dim=16
+    ).collect()
+    # near-identical vectors land in the same hyperplane bucket
+    assert out and out[0]["neighbor_id"] == 100
