@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Execution is forced with the noop sink (full computation, no driver
+collect/materialization skew).  A small warmup query absorbs JVM/codegen
+startup so the measured numbers are steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# One headline per operator family (reference core, extensions, LLM ops,
+# streaming-batch) — the judged throughput surface.
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "tpch_q1_pricing_summary",
+    "window_rank_orders_in_segment",
+    "left_join_customer_orders",
+    "attack_shape_metrics",
+    "exact_dedup_docs",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_near_dups",
+    "simhash_fingerprints",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs_mm",
+    "events_tumbling_hourly",
+    "events_user_sessions",
+]
+
+
+def main() -> None:
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.session import get_session
+
+    spark = get_session(
+        "bigdata-rags-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: exercise parquet reader + codegen paths once
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

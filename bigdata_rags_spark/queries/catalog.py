@@ -177,3 +177,4 @@ def projection_rename_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bigdata_rags_spark.queries import reference_shapes as _reference_shapes  # noqa: E402,F401
 from bigdata_rags_spark.queries import extensions as _extensions  # noqa: E402,F401
 from bigdata_rags_spark.queries import llm_ops as _llm_ops  # noqa: E402,F401
+from bigdata_rags_spark.queries import streaming_batch as _streaming_batch  # noqa: E402,F401

@@ -89,18 +89,28 @@ def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_candidates",
     f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS token FROM documents
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS token
+  FROM documents
+),
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 7))::BIGINT AS base FROM toks
 ),
 mh AS (
   SELECT doc_id, s.seed,
-         MIN(substr(md5(CAST(s.seed AS VARCHAR) || ':' || token), 1, 16)) AS minhash
-  FROM toks
+         MIN((((s.seed * 2 + 1) * 2654435761 % 2147483648) * base + s.seed * 40503)
+             % 2147483647) AS minhash
+  FROM based
   CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s
   GROUP BY doc_id, s.seed
 ),
 bands AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         string_agg(minhash, '' ORDER BY seed) AS band_key
+         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS band_key
   FROM mh GROUP BY doc_id, band
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -234,6 +244,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the boundary is engine-deterministic)."""
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return cosine_pairs_above(e, threshold=0.4)
+
+
+@_llm("embedding_near_dup_pairs_mm", None)
+def embedding_near_dup_pairs_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as embedding_near_dup_pairs, executed as Arrow-batched
+    numpy matmul (the scale path for dense all-pairs scoring).  Rows-only
+    driver check: BLAS reduction order makes last-ulp value differences
+    possible vs the SQL oracle (see similarity/knn.py)."""
+    from bigdata_rags_spark.similarity.knn import cosine_pairs_above_mm
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_pairs_above_mm(e, threshold=0.4)
 
 
 @_llm(

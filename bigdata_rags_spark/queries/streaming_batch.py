@@ -1,0 +1,98 @@
+"""Streaming-tier catalog queries: the windowed-aggregation operators run in
+batch mode over the events table so the DuckDB oracle can verify them (the
+identical transforms run as real micro-batch streams in
+tests/test_streaming.py — Structured Streaming's unified-API contract).
+
+Oracle math is pure integer arithmetic on epoch nanoseconds (``epoch_ns`` /
+``nanosAsLong``): no floats, no timezones, bit-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_rags_spark.queries.catalog import TIER_STREAMING, query
+from bigdata_rags_spark.streaming.events import (
+    read_events_batch,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _s(name: str, oracle: str | None):
+    return query(name, oracle, tier=TIER_STREAMING)
+
+
+@_s(
+    "events_tumbling_hourly",
+    """
+SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS window_start_sec,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)    AS n_events,
+       ROUND(SUM(value), 2)        AS total_value,
+       ROUND(AVG(value), 6)        AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event type (epoch-aligned, tz-free)."""
+    return tumbling_agg(read_events_batch(spark, sf_dir), "1 hour")
+
+
+@_s(
+    "events_sliding_halfhour",
+    """
+WITH expanded AS (
+  SELECT (epoch_ns(ts) // 1000000000) // 1800 * 1800 - k.k * 1800 AS window_start_sec,
+         event_type, value
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start_sec, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2)     AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min: every event belongs to exactly two
+    windows (starts at floor30(ts) and floor30(ts)-30min — the oracle
+    materializes that expansion explicitly)."""
+    return sliding_agg(read_events_batch(spark, sf_dir), "1 hour", "30 minutes")
+
+
+@_s(
+    "events_user_sessions",
+    """
+WITH ordered AS (
+  SELECT user_id, epoch_ns(ts) AS ns, value,
+         LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ns, value,
+         CASE WHEN prev_ns IS NULL OR ns - prev_ns >= 300000000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ns, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ns
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ns) // 1000000000             AS session_start_sec,
+       (MAX(ns) - MIN(ns)) // 1000000000 AS span_sec,
+       CAST(COUNT(*) AS BIGINT)          AS n_events,
+       ROUND(SUM(value), 2)              AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (Spark ``session_window`` vs the
+    oracle's gaps-and-islands formulation — same [start, last+gap) semantics)."""
+    return session_agg(read_events_batch(spark, sf_dir), "5 minutes")

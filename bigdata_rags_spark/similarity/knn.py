@@ -22,21 +22,27 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_rags_spark.functions.vectors import as_double_array, cosine
+from bigdata_rags_spark.functions.vectors import as_double_array, cosine, dot, norm
 
 
 def _scored(queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # norms are precomputed per vector (one pass per side), so each pair
+    # costs ONE dot product instead of three; dot/na/nb keeps the exact
+    # op order of the oracle's dot/sqrt(dot(a,a))/sqrt(dot(b,b)).
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("similarity", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "similarity",
+            F.round(dot(F.col("qv"), F.col("cv")) / F.col("qn") / F.col("cn"), 6),
+        )
     )
 
 
@@ -76,18 +82,83 @@ def cosine_pairs_above(
     Quadratic by construction — correct baseline for modest corpora; use
     ``lsh_bucketed_topk`` buckets as the pre-filter at scale.
     """
-    a = df.select(F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double_array(F.col(vec_col)).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double_array(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     # broadcast one side: BroadcastNestedLoopJoin = one pass over `a`'s
-    # partitions instead of a P_a x P_b cartesian task grid.  Only viable
-    # while the corpus fits a broadcast; beyond that use lsh_bucketed_topk.
+    # partitions instead of a P_a x P_b cartesian task grid.  Norms are
+    # precomputed per vector (dot/na/nb == the oracle's op order).  Only
+    # viable while the corpus fits a broadcast; beyond that use
+    # lsh_bucketed_topk.
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("similarity", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "similarity",
+            F.round(dot(F.col("va"), F.col("vb")) / F.col("na") / F.col("nb"), 6),
+        )
         .filter(F.col("similarity") >= threshold)
         .select("id_a", "id_b", "similarity")
     )
+
+
+def cosine_pairs_above_mm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via Arrow-batched numpy matmul.
+
+    Same semantics as ``cosine_pairs_above`` but the O(N^2 * d) inner loop
+    runs as BLAS sgemm inside ``mapInPandas`` instead of per-row array
+    expressions — the classic ~100x Pandas-UDF-over-row-expressions win for
+    dense numeric kernels.  The corpus is shipped once per executor as a
+    normalized float64 matrix (broadcast variable); each Arrow batch of the
+    row side multiplies against it.  Use while the corpus matrix fits in
+    executor memory (2M x 64 doubles = 1 GB); shard the corpus or pre-bucket
+    with LSH beyond that.
+
+    Note: BLAS reductions are not sequential, so values can differ from the
+    expression path in the last ulps — rounding to 6 dp makes that visible
+    only at astronomically unlikely boundaries; registered rows-only with
+    the driver (no value-hash oracle) for that reason.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids = np.asarray(corpus[id_col].values, dtype=np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = "id_a long, id_b long, similarity double"
+
+    def score(batches):
+        c_ids, c_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            a_ids = np.asarray(pdf[id_col].values, dtype=np.int64)
+            a_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = np.round(a_mat @ c_mat.T, 6)
+            keep_a, keep_c = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < c_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[keep_a],
+                    "id_b": c_ids[keep_c],
+                    "similarity": sims[keep_a, keep_c],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
 
 
 def _deterministic_hyperplanes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]]:

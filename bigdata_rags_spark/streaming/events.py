@@ -1,0 +1,126 @@
+"""Event-stream operators: one transform definition, two execution modes.
+
+The reference has no streaming surface at all (SURVEY.md §2.4); the driver's
+``events`` table adds it.  Design rule: every windowed aggregation is written
+as a pure ``DataFrame -> DataFrame`` function that works identically on a
+batch frame and a ``readStream`` frame — Structured Streaming's contract —
+so correctness is oracle-checked in batch (driver/DuckDB) and the streaming
+execution path is tested with real micro-batches in pytest.
+
+Timestamp discipline: the events parquet stores nanosecond timestamps, which
+Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
+``spark.sql.legacy.parquet.nanosAsLong=true`` — set per-session in
+``read_events_batch`` since the driver owns the session.  All window math is
+integer arithmetic on epoch nanoseconds (``ts_ns``), which is bit-exact,
+timezone-free, and mirrors DuckDB's ``epoch_ns``.  The wall-clock ``ts``
+column is rebuilt at microsecond precision for Spark's native
+window/session_window operators (epoch-aligned, tz-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NS = 1_000_000_000
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_ns", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _with_ts(df: DataFrame) -> DataFrame:
+    """Attach microsecond wall-clock ts (for window operators) to the exact
+    integer ``ts_ns``."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr(f"ts_ns div 1000")))
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch source: nanos-as-long read + derived ``ts_ns``/``ts`` columns."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _with_ts(raw.withColumnRenamed("ts", "ts_ns"))
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream with the same column contract as the batch reader
+    (expects parquet files with a ``ts_ns`` long column)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+    return _with_ts(raw)
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
+    """Tumbling-window counts/sums per event type.  Windows are epoch-aligned
+    (Spark aligns to 1970-01-01 UTC), so ``unix_timestamp(window.start)`` is
+    engine-neutral.  With ``watermark`` set this is a valid append-mode
+    streaming aggregation (late rows beyond the watermark are dropped)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (gap-based).  Spark merges events whose gap
+    is strictly less than ``gap`` (session range is [start, last+gap)); the
+    oracle's gaps-and-islands formulation uses ``diff >= gap`` for session
+    breaks — identical semantics."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ns").alias("min_ns"),
+            F.max("ts_ns").alias("max_ns"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"min_ns div {NS}").alias("session_start_sec"),
+            F.expr(f"(max_ns - min_ns) div {NS}").alias("span_sec"),
+            "n_events",
+            "total_value",
+        )
+    )
