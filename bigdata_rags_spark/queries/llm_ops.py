@@ -289,6 +289,25 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal columns (binary payload + metadata struct; Pandas-UDF stages)
+# ---------------------------------------------------------------------------
+
+
+@_llm("multimodal_image_features", None)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode + feature extraction through mapInPandas (codec
+    stubbed, plumbing real — multimodal/codecs.py).  Rows-only check: the
+    decode stage is a Pandas UDF, deliberately outside the SQL oracle."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_fake_image_payload,
+        image_features,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return image_features(attach_fake_image_payload(docs))
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
