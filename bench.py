@@ -50,8 +50,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: exercise parquet reader + codegen paths once
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warmup: touch every table once (file listing, footer cache, codegen,
+    # executor spin-up) so per-query times measure steady-state throughput
+    for tbl in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -49,6 +49,14 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     )
 
 
+def _affine(seed: int) -> str:
+    """SQL for hash function #seed over the ``base`` column (constants are
+    folded at plan time; identical text works in DuckDB for the oracle)."""
+    a = (seed * 2 + 1) * 2654435761 % 2147483648
+    b = seed * 40503
+    return f"({a} * base + {b}) % 2147483647"
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -56,23 +64,19 @@ def minhash_signatures(
     num_hashes: int = 12,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — one row per doc per hash function."""
+    """Wide signature matrix: (doc_id, h0..h{k-1}).
+
+    All k minhashes are parallel MIN-aggregates over the single md5 base
+    hash — one pass, one shuffle of |docs| x k scalars.  (The explode-by-seed
+    formulation shuffles |docs| x |shingles| x k rows — measured ~5x slower
+    at sf0.1.)
+    """
     toks = _doc_shingles(df, id_col, text_col, shingle_k)
     based = toks.withColumn(
         "base", F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10).cast("bigint")
     )
-    seeded = based.select(
-        "doc_id",
-        "base",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-    )
-    h = F.expr(
-        "(((seed * 2 + 1) * 2654435761 % 2147483648) * base + seed * 40503) % 2147483647"
-    )
-    return (
-        seeded.withColumn("h", h)
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    return based.groupBy("doc_id").agg(
+        *[F.min(F.expr(_affine(s))).alias(f"h{s}") for s in range(num_hashes)]
     )
 
 
@@ -80,19 +84,23 @@ def lsh_bands(
     signatures: DataFrame, rows_per_band: int = 2
 ) -> DataFrame:
     """(doc_id, band, band_key): band key = seed-ordered concat of the band's
-    minhashes."""
-    return (
-        signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-                "_",
-            ).alias("band_key")
-        )
+    minhashes, derived from the wide signature matrix with a small explode
+    (num_hashes/rows_per_band rows per doc)."""
+    sig_cols = [c for c in signatures.columns if c.startswith("h")]
+    n_bands = len(sig_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "_", *[sig_cols[i * rows_per_band + j] for j in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
     )
 
 
@@ -136,13 +144,19 @@ def ngram_jaccard_pairs(
     rates, not |docs|^2.  Jaccard is computed on rounded doubles so the
     threshold boundary is engine-deterministic.
     """
+    from pyspark.sql import Window
+
+    # Shingle the corpus ONCE; attach each doc's shingle count via a window
+    # so both self-join sides already carry their set size — no separate
+    # sizes aggregation, no post-join size lookups, and the two join inputs
+    # are identical subtrees (one shuffle computed, the other a
+    # ReusedExchange).
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(word_shingles(ws_tokens(F.col(text_col)), k))
         ).alias("shingle"),
-    )
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
         a.join(
@@ -151,16 +165,14 @@ def ngram_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("intersection"))
+        .agg(
+            F.count(F.lit(1)).alias("intersection"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    # plain joins on doc_id: `sizes` is |docs|-sized (never broadcastable at
-    # scale); AQE broadcasts the small candidate side at runtime instead
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("intersection")

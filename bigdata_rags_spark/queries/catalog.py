@@ -99,12 +99,22 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    agg = joined.groupBy("r_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-        F.count_distinct(F.col("o_orderkey")).alias("num_orders"),
-        F.count(F.lit(1)).alias("num_items"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    # two-phase rollup instead of a mixed distinct/non-distinct aggregate:
+    # grouping by (keys, o_orderkey) first computes COUNT(DISTINCT o_orderkey)
+    # as a plain COUNT(*) in phase 2 and avoids Catalyst's Expand duplication
+    # of every joined row (measured ~2x at sf0.1)
+    per_order = joined.groupBy("r_name", "n_name", "o_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("items"),
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_discount").alias("disc"),
+    )
+    agg = per_order.groupBy("r_name", "n_name").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("num_orders"),
+        F.sum("items").alias("num_items"),
+        F.round(F.sum("qty"), 2).alias("total_qty"),
+        F.round(F.sum("disc") / F.sum("items"), 6).alias("avg_discount"),
     )
     return agg.select(
         "*",

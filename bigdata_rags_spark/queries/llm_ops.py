@@ -43,6 +43,16 @@ def _llm(name: str, oracle: str | None):
     return query(name, oracle, tier=TIER_LLM)
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the cluster: the table ships as one parquet
+    file -> one input partition, which would run every per-doc expression
+    (shingling, hashing) on a single core.  A cheap round-robin repartition
+    of the raw text (~KBs/doc) buys full parallelism for the CPU-heavy
+    stages; results are partitioning-independent."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -85,6 +95,17 @@ def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# mirror of dedup/minhash.py's affine hash family and band layout
+_MIN_EXPRS = ",\n         ".join(
+    f"MIN(({(s * 2 + 1) * 2654435761 % 2147483648} * base + {s * 40503})"
+    f" % 2147483647) AS h{s}"
+    for s in range(12)
+)
+_BAND_KEYS = ", ".join(
+    f"CAST(h{2 * i} AS VARCHAR) || '_' || CAST(h{2 * i + 1} AS VARCHAR)" for i in range(6)
+)
+
+
 @_llm(
     "minhash_lsh_candidates",
     f"""
@@ -100,18 +121,15 @@ WITH toks AS (
 based AS (
   SELECT doc_id, ('0x' || substr(md5(token), 1, 7))::BIGINT AS base FROM toks
 ),
-mh AS (
-  SELECT doc_id, s.seed,
-         MIN((((s.seed * 2 + 1) * 2654435761 % 2147483648) * base + s.seed * 40503)
-             % 2147483647) AS minhash
-  FROM based
-  CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s
-  GROUP BY doc_id, s.seed
+sig AS (
+  SELECT doc_id,
+         {_MIN_EXPRS}
+  FROM based GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS band_key
-  FROM mh GROUP BY doc_id, band
+  SELECT doc_id, unnest([0, 1, 2, 3, 4, 5]) AS band,
+         unnest([{_BAND_KEYS}]) AS band_key
+  FROM sig
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
@@ -121,7 +139,7 @@ JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle->minhash->band->bucket-join near-dup candidates; md5-derived
     minhashes make the whole pipeline oracle-checkable (dedup/minhash.py)."""
-    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    docs = _docs_parallel(spark, sf_dir)
     return lsh_candidate_pairs(docs, num_hashes=12, rows_per_band=2)
 
 
@@ -154,7 +172,7 @@ WHERE ROUND(intersection / CAST(sa.n + sb.n - intersection AS DOUBLE), 6) >= 0.5
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram-shingle Jaccard >= 0.5 pairs (shingle self-join bounds
     the pair explosion to actual collisions)."""
-    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    docs = _docs_parallel(spark, sf_dir)
     return ngram_jaccard_pairs(docs, k=5, threshold=0.5)
 
 
@@ -186,7 +204,7 @@ FROM votes GROUP BY doc_id
 """,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    docs = _docs_parallel(spark, sf_dir)
     return simhash16(docs)
 
 
@@ -490,7 +508,7 @@ FROM documents d JOIN fp ON d.doc_id = fp.doc_id
 def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content hash + min-shingle-hash (a
     1-permutation winnowing-style fingerprint robust to small edits)."""
-    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    docs = _docs_parallel(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(ws_tokens(F.col("text")), 5))).alias("shingle"),
