@@ -562,6 +562,192 @@ def conditional_agg_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @_q(
+    "pivot_returnflag_by_status",
+    """
+SELECT l_linestatus,
+       ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), 2) AS A,
+       ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0), 2) AS N,
+       ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0), 2) AS R
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation).  Pivot values are declared
+    explicitly — at scale, never let Spark run the extra distinct-values
+    job an implicit pivot needs."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .sum("l_quantity")
+        .select(
+            "l_linestatus",
+            *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("A", "N", "R")],
+        )
+    )
+
+
+@_q(
+    "percentiles_by_priority",
+    """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6)  AS p90
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the standard
+    linear-interpolation percentile_cont/quantile_cont definition).  At
+    extreme scale swap for approx_percentile and drop the oracle."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@_q("approx_count_distinct_orders", None)
+def approx_count_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per segment — the scale path for
+    distinct counting (fixed memory, one pass, no Expand).  Rows-only
+    driver check: HLL sketches are engine-specific by nature."""
+    t = read_testdata(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("o_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        )
+    )
+
+
+@_q(
+    "explode_embedding_dim_stats",
+    """
+WITH dims AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(val), 6) AS avg_val,
+       ROUND(MIN(val), 6) AS min_val,
+       ROUND(MAX(val), 6) AS max_val
+FROM dims
+WHERE dim < 8
+GROUP BY label, dim
+""",
+)
+def explode_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over array columns: per-dimension stats across vectors
+    (array surface the reference never had)."""
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"))
+        .filter(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+    )
+
+
+@_q(
+    "range_join_shipments_in_window",
+    """
+SELECT o_orderkey, l_linenumber,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       ROUND(l_extendedprice, 2) AS price
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+""",
+)
+def range_join_shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + band (range) join: lineitems shipped within 30 days of their
+    order date.  The equi key keeps this a hash join with the band as a
+    post-condition — no cartesian at any scale."""
+    from bigdata_rags_spark.operators.extensions import range_join
+
+    t = read_testdata(spark, sf_dir, "orders", "lineitem")
+    joined = range_join(
+        t["orders"],
+        t["lineitem"],
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        F.col("l_shipdate") >= F.col("o_orderdate"),
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.year("o_orderdate").alias("order_year"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@_q(
+    "asof_join_events_orders",
+    """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id,
+         (epoch_ns(e.ts) // 1000000000) AS event_sec,
+         o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, event_sec, o_orderkey AS last_orderkey,
+       ROUND(o_totalprice, 2) AS last_order_price
+FROM ranked WHERE rn = 1
+""",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event picks the customer's most recent
+    order at event time (operators/extensions.asof_join); ties broken by
+    o_orderkey.  The event keeps NULLs when no prior order exists."""
+    from bigdata_rags_spark.operators.extensions import asof_join
+    from bigdata_rags_spark.streaming.events import read_events_batch
+
+    events = read_events_batch(spark, sf_dir).select("event_id", "user_id", "ts", "ts_ns")
+    orders = read_testdata(spark, sf_dir, "orders")["orders"].select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = asof_join(
+        events.withColumnRenamed("user_id", "cust"),
+        orders.withColumnRenamed("o_custkey", "cust"),
+        left_key="event_id",
+        on="cust",
+        left_time="ts",
+        right_time="o_orderdate",
+        tie_breaker="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        F.col("cust").alias("user_id"),
+        F.expr("ts_ns div 1000000000").alias("event_sec"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_order_price"),
+    )
+
+
+@_q(
     "correlated_scalar_above_avg",
     """
 SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment

@@ -1,0 +1,52 @@
+"""Source/sink connectors (reference S2, S7, S8 — SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+from bigdata_rags_spark.io.readers import read_csv
+from bigdata_rags_spark.io.writers import export_single_csv, write_partitioned
+from bigdata_rags_spark.schemas import FOOTBALL
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    pdf_rows = [("Arsenal", 50), ("Derby", 0)]
+    df = spark.createDataFrame(pdf_rows, FOOTBALL["big_chance_team"])
+    out = str(tmp_path / "csv_zone")
+    write_partitioned(df, out, fmt="csv")
+    back = read_csv(spark, out, schema=FOOTBALL["big_chance_team"])
+    assert {tuple(r) for r in back.collect()} == set(pdf_rows)
+    assert dict(back.dtypes) == {"Team": "string", "Big Chances": "int"}
+
+
+def test_csv_schema_inference_is_opt_in(spark, tmp_path):
+    df = spark.createDataFrame([("A", 1)], ["k", "v"])
+    out = str(tmp_path / "infer")
+    write_partitioned(df, out, fmt="csv")
+    inferred = read_csv(spark, out, infer=True)
+    assert dict(inferred.dtypes)["v"] == "int"
+    raw = read_csv(spark, out)  # no schema, no inference -> all strings
+    assert dict(raw.dtypes)["v"] == "string"
+
+
+def test_export_single_csv_produces_one_file(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(100)], ["id", "name"]).repartition(8)
+    dest = str(tmp_path / "export" / "out.csv")
+    export_single_csv(df, dest)
+    p = Path(dest)
+    assert p.is_file()
+    with p.open() as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["id", "name"] and len(rows) == 101
+
+
+def test_partitioned_write_creates_hive_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024", "01"), (2, "2024", "02")], ["id", "year", "month"]
+    )
+    out = tmp_path / "zone"
+    write_partitioned(df, str(out), partition_by=["year", "month"])
+    assert (out / "year=2024" / "month=01").exists()
+    back = spark.read.parquet(str(out))
+    assert back.count() == 2
