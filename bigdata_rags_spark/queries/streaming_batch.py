@@ -96,3 +96,33 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user (Spark ``session_window`` vs the
     oracle's gaps-and-islands formulation — same [start, last+gap) semantics)."""
     return session_agg(read_events_batch(spark, sf_dir), "5 minutes")
+
+
+@_s(
+    "events_json_extraction",
+    """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2)     AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props payload column
+    (get_json_object — semi-structured surface the reference lacks)."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k_bucket",
+            F.floor(F.get_json_object("props", "$.k").cast("int") / 10).cast("int"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
