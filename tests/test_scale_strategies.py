@@ -23,10 +23,16 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path_factory):
     """Two tables bucketed on the join key co-locate: the join plan contains
     no Exchange — the shape that makes repeated large-fact joins viable at
     100 TB (shuffle once at write time, never again)."""
+    import shutil
+
     li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # a fresh session's in-memory catalog forgets managed tables, but
+        # their warehouse directories persist -> clear both
+        shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
     (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
        .mode("overwrite").saveAsTable("b_lineitem"))
     (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
