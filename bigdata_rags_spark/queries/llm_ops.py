@@ -90,6 +90,29 @@ def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs)
 
 
+@_llm(
+    "dedup_surviving_docs",
+    f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS keeper_id
+  FROM documents
+  GROUP BY md5({_SQL_NORM})
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN keepers k ON d.doc_id = k.keeper_id
+""",
+)
+def dedup_surviving_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *pipeline* output: original rows surviving exact dedup
+    (keeper join-back — the hash groupBy never shuffles the text payload
+    twice; the wide row rejoins by id)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
@@ -304,6 +327,41 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+@_llm(
+    "embedding_label_centroids",
+    """
+WITH dims AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+),
+avgs AS (
+  SELECT label, dim, ROUND(AVG(val), 6) AS avg_val FROM dims GROUP BY label, dim
+)
+SELECT label, array_agg(avg_val ORDER BY dim) AS centroid
+FROM avgs GROUP BY label
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via applyInPandas grouped-map (numpy column mean
+    per group) — the grouped-Arrow-batch pattern for per-group dense math.
+    The oracle recomputes it relationally (unnest -> per-dim AVG -> ordered
+    array_agg)."""
+    import numpy as np
+    import pandas as pd
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        return pd.DataFrame(
+            {"label": [int(pdf["label"].iloc[0])], "centroid": [np.round(mat.mean(axis=0), 6).tolist()]}
+        )
+
+    return e.groupBy("label").applyInPandas(centroid, "label int, centroid array<double>")
 
 
 # ---------------------------------------------------------------------------
