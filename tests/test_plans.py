@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the properties that make the headline
+queries scale are asserted, not assumed — filter/projection pushdown reaches
+the parquet scan, dimension joins broadcast, top-k never global-sorts, and
+no query falls back to a cartesian product."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_rags_spark.queries.catalog import REGISTRY
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_smoke):
+    names = [
+        "flagship_revenue_by_nation",
+        "filter_pushdown_highvalue",
+        "topk_orders_by_price",
+        "tpch_q1_pricing_summary",
+        "minhash_lsh_candidates",
+        "ngram_jaccard_near_dups",
+        "embedding_cosine_topk",
+        "range_join_shipments_in_window",
+    ]
+    return {n: _plan(REGISTRY[n].spark(spark, sf_smoke)) for n in names}
+
+
+def test_filter_and_projection_reach_the_scan(plans):
+    p = plans["filter_pushdown_highvalue"]
+    assert "PushedFilters: [" in p and "GreaterThan(l_quantity,45.0)" in p
+    # projection pruning: the scan must not read unused columns
+    assert "l_shipdate" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q1_scan_prunes_and_pushes_date_filter(plans):
+    p = plans["tpch_q1_pricing_summary"]
+    assert "LessThanOrEqual(l_shipdate" in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # unused column pruned
+
+
+def test_flagship_joins_broadcast_dimensions(plans):
+    p = plans["flagship_revenue_by_nation"]
+    assert p.count("BroadcastHashJoin") >= 2  # nation+region at minimum
+    assert "CartesianProduct" not in p
+
+
+def test_topk_uses_take_ordered_not_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans["topk_orders_by_price"]
+
+
+def test_no_cartesian_products_anywhere(plans):
+    for name, p in plans.items():
+        # embedding_cosine_topk uses an intentional broadcast NL join for
+        # the tiny query side; everything else must be hash/sort-merge
+        if name == "embedding_cosine_topk":
+            assert "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p
+        else:
+            assert "CartesianProduct" not in p, name
+
+
+def test_whole_stage_codegen_covers_hot_paths(spark, sf_smoke):
+    # the scan->filter->project->partial-agg pipeline must be codegen'd
+    # (AQE's pre-execution 'formatted' plan hides codegen stages, so ask the
+    # codegen explain mode, which reports subtree counts)
+    import re
+
+    for name in ("tpch_q1_pricing_summary", "flagship_revenue_by_nation"):
+        df = REGISTRY[name].spark(spark, sf_smoke)
+        p = _plan(df, "codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
+        assert m and int(m.group(1)) >= 1, name
+
+
+def test_range_join_is_hash_join_with_band_condition(plans):
+    p = plans["range_join_shipments_in_window"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
