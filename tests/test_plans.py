@@ -64,16 +64,21 @@ def test_no_cartesian_products_anywhere(plans):
 
 
 def test_whole_stage_codegen_covers_hot_paths(spark, sf_smoke):
-    # the scan->filter->project->partial-agg pipeline must be codegen'd
-    # (AQE's pre-execution 'formatted' plan hides codegen stages, so ask the
-    # codegen explain mode, which reports subtree counts)
+    # the scan->filter->project->partial-agg pipeline must be codegen'd.
+    # AQE wraps the whole plan pre-execution (hiding codegen stages from
+    # every explain mode), so inspect the plan with AQE off — codegen
+    # applies identically inside AQE's query stages at runtime.
     import re
 
-    for name in ("tpch_q1_pricing_summary", "flagship_revenue_by_nation"):
-        df = REGISTRY[name].spark(spark, sf_smoke)
-        p = _plan(df, "codegen")
-        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
-        assert m and int(m.group(1)) >= 1, name
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("tpch_q1_pricing_summary", "flagship_revenue_by_nation"):
+            df = REGISTRY[name].spark(spark, sf_smoke)
+            p = _plan(df, "codegen")
+            m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
+            assert m and int(m.group(1)) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_range_join_is_hash_join_with_band_condition(plans):
