@@ -748,6 +748,137 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hash_functions_documents",
+    """
+SELECT doc_id,
+       md5(text)    AS text_md5,
+       sha256(text) AS text_sha256,
+       md5(CAST(doc_id AS VARCHAR) || ':' || source) AS row_key
+FROM documents
+""",
+)
+def hash_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface (md5/sha2) — the portable content-key
+    primitives every dedup/fingerprint operator builds on."""
+    d = read_testdata(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))).alias(
+            "row_key"
+        ),
+    )
+
+
+@_q(
+    "collect_sorted_lists",
+    """
+SELECT c_nationkey,
+       array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sorted array (deterministic list-valued aggregation)."""
+    c = read_testdata(spark, sf_dir, "customer")["customer"]
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@_q(
+    "window_ntile_lead_firstvalue",
+    """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(o_totalprice, 2) AS total_price,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       ROUND(COALESCE(LEAD(o_totalprice) OVER w, 0), 2) AS next_price,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS min_in_priority
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_ntile_lead_firstvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / lead / first_value over a total
+    order (unique-key tiebreak keeps every function deterministic)."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("min_in_priority"),
+    )
+
+
+@_q(
+    "string_functions_extended",
+    """
+SELECT doc_id,
+       lpad(lang, 5, '_')                  AS lang_padded,
+       reverse(source)                     AS source_rev,
+       split_part(source, 'c', 2)          AS src_num,
+       CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_id,
+       left(text, 10)                      AS text_head,
+       CASE WHEN contains(text, 'dup') THEN 1 ELSE 0 END AS has_dup_marker
+FROM documents
+""",
+)
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/reverse/split_part/regexp capture groups/left/contains."""
+    d = read_testdata(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        F.lpad("lang", 5, "_").alias("lang_padded"),
+        F.reverse("source").alias("source_rev"),
+        F.split_part(F.col("source"), F.lit("c"), F.lit(2)).alias("src_num"),
+        F.regexp_extract("source", "([0-9]+)", 1).cast("int").alias("src_id"),
+        F.substring("text", 1, 10).alias("text_head"),
+        F.when(F.contains(F.col("text"), F.lit("dup")), 1).otherwise(0).alias("has_dup_marker"),
+    )
+
+
+@_q(
+    "date_arithmetic_orders",
+    """
+SELECT o_orderkey,
+       CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+       STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       CAST(dayofweek(o_orderdate) AS INT)  AS dow,
+       CAST(quarter(o_orderdate) AS INT)    AS qtr,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+FROM orders
+""",
+)
+def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff / date_add / dayofweek / quarter / last_day.  DuckDB
+    dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday -> subtract 1."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+    )
+
+
+@_q(
     "correlated_scalar_above_avg",
     """
 SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment

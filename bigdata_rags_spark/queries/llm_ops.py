@@ -199,6 +199,61 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=5, threshold=0.5)
 
 
+_SQL_JACCARD_PAIRS = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+)
+"""
+
+
+@_llm(
+    "dup_cluster_assignment",
+    f"""
+WITH RECURSIVE
+{_SQL_JACCARD_PAIRS},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+""",
+)
+def dup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-dup pairs: connected components via
+    iterative min-label propagation (dedup/clusters.py), verified against a
+    recursive-CTE reachability oracle.  cluster_id = min doc_id in the
+    component (the deterministic keeper)."""
+    from bigdata_rags_spark.dedup.clusters import connected_components
+
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.5).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

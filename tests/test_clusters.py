@@ -1,0 +1,32 @@
+"""Connected-components cluster assignment: transitivity, determinism,
+chain/star/singleton shapes."""
+
+from __future__ import annotations
+
+from bigdata_rags_spark.dedup.clusters import connected_components
+
+
+def _clusters(spark, pairs):
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    return {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+
+
+def test_chain_is_transitively_merged(spark):
+    # a-b, b-c, c-d: one component even though a-d never paired
+    got = _clusters(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[10] == got[11] == 10
+    assert len(set(got.values())) == 2
+
+
+def test_star_and_cycle(spark):
+    got = _clusters(spark, [(5, 1), (5, 2), (5, 3), (1, 3), (3, 5)])
+    assert set(got.values()) == {1}
+
+
+def test_long_path_converges(spark):
+    # path of length 12 needs several propagation rounds
+    pairs = [(i, i + 1) for i in range(20, 32)]
+    got = _clusters(spark, pairs)
+    assert set(got.values()) == {20}
+    assert len(got) == 13
