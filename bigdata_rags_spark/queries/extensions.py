@@ -748,6 +748,57 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q3_shipping_priority",
+    """
+WITH agg AS (
+  SELECT l_orderkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+    AND l_shipdate  > TIMESTAMP '2024-06-01 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT * FROM agg ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: selective filters on both join sides (pushed to the
+    scans), 3-way join, agg, top-10 — the canonical composite OLAP shape."""
+    t = read_testdata(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < cutoff),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["lineitem"].filter(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@_q(
     "hash_functions_documents",
     """
 SELECT doc_id,
@@ -775,17 +826,19 @@ def hash_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_lists",
     """
 SELECT c_nationkey,
-       array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
        CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM customer
 GROUP BY c_nationkey
 """,
 )
 def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set -> sorted array (deterministic list-valued aggregation)."""
+    """collect_set -> sorted array (deterministic list-valued aggregation).
+    Emitted comma-joined: array cell encoding differs between pandas paths
+    (list vs numpy) across engines, so the driver-facing value is a string."""
     c = read_testdata(spark, sf_dir, "customer")["customer"]
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 

@@ -396,7 +396,8 @@ WITH dims AS (
 avgs AS (
   SELECT label, dim, ROUND(AVG(val), 6) AS avg_val FROM dims GROUP BY label, dim
 )
-SELECT label, array_agg(avg_val ORDER BY dim) AS centroid
+SELECT label,
+       string_agg(printf('%.6f', avg_val + 0.0), ',' ORDER BY dim) AS centroid
 FROM avgs GROUP BY label
 """,
 )
@@ -404,7 +405,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid via applyInPandas grouped-map (numpy column mean
     per group) — the grouped-Arrow-batch pattern for per-group dense math.
     The oracle recomputes it relationally (unnest -> per-dim AVG -> ordered
-    array_agg)."""
+    string_agg).  The centroid ships as a fixed-format string: float-array
+    cells canonicalize differently across pandas paths, and ``+ 0.0``
+    normalizes IEEE -0.0 to +0.0 in both engines before formatting."""
     import numpy as np
     import pandas as pd
 
@@ -412,11 +415,15 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        vals = np.round(mat.mean(axis=0), 6) + 0.0
         return pd.DataFrame(
-            {"label": [int(pdf["label"].iloc[0])], "centroid": [np.round(mat.mean(axis=0), 6).tolist()]}
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "centroid": [",".join(f"{v:.6f}" for v in vals)],
+            }
         )
 
-    return e.groupBy("label").applyInPandas(centroid, "label int, centroid array<double>")
+    return e.groupBy("label").applyInPandas(centroid, "label int, centroid string")
 
 
 # ---------------------------------------------------------------------------

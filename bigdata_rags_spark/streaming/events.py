@@ -103,6 +103,31 @@ def sliding_agg(
     )
 
 
+def stream_to_zone(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "update",
+):
+    """foreachBatch sink: land each micro-batch's output in a parquet zone
+    (append), with exactly-once bookkeeping via the checkpoint location +
+    batch id.  foreachBatch is the right sink whenever a streaming result
+    must feed the same zone layout batch queries read — it reuses the batch
+    writer verbatim."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            path
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Per-user session windows (gap-based).  Spark merges events whose gap
     is strictly less than ``gap`` (session range is [start, last+gap)); the

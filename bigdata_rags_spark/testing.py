@@ -58,7 +58,7 @@ def _canon_value(v) -> str:
         return f"t:{pd.Timestamp(v).isoformat()}"
     if isinstance(v, dt.date):
         return f"d:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     return f"s:{v}"
 

@@ -64,6 +64,22 @@ def test_stream_sessions_equal_batch(spark, sf_smoke, event_files):
     assert _canon(got, cols) == _canon(want, cols)
 
 
+def test_foreachbatch_lands_results_in_zone(spark, event_files, tmp_path):
+    from bigdata_rags_spark.streaming.events import stream_to_zone
+
+    out = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, event_files)
+    q = stream_to_zone(tumbling_agg(stream, "1 hour"), out, ckpt, mode="update")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.read.parquet(out)
+    assert landed.count() > 0
+    assert "__batch_id" in landed.columns and "window_start_sec" in landed.columns
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode watermarked aggregation: a row arriving far behind the
     watermark is dropped, one within the allowance is kept."""
