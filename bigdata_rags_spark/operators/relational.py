@@ -15,7 +15,7 @@ partial+final hash agg; arithmetic is codegen'd).  No UDFs anywhere.
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Mapping
+from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

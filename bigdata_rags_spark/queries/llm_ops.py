@@ -12,7 +12,7 @@ rows-only checks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.dedup.exact import dup_clusters, exact_dedup
@@ -23,7 +23,6 @@ from bigdata_rags_spark.functions.text import (
     STOPWORDS,
     bpe_token_count,
     content_hash,
-    norm_text,
     punct_count,
     stopword_hits,
     word_shingles,

@@ -24,3 +24,27 @@ def test_all_queries_return_rows(spark, sf_smoke):
     for name, spec in REGISTRY.items():
         df = spec.spark(spark, sf_smoke)
         assert df.count() >= 0, name
+
+
+def test_registry_contract():
+    """Driver-contract sanity: names match specs, every oracle belongs to a
+    registered query, tiers are known, and rows-only entries are the
+    explicitly-justified set."""
+    from bigdata_rags_spark.queries.catalog import (
+        TIER_EXTENSION,
+        TIER_LLM,
+        TIER_REFERENCE,
+        TIER_STREAMING,
+    )
+
+    tiers = {TIER_REFERENCE, TIER_EXTENSION, TIER_LLM, TIER_STREAMING}
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert rows_only == {
+        "approx_count_distinct_orders",       # HLL sketch: engine-specific
+        "embedding_near_dup_pairs_mm",        # BLAS reduction order
+        "multimodal_image_features",          # Pandas-UDF codec path
+    }
+    for name, spec in REGISTRY.items():
+        assert spec.name == name
+        assert spec.tier in tiers, name
+        assert callable(spec.spark), name
