@@ -425,6 +425,35 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(centroid, "label int, centroid string")
 
 
+@_llm(
+    "corpus_top_tokens",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+counts AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS occurrences,
+         COUNT(DISTINCT doc_id)   AS doc_freq
+  FROM toks GROUP BY token
+)
+SELECT * FROM counts ORDER BY occurrences DESC, token LIMIT 20
+""",
+)
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (term + document frequency, top-20) — the
+    vocabulary statistics every tokenizer/quality pipeline starts from."""
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns (binary payload + metadata struct; Pandas-UDF stages)
 # ---------------------------------------------------------------------------
