@@ -99,6 +99,32 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_s(
+    "events_pii_redaction",
+    """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+       CAST(LENGTH(props) - LENGTH(regexp_replace(props, '[0-9]', '', 'g')) AS INT)
+         AS digits_removed
+FROM events
+""",
+)
+def events_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction of numeric identifiers in a payload column — the
+    pattern-scrub primitive (PII masking) every training-data pipeline
+    needs; pure codegen'd regexp_replace."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).cast("int").alias("digits_removed"),
+    )
+
+
+@_s(
     "events_json_extraction",
     """
 SELECT event_type,
