@@ -10,6 +10,7 @@ the semantic contract.  Determinism notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -795,6 +796,71 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "sql_grouping_sets",
+    """
+SELECT COALESCE(o_orderstatus, 'ALL')  AS status,
+       COALESCE(c_mktsegment, 'ALL')   AS segment,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(c_mktsegment) AS INT)  AS g_segment,
+       CAST(COUNT(*) AS BIGINT)        AS n,
+       ROUND(SUM(o_totalprice), 2)     AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment), (o_orderstatus, c_mktsegment), ())
+""",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() disambiguation through the SQL
+    front-end (temp views + spark.sql) — the same Catalyst plan the
+    DataFrame API produces, exercising the engine's second query surface."""
+    t = read_testdata(spark, sf_dir, "orders", "customer")
+    t["orders"].createOrReplaceTempView("v_orders")
+    t["customer"].createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL')  AS status,
+               COALESCE(c_mktsegment, 'ALL')   AS segment,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(c_mktsegment) AS INT)  AS g_segment,
+               COUNT(*)                        AS n,
+               ROUND(SUM(o_totalprice), 2)     AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment),
+                                (o_orderstatus, c_mktsegment), ())
+        """
+    )
+
+
+@_q(
+    "pandas_udf_harmonic_price",
+    """
+SELECT l_orderkey, l_linenumber,
+       ROUND(2 * l_extendedprice * l_quantity / (l_extendedprice + l_quantity), 6)
+         AS harmonic
+FROM lineitem
+WHERE l_linenumber <= 2
+""",
+)
+def pandas_udf_harmonic_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered scalar @pandas_udf (Arrow-vectorized, the UDF surface the
+    reference never had).  numpy float64 elementwise ops are IEEE-identical
+    to the oracle's expression, so even the UDF path is value-hash-checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def harmonic(x: pd.Series, y: pd.Series) -> pd.Series:
+        return 2 * x * y / (x + y)
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(harmonic(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias(
+            "harmonic"
+        ),
     )
 
 
