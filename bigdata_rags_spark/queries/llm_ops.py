@@ -454,6 +454,85 @@ def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm(
+    "train_test_split_assignment",
+    """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       bucket
+FROM h
+""",
+)
+def train_test_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by id-hash bucket — reproducible across
+    runs/engines (md5, not RNG), stable under data reordering, and
+    join-free to apply at any scale."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        bucket.alias("bucket"),
+    )
+
+
+@_llm(
+    "sequence_packing_bins",
+    """
+WITH toks AS (
+  SELECT doc_id, source, CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id,
+       cum_tokens
+FROM packed
+""",
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing: per source, docs (in stable doc_id
+    order) are packed into ~512-token context bins by running token count —
+    the deterministic, shuffle-once packing strategy for pretraining batch
+    construction (greedy first-fit needs per-bin state; sequential packing
+    is the order-stable distributed variant)."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 512).cast("bigint").alias("pack_id"),
+        "cum_tokens",
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal columns (binary payload + metadata struct; Pandas-UDF stages)
 # ---------------------------------------------------------------------------
