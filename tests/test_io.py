@@ -41,6 +41,39 @@ def test_export_single_csv_produces_one_file(spark, tmp_path):
     assert rows[0] == ["id", "name"] and len(rows) == 101
 
 
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """Corrupt-record handling: PERMISSIVE nulls the bad fields,
+    DROPMALFORMED removes the row, FAILFAST raises — the knobs that decide
+    whether one bad row in 100 TB kills the job or is quarantined."""
+    import pytest
+    from pyspark.sql import types as T
+
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\na,1\nb,not_an_int\nc,3\n")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    permissive = spark.read.schema(schema).option("header", True).csv(str(p))
+    assert {(r["k"], r["v"]) for r in permissive.collect()} == {
+        ("a", 1), ("b", None), ("c", 3)
+    }
+    dropped = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {r["k"] for r in dropped.collect()} == {"a", "c"}
+    failfast = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(str(p))
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        failfast.collect()
+
+
 def test_partitioned_write_creates_hive_layout(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "2024", "01"), (2, "2024", "02")], ["id", "year", "month"]

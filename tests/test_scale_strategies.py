@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 from bigdata_rags_spark.operators.skew import salted_join
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+def _plan(df, mode: str = "simple") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
 @pytest.fixture(scope="module")
@@ -79,6 +79,66 @@ def test_salt_is_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, salted_join(skewed, dim, "k").collect()))
     r2 = sorted(map(tuple, salted_join(skewed, dim, "k").collect()))
     assert r1 == r2
+
+
+def test_partition_pruning_reads_only_matching_partition(spark, tmp_path):
+    """Hive-partitioned zone + partition-key filter -> the scan lists only
+    the matching directory (PartitionFilters), so a day query over a year
+    of data reads 1/365th of it."""
+    from pyspark.sql import functions as F
+
+    zone = str(tmp_path / "zone")
+    df = spark.createDataFrame(
+        [(i, f"2024-{m:02d}") for m in (1, 2, 3) for i in range(10)], ["id", "month"]
+    )
+    df.write.partitionBy("month").parquet(zone)
+    q = spark.read.parquet(zone).filter(F.col("month") == "2024-02")
+    plan = _plan(q, "formatted")
+    # the partition-key predicate becomes a PartitionFilter (directory-level
+    # pruning at scan time; inputFiles() would still list the unpruned index)
+    assert "PartitionFilters: [isnotnull(month" in plan
+    assert "(month" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert q.count() == 10
+
+
+def test_football_pipeline_at_100k_teams(spark):
+    """The reference's pipeline shape at 5000x its data: 100k teams through
+    the attack join+metrics plan.  Broadcast sides stay dimension-shaped
+    relative to executors and the whole run is one pass — the property that
+    makes the plan survive scale-up."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.pipelines.football import attack_pipeline
+    from bigdata_rags_spark.schemas import FOOTBALL
+
+    n = 100_000
+    team = F.concat(F.lit("team_"), F.col("id").cast("string"))
+
+    def synth(name):
+        cols = FOOTBALL[name]
+        df = spark.range(n).select(team.alias("Team"), F.col("id"))
+        out = []
+        for f in cols.fields:
+            if f.name == "Team":
+                continue
+            if f.name == "Player":
+                out.append(F.concat(F.lit("p"), F.col("id").cast("string")).alias("Player"))
+            elif str(f.dataType) == "IntegerType()":
+                out.append((F.col("id") % 97 + 1).cast("int").alias(f.name))
+            else:
+                out.append(((F.col("id") % 89 + 1) / 7.0).alias(f.name))
+        return df.select("Team", *out)
+
+    tables = {name: synth(name) for name in (
+        "big_chance_team", "clean_sheet_team", "effective_clearance_team",
+        "expected_goals_team", "ontarget_scoring_att_team", "penalty_won_team",
+        "possession_won_att", "team_goals_per_match", "touches_in_opp_box_team",
+        "player_expected_assists",
+    )}
+    out = attack_pipeline(tables)
+    assert out.count() == n
+    row = out.filter(F.col("Team") == "team_7").collect()[0]
+    assert row["Goal Conversion Rate"] is not None
 
 
 def test_broadcast_hint_sticks(spark, sf_smoke):
