@@ -455,6 +455,65 @@ def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+doc_len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND((tf.cnt / CAST(doc_len.len AS DOUBLE))
+               * ln(n.total_docs / CAST(df.doc_freq AS DOUBLE)), 8) AS tfidf
+  FROM tf
+  JOIN doc_len ON tf.doc_id = doc_len.doc_id
+  JOIN df ON tf.token = df.token
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, token) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting, top-3 terms per document: term-frequency
+    normalization, corpus document-frequency join (broadcast — vocabulary
+    is always dimension-sized), ln-idf, per-doc rank.  The foundational
+    sparse-retrieval / keyword-extraction operator."""
+    docs = _docs_parallel(spark, sf_dir)
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("doc_freq"))
+    total_docs = docs.count()
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("cnt") / F.col("len").cast("double"))
+                * F.log(F.lit(total_docs) / F.col("doc_freq").cast("double")),
+                8,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
+
+
+@_llm(
     "train_test_split_assignment",
     """
 WITH h AS (

@@ -64,6 +64,18 @@ def test_stream_sessions_equal_batch(spark, sf_smoke, event_files):
     assert _canon(got, cols) == _canon(want, cols)
 
 
+def test_stream_sliding_equals_batch(spark, sf_smoke, event_files):
+    from bigdata_rags_spark.streaming.events import sliding_agg
+
+    stream = read_events_stream(spark, event_files)
+    got = _run_stream_to_memory(
+        spark, sliding_agg(stream, "1 hour", "30 minutes"), "t_slide", "complete"
+    )
+    want = sliding_agg(read_events_batch(spark, sf_smoke), "1 hour", "30 minutes")
+    cols = ["window_start_sec", "event_type", "n_events", "total_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
 def test_foreachbatch_lands_results_in_zone(spark, event_files, tmp_path):
     from bigdata_rags_spark.streaming.events import stream_to_zone
 
