@@ -865,6 +865,41 @@ def pandas_udf_harmonic_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pandas_udaf_geometric_mean",
+    """
+SELECT o_orderpriority,
+       ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geo_mean_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pandas_udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via grouped-agg @pandas_udf (geometric mean)
+    — completes the UDF surface (scalar / grouped-map / grouped-agg /
+    mapInPandas / stateful).  numpy's log-mean-exp matches the oracle's
+    EXP(AVG(LN)) to well past 4 decimals."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    # grouped-agg pandas UDFs can't mix with built-in aggregates in one
+    # agg(), so the row count is a second pandas UDAF
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geo_mean(F.col("o_totalprice")), 4).alias("geo_mean_price"),
+        pd_count(F.col("o_totalprice")).alias("n"),
+    )
+
+
+@_q(
     "hash_functions_documents",
     """
 SELECT doc_id,
