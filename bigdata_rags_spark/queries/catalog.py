@@ -188,3 +188,4 @@ from bigdata_rags_spark.queries import reference_shapes as _reference_shapes  # 
 from bigdata_rags_spark.queries import extensions as _extensions  # noqa: E402,F401
 from bigdata_rags_spark.queries import llm_ops as _llm_ops  # noqa: E402,F401
 from bigdata_rags_spark.queries import streaming_batch as _streaming_batch  # noqa: E402,F401
+from bigdata_rags_spark.queries import retrieval_ops as _retrieval_ops  # noqa: E402,F401

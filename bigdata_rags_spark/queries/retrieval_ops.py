@@ -1,0 +1,104 @@
+"""Retrieval tier: BM25 and hybrid sparse+dense search (the repo-namesake
+RAG surface), oracle-checked end to end.
+
+The fixed demo query is three corpus terms + embedding #0 as the dense
+query vector (documents and embeddings align by id in the testdata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_rags_spark.io.readers import read_testdata
+from bigdata_rags_spark.queries.catalog import TIER_LLM, query
+from bigdata_rags_spark.queries.llm_ops import _SQL_TOKS, _docs_parallel
+from bigdata_rags_spark.retrieval.bm25 import bm25_scores, hybrid_search
+
+QUERY_TERMS = ["spark", "join", "stream"]
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+_SQL_BM25_CORE = f"""
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+avgl AS (SELECT AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df
+  FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY token
+),
+per_term AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgl.avgdl)) AS s
+  FROM tf
+  JOIN dfreq ON tf.token = dfreq.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats CROSS JOIN avgl
+),
+bm25 AS (
+  SELECT doc_id, ROUND(SUM(s), 6) AS bm25, CAST(COUNT(*) AS BIGINT) AS matched_terms
+  FROM per_term GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "bm25_keyword_search",
+    f"""
+WITH {_SQL_BM25_CORE}
+SELECT doc_id, bm25, matched_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+FROM bm25
+QUALIFY rnk <= 10
+""",
+    tier=TIER_LLM,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a bag-of-words query — joins/aggs only; the
+    exploded (token, doc) relation IS the inverted index
+    (retrieval/bm25.py)."""
+    docs = _docs_parallel(spark, sf_dir)
+    return bm25_scores(docs, QUERY_TERMS, k=10)
+
+
+@query(
+    "hybrid_rag_search",
+    f"""
+WITH {_SQL_BM25_CORE},
+lex AS (
+  SELECT doc_id, bm25, bm25 / NULLIF(MAX(bm25) OVER (), 0) AS lex_norm FROM bm25
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(qv.qv, e.embedding::DOUBLE[])
+           / sqrt(list_dot_product(qv.qv, qv.qv))
+           / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS cosine
+  FROM embeddings e CROSS JOIN qv
+),
+fused AS (
+  SELECT dense.doc_id,
+         ROUND(COALESCE(lex.bm25, 0), 6)   AS bm25,
+         ROUND(dense.cosine, 6)            AS cosine,
+         ROUND(0.5 * COALESCE(lex.lex_norm, 0) + 0.5 * dense.cosine, 6) AS hybrid_score
+  FROM dense LEFT JOIN lex ON dense.doc_id = lex.doc_id
+)
+SELECT doc_id, bm25, cosine, hybrid_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY hybrid_score DESC, doc_id) AS INT) AS rnk
+FROM fused
+QUALIFY rnk <= 10
+""",
+    tier=TIER_LLM,
+)
+def hybrid_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: 0.5 * normalized BM25 + 0.5 * embedding cosine
+    to query vector #0, top-10 (retrieval/bm25.py) — the sparse+dense
+    fusion a RAG pipeline serves from."""
+    docs = _docs_parallel(spark, sf_dir)
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return hybrid_search(docs, e, QUERY_TERMS, query_vec_id=0, alpha=0.5, k=10)
