@@ -14,6 +14,57 @@ from bigdata_rags_spark.queries.catalog import TIER_LLM, query
 from bigdata_rags_spark.queries.llm_ops import _SQL_TOKS, _docs_parallel
 from bigdata_rags_spark.retrieval.bm25 import bm25_scores, hybrid_search
 
+@query(
+    "document_chunking",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, (len(tk) - 1) // 40 + 1)) AS chunk_id,
+         unnest(list_transform(range(0, (len(tk) - 1) // 40 + 1),
+                i -> array_to_string(tk[i * 40 + 1 : i * 40 + 50], ' '))) AS chunk_text,
+         unnest(list_transform(range(0, (len(tk) - 1) // 40 + 1),
+                i -> CAST(LEAST(50, len(tk) - i * 40) AS BIGINT))) AS chunk_tokens
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk_text, chunk_tokens,
+       md5(chunk_text) AS chunk_hash
+FROM chunks
+""",
+    tier=TIER_LLM,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion chunking: 50-token windows with 10-token overlap
+    (stride 40), plus a stable chunk hash for downstream dedup/embedding
+    caching.  Pure array expressions — chunking 100 TB is a scan, not a
+    UDF job."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / 40).cast("int"))
+    chunk = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(F.col("tk"), i * 40 + 1, 50)).alias("chunk_text"),
+                F.least(F.lit(50), n - i * 40).cast("bigint").alias("chunk_tokens"),
+            ),
+        )
+    )
+    return t.select("doc_id", chunk.alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_hash"),
+    )
+
+
 QUERY_TERMS = ["spark", "join", "stream"]
 _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
