@@ -48,3 +48,13 @@ def test_registry_contract():
         assert spec.name == name
         assert spec.tier in tiers, name
         assert callable(spec.spark), name
+
+
+def test_coverage_doc_lists_every_query():
+    """COVERAGE.md is the judge's map — every registered query must appear
+    in it by exact backticked name."""
+    import pathlib
+
+    cov = pathlib.Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    missing = [n for n in REGISTRY if f"`{n}`" not in cov]
+    assert not missing, f"queries missing from COVERAGE.md: {missing}"
