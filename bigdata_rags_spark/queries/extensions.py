@@ -149,14 +149,19 @@ def semi_join_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFra
     """
 SELECT c_custkey, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """,
 )
 def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join against the URGENT order subset (every customer has
+    SOME order in the testdata, so the unrestricted anti-join is vacuously
+    empty — VERDICT r1; 203 rows at sf0.01 evidences the anti semantics)."""
     t = read_testdata(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         t["customer"]
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
 
@@ -165,9 +170,9 @@ def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     "full_outer_join_supplier_customer_nations",
     """
 WITH s AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS num_suppliers
-           FROM supplier GROUP BY s_nationkey),
+           FROM supplier WHERE s_nationkey < 12 GROUP BY s_nationkey),
      c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS num_customers
-           FROM customer GROUP BY c_nationkey)
+           FROM customer WHERE c_nationkey >= 8 GROUP BY c_nationkey)
 SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
        COALESCE(num_suppliers, 0) AS num_suppliers,
        COALESCE(num_customers, 0) AS num_customers
@@ -175,9 +180,24 @@ FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
 """,
 )
 def full_outer_join_supplier_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with deliberately disjoint-ish inputs (suppliers from
+    nations < 12, customers from nations >= 8) so BOTH null-producing
+    branches fire — all 25 nations have both in the raw data, which made the
+    unrestricted outer join vacuously inner (VERDICT r1).  At sf0.01: 8
+    supplier-only + 13 customer-only + 4 matched nations."""
     t = read_testdata(spark, sf_dir, "supplier", "customer")
-    s = t["supplier"].groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("num_suppliers"))
-    c = t["customer"].groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("num_customers"))
+    s = (
+        t["supplier"]
+        .filter(F.col("s_nationkey") < 12)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("num_suppliers"))
+    )
+    c = (
+        t["customer"]
+        .filter(F.col("c_nationkey") >= 8)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+    )
     return (
         s.join(c, F.col("s_nationkey") == F.col("c_nationkey"), "full_outer")
         .select(
@@ -760,8 +780,8 @@ WITH agg AS (
   JOIN orders   ON c_custkey = o_custkey
   JOIN lineitem ON l_orderkey = o_orderkey
   WHERE c_mktsegment = 'BUILDING'
-    AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
-    AND l_shipdate  > TIMESTAMP '2024-06-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+    AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
   GROUP BY l_orderkey, o_orderdate, o_orderpriority
 )
 SELECT * FROM agg ORDER BY revenue DESC, l_orderkey LIMIT 10
@@ -769,9 +789,12 @@ SELECT * FROM agg ORDER BY revenue DESC, l_orderkey LIMIT 10
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analog: selective filters on both join sides (pushed to the
-    scans), 3-way join, agg, top-10 — the canonical composite OLAP shape."""
+    scans), 3-way join, agg, top-10 — the canonical composite OLAP shape.
+    The 1996-03-15 cutoff (classic Q3 split) sits inside the testdata's
+    1995-2001 date range so the check is non-vacuous (510 candidate groups
+    at sf0.01; VERDICT r1 flagged the old 2024 literal as 0-row)."""
     t = read_testdata(spark, sf_dir, "customer", "orders", "lineitem")
-    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    cutoff = F.lit("1996-03-15 00:00:00").cast("timestamp")
     return (
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
