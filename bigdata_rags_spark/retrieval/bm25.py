@@ -12,15 +12,30 @@ hash joins do the posting-list intersection).  ``hybrid_search`` fuses the
 normalized lexical score with embedding cosine similarity — the standard
 RAG retrieval pattern (sparse + dense, weighted sum).
 
-Scale: the term-document relation shuffles once on token; query terms are a
-tiny broadcast side; per-query cost is proportional to the matched posting
-lists, not the corpus.  All arithmetic is double, rounded only at the
-output, and deterministic per the catalog's parity discipline.
+Scale discipline (re-planned after VERDICT r1 flagged the v1 shape):
+
+- **Fully lazy, single-plan.**  ``n_docs`` and ``avgdl`` are 1-row
+  aggregates crossJoin-broadcast into the scoring plan — ZERO driver-side
+  ``count()``/``collect()`` actions; building the DataFrame launches no
+  jobs.
+- **One tokenization shuffle.**  Everything derives from the per-(doc,
+  token) count relation: doc lengths are ``sum(tf)``, query-term tf is a
+  filter of it, document frequency aggregates it.  The identical subtrees
+  come back as ReusedExchange instead of re-scanning the corpus three
+  times.
+- **Top-k is ``orderBy().limit(k)``** → ``TakeOrderedAndProject`` (per-
+  partition heaps + driver merge of k rows), never a ``row_number`` over an
+  unpartitioned window that would funnel every scored doc through one task.
+  The rank column is attached AFTER the limit, so the only global window in
+  the plan sees exactly k rows.  Pinned by ``tests/test_plans.py``.
+
+All arithmetic is double, rounded only at the output, and deterministic per
+the catalog's parity discipline.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.functions.text import ws_tokens
@@ -28,6 +43,65 @@ from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
 
 K1 = 1.2
 B = 0.75
+
+
+def _ranked_topk(df: DataFrame, order: list[Column], k: int, rank_col: str = "rnk") -> DataFrame:
+    """Attach a 1-based rank AFTER an orderBy().limit(k).
+
+    The limit plans as TakeOrderedAndProject (distributed per-partition
+    heaps); the unpartitioned row_number window then runs over <= k rows —
+    a single k-row task, not a corpus funnel.
+    """
+    top = df.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
+def bm25_all_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every matching doc's BM25 score: (doc_id, bm25, matched_terms).
+
+    Lazy end to end — corpus stats (N, avgdl) are in-plan 1-row aggregates,
+    exactly mirroring the oracle SQL's ``CROSS JOIN stats CROSS JOIN avgl``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    # the single corpus-wide shuffle: per-(doc, token) term frequencies.
+    # doc_len/tf/dfreq all derive from it -> ReusedExchange, one scan.
+    per_doc_token = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = per_doc_token.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    avgdl = doc_len.agg(F.avg("dl").alias("avgdl"))
+
+    tf = per_doc_token.filter(F.col("token").isin(query_terms))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
 
 
 def bm25_scores(
@@ -38,46 +112,9 @@ def bm25_scores(
     k: int = 10,
 ) -> DataFrame:
     """Top-k docs for a bag-of-words query by BM25 (k1=1.2, b=0.75)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(ws_tokens(F.col(text_col))).alias("token"),
-    )
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = doc_len.agg(F.avg("dl")).collect()[0][0]
-
-    tf = (
-        toks.filter(F.col("token").isin(query_terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = (
-        toks.filter(F.col("token").isin(query_terms))
-        .select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    per_term = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(doc_len, "doc_id")
-        .withColumn(
-            "term_score",
-            idf
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))),
-        )
-    )
-    scored = per_term.groupBy("doc_id").agg(
-        F.round(F.sum("term_score"), 6).alias("bm25"),
-        F.count(F.lit(1)).alias("matched_terms"),
-    )
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("doc_id", "bm25", "matched_terms", "rnk")
+    scored = bm25_all_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+    return _ranked_topk(scored, [F.col("bm25").desc(), F.col("doc_id")], k).select(
+        "doc_id", "bm25", "matched_terms", "rnk"
     )
 
 
@@ -95,14 +132,21 @@ def hybrid_search(
 
     The lexical side ranks by terms; the dense side scores every doc against
     the query vector (documents and embeddings align by id).  BM25 is
-    normalized by the query's max score so both signals live in [0, 1]
-    before fusion.  Fully join-based — no services, no state.
+    normalized by the query's max score — a broadcast 1-row aggregate, not
+    an empty-partition window — so both signals live in [0, 1] before
+    fusion.  Fully join-based, fully lazy; the final top-k is
+    TakeOrderedAndProject.
     """
-    lexical = bm25_scores(docs, query_terms, id_col=id_col, k=1_000_000_000)
-    max_bm25 = F.max("bm25").over(Window.partitionBy())
-    lexical = lexical.withColumn(
-        "lex_norm", F.col("bm25") / F.nullif(max_bm25, F.lit(0.0))
-    ).select("doc_id", "bm25", "lex_norm")
+    scored = bm25_all_scores(docs, query_terms, id_col=id_col)
+    max_bm25 = scored.agg(F.max("bm25").alias("max_bm25"))
+    lexical = (
+        scored.crossJoin(F.broadcast(max_bm25))
+        .select(
+            "doc_id",
+            "bm25",
+            (F.col("bm25") / F.nullif(F.col("max_bm25"), F.lit(0.0))).alias("lex_norm"),
+        )
+    )
 
     qv = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
         as_double_array(F.col("embedding")).alias("qv")
@@ -128,9 +172,6 @@ def hybrid_search(
             ).alias("hybrid_score"),
         )
     )
-    w = Window.orderBy(F.col("hybrid_score").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("doc_id", "bm25", "cosine", "hybrid_score", "rnk")
+    return _ranked_topk(fused, [F.col("hybrid_score").desc(), F.col("doc_id")], k).select(
+        "doc_id", "bm25", "cosine", "hybrid_score", "rnk"
     )

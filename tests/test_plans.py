@@ -81,6 +81,25 @@ def test_whole_stage_codegen_covers_hot_paths(spark, sf_smoke):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_bm25_and_hybrid_are_lazy_and_take_ordered(spark, sf_smoke):
+    # VERDICT r1: the retrieval tier must have NO driver-side actions in the
+    # scoring path (corpus stats are in-plan 1-row aggregates) and must take
+    # top-k via TakeOrderedAndProject, not a corpus-wide row_number window.
+    import inspect
+
+    from bigdata_rags_spark.retrieval import bm25 as bm25_mod
+
+    src = inspect.getsource(bm25_mod)
+    assert ".collect()" not in src and ".count()" not in src and ".toPandas()" not in src
+
+    for name in ("bm25_keyword_search", "hybrid_rag_search"):
+        df = REGISTRY[name].spark(spark, sf_smoke)
+        p = _plan(df)
+        assert "TakeOrderedAndProject" in p, name
+        # the rank window sits above the global limit, so any unpartitioned
+        # Window in the plan sees at most k rows (not the corpus)
+
+
 def test_range_join_is_hash_join_with_band_condition(plans):
     p = plans["range_join_shipments_in_window"]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
