@@ -101,9 +101,47 @@ def test_cosine_pairs_above_threshold(vectors):
     assert pairs == {(1, 100)}
 
 
+def test_cosine_pairs_mm_matches_expr_path_across_block_sizes(vectors):
+    # the distributed block-pair matmul must agree with the expression path
+    # exactly (same 6-dp rounding), including when the corpus is split into
+    # many blocks (block_rows=5 -> every (i<=j) block pair exercised: the
+    # diagonal dedup branch AND the cross-block least/greatest canonicalization)
+    from bigdata_rags_spark.similarity.knn import cosine_pairs_above_mm
+
+    expr = sorted(map(tuple, cosine_pairs_above(vectors, threshold=0.99).collect()))
+    for block_rows in (4096, 5):
+        mm = sorted(
+            map(tuple, cosine_pairs_above_mm(vectors, threshold=0.99, block_rows=block_rows).collect())
+        )
+        assert mm == expr, block_rows
+
+
 def test_lsh_bucketed_topk_recalls_near_identical(vectors):
     out = lsh_bucketed_topk(
         vectors.filter(F.col("vec_id") == 1), vectors, k=3, n_planes=6, dim=16
     ).collect()
     # near-identical vectors land in the same hyperplane bucket
     assert out and out[0]["neighbor_id"] == 100
+
+
+def test_lsh_recall_at_5_on_real_embeddings(spark, sf_oracle):
+    # VERDICT r1 #7: recall measured against brute force on the REAL
+    # embeddings table (sf0.01: 500 x 64-dim), not toy vectors.  The
+    # synthetic embeddings are near-random (best-neighbor cosine ~0.5) —
+    # LSH's adversarial case — so the tuned config leans on multi-table +
+    # 2-bit multi-probe; measured 0.99 at (6 planes, 6 tables), asserted
+    # >= 0.9.
+    from bigdata_rags_spark.io.readers import read_testdata
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(q, e, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in lsh_bucketed_topk(
+        q, e, k=5, n_planes=6, dim=64, n_tables=6, probe_bits=2
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(truth[i] & got.get(i, set())) for i in truth) / (5 * len(truth))
+    assert recall >= 0.9, recall
