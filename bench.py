@@ -36,6 +36,12 @@ HEADLINE = [
     "embedding_near_dup_pairs_mm",
     "events_tumbling_hourly",
     "events_user_sessions",
+    # retrieval tier (added r2 per VERDICT #6 so its de-scale-kill fixes
+    # are measured round over round)
+    "bm25_keyword_search",
+    "hybrid_rag_search",
+    "tfidf_top_terms",
+    "document_chunking",
 ]
 
 
