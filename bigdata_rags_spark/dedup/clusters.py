@@ -71,6 +71,15 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            # loop exhausted max_iter with changed > 0: labels are NOT the
+            # transitive closure (a component's diameter exceeds max_iter).
+            # Silent wrong answers are worse than loud ones (ADVICE r1).
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing); raise max_iter — "
+                "rounds needed = max component diameter"
+            )
         return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()

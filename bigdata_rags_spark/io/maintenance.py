@@ -16,10 +16,45 @@ dag-load.py:95), but no 100 TB lake survives without them:
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, uri: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _swap_dirs(spark: SparkSession, staging: str, final: str) -> None:
+    """Promote ``staging`` to ``final`` via Hadoop FileSystem renames.
+
+    Works on any Spark-reachable filesystem (local, HDFS, s3a — where
+    rename is the store's copy+delete).  Sequence: ``final`` ->
+    ``final__old``, ``staging`` -> ``final``, delete ``final__old``; a
+    crash between the renames leaves the previous data intact under
+    ``__old`` for manual recovery instead of a deleted zone (ADVICE r1).
+    NOT transactional — concurrent readers can observe a missing ``final``
+    for the instant between the two renames; use a table format
+    (Delta/Iceberg MERGE) when that window matters.
+    """
+    fs, jvm = _hadoop_fs(spark, final)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    old = jpath(final.rstrip("/") + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(jpath(final)):
+        if not fs.rename(jpath(final), old):
+            raise IOError(f"rename {final} -> {old} failed")
+    if not fs.rename(jpath(staging), jpath(final)):
+        raise IOError(f"rename {staging} -> {final} failed")
+    fs.delete(old, True)
+
+
+def _count_part_files(spark: SparkSession, zone_path: str) -> int:
+    fs, jvm = _hadoop_fs(spark, zone_path)
+    glob = jvm.org.apache.hadoop.fs.Path(zone_path.rstrip("/") + "/part-*")
+    return len(fs.globStatus(glob) or [])
 
 
 def merge_upsert(
@@ -32,8 +67,11 @@ def merge_upsert(
     """Merge ``updates`` into the parquet zone at ``zone_path`` by ``key``.
 
     Winner per key: the updates row; with ``version_col``, the max-version
-    row across existing+updates (ties -> updates).  Rewrites atomically via
-    a staging dir + swap.  Returns the post-merge row count.
+    row across existing+updates (ties -> updates).  Rewrites via a staging
+    dir promoted with Hadoop FileSystem renames (``_swap_dirs`` — previous
+    zone parked at ``__old`` until the new one is in place, so no crash
+    window where the data only exists in staging).  Returns the post-merge
+    row count.
 
     Scale shape: one union + one window (shuffle on key) + rewrite of the
     zone.  For zones too large to rewrite, partition the zone and merge
@@ -59,8 +97,7 @@ def merge_upsert(
     )
     staging = zone_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(zone_path, ignore_errors=True)
-    shutil.move(staging, zone_path)
+    _swap_dirs(spark, staging, zone_path)
     return spark.read.parquet(zone_path).count()
 
 
@@ -76,16 +113,14 @@ def compact_zone(
     a full-scan + round-robin repartition — run it per partition directory
     on partitioned zones so only hot partitions pay.
     """
-    import glob
     import math
 
     df = spark.read.parquet(zone_path)
     rows = df.count()
-    files_before = len(glob.glob(f"{zone_path}/part-*"))
+    files_before = _count_part_files(spark, zone_path)
     n_files = max(1, math.ceil(rows / target_rows_per_file))
     staging = zone_path.rstrip("/") + "__compact"
     df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(zone_path, ignore_errors=True)
-    shutil.move(staging, zone_path)
-    files_after = len(glob.glob(f"{zone_path}/part-*"))
+    _swap_dirs(spark, staging, zone_path)
+    files_after = _count_part_files(spark, zone_path)
     return files_before, files_after

@@ -97,3 +97,12 @@ def read_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Da
             raise KeyError(f"unknown testdata table: {name}")
         out[name] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return out
+
+
+def input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via Hadoop FileSystem metadata — no Spark
+    job, works on any Spark-reachable FS.  Used to gate broadcast-vs-shuffle
+    decisions (e.g. vocabulary joins, SCALE.md) on a cheap size estimate."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(jpath).getLength())

@@ -38,13 +38,15 @@ KEY = "Team"
 def player_assists_rollup(player_expected_assists: DataFrame) -> DataFrame:
     """R1: player-grain -> team-grain (reference dag-transform.py:166-169).
 
-    The reference sums ``Actual Assists`` and ``Expected Assists (xA)`` per
-    team, aliased to the same names.
+    The reference sums ``Actual Assists`` (alias unchanged) and ``Expected
+    Assists (xA)`` aliased to ``Expected Assists`` (reference :168) —
+    spellings matched exactly so downstream consumers of the reference's
+    stage schema see identical column names (ADVICE r1).
     """
     return rollup_sum(
         player_expected_assists,
         KEY,
-        {"Actual Assists": "Actual Assists", "Expected Assists (xA)": "Expected Assists (xA)"},
+        {"Actual Assists": "Actual Assists", "Expected Assists": "Expected Assists (xA)"},
     )
 
 
@@ -86,7 +88,8 @@ def attack_pipeline(t: Mapping[str, DataFrame]) -> DataFrame:
             "Shots on Target per Match": "ot.Shots on Target per Match",
             "Shot Conversion Rate (%)": "ot.Shot Conversion Rate (%)",
             "Penalties Won": "pw.Penalties Won",
-            "Penalty Conversion Rate (%)": "pw.Conversion Rate (%)",
+            # reference :192 alias spelling, exactly
+            "Penalties Conversion Rate (%)": "pw.Conversion Rate (%)",
             "Possession Won Final 3rd per Match": "pa.Possession Won Final 3rd per Match",
             "Total Possessions Won": "pa.Total Possessions Won",
             "Goals per Match": "gm.Goals per Match",
@@ -94,7 +97,8 @@ def attack_pipeline(t: Mapping[str, DataFrame]) -> DataFrame:
             "Matches": "gm.Matches",
             "Touches in Opposition Box": "tb.Touches in Opposition Box",
             "Actual Assists": "xa.Actual Assists",
-            "Expected Assists (xA)": "xa.Expected Assists (xA)",
+            # reference :200 carries the rollup's `Expected Assists` alias
+            "Expected Assists": "xa.Expected Assists",
         },
     )
     # reference :205-236 — the 10 attack metrics

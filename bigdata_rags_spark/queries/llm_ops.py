@@ -481,26 +481,39 @@ SELECT doc_id, token, tfidf, rnk FROM ranked WHERE rnk <= 3
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF term weighting, top-3 terms per document: term-frequency
-    normalization, corpus document-frequency join (broadcast — vocabulary
-    is always dimension-sized), ln-idf, per-doc rank.  The foundational
-    sparse-retrieval / keyword-extraction operator."""
+    normalization, corpus document-frequency join, ln-idf, per-doc rank.
+    The foundational sparse-retrieval / keyword-extraction operator.
+
+    Fully lazy: total_docs is an in-plan 1-row aggregate (no driver
+    ``count()``).  The vocabulary join is broadcast only while the corpus
+    is small enough that the distinct-token relation plausibly fits a
+    broadcast (estimated from input file bytes, a metadata-only check);
+    past the ceiling it falls back to a shuffle hash join on token — see
+    SCALE.md "Vocabulary joins"."""
     docs = _docs_parallel(spark, sf_dir)
     from pyspark.sql import Window
+
+    from bigdata_rags_spark.io.readers import input_bytes
 
     toks = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
     doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("doc_freq"))
-    total_docs = docs.count()
+    # vocab <= corpus bytes; broadcast only under ~512 MB of corpus — a
+    # 10^9-token vocabulary would OOM every executor as a broadcast side
+    if input_bytes(spark, f"{sf_dir}/documents.parquet") < 512 * 1024 * 1024:
+        dfreq = F.broadcast(dfreq)
+    total_docs = docs.agg(F.count(F.lit(1)).alias("total_docs"))
     scored = (
         tf.join(doc_len, "doc_id")
-        .join(F.broadcast(dfreq), "token")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(total_docs))
         .select(
             "doc_id",
             "token",
             F.round(
                 (F.col("cnt") / F.col("len").cast("double"))
-                * F.log(F.lit(total_docs) / F.col("doc_freq").cast("double")),
+                * F.log(F.col("total_docs") / F.col("doc_freq").cast("double")),
                 8,
             ).alias("tfidf"),
         )

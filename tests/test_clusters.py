@@ -30,3 +30,13 @@ def test_long_path_converges(spark):
     got = _clusters(spark, pairs)
     assert set(got.values()) == {20}
     assert len(got) == 13
+
+
+def test_nonconvergence_raises_instead_of_returning_wrong_labels(spark):
+    # ADVICE r1: a component whose diameter exceeds max_iter must fail loudly,
+    # not silently return partial (wrong) cluster labels
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(8)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)

@@ -127,7 +127,7 @@ def test_player_rollup_sums_per_team(spark_tables):
     out = {r["Team"]: r for r in player_assists_rollup(
         spark_tables["player_expected_assists"]).collect()}
     assert out["Arsenal"]["Actual Assists"] == 20
-    assert math.isclose(out["Arsenal"]["Expected Assists (xA)"], 16.7)
+    assert math.isclose(out["Arsenal"]["Expected Assists"], 16.7)
     assert out["Derby"]["Actual Assists"] == 3
     assert len(out) == 5
 
@@ -246,5 +246,7 @@ def test_discipline_metrics_and_zero_red_cards(spark_tables):
 def test_output_column_names_keep_reference_spelling(spark_tables):
     cols = attack_pipeline(spark_tables).columns
     assert "Shot Conversion Rate (%)" in cols
-    assert "Expected Assists (xA)" in cols
+    # reference dag-transform.py:168/:192 alias spellings, exactly (ADVICE r1)
+    assert "Expected Assists" in cols and "Expected Assists (xA)" not in cols
+    assert "Penalties Conversion Rate (%)" in cols
     assert "Combined Attack Efficiency" in cols
