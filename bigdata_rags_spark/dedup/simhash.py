@@ -49,6 +49,110 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+BANDS = 4
+BAND_BITS = 16
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as four 16-bit bands + a hex rendering.
+
+    (doc_id, band0..band3, simhash_hex): band k's token hash is md5 hex
+    chars [4k+1, 4k+4], so the concatenation is a true 64-bit simhash of
+    the md5-prefix token hash.  Banding is the point (Manku et al. WWW'07):
+    two 64-bit fingerprints within Hamming distance 3 MUST agree on at
+    least one of the 4 bands, so the near-dup join is 4 cheap equi-joins on
+    16-bit keys instead of an all-pairs scan — and, unlike the r1 16-bit
+    variant whose 8-bit halves saturate past ~10^5 docs, 16-bit bands give
+    65536 buckets per table on corpus-scale data.  Keeping the four bands
+    as separate 32-bit-safe ints sidesteps signed-64 overflow in BOTH
+    engines (the top md5 hex digit can set bit 63).
+
+    One shuffle to vote (doc, bit), one to assemble — no UDFs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("token"),
+    )
+    md = F.md5(F.col("token"))
+    th = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(md, 1 + 4 * k, 4), 16, 10).cast("int").alias(f"h{k}")
+            for k in range(BANDS)
+        ],
+    )
+    bits = th.select(
+        "doc_id",
+        *[f"h{k}" for k in range(BANDS)],
+        F.explode(F.sequence(F.lit(0), F.lit(BAND_BITS - 1))).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(h{k}, bit) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias(f"v{k}")
+            for k in range(BANDS)
+        ]
+    )
+    fp = votes.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN v{k} > 0 THEN shiftleft(1, bit) ELSE 0 END"))
+            .cast("int")
+            .alias(f"band{k}")
+            for k in range(BANDS)
+        ]
+    )
+    hex_col = F.concat(
+        *[
+            F.lpad(F.lower(F.conv(F.col(f"band{k}").cast("string"), 10, 16)), 4, "0")
+            for k in range(BANDS)
+        ]
+    )
+    return fp.withColumn("simhash_hex", hex_col)
+
+
+def simhash_near_pairs64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within ``max_hamming`` of the
+    64-bit fingerprint, found via the banded candidate join.
+
+    Exact (full recall) for max_hamming <= 3 by the pigeonhole argument:
+    4 bands, <= 3 differing bits => some band is untouched.  For larger
+    thresholds the band join is a high-recall heuristic; both engines in
+    the oracle check apply the SAME candidate generation, so parity tests
+    the whole pipeline, not just the filter.
+    """
+    fp = simhash64(df, id_col, text_col)
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"band{k}").alias(f"a{k}") for k in range(BANDS)]
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"band{k}").alias(f"b{k}") for k in range(BANDS)]
+    )
+    # one HASH join per band (an OR-of-equalities condition would push
+    # Catalyst to a nested-loop join — the all-pairs scan banding exists to
+    # avoid); union + distinct dedups pairs that collide on several bands
+    cand = None
+    for k in range(BANDS):
+        pairs_k = a.join(
+            b, (F.col(f"a{k}") == F.col(f"b{k}")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        cand = pairs_k if cand is None else cand.unionByName(pairs_k)
+    cand = cand.distinct()
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(BANDS)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

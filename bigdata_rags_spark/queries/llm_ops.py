@@ -285,6 +285,77 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(docs)
 
 
+_SQL_SIMHASH64_FP = f"""
+toks AS (SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS token FROM documents),
+th AS (SELECT doc_id,
+  ('0x' || substr(md5(token), 1, 4))::INTEGER AS h0,
+  ('0x' || substr(md5(token), 5, 4))::INTEGER AS h1,
+  ('0x' || substr(md5(token), 9, 4))::INTEGER AS h2,
+  ('0x' || substr(md5(token), 13, 4))::INTEGER AS h3
+ FROM toks),
+bits AS (SELECT doc_id, h0, h1, h2, h3, unnest(range(0, 16)) AS bit FROM th),
+votes AS (SELECT doc_id, bit,
+  SUM(CASE WHEN (h0 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+  SUM(CASE WHEN (h1 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+  SUM(CASE WHEN (h2 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+  SUM(CASE WHEN (h3 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v3
+ FROM bits GROUP BY doc_id, bit),
+fp AS (SELECT doc_id,
+  CAST(SUM(CASE WHEN v0 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band0,
+  CAST(SUM(CASE WHEN v1 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band1,
+  CAST(SUM(CASE WHEN v2 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band2,
+  CAST(SUM(CASE WHEN v3 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band3
+ FROM votes GROUP BY doc_id)
+"""
+
+
+@_llm(
+    "simhash64_fingerprints",
+    f"""
+WITH {_SQL_SIMHASH64_FP}
+SELECT doc_id, band0, band1, band2, band3,
+  lower(lpad(hex(band0), 4, '0')) || lower(lpad(hex(band1), 4, '0')) ||
+  lower(lpad(hex(band2), 4, '0')) || lower(lpad(hex(band3), 4, '0')) AS simhash_hex
+FROM fp
+""",
+)
+def simhash64_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash (four 16-bit bands + hex) — the corpus-scale
+    fingerprint variant (dedup/simhash.simhash64); the 16-bit one stays as
+    the compact pedagogical baseline."""
+    from bigdata_rags_spark.dedup.simhash import simhash64
+
+    docs = _docs_parallel(spark, sf_dir)
+    return simhash64(docs)
+
+
+@_llm(
+    "simhash_near_dup_pairs",
+    f"""
+WITH {_SQL_SIMHASH64_FP},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+            + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+              AS INTEGER) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+        a.band2 = b.band2 OR a.band3 = b.band3))
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+""",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup candidates, Hamming <= 3 over the 64-bit
+    fingerprint — exact recall by pigeonhole (4 bands), hash-join-only
+    (dedup/simhash.simhash_near_pairs64).  1597 pairs at sf0.01, so the
+    check exercises the collision join, the distinct, and the Hamming
+    filter non-vacuously."""
+    from bigdata_rags_spark.dedup.simhash import simhash_near_pairs64
+
+    docs = _docs_parallel(spark, sf_dir)
+    return simhash_near_pairs64(docs, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

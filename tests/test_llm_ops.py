@@ -71,6 +71,42 @@ def test_simhash_identical_docs_same_fingerprint(docs):
     assert (1, 2) in near
 
 
+def test_simhash64_bands_and_near_pairs(docs):
+    from bigdata_rags_spark.dedup.simhash import simhash64, simhash_near_pairs64
+
+    fp = {r["doc_id"]: r for r in simhash64(docs).collect()}
+    for k in range(4):
+        assert fp[1][f"band{k}"] == fp[2][f"band{k}"]  # identical docs
+        assert 0 <= fp[1][f"band{k}"] < 2**16
+    assert len(fp[1]["simhash_hex"]) == 16
+    near = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs64(docs).collect()}
+    assert near[(1, 2)] == 0  # identical -> distance 0
+    assert all(h <= 3 for h in near.values())
+
+
+def test_simhash64_band_join_is_selective_at_fixture_scale(spark, sf_oracle):
+    # VERDICT r1 #9: the r1 16-bit/8-bit-half join collides "virtually
+    # everything" past ~1e5 docs; the 64-bit banded join must stay selective.
+    # At sf0.01 (500 docs, 31-word vocab - an adversarially tiny token
+    # space) candidates are ~15% of all pairs; assert well under half.
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.simhash import BANDS, simhash64
+    from bigdata_rags_spark.io.readers import read_testdata
+
+    d = read_testdata(spark, sf_oracle, "documents")["documents"]
+    fp = simhash64(d)
+    a = fp.select(F.col("doc_id").alias("doc_a"), *[F.col(f"band{k}").alias(f"a{k}") for k in range(BANDS)])
+    b = fp.select(F.col("doc_id").alias("doc_b"), *[F.col(f"band{k}").alias(f"b{k}") for k in range(BANDS)])
+    cand = None
+    for k in range(BANDS):
+        pk = a.join(b, (F.col(f"a{k}") == F.col(f"b{k}")) & (F.col("doc_a") < F.col("doc_b")))
+        cand = pk if cand is None else cand.unionByName(pk)
+    n_docs = d.count()
+    frac = cand.distinct().count() / (n_docs * (n_docs - 1) / 2)
+    assert frac < 0.5, frac
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import math
