@@ -83,3 +83,37 @@ def test_partitioned_write_creates_hive_layout(spark, tmp_path):
     assert (out / "year=2024" / "month=01").exists()
     back = spark.read.parquet(str(out))
     assert back.count() == 2
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Reference S1/S13 (dag-extract.py:58-63, dag-load.py:92-102) exercised
+    end-to-end against embedded Derby (ships in Spark's own jars): parallel
+    partitioned read, full-replace write, replace-again idempotence."""
+    from bigdata_rags_spark.io.readers import read_jdbc
+    from bigdata_rags_spark.io.writers import write_jdbc_replace
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(100)], ["id", "name", "score"]
+    )
+    write_jdbc_replace(df, url, "people", driver=driver)
+
+    back = read_jdbc(spark, url, "people", driver=driver)
+    assert back.count() == 100
+    assert {r["name"] for r in back.filter("id < 3").collect()} == {
+        "name0", "name1", "name2"
+    }
+
+    # partitioned parallel read: same rows, split into bounded range queries
+    part = read_jdbc(
+        spark, url, "people", driver=driver,
+        partition_column="id", num_partitions=4, lower_bound=0, upper_bound=100,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert sorted(r["id"] for r in part.collect()) == list(range(100))
+
+    # replace semantics: second write fully supersedes the first
+    df2 = spark.createDataFrame([(1, "only", 9.0)], ["id", "name", "score"])
+    write_jdbc_replace(df2, url, "people", driver=driver)
+    again = read_jdbc(spark, url, "people", driver=driver)
+    assert [(r["id"], r["name"]) for r in again.collect()] == [(1, "only")]
