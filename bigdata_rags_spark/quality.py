@@ -1,0 +1,94 @@
+"""Corpus quality gating: Gopher-style repetition / diversity filters.
+
+Public-knowledge provenance: the rule family (word-count bounds, repeated
+n-gram fractions, lexical-diversity floors) is from Rae et al. 2021
+("Scaling Language Models: ... Gopher", arXiv:2112.11446, Table A1) and the
+C4 cleaning heuristics (Raffel et al. 2020).  Not present in the reference
+repo — this is part of the LLM-training-data extension tier mandated by
+BASELINE.json's north star.
+
+Line-based Gopher rules (duplicate-line fraction, bullet/ellipsis line
+fractions) are intentionally not implemented against the synthetic fixtures,
+which contain no newlines or symbols — a check that can never fire proves
+nothing (vacuous-oracle rule, VERDICT r1).  The repetition subset below has
+measured signal on the fixture at every threshold.
+
+100 TB design: two explode -> groupBy((doc_id, gram)) aggregations with
+map-side partial aggregation; no windows, no UDFs, no driver actions, and
+the raw text never shuffles past the first projection (only (doc_id, gram)
+pairs move).  Output ratios are ROUND()ed inside the plan so the keep flag
+is float-parity-stable across engines (see catalog.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.functions.text import ws_tokens
+
+
+def repetition_quality(
+    docs: DataFrame,
+    *,
+    min_words: int = 30,
+    max_top_unigram: float = 0.15,
+    min_distinct_ratio: float = 0.35,
+    max_top_bigram: float = 0.08,
+) -> DataFrame:
+    """Per-document repetition/diversity features + keep/drop flag.
+
+    Returns ``doc_id, n_words, n_distinct, top_unigram_frac, distinct_ratio,
+    top_bigram_frac, keep_flag`` (keep_flag is 0/1 BIGINT; ratios rounded to
+    6 places before thresholding so both engines gate on identical values).
+    Documents with zero tokens drop out (no grams to aggregate) — mirrored
+    by the oracle SQL, where ``unnest([])`` yields no rows.
+    """
+    t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    uni = t.select("doc_id", F.explode("toks").alias("tok")).groupBy("doc_id", "tok").count()
+    us = uni.groupBy("doc_id").agg(
+        F.sum("count").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("count").alias("top_c"),
+    )
+    n1 = F.size("toks") - F.lit(1)
+    bt = t.select(
+        "doc_id",
+        F.zip_with(
+            F.slice("toks", 1, n1),
+            F.slice("toks", 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("bgs"),
+    )
+    bi = bt.select("doc_id", F.explode("bgs").alias("bg")).groupBy("doc_id", "bg").count()
+    bs = bi.groupBy("doc_id").agg(
+        F.sum("count").cast("bigint").alias("n_bigrams"),
+        F.max("count").alias("top_bc"),
+    )
+    m = us.join(bs, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(F.col("top_c") / F.nullif(F.col("n_words"), F.lit(0)).cast("double"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(
+            F.col("n_distinct") / F.nullif(F.col("n_words"), F.lit(0)).cast("double"), 6
+        ).alias("distinct_ratio"),
+        F.round(F.col("top_bc") / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return m.select(
+        "*",
+        F.when(
+            (F.col("n_words") >= min_words)
+            & (F.col("top_unigram_frac") <= max_top_unigram)
+            & (F.col("distinct_ratio") >= min_distinct_ratio)
+            & (F.col("top_bigram_frac") <= max_top_bigram),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep_flag"),
+    )

@@ -29,6 +29,7 @@ from bigdata_rags_spark.functions.text import (
     ws_tokens,
 )
 from bigdata_rags_spark.io.readers import read_testdata
+from bigdata_rags_spark.quality import repetition_quality
 from bigdata_rags_spark.queries.catalog import TIER_LLM, query
 from bigdata_rags_spark.similarity.knn import brute_force_topk, cosine_pairs_above
 
@@ -892,3 +893,69 @@ def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fp, "doc_id")
         .select("doc_id", "content_hash", "shingle_fingerprint", "n_shingles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / diversity quality gate
+# ---------------------------------------------------------------------------
+
+
+@_llm(
+    "gopher_quality_filters",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+),
+us AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_c
+  FROM uni GROUP BY 1
+),
+bt AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+  FROM t
+),
+bi AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM bt) GROUP BY 1, 2
+),
+bs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bc
+  FROM bi GROUP BY 1
+),
+m AS (
+  SELECT us.doc_id, n_words, n_distinct,
+         ROUND(top_c / CAST(NULLIF(n_words, 0) AS DOUBLE), 6)    AS top_unigram_frac,
+         ROUND(n_distinct / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS distinct_ratio,
+         ROUND(top_bc / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 6) AS top_bigram_frac
+  FROM us JOIN bs ON us.doc_id = bs.doc_id
+)
+SELECT doc_id, n_words, n_distinct, top_unigram_frac, distinct_ratio, top_bigram_frac,
+       CAST(CASE WHEN n_words >= 30 AND top_unigram_frac <= 0.15
+                  AND distinct_ratio >= 0.35 AND top_bigram_frac <= 0.08
+             THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM m
+""",
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition/diversity quality gate (Rae et al. 2021, public):
+    top-unigram and top-bigram repetition fractions, distinct-token (lexical
+    diversity) ratio, and a word-count floor, combined into a keep/drop flag.
+
+    The testdata has no newlines or symbol characters, so the line-based
+    Gopher rules (duplicate-line fraction, bullet-line fraction) would be
+    vacuous here and are deliberately excluded; the repetition thresholds
+    (30 words, 0.15 / 0.35 / 0.08) were chosen so every rule fires on a real
+    subset of the fixture (106 short, 39 repetitive-unigram, 99 low-diversity,
+    33 repetitive-bigram at sf0.01 — 287/500 kept).
+
+    100 TB shape: two explode->groupBy aggregations (unigrams, bigrams), each
+    with map-side partial aggregation on (doc_id, gram); no windows, no UDFs,
+    text itself never shuffled past the first projection.  keep_flag derives
+    from the ROUNDED ratios in both engines (float-parity rule).  See
+    ``bigdata_rags_spark/quality.py`` for provenance and design notes.
+    """
+    return repetition_quality(_docs_parallel(spark, sf_dir))

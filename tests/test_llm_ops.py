@@ -181,3 +181,23 @@ def test_lsh_recall_at_5_on_real_embeddings(spark, sf_oracle):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = sum(len(truth[i] & got.get(i, set())) for i in truth) / (5 * len(truth))
     assert recall >= 0.9, recall
+
+
+def test_repetition_quality_gates_planted_docs(spark):
+    from bigdata_rags_spark.quality import repetition_quality
+
+    diverse = " ".join(f"w{i}" for i in range(60))          # 60 distinct words
+    loop = " ".join(["spam"] * 60)                          # one word repeated
+    bigram_loop = " ".join(["tic", "toc"] * 30)             # one bigram repeated
+    short = "too few words here"
+    docs = spark.createDataFrame(
+        [(1, diverse), (2, loop), (3, bigram_loop), (4, short)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_quality(docs).collect()}
+    assert out[1]["keep_flag"] == 1
+    assert out[2]["keep_flag"] == 0 and out[2]["top_unigram_frac"] == 1.0
+    assert out[3]["keep_flag"] == 0 and out[3]["top_bigram_frac"] > 0.4
+    assert out[4]["keep_flag"] == 0 and out[4]["n_words"] == 4
+    # feature sanity on the diverse doc
+    assert out[1]["distinct_ratio"] == 1.0 and out[1]["top_unigram_frac"] < 0.05
