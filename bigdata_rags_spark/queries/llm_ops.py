@@ -29,6 +29,7 @@ from bigdata_rags_spark.functions.text import (
     ws_tokens,
 )
 from bigdata_rags_spark.io.readers import read_testdata
+from bigdata_rags_spark.operators.sampling import stratified_hash_sample
 from bigdata_rags_spark.quality import repetition_quality
 from bigdata_rags_spark.queries.catalog import TIER_LLM, query
 from bigdata_rags_spark.similarity.knn import brute_force_topk, cosine_pairs_above
@@ -628,6 +629,36 @@ def train_test_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
         bucket.alias("bucket"),
+    )
+
+
+@_llm(
+    "stratified_sample_docs",
+    """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, sample_bucket
+FROM h
+WHERE sample_bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+                                WHEN 'fr' THEN 1000 WHEN 'de' THEN 0
+                                WHEN 'zh' THEN 10000 ELSE 0 END
+""",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (reproducible sampleBy):
+    en 50% / es 25% / fr 10% / de 0% / zh 100% by md5 bucket — replayable
+    across engines and partitionings, unlike RNG-seeded ``sampleBy``.  All
+    five branches have measured signal at sf0.01 (112/18/10/0/75 kept).
+    See ``operators/sampling.py`` for the 100 TB design notes."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return stratified_hash_sample(
+        docs.select("doc_id", "lang", "source"),
+        key=F.col("doc_id"),
+        strata=F.col("lang"),
+        fractions={"en": 0.5, "es": 0.25, "fr": 0.1, "de": 0.0, "zh": 1.0},
     )
 
 

@@ -146,3 +146,26 @@ def test_broadcast_hint_sticks(spark, sf_smoke):
     c = spark.read.parquet(f"{sf_smoke}/customer.parquet")
     joined = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     assert "BroadcastHashJoin" in _plan(joined)
+
+def test_stratified_hash_sample_is_deterministic_and_accurate(spark):
+    from bigdata_rags_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"), F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("parity")
+    )
+    out = stratified_hash_sample(
+        df, key=F.col("id"), strata=F.col("parity"), fractions={"even": 0.3, "odd": 0.0}
+    )
+    ids = {r["id"] for r in out.collect()}
+    assert all(i % 2 == 0 for i in ids)           # odd stratum fully dropped
+    assert 0.25 < len(ids) / 10_000 < 0.35        # ~30% of the even stratum
+    # identical selection under a different partitioning (replayability)
+    ids2 = {r["id"] for r in out.repartition(17).collect()}
+    assert ids == ids2
+    # plain hash_sample: same rows every call, fraction honored
+    s1 = {r["id"] for r in hash_sample(df, F.col("id"), 0.1).collect()}
+    s2 = {r["id"] for r in hash_sample(df, F.col("id"), 0.1).collect()}
+    assert s1 == s2 and 0.08 < len(s1) / 20_000 < 0.12
+    # different salt -> different (mostly disjoint-ish) sample
+    s3 = {r["id"] for r in hash_sample(df, F.col("id"), 0.1, salt="other").collect()}
+    assert s3 != s1
