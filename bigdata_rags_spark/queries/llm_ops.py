@@ -32,6 +32,7 @@ from bigdata_rags_spark.io.readers import read_testdata
 from bigdata_rags_spark.operators.sampling import stratified_hash_sample
 from bigdata_rags_spark.quality import repetition_quality
 from bigdata_rags_spark.queries.catalog import TIER_LLM, query
+from bigdata_rags_spark.similarity.ivf import ivf_topk
 from bigdata_rags_spark.similarity.knn import brute_force_topk, cosine_pairs_above
 
 # DuckDB fragments mirroring functions/text.py (single source of truth for
@@ -597,6 +598,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf", "rnk")
     )
+
+
+@_llm("embedding_ivf_topk", None)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 (spherical k-means coarse quantizer, 8 cells, probe 4).
+
+    rows-only BY DESIGN: the codebook comes from iterative Lloyd's training —
+    a genuinely non-SQL-expressible algorithm (the driver records the weaker
+    rows-only check).  Correctness is pinned by tests instead:
+    ``test_ivf_probe_all_cells_equals_brute_force`` (probe-all == exact
+    brute force, row-for-row) and ``test_ivf_recall_at_5_on_real_embeddings``
+    (recall@5 >= 0.9 on the near-random fixture).  See ``similarity/ivf.py``
+    for the 100 TB design."""
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    return ivf_topk(q, e, k=5, n_cells=8, n_probe=4, n_iter=3)
 
 
 @_llm(

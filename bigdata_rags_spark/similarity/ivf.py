@@ -1,0 +1,141 @@
+"""IVF (inverted-file) ANN: spherical k-means coarse quantizer + cell-probed
+cosine search.
+
+The second standard ANN family next to LSH (``similarity/knn.py``): train a
+small codebook of ``n_cells`` centroids, assign every corpus vector to its
+nearest centroid (the "inverted list"), and at query time score only the
+``n_probe`` most promising cells.  Public design: Sivic & Zisserman 2003
+(inverted files), Jégou et al. 2011 (IVF in FAISS); Spark-first rebuild, not
+a FAISS port.
+
+Determinism: no RNG anywhere.  Init picks the ``n_cells`` corpus vectors
+with the smallest md5(id) (a deterministic hash-spread sample), and Lloyd's
+iterations are plain DataFrame aggregations, so the codebook is a pure
+function of (corpus, seed, n_cells, n_iter) — replayable across runs.
+
+100 TB design:
+- Training: each Lloyd's round is one codegen'd assignment pass (literal
+  centroid matrix, argmax via array_max over struct — no join, no shuffle of
+  vectors) + one posexplode->groupBy((cell, dim)) mean with map-side partial
+  aggregation; only n_cells x dim doubles (KBs) ever reach the driver per
+  round.  Train on a ``hash_sample`` of the corpus when N is huge — the
+  codebook needs a sample, not the population.
+- Search: corpus shuffles once by cell_id; queries fan out n_probe rows
+  each (the small side); scoring is the same zip_with/aggregate cosine as
+  brute force; per-query top-k is a PARTITIONED window (no global sort).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from math import sqrt
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.functions.vectors import as_double_array, cosine
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` best cell ids for ``vec``, best first.
+
+    Builds array<struct<sim,cell>> from a literal centroid matrix and sorts
+    descending — struct comparison orders by sim then cell, so ties break
+    deterministically (higher cell id wins, same in every engine/run)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.sort_array(scored, asc=False), 1, n).getField("cell")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iter: int = 5,
+    seed: str = "ivf",
+) -> list[list[float]]:
+    """Deterministic spherical k-means codebook (unit-norm centroids)."""
+    unit = (
+        corpus.select(F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("v"))
+        .withColumn("_n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, y: a + y * y)))
+        .withColumn("v", F.transform("v", lambda x: x / F.col("_n")))
+        .drop("_n")
+    )
+    init = (
+        unit.withColumn("h", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_id").cast("string"))))
+        .orderBy("h")
+        .limit(n_cells)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    for _ in range(n_iter):
+        assigned = unit.withColumn("cell", _nearest_cells(F.col("v"), centroids, 1)[0])
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+        new = []
+        for i, old in enumerate(centroids):
+            dims = by_cell.get(i)
+            if not dims:  # empty cell: keep the old centroid (stable codebook)
+                new.append(old)
+                continue
+            raw = [dims[p] for p in range(len(old))]
+            n = sqrt(sum(x * x for x in raw)) or 1.0
+            new.append([x / n for x in raw])
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k via IVF cell probing (exact cosine within probed cells).
+
+    Pass a pre-trained ``centroids`` codebook to skip training (the codebook
+    is tiny and reusable across query batches — train once, serve many)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_cells=n_cells, n_iter=n_iter
+        )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", _nearest_cells(F.col("cv"), centroids, 1)[0])
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    ).withColumn("cell", F.explode(_nearest_cells(F.col("qv"), centroids, n_probe)))
+    w = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(), F.col("neighbor_id"))
+    return (
+        qvecs.join(cvecs, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("similarity", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )

@@ -43,6 +43,7 @@ def test_registry_contract():
         "approx_count_distinct_orders",       # HLL sketch: engine-specific
         "embedding_near_dup_pairs_mm",        # BLAS reduction order
         "multimodal_image_features",          # Pandas-UDF codec path
+        "embedding_ivf_topk",                 # iterative k-means training
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name
