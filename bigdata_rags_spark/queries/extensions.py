@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.io.readers import read_testdata
+from bigdata_rags_spark.operators.skew import salted_join
 from bigdata_rags_spark.queries.catalog import TIER_EXTENSION, query
 
 
@@ -819,6 +820,37 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "salted_join_revenue_by_priority",
+    """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def salted_join_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact join routed through ``operators/skew.salted_join`` —
+    proves the salted plan (8-way key sharding, deterministic xxhash64 salt)
+    is RESULT-EQUIVALENT to the plain join: the oracle is the unsalted SQL.
+    Salting spreads each hot l_orderkey over 8 reducers; the salt column is
+    internal and dropped, so output is salt-invariant by construction."""
+    t = read_testdata(spark, sf_dir, "orders", "lineitem")
+    joined = salted_join(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        t["orders"].select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        key="l_orderkey",
+        num_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
 
 
