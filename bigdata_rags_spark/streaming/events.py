@@ -128,6 +128,34 @@ def stream_to_zone(
     )
 
 
+def dedupe_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event dedup by ``event_id`` — same definition, two modes.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps the dedup state
+    BOUNDED — ids older than the watermark are evicted, so state is O(events
+    per watermark window), not O(stream lifetime).  That is the only
+    formulation that survives an unbounded 100 TB/day stream; plain
+    ``dropDuplicates`` on a stream grows state forever.  Batch: the same
+    semantic is plain ``dropDuplicates`` (first-seen row wins; duplicates
+    beyond one watermark apart are the source's replay bug, not dedup's).
+    The testdata's event_ids are unique, so correctness is pinned on PLANTED
+    duplicates in ``tests/test_streaming.py`` (vacuous-oracle rule)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: the static dim is broadcast to every
+    task, so the stream never shuffles — the canonical pattern for joining a
+    firehose against reference data (dims re-read per micro-batch pick up
+    slowly-changing updates).  Left join: events without a dim row survive
+    with nulls (gate downstream, don't drop silently)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Per-user session windows (gap-based).  Spark merges events whose gap
     is strictly less than ``gap`` (session range is [start, last+gap)); the

@@ -117,3 +117,52 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # emitted.  The on-time window [7200,10800) emits with both rows.
     assert 0 not in out, f"late row was not dropped: {out}"
     assert out.get(7200) == 2, f"on-time window missing/short: {out}"
+
+def test_stream_dedupe_drops_planted_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replays of the same event_id across
+    micro-batches (within the watermark) collapse to one row."""
+    from bigdata_rags_spark.streaming.events import dedupe_events
+
+    p1 = str(tmp_path / "b1")
+    p2 = str(tmp_path / "b2")
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    rows1 = [(1, 1_000 * NS, 1, "click", 1.0, ""), (2, 1_010 * NS, 2, "view", 2.0, "")]
+    # batch 2 replays id 1 and 2 (10s later, inside the 1h watermark) + a new id
+    rows2 = [(1, 1_010 * NS, 1, "click", 1.0, ""), (2, 1_020 * NS, 2, "view", 2.0, ""),
+             (3, 1_030 * NS, 3, "click", 3.0, "")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(p1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("overwrite").parquet(p2)
+    merged = str(tmp_path / "merged")
+    spark.read.schema(schema).parquet(p1).coalesce(1).write.mode("overwrite").parquet(merged)
+    spark.read.schema(schema).parquet(p2).coalesce(1).write.mode("append").parquet(merged)
+
+    stream = read_events_stream(spark, merged, max_files_per_trigger=1)
+    got = _run_stream_to_memory(spark, dedupe_events(stream), "t_dedup", "append")
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]
+    # batch mode: same definition, same surviving ids
+    batch = spark.read.schema(schema).parquet(merged)
+    from bigdata_rags_spark.streaming.events import _with_ts
+
+    bids = sorted(r["event_id"] for r in dedupe_events(_with_ts(batch)).collect())
+    assert bids == [1, 2, 3]
+
+
+def test_stream_static_join_equals_batch(spark, sf_smoke, event_files):
+    """enrich_with_dim as a真 stream-static micro-batch join == batch join."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.streaming.events import enrich_with_dim
+
+    dim = (
+        read_testdata(spark, sf_smoke, "customer")["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_events_stream(spark, event_files)
+    got = _run_stream_to_memory(
+        spark, enrich_with_dim(stream, dim), "t_enrich", "append"
+    )
+    want = enrich_with_dim(read_events_batch(spark, sf_smoke), dim)
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    assert _canon(got, cols) == _canon(want, cols)
+    assert got.filter(F.col("c_mktsegment").isNull()).count() > 0  # outer branch real
