@@ -600,6 +600,72 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm(
+    "embedding_int8_quantization",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / NULLIF(scale, 0.0)) AS INT)) AS codes
+  FROM s
+),
+r AS (
+  SELECT vec_id, v, scale, codes,
+         list_transform(codes, c -> c * scale) AS recon
+  FROM q
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       array_to_string(codes, ',') AS codes_csv,
+       ROUND(list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - recon[i]))), 6)
+         AS max_abs_err,
+       ROUND(list_dot_product(v, recon) / sqrt(list_dot_product(v, v))
+             / sqrt(list_dot_product(recon, recon)), 6) AS cos_recon
+FROM r
+""",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 scalar quantization of the embedding column —
+    the standard 4x storage/bandwidth compression for training-data and ANN
+    serving pipelines (per-vector scale = max|x|/127; public technique, e.g.
+    Dettmers et al. 2022 LLM.int8()).  Emits the codes (engine-neutral CSV
+    string per the catalog's array-output convention) plus reconstruction
+    quality: max absolute error and cosine(original, reconstructed).
+
+    100 TB: pure per-row array expressions — scan-shaped, no shuffle, no
+    UDFs; the int8 codes are the column you'd persist (4x smaller, exact
+    same partitioning).  Float parity: both engines do float->double casts,
+    sequential-order dot products, and the same `/ sqrt / sqrt` op order,
+    with ROUND only at the output."""
+    from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    s = e.select("vec_id", as_double_array(F.col("embedding")).alias("v")).withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    )
+    q = s.withColumn(
+        "codes",
+        F.transform("v", lambda x: F.round(x / F.nullif(F.col("scale"), F.lit(0.0))).cast("int")),
+    )
+    r = q.withColumn("recon", F.transform("codes", lambda c: c.cast("double") * F.col("scale")))
+    return r.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias("codes_csv"),
+        F.round(
+            F.array_max(F.zip_with("v", "recon", lambda a, b: F.abs(a - b))), 6
+        ).alias("max_abs_err"),
+        F.round(
+            dot(F.col("v"), F.col("recon")) / norm(F.col("v")) / norm(F.col("recon")), 6
+        ).alias("cos_recon"),
+    )
+
+
 @_llm("embedding_ivf_topk", None)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (spherical k-means coarse quantizer, 8 cells, probe 4).

@@ -237,3 +237,16 @@ def test_ivf_recall_at_5_on_real_embeddings(spark, sf_oracle):
     assert recall >= 0.9, recall
     # codebook is deterministic: retraining yields the identical centroids
     assert cents == train_ivf_centroids(e, n_cells=16, n_iter=5)
+
+
+def test_int8_quantization_bounds(spark, sf_oracle):
+    from bigdata_rags_spark.queries.llm_ops import embedding_int8_quantization
+
+    out = embedding_int8_quantization(spark, sf_oracle).collect()
+    assert len(out) == 500
+    for r in out[:50]:
+        codes = [int(c) for c in r["codes_csv"].split(",")]
+        assert len(codes) == 64
+        assert all(-127 <= c <= 127 for c in codes)          # absmax never clips past 127
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9     # rounding error bound
+        assert r["cos_recon"] > 0.999
