@@ -824,6 +824,41 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "unpivot_lineitem_measures",
+    """
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey < 100
+)
+SELECT l_orderkey, l_linenumber, measure, ROUND(value, 6) AS value
+FROM src
+UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt (``DataFrame.unpivot`` — the inverse of pivot,
+    completing the reshape pair with ``pivot_returnflag_by_status``).  Plans
+    as an Expand node: 4 output rows per input row, produced in the scan
+    stage with no shuffle — the 100 TB cost is output volume, not exchange."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "raw_value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("raw_value", 6).alias("value"),
+        )
+    )
+
+
+@_q(
     "salted_join_revenue_by_priority",
     """
 SELECT o_orderpriority,

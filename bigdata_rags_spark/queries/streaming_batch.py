@@ -194,3 +194,59 @@ def events_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@_s(
+    "events_hourly_gapfill",
+    """
+WITH m AS (
+  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr, value
+  FROM events WHERE user_id < 30
+),
+b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM m GROUP BY 1),
+tl AS (SELECT user_id, unnest(range(mn, mx + 1)) AS hr FROM b),
+pm AS (
+  SELECT user_id, hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM m GROUP BY 1, 2
+)
+SELECT tl.user_id, tl.hr * 3600 AS hour_sec,
+       COALESCE(pm.n_events, 0)      AS n_events,
+       COALESCE(pm.total_value, 0.0) AS total_value,
+       CAST(CASE WHEN pm.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM tl LEFT JOIN pm ON tl.user_id = pm.user_id AND tl.hr = pm.hr
+""",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: a dense per-user hourly timeline
+    (``sequence`` over each user's [min, max] hour) left-joined to the
+    actual hourly rollup, empty buckets zero-filled and flagged — the
+    standard densify step before windowed feature extraction on telemetry.
+
+    100 TB: the timeline derives from a tiny per-user bounds agg and
+    explodes executor-side (one row per user-hour, no driver action); the
+    join is co-keyed on (user_id, hour) with the rollup — both sides
+    shuffle once on the same key.  All bucket math is integer epoch
+    arithmetic (ns // 3.6e12), bit-exact across engines."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir).filter(F.col("user_id") < 30)
+    m = ev.select("user_id", F.expr("ts_ns div 3600000000000").alias("hr"), "value")
+    bounds = m.groupBy("user_id").agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    timeline = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hr")
+    )
+    per_hr = m.groupBy("user_id", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return (
+        timeline.join(per_hr, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            (F.col("hr") * 3600).alias("hour_sec"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
+        )
+    )
