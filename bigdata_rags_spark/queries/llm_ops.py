@@ -600,6 +600,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Projection matrix literals shared by the Spark plan and the oracle SQL —
+# generated at import from md5 (pure Python, no Spark session needed).
+_RP_PLANES = None
+
+
+def _rp_planes():
+    global _RP_PLANES
+    if _RP_PLANES is None:
+        from bigdata_rags_spark.similarity.projection import projection_planes
+
+        _RP_PLANES = projection_planes(64, 16, seed="rproj")
+    return _RP_PLANES
+
+
+def _rp_oracle() -> str:
+    cols = ",\n".join(
+        f"       ROUND(list_dot_product(v, [{', '.join(repr(x) for x in p)}]), 6) AS p{j:02d}"
+        for j, p in enumerate(_rp_planes())
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
+        f"SELECT vec_id,\n{cols}\nFROM e"
+    )
+
+
+@_llm("embedding_random_projection", _rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims with an EXACT oracle: the
+    md5-derived projection matrix is embedded as literals in both the Spark
+    plan and the DuckDB SQL (same doubles, same sequential dot-product
+    order, ROUND at the output).  See ``similarity/projection.py`` for the
+    100 TB design."""
+    from bigdata_rags_spark.similarity.projection import project_embeddings
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return project_embeddings(e, _rp_planes())
+
+
 @_llm(
     "embedding_int8_quantization",
     """

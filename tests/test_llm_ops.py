@@ -250,3 +250,41 @@ def test_int8_quantization_bounds(spark, sf_oracle):
         assert all(-127 <= c <= 127 for c in codes)          # absmax never clips past 127
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9     # rounding error bound
         assert r["cos_recon"] > 0.999
+
+
+def test_random_projection_preserves_distance_ordering(spark, sf_oracle):
+    import math
+
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.projection import (
+        project_embeddings,
+        projection_planes,
+    )
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"].filter(
+        F.col("vec_id") < 40
+    )
+    planes = projection_planes(64, 16, seed="rproj")
+    orig = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    proj_rows = project_embeddings(e, planes).collect()
+    proj = {r["vec_id"]: [r[f"p{j:02d}"] for j in range(16)] for r in proj_rows}
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(orig)
+    pairs = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)] + [
+        (ids[i], ids[i + 20]) for i in range(19)
+    ]
+    od = [d(orig[a], orig[b]) for a, b in pairs]
+    pd_ = [d(proj[a], proj[b]) for a, b in pairs]
+    # The fixture's near-random vectors have CONCENTRATED pairwise distances
+    # (all pairs nearly equidistant), so rank-order checks are noise by
+    # construction; the JL guarantee that IS testable is bounded distortion:
+    # projected/original distance ratios cluster around one global constant.
+    ratios = sorted(p / o for p, o in zip(pd_, od))
+    med = ratios[len(ratios) // 2]
+    assert med > 0, med
+    assert ratios[0] > 0.4 * med and ratios[-1] < 1.9 * med, (ratios[0], med, ratios[-1])
+    # deterministic: same planes on a second call
+    assert planes == projection_planes(64, 16, seed="rproj")
