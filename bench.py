@@ -42,6 +42,11 @@ HEADLINE = [
     "hybrid_rag_search",
     "tfidf_top_terms",
     "document_chunking",
+    # r2 additions: quality gate, quantization, projection, gap-fill
+    "gopher_quality_filters",
+    "embedding_int8_quantization",
+    "embedding_random_projection",
+    "events_hourly_gapfill",
 ]
 
 

@@ -16,7 +16,7 @@ dag-load.py:95), but no 100 TB lake survives without them:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -124,3 +124,100 @@ def compact_zone(
     _swap_dirs(spark, staging, zone_path)
     files_after = _count_part_files(spark, zone_path)
     return files_before, files_after
+
+
+def merge_scd2(
+    spark: SparkSession,
+    zone_path: str,
+    updates: DataFrame,
+    key: str,
+    change_ts_col: str,
+) -> int:
+    """History-preserving (SCD-2) merge: changed keys CLOSE their current
+    row (``__valid_to`` = change ts, ``__is_current`` = false) and open a
+    new one, unchanged keys are no-ops, so every historical attribute state
+    stays queryable ("as of" reads filter on the validity interval).
+
+    ``updates`` must carry ``key``, the attribute columns, and
+    ``change_ts_col`` — an explicit, caller-supplied event time (never
+    wall-clock inside the operator: deterministic, replayable, and exactly
+    re-appliable — re-running the same batch is a no-op because identical
+    attributes don't produce a new version).
+
+    Change detection hashes the attribute columns (md5 of a null-tagged
+    concat), so only (key, hash) pairs shuffle for the diff — attribute
+    payloads move once, in the final rewrite.  Same staging-swap discipline
+    as ``merge_upsert``; same table-format caveat.  Returns post-merge rows.
+    """
+    attr_cols = [c for c in updates.columns if c not in (key, change_ts_col)]
+
+    def attr_hash() -> Column:
+        # unbound expression — resolves against whichever frame selects it
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attr_cols],
+            )
+        )
+
+    fresh = updates.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        F.col(change_ts_col).alias("__valid_from"),
+    ).withColumn("__hash", attr_hash())
+
+    try:
+        existing = spark.read.parquet(zone_path)
+        have_zone = True
+    except Exception:
+        have_zone = False
+
+    if not have_zone:
+        out = fresh.select(
+            key,
+            *attr_cols,
+            "__valid_from",
+            F.lit(None).cast(fresh.schema["__valid_from"].dataType).alias("__valid_to"),
+            F.lit(True).alias("__is_current"),
+        )
+    else:
+        current = existing.filter(F.col("__is_current"))
+        history = existing.filter(~F.col("__is_current"))
+        cur_hashed = current.withColumn("__hash", attr_hash())
+        # diff on (key, hash) only
+        cmp = (
+            fresh.select(key, "__hash", "__valid_from")
+            .join(
+                cur_hashed.select(
+                    F.col(key), F.col("__hash").alias("__cur_hash")
+                ),
+                key,
+                "left",
+            )
+        )
+        changed_keys = cmp.filter(
+            F.col("__cur_hash").isNull() | (F.col("__hash") != F.col("__cur_hash"))
+        ).select(key, F.col("__valid_from").alias("__close_ts"))
+        closed = (
+            current.join(F.broadcast(changed_keys), key, "inner")
+            .withColumn("__valid_to", F.col("__close_ts"))
+            .withColumn("__is_current", F.lit(False))
+            .drop("__close_ts")
+        )
+        untouched = current.join(F.broadcast(changed_keys), key, "left_anti")
+        opened = (
+            fresh.join(F.broadcast(changed_keys.select(key)), key, "inner")
+            .select(
+                key,
+                *attr_cols,
+                "__valid_from",
+                F.lit(None).cast(fresh.schema["__valid_from"].dataType).alias("__valid_to"),
+                F.lit(True).alias("__is_current"),
+            )
+        )
+        out = history.unionByName(closed).unionByName(untouched).unionByName(opened)
+
+    staging = zone_path.rstrip("/") + "__staging"
+    out.write.mode("overwrite").parquet(staging)
+    _swap_dirs(spark, staging, zone_path)
+    return spark.read.parquet(zone_path).count()

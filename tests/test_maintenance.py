@@ -48,3 +48,41 @@ def test_compact_zone_reduces_files(spark, tmp_path):
     before, after = compact_zone(spark, zone, target_rows_per_file=10_000)
     assert before == 64 and after == 1
     assert spark.read.parquet(zone).count() == 10_000
+
+def test_merge_scd2_tracks_history_and_is_reapply_idempotent(spark, tmp_path):
+    from bigdata_rags_spark.io.maintenance import merge_scd2
+
+    zone = str(tmp_path / "scd2")
+    b1 = spark.createDataFrame(
+        [(1, "alice", 100), (2, "bob", 100)], ["k", "name", "ts"]
+    )
+    n = merge_scd2(spark, zone, b1, key="k", change_ts_col="ts")
+    assert n == 2
+    cur = {r["k"]: r for r in spark.read.parquet(zone).collect()}
+    assert cur[1]["__is_current"] and cur[1]["__valid_from"] == 100
+    assert cur[1]["__valid_to"] is None
+
+    # batch 2: key 1 changes, key 2 unchanged, key 3 new
+    b2 = spark.createDataFrame(
+        [(1, "alicia", 200), (2, "bob", 200), (3, "carol", 200)], ["k", "name", "ts"]
+    )
+    n = merge_scd2(spark, zone, b2, key="k", change_ts_col="ts")
+    assert n == 4  # 2 current survivors + 1 closed + 1 new
+    rows = spark.read.parquet(zone).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["k"], []).append(r)
+    # key 1: closed v1 + open v2
+    v1 = [r for r in by[1] if not r["__is_current"]][0]
+    v2 = [r for r in by[1] if r["__is_current"]][0]
+    assert (v1["name"], v1["__valid_from"], v1["__valid_to"]) == ("alice", 100, 200)
+    assert (v2["name"], v2["__valid_from"], v2["__valid_to"]) == ("alicia", 200, None)
+    # key 2: unchanged -> single row, original valid_from
+    assert len(by[2]) == 1 and by[2][0]["__valid_from"] == 100 and by[2][0]["__is_current"]
+    # key 3: inserted current
+    assert len(by[3]) == 1 and by[3][0]["__is_current"]
+
+    # re-applying batch 2 is a no-op (no new versions from identical attrs)
+    n = merge_scd2(spark, zone, b2, key="k", change_ts_col="ts")
+    assert n == 4
+    assert spark.read.parquet(zone).filter("__is_current").count() == 3
