@@ -10,6 +10,17 @@ every derived ratio is computed from those already-rounded values — identical
 inputs + identical IEEE ops -> identical doubles, so the driver's value-hash
 matches exactly.  Every ratio is NULLIF-guarded on both sides (hazard 2).
 Timestamps are emitted as formatted strings on both sides (engine-neutral).
+
+DECIMAL-TIE hazard (found at sf0.1, round 2): even on IDENTICAL input
+doubles, Spark and DuckDB ROUND() disagree when the value sits on an exact
+decimal tie — and some formulas produce ties SYSTEMATICALLY: halving a
+6-decimal value yields a 7th-decimal 5 whenever the 6th digit is odd, and
+sum/n for n = 2^a*5^b (e.g. avg of 32 rows) terminates in a 5.  Rules:
+never ROUND(x/2, p) where x already has p decimals (coarsen one input
+first so the exact result has < p decimals: see blended_price), and
+compute averages with integer micro-unit floor division
+(``cents * 10^4 div n``: see events_tumbling_hourly) instead of
+ROUND(AVG(..), 6).
 """
 
 from __future__ import annotations

@@ -30,7 +30,11 @@ _ATTACK_SHAPE = {
     "revenue_per_order": "ROUND(total_revenue / NULLIF(num_orders, 0), 6)",
     "orders_per_customer": "ROUND(num_orders / NULLIF(num_customers, 0), 6)",
     "urgent_rate_pct": "ROUND(urgent_orders * 100e0 / NULLIF(num_orders, 0), 6)",
-    "blended_price": "ROUND((avg_price + max_price) / 2, 6)",
+    # avg_price is coarsened to 4 decimals before the blend: a 6-decimal
+    # value halved yields an exact 7th-decimal 5 whenever the sum's 6th
+    # digit is odd, and Spark/DuckDB ROUND disagree on decimal ties (seen
+    # at sf0.1).  (4-dec + 2-dec)/2 has at most 5 decimals -> tie-free.
+    "blended_price": "ROUND((ROUND(avg_price, 4) + max_price) / 2, 6)",
     "priority_index": (
         "ROUND((urgent_orders * 1 + high_orders * 2 + num_orders)"
         " / NULLIF(num_customers, 0), 6)"
@@ -77,7 +81,7 @@ SELECT *,
        ROUND(total_revenue / NULLIF(num_orders, 0), 6)      AS revenue_per_order,
        ROUND(num_orders / NULLIF(num_customers, 0), 6)      AS orders_per_customer,
        ROUND(urgent_orders * 100e0 / NULLIF(num_orders, 0), 6) AS urgent_rate_pct,
-       ROUND((avg_price + max_price) / 2, 6)                AS blended_price,
+       ROUND((ROUND(avg_price, 4) + max_price) / 2, 6)      AS blended_price,
        ROUND((urgent_orders * 1 + high_orders * 2 + num_orders)
              / NULLIF(num_customers, 0), 6)                 AS priority_index
 FROM agg

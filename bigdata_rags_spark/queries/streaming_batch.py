@@ -31,7 +31,8 @@ SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS window_start_sec,
        event_type,
        CAST(COUNT(*) AS BIGINT)    AS n_events,
        ROUND(SUM(value), 2)        AS total_value,
-       ROUND(AVG(value), 6)        AS avg_value
+       (CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) * 10000 // COUNT(*)) / 1000000.0
+         AS avg_value
 FROM events
 GROUP BY 1, 2
 """,

@@ -72,14 +72,21 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str | None
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # avg via integer micro-units: ROUND(avg, 6) ties exactly when
+            # n_events is 2^a*5^b (e.g. 32 events -> sum/32 terminates in a
+            # decimal 5) and Spark/DuckDB ROUND disagree on ties (seen at
+            # sf0.1).  cents*10^4 div n is exact integer math in both
+            # engines -> bit-identical 6-decimal truncated average.
+            F.round(F.sum("value") * 100, 0).cast("bigint").alias("__cents"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
             "event_type",
             "n_events",
             "total_value",
-            "avg_value",
+            (F.expr("__cents * 10000 div n_events") / F.lit(1_000_000.0)).alias(
+                "avg_value"
+            ),
         )
     )
 
