@@ -117,3 +117,33 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     write_jdbc_replace(df2, url, "people", driver=driver)
     again = read_jdbc(spark, url, "people", driver=driver)
     assert [(r["id"], r["name"]) for r in again.collect()] == [(1, "only")]
+
+
+def test_orc_and_json_roundtrip_preserve_data(spark, tmp_path):
+    """Format breadth beyond CSV/parquet: ORC (columnar, predicate-pushdown
+    capable) and newline-delimited JSON (interchange) round-trip through the
+    same partitioned writer."""
+    from pyspark.sql import types as T
+
+    from bigdata_rags_spark.io.writers import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1, 2]), (2, "b", -0.25, []), (3, None, None, [7])],
+        "k long, s string, x double, arr array<long>",
+    )
+    want = sorted(map(tuple, df.fillna({"s": ""}).collect()))
+
+    orc_out = str(tmp_path / "orc")
+    write_partitioned(df, orc_out, fmt="orc")
+    back_orc = spark.read.orc(orc_out)
+    assert back_orc.schema == df.schema
+    assert sorted(map(tuple, back_orc.fillna({"s": ""}).collect())) == want
+
+    json_out = str(tmp_path / "json")
+    write_partitioned(df, json_out, fmt="json")
+    # JSON needs the schema supplied on read (no types in the file)
+    back_json = spark.read.schema(df.schema).json(json_out)
+    assert sorted(map(tuple, back_json.fillna({"s": ""}).collect())) == want
+    # ORC pushes filters to the scan like parquet
+    plan = back_orc.filter("k = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan
