@@ -104,3 +104,26 @@ def test_range_join_is_hash_join_with_band_condition(plans):
     p = plans["range_join_shipments_in_window"]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_r2_operators_have_scale_safe_plans(spark, sf_smoke):
+    """Round-2 additions: the plan properties their SCALE.md/docstring
+    rationale claims."""
+    for name, pred in {
+        # quality gate / LM scoring / decontamination: aggregation-shaped,
+        # never a global (unpartitioned) window
+        "gopher_quality_filters": lambda p: "Window" not in p,
+        "unigram_lm_doc_scores": lambda p: "Window" not in p,
+        "benchmark_decontamination": lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p,
+        # sampling is a row-local filter: no exchange at all
+        "stratified_sample_docs": lambda p: "Exchange" not in p,
+        # unpivot plans as Expand in the scan stage, no shuffle before it
+        "unpivot_lineitem_measures": lambda p: "Expand" in p,
+        # Q4 semi-join stays a real semi join
+        "tpch_q4_order_priority": lambda p: "LeftSemi" in p,
+        # gap-fill joins timeline and rollup; no cartesian
+        "events_hourly_gapfill": lambda p: "CartesianProduct" not in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
