@@ -1152,6 +1152,69 @@ def unigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm(
+    "corpus_health_by_lang",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT doc_id, lang, tok, count(*) AS c
+  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t) GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         ROUND(COUNT(*) / CAST(NULLIF(SUM(c), 0) AS DOUBLE), 6) AS distinct_ratio
+  FROM uni GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)        AS n_docs,
+       CAST(SUM(n_words) AS BIGINT)    AS total_words,
+       CAST(MIN(n_words) AS BIGINT)    AS min_words,
+       CAST(MAX(n_words) AS BIGINT)    AS max_words,
+       (CAST(SUM(n_words) AS BIGINT) * 1000000 // COUNT(*)) / 1000000.0 AS avg_words,
+       CAST(SUM(CASE WHEN n_words < 30 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+       CAST(SUM(CASE WHEN distinct_ratio < 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS low_diversity_docs
+FROM per_doc GROUP BY lang
+""",
+)
+def corpus_health_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health dashboard: per-language doc/word volumes and quality-
+    rule hit counts — the monitoring rollup a training-data pipeline emits
+    per ingestion batch.  avg_words uses the integer micro-unit floor
+    division (catalog.py decimal-tie rule).
+
+    100 TB: composes the same (doc, token) aggregation as the quality gate
+    and collapses to |languages| rows — output is dimension-sized, the
+    dashboard query pattern."""
+    docs = _docs_parallel(spark, sf_dir)
+    t = docs.select("doc_id", "lang", ws_tokens(F.col("text")).alias("toks"))
+    uni = (
+        t.select("doc_id", "lang", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .count()
+    )
+    per_doc = uni.groupBy("doc_id", "lang").agg(
+        F.sum("count").cast("bigint").alias("n_words"),
+        F.round(
+            F.count(F.lit(1)) / F.nullif(F.sum("count"), F.lit(0)).cast("double"), 6
+        ).alias("distinct_ratio"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.min("n_words").cast("bigint").alias("min_words"),
+        F.max("n_words").cast("bigint").alias("max_words"),
+        (
+            F.expr("CAST(sum(n_words) AS BIGINT) * 1000000 div count(1)")
+            / F.lit(1_000_000.0)
+        ).alias("avg_words"),
+        F.sum(F.when(F.col("n_words") < 30, 1).otherwise(0)).cast("bigint").alias("short_docs"),
+        F.sum(F.when(F.col("distinct_ratio") < 0.35, 1).otherwise(0))
+        .cast("bigint")
+        .alias("low_diversity_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition / diversity quality gate
 # ---------------------------------------------------------------------------
