@@ -78,3 +78,56 @@ def test_ratio_metrics_scale_invariance(spark, rows, scale):
             assert s["r"] is None
         else:
             assert math.isclose(b["r"], s["r"], rel_tol=1e-9)
+
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+        min_size=2,
+        max_size=16,
+    )
+)
+@_SETTINGS
+def test_int8_quantization_roundtrip_error_bound(spark, vec):
+    """For any vector: codes within [-127,127] and reconstruction error
+    bounded by scale/2 per component (absmax symmetric quantization)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.vectors import as_double_array
+
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    s = df.select("vec_id", as_double_array(F.col("embedding")).alias("v")).withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    )
+    row = (
+        s.withColumn(
+            "codes",
+            F.transform(
+                "v", lambda x: F.round(x / F.nullif(F.col("scale"), F.lit(0.0))).cast("int")
+            ),
+        )
+        .collect()[0]
+    )
+    if row["scale"] == 0:  # all-zero vector: nothing to quantize
+        return
+    assert all(-127 <= c <= 127 for c in row["codes"])
+    for x, c in zip(row["v"], row["codes"]):
+        assert abs(x - c * row["scale"]) <= row["scale"] / 2 + 1e-12
+
+
+@given(frac=st.floats(0.0, 1.0), n=st.integers(100, 2000))
+@_SETTINGS
+def test_hash_sample_fraction_and_subset_invariants(spark, frac, n):
+    """Deterministic sampling: fraction within binomial bounds, and a
+    smaller fraction's sample is a SUBSET of a larger one (nested samples —
+    the property RNG sampling does not have)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.operators.sampling import hash_sample
+
+    df = spark.range(n)
+    ids = {r["id"] for r in hash_sample(df, F.col("id"), frac).collect()}
+    # binomial 5-sigma bound
+    sigma = (n * frac * (1 - frac)) ** 0.5
+    assert abs(len(ids) - n * frac) <= 5 * sigma + 1
+    half = {r["id"] for r in hash_sample(df, F.col("id"), frac / 2).collect()}
+    assert half <= ids
