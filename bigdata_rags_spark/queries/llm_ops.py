@@ -256,6 +256,52 @@ def dup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@_llm(
+    "fuzzy_dedup_surviving_docs",
+    f"""
+WITH RECURSIVE
+{_SQL_JACCARD_PAIRS},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+clusters AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+""",
+)
+def fuzzy_dedup_surviving_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END fuzzy-dedup pipeline (the RefinedWeb/Dolma-style
+    composition, public): shingle-Jaccard near-dup pairs -> connected
+    components -> keep only each cluster's min-id keeper plus all
+    untouched docs.  This is the operator a training-data pipeline actually
+    runs; the building blocks are oracle-checked individually
+    (``ngram_jaccard_near_dups``, ``dup_cluster_assignment``) and this
+    entry proves the composed survival semantics.
+
+    100 TB: pair generation is shingle-collision-bounded (no all-pairs),
+    CC is iterative join-only label propagation with lineage truncation,
+    and the final anti-join ships only loser ids — the full text rides
+    through untouched."""
+    from bigdata_rags_spark.dedup.clusters import connected_components
+
+    docs = _docs_parallel(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.5).select("doc_a", "doc_b")
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
