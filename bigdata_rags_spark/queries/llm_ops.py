@@ -830,6 +830,43 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "length_weighted_sample_docs",
+    """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS sample_bucket,
+         LEAST(n_chars * 20, 10000) AS keep_threshold
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, sample_bucket,
+       CAST(keep_threshold AS BIGINT) AS keep_threshold
+FROM h WHERE sample_bucket < keep_threshold
+""",
+)
+def length_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document length: p(doc) = min(n_chars/500, 1),
+    so longer docs are over-represented — the standard move when a subset
+    must be token-balanced rather than doc-balanced (weighted mixes for
+    training-data curricula).  All arithmetic is INTEGER (n_chars * 20 of
+    10000 buckets): no float in the keep decision at all, and the same
+    deterministic md5 bucket as ``operators/sampling.py`` — replayable,
+    partition-independent, join-free."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    from bigdata_rags_spark.operators.sampling import hash_bucket
+
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            hash_bucket(F.col("doc_id"), "s0").alias("sample_bucket"),
+            F.least(F.col("n_chars") * 20, F.lit(10000)).cast("bigint").alias("keep_threshold"),
+        )
+        .filter(F.col("sample_bucket") < F.col("keep_threshold"))
+    )
+
+
+@_llm(
     "sequence_packing_bins",
     """
 WITH toks AS (
