@@ -633,6 +633,23 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("approx_percentile_prices", None)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-SKETCH per group (Greenwald-Khanna via ``approx_percentile``)
+    — the scale path for groupwise quantiles: mergeable fixed-memory
+    sketches, one pass, no per-group sort, unlike exact ``percentile``
+    (which ``percentiles_by_priority`` covers with a full oracle).
+    Rows-only driver check: sketch internals are engine-specific by nature
+    (same policy as the HLL entry); accuracy vs the exact percentiles is
+    pinned in ``tests/test_llm_ops.py::test_approx_percentile_accuracy``."""
+    t = read_testdata(spark, sf_dir, "orders")
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", 0.5, 1000).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", 0.95, 1000).alias("p95_approx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
 @_q("approx_count_distinct_orders", None)
 def approx_count_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate per segment — the scale path for

@@ -288,3 +288,27 @@ def test_random_projection_preserves_distance_ordering(spark, sf_oracle):
     assert ratios[0] > 0.4 * med and ratios[-1] < 1.9 * med, (ratios[0], med, ratios[-1])
     # deterministic: same planes on a second call
     assert planes == projection_planes(64, 16, seed="rproj")
+
+
+def test_approx_percentile_accuracy(spark, sf_oracle):
+    """The quantile sketch must land within 2% relative error of the exact
+    per-group percentiles (GK sketch at accuracy=1000 is far tighter; 2%
+    is the hard bound we pin)."""
+    from bigdata_rags_spark.queries.extensions import approx_percentile_prices
+
+    approx = {r["o_orderpriority"]: r for r in approx_percentile_prices(spark, sf_oracle).collect()}
+    from bigdata_rags_spark.io.readers import read_testdata
+
+    exact_df = (
+        read_testdata(spark, sf_oracle, "orders")["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        )
+    )
+    exact = {r["o_orderpriority"]: r for r in exact_df.collect()}
+    assert set(approx) == set(exact) and len(exact) == 5
+    for k in exact:
+        assert abs(approx[k]["p50_approx"] - exact[k]["p50"]) / exact[k]["p50"] < 0.02
+        assert abs(approx[k]["p95_approx"] - exact[k]["p95"]) / exact[k]["p95"] < 0.02

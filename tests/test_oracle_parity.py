@@ -44,6 +44,7 @@ def test_registry_contract():
         "embedding_near_dup_pairs_mm",        # BLAS reduction order
         "multimodal_image_features",          # Pandas-UDF codec path
         "embedding_ivf_topk",                 # iterative k-means training
+        "approx_percentile_prices",           # GK quantile sketch: engine-specific
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name
