@@ -150,3 +150,83 @@ def frame_sample(
             "frame_payload"
         ),
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, n_windows int, "
+    "rms double, peak double, zero_cross_rate double"
+)
+
+
+def attach_fake_audio_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", sample_rate: int = 16_000
+) -> DataFrame:
+    """Deterministically synthesize a binary 'audio' column (16-bit PCM)
+    from text bytes — fixture path, same role as the fake image payload."""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(sample_rate).alias("sample_rate"),
+            F.lit(1).alias("channels"),
+            F.lit("fake/pcm16").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_audio(payload: bytes, codec: str = "fake/pcm16") -> np.ndarray:
+    """STUB audio decode: real codecs (ffmpeg/soundfile) are unavailable.
+
+    ``fake/pcm16`` interprets the payload as little-endian int16 samples
+    (odd trailing byte dropped) normalized to [-1, 1).  Any other codec
+    raises, loudly — same contract as the image stub."""
+    if codec != "fake/pcm16":
+        raise NotImplementedError(
+            f"real audio codec for codec={codec!r} is stubbed in this environment; "
+            "plug ffmpeg/soundfile into decode_audio"
+        )
+    usable = len(payload) - (len(payload) % 2)
+    samples = np.frombuffer(payload[:usable], dtype="<i2")
+    return samples.astype(np.float64) / 32768.0
+
+
+def audio_features(
+    df: DataFrame, window: int = 400, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode + per-clip audio features: RMS energy, peak amplitude, and
+    zero-crossing rate (the standard cheap speech/music discriminators),
+    plus the whole-clip window count at ``window`` samples per frame.
+    Arrow-batched mapInPandas; per-clip loop (variable lengths), all
+    per-sample math vectorized — mirror of ``image_features``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                x = decode_audio(bytes(row.payload), row.meta["codec"])
+                n = x.size
+                if n == 0:
+                    out.append((getattr(row, id_col), 0, row.meta["sample_rate"], 0, 0.0, 0.0, 0.0))
+                    continue
+                zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+                out.append(
+                    (
+                        getattr(row, id_col),
+                        n,
+                        row.meta["sample_rate"],
+                        int(np.ceil(n / window)),
+                        round(float(np.sqrt(np.mean(x * x))), 6),
+                        round(float(np.abs(x).max()), 6),
+                        round(zc, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "n_samples", "sample_rate", "n_windows",
+                    "rms", "peak", "zero_cross_rate",
+                ],
+            )
+
+    return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)

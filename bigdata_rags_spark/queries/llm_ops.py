@@ -931,6 +931,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(attach_fake_image_payload(docs))
 
 
+@_llm("multimodal_audio_features", None)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality twin of the image path: PCM decode (stubbed codec) +
+    windowed RMS/peak/zero-crossing features through mapInPandas.
+    Rows-only check: Pandas-UDF decode stage, outside the SQL oracle —
+    feature bounds and stub contract pinned in tests/test_multimodal.py."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_fake_audio_payload,
+        audio_features,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return audio_features(attach_fake_audio_payload(docs))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -64,3 +64,32 @@ def test_frame_sample_keeps_every_kth(images):
     assert per_doc, "no frames sampled"
     for frames_list in per_doc.values():
         assert all(f % 4 == 0 for f in frames_list)
+
+def test_audio_features_and_stub_contract(spark, sf_smoke):
+    import math
+
+    import numpy as np
+    import pytest
+
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_fake_audio_payload,
+        audio_features,
+        decode_audio,
+    )
+
+    docs = read_testdata(spark, sf_smoke, "documents")["documents"].limit(20)
+    clips = attach_fake_audio_payload(docs)
+    feats = {r["doc_id"]: r for r in audio_features(clips, window=8).collect()}
+    assert len(feats) == 20
+    for r in feats.values():
+        assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["peak"] <= 1.0
+        assert 0.0 <= r["zero_cross_rate"] <= 1.0
+        assert r["n_windows"] == math.ceil(r["n_samples"] / 8)
+        assert r["sample_rate"] == 16_000
+    # the decode stub: known PCM round-trips exactly; real codecs raise
+    pcm = np.array([0, 16384, -16384, 32767], dtype="<i2").tobytes()
+    x = decode_audio(pcm)
+    assert np.allclose(x, [0.0, 0.5, -0.5, 32767 / 32768])
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x00", codec="audio/mp3")

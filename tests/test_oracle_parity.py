@@ -45,6 +45,7 @@ def test_registry_contract():
         "multimodal_image_features",          # Pandas-UDF codec path
         "embedding_ivf_topk",                 # iterative k-means training
         "approx_percentile_prices",           # GK quantile sketch: engine-specific
+        "multimodal_audio_features",          # Pandas-UDF codec path
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name
