@@ -251,3 +251,36 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
         )
     )
+
+
+@_s(
+    "events_click_attribution",
+    """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_ns(ts) // 1000 AS us
+  FROM events
+)
+SELECT l.user_id, l.event_id AS left_event_id, r.event_id AS right_event_id,
+       CAST(r.us - l.us AS BIGINT) AS lag_us
+FROM e l JOIN e r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type != 'click'
+  AND r.us >= l.us AND r.us < l.us + 600000000
+""",
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join (batch form of
+    ``streaming/events.interval_join``): each click paired with same-user
+    non-click events in the next 10 minutes.  The oracle compares at
+    MICROsecond granularity because Spark's ``ts`` is rebuilt at micro
+    precision from ``ts_ns`` (catalog timestamp discipline); ``lag_us`` shares that
+    precision.  The same transform runs as a true
+    watermarked stream-stream join in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.streaming.events import interval_join
+
+    ev = read_events_batch(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    others = ev.filter(F.col("event_type") != "click")
+    return interval_join(clicks, others, within="10 minutes")

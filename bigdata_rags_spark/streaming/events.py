@@ -163,6 +163,46 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "user_id") -> 
     return events.join(F.broadcast(dim), key, "left")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound: pair each
+    left event with right events for the same key whose timestamp falls in
+    [left.ts, left.ts + within) — the attribution-join shape (click ->
+    conversion).  Works identically on batch frames.
+
+    On streams BOTH sides carry watermarks and the join condition bounds
+    event time in both directions, which is exactly what lets Spark expire
+    join state: a buffered row can be dropped once the other side's
+    watermark passes its interval.  Without the time bound a stream-stream
+    inner join would buffer forever.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark("ts", watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") < F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    # lag at MICROsecond precision — the precision of ``ts`` (and of the
+    # join condition itself); sub-micro nanos don't survive engines whose
+    # timestamps are micro-grained (DuckDB), so ns-exact lag can't be
+    # oracle-matched
+    return l.join(r, cond).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.expr("r.ts_ns div 1000 - l.ts_ns div 1000").alias("lag_us"),
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Per-user session windows (gap-based).  Spark merges events whose gap
     is strictly less than ``gap`` (session range is [start, last+gap)); the

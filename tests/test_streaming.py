@@ -166,3 +166,34 @@ def test_stream_static_join_equals_batch(spark, sf_smoke, event_files):
     cols = ["event_id", "user_id", "c_mktsegment"]
     assert _canon(got, cols) == _canon(want, cols)
     assert got.filter(F.col("c_mktsegment").isNull()).count() > 0  # outer branch real
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, event_files):
+    """A real stream-stream join: clicks attributed to any same-user event in
+    the following 10 minutes, streamed in micro-batches, must equal the
+    batch interval join."""
+    from bigdata_rags_spark.streaming.events import interval_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") != "click"),
+        )
+
+    ls, rs = split(read_events_stream(spark, event_files))
+    # the fixture files are split by event_id (not time), so cross-batch
+    # disorder spans the whole month -- the watermark (allowed lateness)
+    # must cover it or legitimately-late rows expire from join state
+    got = _run_stream_to_memory(
+        spark,
+        interval_join(ls, rs, within="10 minutes", watermark="35 days"),
+        "t_ssjoin",
+        "append",
+    )
+    lb, rb = split(read_events_batch(spark, sf_smoke))
+    want = interval_join(lb, rb, within="10 minutes")
+    cols = ["user_id", "left_event_id", "right_event_id", "lag_us"]
+    assert want.count() > 0  # non-vacuous: attributions exist in the fixture
+    assert _canon(got, cols) == _canon(want, cols)
+    # interval bound respected
+    assert all(0 <= r["lag_us"] < 600_000_000 for r in got.collect())
