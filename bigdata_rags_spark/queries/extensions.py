@@ -633,6 +633,71 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "data_quality_report",
+    """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                        AND o_totalprice NOT BETWEEN 0 AND 400000 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+                        ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED') THEN 1 ELSE 0 END) AS BIGINT) AS v_set
+  FROM orders
+),
+uq AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v FROM (
+    SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+long AS (
+  SELECT 'not_null_o_orderkey' AS check_name, v_null AS violations, n_rows FROM base
+  UNION ALL SELECT 'range_o_totalprice', v_range, n_rows FROM base
+  UNION ALL SELECT 'in_set_o_orderpriority', v_set, n_rows FROM base
+  UNION ALL SELECT 'unique_o_orderkey', uq.v, base.n_rows FROM uq, base
+  UNION ALL SELECT 'fk_o_custkey', fk.v, base.n_rows FROM fk, base
+)
+SELECT check_name, violations, n_rows,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM long
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (Deequ / Great-Expectations pattern,
+    public) over orders: null / range / accepted-set checks compiled into
+    ONE scan, plus key-uniqueness and referential-integrity checks.
+    Thresholds are deliberately tight so BOTH outcome branches are real at
+    sf0.01 (range and set checks fire — 2978 and ~2k violations — while
+    null/unique/FK pass; vacuous-check rule).  See
+    ``operators/expectations.py`` for the 100 TB design."""
+    from bigdata_rags_spark.operators.expectations import (
+        expect_in_range,
+        expect_in_set,
+        expect_not_null,
+        expect_references,
+        expect_unique,
+        expectation_suite,
+    )
+
+    t = read_testdata(spark, sf_dir, "orders", "customer")
+    col_checks = expectation_suite(
+        t["orders"],
+        {
+            "not_null_o_orderkey": expect_not_null("o_orderkey"),
+            "range_o_totalprice": expect_in_range("o_totalprice", 0, 400_000),
+            "in_set_o_orderpriority": expect_in_set(
+                "o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"]
+            ),
+        },
+    )
+    return col_checks.unionByName(expect_unique(t["orders"], "o_orderkey")).unionByName(
+        expect_references(t["orders"], "o_custkey", t["customer"], "c_custkey")
+    )
+
+
 @_q("approx_percentile_prices", None)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-SKETCH per group (Greenwald-Khanna via ``approx_percentile``)

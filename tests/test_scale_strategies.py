@@ -169,3 +169,33 @@ def test_stratified_hash_sample_is_deterministic_and_accurate(spark):
     # different salt -> different (mostly disjoint-ish) sample
     s3 = {r["id"] for r in hash_sample(df, F.col("id"), 0.1, salt="other").collect()}
     assert s3 != s1
+
+
+def test_expectations_detect_planted_violations(spark):
+    from bigdata_rags_spark.operators.expectations import (
+        expect_in_range,
+        expect_not_null,
+        expect_references,
+        expect_unique,
+        expectation_suite,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, None), (3, 999.0), (9, 5.0)], ["k", "x"]
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    suite = {
+        r["check_name"]: (r["violations"], r["passed"])
+        for r in expectation_suite(
+            child, {"not_null_x": expect_not_null("x"), "range_x": expect_in_range("x", 0, 100)}
+        ).collect()
+    }
+    assert suite["not_null_x"] == (1, 0)       # the None row
+    assert suite["range_x"] == (1, 0)          # 999.0 (NULL not double-counted)
+    uq = expect_unique(child, "k").collect()[0]
+    assert uq["violations"] == 2 and uq["passed"] == 0   # both k=1 rows
+    fk = expect_references(child, "k", parent, "pk").collect()[0]
+    assert fk["violations"] == 1 and fk["passed"] == 0   # k=9 orphan
+    # a clean table passes everything
+    clean = expect_unique(parent, "pk").collect()[0]
+    assert clean["violations"] == 0 and clean["passed"] == 1
