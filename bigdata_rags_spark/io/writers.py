@@ -77,3 +77,26 @@ def write_jdbc_replace(
     if driver is not None:
         writer = writer.option("driver", driver)
     writer.save()
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Zone write clustered for data skipping: range-partition the rows by
+    ``cluster_by`` (so each output file owns a disjoint key range) and sort
+    within each partition (so each parquet row group's min/max stats are tight).
+
+    Readers filtering on the cluster columns then skip whole files AND whole
+    row groups from footer statistics alone — the plain-parquet version of
+    what table formats call clustering/Z-ordering.  Worth one extra shuffle
+    (the range exchange) on any zone that is write-once / read-many.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_by]
+    out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

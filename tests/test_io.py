@@ -147,3 +147,35 @@ def test_orc_and_json_roundtrip_preserve_data(spark, tmp_path):
     # ORC pushes filters to the scan like parquet
     plan = back_orc.filter("k = 2")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "k" in plan
+
+
+def test_write_clustered_produces_skippable_stats(spark, sf_smoke, tmp_path):
+    """Clustered writes must yield disjoint per-file key ranges and tight
+    row-group min/max stats — verified from the parquet footers themselves
+    (what a scan's skipping logic actually reads)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from bigdata_rags_spark.io.writers import write_clustered
+    from bigdata_rags_spark.streaming.events import read_events_batch
+
+    out = str(tmp_path / "clustered")
+    ev = read_events_batch(spark, sf_smoke).select("event_id", "user_id", "value")
+    write_clustered(ev, out, cluster_by=["user_id"], n_files=4)
+
+    ranges = []
+    for f in sorted(_glob.glob(out + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "user_id"
+        )
+        stats = [md.row_group(g).column(col_idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) >= 2
+    # disjoint file-level ranges (range partitioning)
+    for (lo1, hi1), (lo2, hi2) in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert hi1 <= lo2, (ranges,)
+    # read back intact
+    assert spark.read.parquet(out).count() == ev.count()
