@@ -100,3 +100,27 @@ def write_clustered(
     cols = [F.col(c) for c in cluster_by]
     out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def zorder_code(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns — the
+    multi-column clustering key: sorting by the code keeps rows close in
+    BOTH dimensions, so range filters on either column skip row groups
+    (plain-parquet version of Delta/Iceberg Z-ordering; public technique).
+
+    Pure codegen'd bit arithmetic (shift/and/or chains), no UDF.  ``bits``
+    bounds each input (values must fit in ``bits`` bits; 16 covers most
+    dimension ids — raise it for wider keys, the expression just grows).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def bit_terms(col, offset):
+        return [
+            F.shiftleft(F.shiftright(col.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + offset)
+            for i in range(bits)
+        ]
+
+    terms = bit_terms(x, 0) + bit_terms(y, 1)
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)

@@ -179,3 +179,27 @@ def test_write_clustered_produces_skippable_stats(spark, sf_smoke, tmp_path):
         assert hi1 <= lo2, (ranges,)
     # read back intact
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_zorder_code_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.io.writers import zorder_code
+
+    def morton_py(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 1024, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_code(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == morton_py(x, y), (x, y)
+    # locality: adjacent points get nearby codes; distant y dominates high bits
+    assert abs(got[(5, 2)] - got[(5, 7)]) < abs(got[(5, 2)] - got[(5, 1024)])
