@@ -42,11 +42,14 @@ HEADLINE = [
     "hybrid_rag_search",
     "tfidf_top_terms",
     "document_chunking",
-    # r2 additions: quality gate, quantization, projection, gap-fill
+    # r2 additions: quality gate, quantization, projection, gap-fill,
+    # LM scoring, end-to-end fuzzy dedup
     "gopher_quality_filters",
     "embedding_int8_quantization",
     "embedding_random_projection",
     "events_hourly_gapfill",
+    "unigram_lm_doc_scores",
+    "fuzzy_dedup_surviving_docs",
 ]
 
 
