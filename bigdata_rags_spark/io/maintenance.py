@@ -221,3 +221,45 @@ def merge_scd2(
     out.write.mode("overwrite").parquet(staging)
     _swap_dirs(spark, staging, zone_path)
     return spark.read.parquet(zone_path).count()
+
+
+def zone_diff(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    key: str,
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two zone versions
+    as added / removed / changed / unchanged — the audit step after any
+    merge or backfill, and the poor-man's change-data-feed between
+    snapshots when no table format tracks row history.
+
+    Shape: both sides reduce to (key, attr-hash) before the full outer
+    join, so payload columns never shuffle; the diff costs one co-keyed
+    exchange regardless of row width.  Returns (key, status) — aggregate
+    downstream for counts, or join back by key to fetch changed payloads.
+    """
+    old_df = spark.read.parquet(old_path)
+    new_df = spark.read.parquet(new_path)
+    attr_cols = sorted(set(old_df.columns) & set(new_df.columns) - {key})
+
+    def hashed(df: DataFrame, name: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attr_cols],
+            )
+        )
+        return df.select(F.col(key), h.alias(name))
+
+    o = hashed(old_df, "__old_h")
+    n = hashed(new_df, "__new_h")
+    j = o.join(n, key, "full_outer")
+    return j.select(
+        key,
+        F.when(F.col("__old_h").isNull(), "added")
+        .when(F.col("__new_h").isNull(), "removed")
+        .when(F.col("__old_h") != F.col("__new_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

@@ -634,6 +634,42 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "histogram_order_prices",
+    """
+WITH b AS (
+  SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       bucket * 50000        AS lo,
+       (bucket + 1) * 50000  AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY bucket
+""",
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket shape): price distribution in
+    50k bins with a clamped top bucket — the distribution-profiling
+    primitive behind every data-exploration UI.  Pure integer bucket math,
+    one partial-agg scan; bucket count is constant so output is
+    dimension-sized at any data scale."""
+    t = read_testdata(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("bigint")
+    return (
+        t["orders"]
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).alias("lo"),
+            ((F.col("bucket") + 1) * 50000).alias("hi"),
+            "n_orders",
+        )
+    )
+
+
+@_q(
     "data_quality_report",
     """
 WITH base AS (

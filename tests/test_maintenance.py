@@ -86,3 +86,18 @@ def test_merge_scd2_tracks_history_and_is_reapply_idempotent(spark, tmp_path):
     n = merge_scd2(spark, zone, b2, key="k", change_ts_col="ts")
     assert n == 4
     assert spark.read.parquet(zone).filter("__is_current").count() == 3
+
+
+def test_zone_diff_classifies_all_transitions(spark, tmp_path):
+    from bigdata_rags_spark.io.maintenance import zone_diff
+
+    old = str(tmp_path / "v1")
+    new = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["k", "v"]
+    ).write.parquet(new)
+    got = {r["k"]: r["status"] for r in zone_diff(spark, old, new, key="k").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
