@@ -634,6 +634,62 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q2_cheapest_supplier",
+    """
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey, MIN(l.l_extendedprice) AS best_price
+  FROM lineitem l GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, MIN(best_price) AS min_price FROM offers GROUP BY 1
+)
+SELECT p.p_brand, n.n_name,
+       CAST(COUNT(*) AS BIGINT)   AS n_offers,
+       ROUND(SUM(o.best_price), 2) AS total_best_price
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.best_price = b.min_price
+JOIN part p     ON o.l_partkey = p.p_partkey
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_size <= 20
+GROUP BY 1, 2
+""",
+)
+def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (min-cost-supplier): the correlated 'row matching the
+    per-group minimum' shape, decorrelated into an aggregate + self-join —
+    the plan TPC-H engines use for Q2 (there is no partsupp table in the
+    testdata, so supplier offers derive from lineitem's cheapest line per
+    (part, supplier)).  Exercises part/supplier/nation joins the other
+    extension queries don't touch.
+
+    100 TB: both aggs are partial-agg friendly on (partkey[, suppkey]);
+    the min-price join is co-keyed with the offers relation (ReusedExchange
+    candidate); part/supplier/nation are dimension joins."""
+    t = read_testdata(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    offers = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("best_price").alias("min_price"))
+    return (
+        offers.join(
+            best,
+            (offers["l_partkey"] == best["l_partkey"])
+            & (offers["best_price"] == best["min_price"]),
+        )
+        .drop(best["l_partkey"])
+        .join(t["part"].filter(F.col("p_size") <= 20), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_offers"),
+            F.round(F.sum("best_price"), 2).alias("total_best_price"),
+        )
+    )
+
+
+@_q(
     "histogram_order_prices",
     """
 WITH b AS (
