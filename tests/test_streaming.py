@@ -197,3 +197,35 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, event_files):
     assert _canon(got, cols) == _canon(want, cols)
     # interval bound respected
     assert all(0 <= r["lag_us"] < 600_000_000 for r in got.collect())
+
+
+def test_foreachbatch_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restarting a foreachBatch stream from its checkpoint must process
+    only NEW files — no re-landing of already-committed micro-batches."""
+    from bigdata_rags_spark.streaming.events import stream_to_zone
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    rows1 = [(1, 1_000 * NS, 1, "click", 1.0, ""), (2, 2_000 * NS, 2, "view", 2.0, "")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = read_events_stream(spark, src).select("event_id", "user_id", "value")
+        q = stream_to_zone(stream, out, ckpt, mode="append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    first = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    # new file arrives while the stream is DOWN; restart from the checkpoint
+    rows2 = [(3, 3_000 * NS, 3, "click", 3.0, "")]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    final = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 3]  # ids 1,2 landed exactly once
