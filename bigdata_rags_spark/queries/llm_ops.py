@@ -830,6 +830,64 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "training_mixture_plan",
+    f"""
+WITH tok AS (
+  SELECT source, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+shares AS (
+  SELECT source, tokens,
+         CASE WHEN LENGTH(source) = 4 THEN 0.07 ELSE 0.03 END AS target_share
+  FROM tok
+)
+SELECT source, tokens, target_share,
+       LEAST(1.0, ROUND(15000 * target_share / CAST(NULLIF(tokens, 0) AS DOUBLE), 6))
+         AS sample_fraction,
+       CAST(ROUND(LEAST(1.0, ROUND(15000 * target_share / CAST(NULLIF(tokens, 0) AS DOUBLE), 6))
+                  * tokens, 0) AS BIGINT) AS expected_tokens
+FROM shares
+""",
+)
+def training_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner (the Pile/Dolma-style source weighting,
+    public): given per-source target shares and a token budget, derive each
+    source's sampling fraction = min(1, budget*share/tokens) and its
+    expected token yield.  Shares are deliberately skewed (7% for src0-9,
+    3% for src10-19) and the budget sized so BOTH branches fire at sf0.01:
+    high-share sources cap at fraction 1.0 (under-supplied), low-share
+    sources sample at ~0.5.  Feed the fractions into
+    ``stratified_hash_sample`` to materialize the mix deterministically.
+
+    100 TB: one token-count aggregation per source (dimension-sized
+    output); the plan itself is metadata, the expensive part stays in the
+    deterministic sampler."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(ws_tokens(F.col("text")))).cast("bigint").alias("tokens")
+    )
+    shares = tok.withColumn(
+        "target_share",
+        F.when(F.length("source") == 4, F.lit(0.07)).otherwise(F.lit(0.03)),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.round(
+            F.lit(15000) * F.col("target_share")
+            / F.nullif(F.col("tokens"), F.lit(0)).cast("double"),
+            6,
+        ),
+    )
+    return shares.select(
+        "source",
+        "tokens",
+        "target_share",
+        frac.alias("sample_fraction"),
+        F.round(frac * F.col("tokens"), 0).cast("bigint").alias("expected_tokens"),
+    )
+
+
+@_llm(
     "length_weighted_sample_docs",
     """
 WITH h AS (
