@@ -346,3 +346,64 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("viewed_within_3d", v))
         .unionByName(stage("purchased_within_3d", p))
     )
+
+
+@_s(
+    "events_cohort_retention",
+    """
+WITH e AS (
+  SELECT user_id, event_type, value, epoch_ns(ts) // 604800000000000 AS wk FROM events
+),
+c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e WHERE event_type = 'signup' GROUP BY 1),
+sizes AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM c GROUP BY 1),
+act AS (SELECT DISTINCT user_id, wk FROM e WHERE event_type = 'purchase' AND value > 90),
+r AS (
+  SELECT c.cohort_wk, CAST(act.wk - c.cohort_wk AS BIGINT) AS week_offset,
+         CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS active_users
+  FROM c JOIN act USING (user_id) WHERE act.wk >= c.cohort_wk GROUP BY 1, 2
+)
+SELECT r.cohort_wk, r.week_offset, r.active_users, s.cohort_size,
+       ROUND(r.active_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention_rate
+FROM r JOIN sizes s ON r.cohort_wk = s.cohort_wk
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-signup week, an
+    'active' definition (high-value purchase) checked at each subsequent
+    week offset — the growth-analytics companion to the funnel.  The
+    activity predicate is tightened (value > 90) so the matrix shows real
+    variation at sf0.01 (the unfiltered variant retains 100% everywhere —
+    vacuous-check rule).  Integer epoch-week math, distinct-per-cell.
+
+    100 TB: cohorts and activity both reduce to (user, week) pairs before
+    the join; the matrix is |cohorts| x |offsets| — dimension-sized."""
+    from pyspark.sql import functions as F
+
+    WEEK = 604_800_000_000_000
+    e = read_events_batch(spark, sf_dir).select(
+        "user_id", "event_type", "value", F.expr(f"ts_ns div {WEEK}").alias("wk")
+    )
+    c = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk")
+    )
+    sizes = c.groupBy("cohort_wk").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    act = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id", "wk")
+        .distinct()
+    )
+    r = (
+        c.join(act, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).cast("bigint").alias("week_offset"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
+    return r.join(sizes, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.round(
+            F.col("active_users") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention_rate"),
+    )
