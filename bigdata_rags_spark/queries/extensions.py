@@ -634,6 +634,51 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "window_trailing_7d_range_frame",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, epoch(o_orderdate) // 86400 AS day_num, o_totalprice
+  FROM orders WHERE o_custkey < 50
+)
+SELECT o_orderkey, o_custkey, CAST(day_num AS BIGINT) AS day_num,
+       CAST(COUNT(*) OVER w AS BIGINT)   AS n_7d,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS sum_7d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_trailing_7d_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): each order sees the
+    trailing 7 calendar DAYS of same-customer orders — however many rows
+    that is — the frame variant ``window_lag_running_sum``'s ROWS frames
+    can't express.  Time is converted to an integer day number because
+    Spark RANGE frames take numeric offsets; partitioned by customer, so
+    no global window."""
+    from pyspark.sql import Window
+
+    t = read_testdata(spark, sf_dir, "orders")
+    o = t["orders"].filter(F.col("o_custkey") < 50).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("day_num"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("day_num").cast("bigint").alias("day_num"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_7d"),
+    )
+
+
+@_q(
     "tpch_q2_cheapest_supplier",
     """
 WITH offers AS (
