@@ -634,6 +634,71 @@ def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mad_outlier_orders",
+    """
+WITH med AS (
+  SELECT o_orderpriority, median(o_totalprice) AS med FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT o.o_orderpriority, median(abs(o.o_totalprice - m.med)) AS mad
+  FROM orders o JOIN med m USING (o_orderpriority) GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       ROUND(MIN(m.med), 2) AS med,
+       ROUND(MIN(d.mad), 2) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN abs(o.o_totalprice - m.med) > 1.5 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM orders o
+JOIN med m USING (o_orderpriority)
+JOIN dev d USING (o_orderpriority)
+GROUP BY 1
+""",
+)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation (the
+    median/MAD robust z-score — outlier-resistant, unlike mean/stddev):
+    per-priority median, MAD, and the count of orders deviating more than
+    1.5 MAD (k tuned so ~25% flag on the uniform fixture — both branches
+    real).  Median interpolation matches DuckDB's percentile_cont
+    (pinned by ``percentiles_by_priority``), so the comparison runs on
+    bit-identical med/mad doubles in both engines.
+
+    100 TB: exact medians need a sort-based percentile per group — two
+    grouped aggregations plus a broadcast of the |groups|-row med/mad
+    tables back onto the fact scan; swap in approx_percentile for
+    sketch-based medians when groups are huge (see
+    ``approx_percentile_prices``)."""
+    t = read_testdata(spark, sf_dir, "orders")
+    o = t["orders"].select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"))
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(dev), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min("med"), 2).alias("med"),
+            F.round(F.min("mad"), 2).alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med")) > 1.5 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@_q(
     "window_trailing_7d_range_frame",
     """
 WITH o AS (
