@@ -1498,3 +1498,263 @@ def correlated_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("seg_avg"))
         .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog suite, continued (Q5 / Q6 / Q10 / Q14 / Q18 shapes)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: the two-path join (customer's nation must equal the
+    line's supplier nation) that makes Q5 the canonical join-graph-with-a-
+    cycle shape.  Non-vacuous: ASIA nations all have same-nation matches in
+    the 1996 window at sf0.01.
+
+    100 TB: nation/region broadcast prunes suppliers to one region before the
+    fact join; the supplier join adds the s_nationkey = c_nationkey residual
+    as a post-probe filter on a broadcast build side (supplier is the small
+    dimension), so only orders/lineitem shuffle — on their join keys, once."""
+    t = read_testdata(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    asia_nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    asia_supp = t["supplier"].join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(asia_supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure filter + global agg, the predicate-pushdown
+    showcase — every one of the three range predicates reaches the parquet
+    scan (pinned for the same predicate family in tests/test_plans.py).
+
+    100 TB: no shuffle at all beyond the single-row final agg; parquet
+    row-group stats skip non-1996 files entirely when the lake is
+    date-partitioned (io/zones.py layout)."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q10_returned_items",
+    """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         ROUND(c_acctbal, 2) AS acctbal,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_micro
+  FROM customer
+  JOIN orders   ON c_custkey  = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT c_custkey, c_name, n_name, acctbal,
+       (rev_micro // 100) / 100.0 AS revenue
+FROM agg ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: who returned the most revenue last quarter — join
+    + filter + per-customer agg + deterministic top-20.  Revenue is summed
+    in integer 10^-4 units (price cents x discount cents) then floor-divided
+    to cents — per-line products of 2-decimal inputs land on exact .xx50
+    ties SYSTEMATICALLY, where Spark and DuckDB ROUND diverge (catalog.py
+    DECIMAL-TIE hazard; one of the top 20 rows hits it at sf0.01).
+
+    100 TB: l_returnflag and the date window filter before the join;
+    orderBy().limit(20) plans as TakeOrderedAndProject (per-partition heaps,
+    no global sort)."""
+    t = read_testdata(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    micro = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    agg = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(micro).alias("rev_micro"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            (F.expr("rev_micro div 100") / 100.0).alias("revenue"),
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@_q(
+    "tpch_q14_promo_effect",
+    """
+WITH s AS (
+  SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_rev,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT promo_rev, total_rev,
+       ROUND(100 * promo_rev / NULLIF(total_rev, 0), 6) AS promo_pct
+FROM s
+""",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: conditional aggregation after a fact⋈dimension join
+    (promo revenue share).  The percentage is derived from the two
+    already-rounded sums, never from raw doubles (float discipline).
+    Non-vacuous: 116 PROMO lines in the 1996-09 window at sf0.01.
+
+    100 TB: part is the broadcast side; the CASE folds into the partial agg
+    so one scan produces both sums — no second pass, no shuffle of line
+    payloads."""
+    t = read_testdata(spark, sf_dir, "lineitem", "part")
+    lo = F.lit("1996-09-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    s = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)), 2
+            ).alias("promo_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+    )
+    return s.select(
+        "promo_rev",
+        "total_rev",
+        F.round(
+            100 * F.col("promo_rev") / F.nullif(F.col("total_rev"), F.lit(0.0)), 6
+        ).alias("promo_pct"),
+    )
+
+
+@_q(
+    "tpch_q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+)
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) AS totalprice,
+       ROUND(sum_qty, 2) AS sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey  = c_custkey
+ORDER BY totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: HAVING-filtered aggregate driving a join (large-
+    volume orders -> their customers), deterministic top-100 on the rounded
+    totalprice with o_orderkey tie-break.  Non-vacuous: 1455 orders exceed
+    the 180-quantity threshold at sf0.01.
+
+    100 TB: the groupBy(l_orderkey) agg shuffles only (key, qty) pairs; the
+    HAVING filter cuts the join input to the heavy tail before any wide row
+    is assembled; top-100 is TakeOrderedAndProject."""
+    t = read_testdata(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 180)
+    )
+    out = (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
+        )
+    )
+    return out.orderBy(F.col("totalprice").desc(), F.col("o_orderkey")).limit(100)
