@@ -1004,6 +1004,52 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_fake_audio_payload(docs))
 
 
+@_llm(
+    "multimodal_video_framesample",
+    """
+WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+f AS (SELECT doc_id, hx, CAST(floor(length(hx) / 64) AS INT) AS n_frames FROM p),
+x AS (SELECT doc_id, hx,
+             CAST(unnest(range(0, n_frames)) AS INT) AS frame_no
+      FROM f WHERE n_frames > 0)
+SELECT doc_id, frame_no,
+       md5(substring(hx, frame_no * 64 + 1, 64)) AS frame_md5,
+       CAST(length(substring(hx, frame_no * 64 + 1, 64)) AS INT) AS frame_len
+FROM x WHERE frame_no % 4 = 0
+""",
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality frame sampling (multimodal/codecs.py frame_sample):
+    the payload is chunked into fixed-size frames and every 4th frame is
+    kept — pure codegen'd array/substring ops, no UDF, so unlike the
+    image/audio decode stages this one gets a full value-hash oracle.
+
+    The fixture payload is the hex expansion of the doc text: pure ASCII,
+    so byte offsets == char offsets and DuckDB's VARCHAR substring mirrors
+    Spark's binary substring exactly (DuckDB has no BLOB substring; Spark's
+    base64() is MIME-chunked with newlines — hex() is the encoding both
+    engines agree on byte-for-byte).  Frames are emitted as md5 digests,
+    engine-neutral for binary-vs-varchar payloads.
+
+    100 TB: frame slicing is a narrow map over each payload — no shuffle,
+    no explode of raw bytes until after the every-k filter prunes 3/4 of
+    frame indices; real video payloads ride the same plan with the decode
+    stage swapped in behind the mapInPandas codec boundary."""
+    from bigdata_rags_spark.multimodal.codecs import frame_sample
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    payload = docs.select(
+        "doc_id", F.hex(F.col("text").cast("binary")).cast("binary").alias("payload")
+    )
+    frames = frame_sample(payload, every_k=4, frame_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.md5("frame_payload").alias("frame_md5"),
+        F.length("frame_payload").cast("int").alias("frame_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
