@@ -127,3 +127,31 @@ def test_r2_operators_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_new_tpch_analogs_have_scale_safe_plans(spark, sf_smoke):
+    """Round-2 TPC-H suite additions: pushdown, broadcast, and top-k
+    properties their docstrings claim."""
+    for name, pred in {
+        # Q5: supplier/nation/region broadcast; fact joins never cartesian
+        "tpch_q5_local_supplier_volume": lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p,
+        # Q6: all three range predicates reach the parquet scan
+        "tpch_q6_forecast_revenue": lambda p: "PushedFilters: [" in p
+        and "GreaterThanOrEqual(l_shipdate" in p
+        and "GreaterThanOrEqual(l_discount" in p
+        and "LessThan(l_quantity" in p,
+        # Q10/Q18: deterministic top-k plans as TakeOrderedAndProject
+        "tpch_q10_returned_items": lambda p: "TakeOrderedAndProject" in p,
+        "tpch_q18_large_volume_customers": lambda p: "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p,
+        # Q14: single scan, CASE folded into the partial agg — no window,
+        # part side broadcast
+        "tpch_q14_promo_effect": lambda p: "BroadcastHashJoin" in p
+        and "Window" not in p,
+        # video frame sampling: narrow map over payloads, no exchange at all
+        "multimodal_video_framesample": lambda p: "Exchange" not in p
+        and "Window" not in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
