@@ -1758,3 +1758,155 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return out.orderBy(F.col("totalprice").desc(), F.col("o_orderkey")).limit(100)
+
+
+@_q(
+    "tpch_q7_volume_shipping",
+    """
+WITH pairs AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS micro
+  FROM supplier
+  JOIN lineitem ON s_suppkey  = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey  = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+SELECT supp_nation, cust_nation, yr,
+       (CAST(SUM(micro) AS BIGINT) // 100) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM pairs GROUP BY supp_nation, cust_nation, yr
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by year —
+    the nation table joined TWICE under different roles (supplier side and
+    customer side), with a symmetric pair predicate.  Revenue uses the
+    integer micro-unit discipline (catalog.py DECIMAL-TIE hazard).
+
+    100 TB: both nation joins broadcast (and the pair predicate prunes to 2
+    nations before the fact join on the supplier side); lineitem⋈orders⋈
+    customer shuffle on keys once each; the final agg has ~2 x years groups."""
+    t = read_testdata(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    micro = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("micro", micro)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.sum("micro").alias("rev_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "yr",
+            (F.expr("rev_micro div 100") / 100.0).alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+@_q(
+    "tpch_q16_supplier_part_counts",
+    """
+SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: how many distinct suppliers serve each part
+    brand/size bucket, excluding blacklisted suppliers (negative acctbal
+    stands in for the reference's complaints NOT IN — 6 suppliers match at
+    sf0.01, so the anti-join branch is real).  NOT IN is safe as an
+    anti-join here because s_suppkey is non-null by schema.
+
+    100 TB: part filter broadcasts, the blacklist broadcasts (dimension-
+    sized), and COUNT(DISTINCT one column) plans as a two-phase aggregate —
+    no Expand duplication, only (brand, size, suppkey) tuples shuffle."""
+    t = read_testdata(spark, sf_dir, "lineitem", "part", "supplier")
+    sizes = t["part"].filter(F.col("p_size").isin(5, 10, 15, 20)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(sizes), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "map_functions_status_scores",
+    """
+WITH per AS (
+  SELECT o_custkey, o_orderstatus AS status, COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderstatus
+)
+SELECT o_custkey, status,
+       CAST(cnt * 10 + length(status) AS BIGINT) AS score
+FROM per
+WHERE cnt * 10 + length(status) > 10
+""",
+)
+def map_functions_status_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column breadth: per-customer status counts round-trip
+    through a genuine MapType column — collect_list(struct) ->
+    map_from_entries -> transform_values (k,v lambda) -> map_filter ->
+    explode — and land back as verifiable rows.  The oracle states the
+    same semantics relationally; the Spark side proves the map operators
+    compose without corrupting entries.
+
+    100 TB: per-customer maps are bounded (3 order statuses), so the
+    collect_list is a small-group aggregate, not an unbounded collect;
+    every map lambda is a codegen'd higher-order function, no UDF."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    maps = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("m")
+    )
+    scored = maps.select(
+        "o_custkey",
+        F.map_filter(
+            F.transform_values(
+                F.col("m"), lambda k, v: v * 10 + F.length(k).cast("bigint")
+            ),
+            lambda k, v: v > 10,
+        ).alias("m"),
+    )
+    return scored.select(
+        "o_custkey", F.explode("m").alias("status", "score")
+    ).select("o_custkey", "status", F.col("score").cast("bigint").alias("score"))
