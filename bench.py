@@ -50,6 +50,13 @@ HEADLINE = [
     "events_hourly_gapfill",
     "unigram_lm_doc_scores",
     "fuzzy_dedup_surviving_docs",
+    # late-r2 additions: TPC-H analog suite widened + oracle-checked video
+    # frame sampling
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customers",
+    "multimodal_video_framesample",
 ]
 
 
