@@ -1910,3 +1910,44 @@ def map_functions_status_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "o_custkey", F.explode("m").alias("status", "score")
     ).select("o_custkey", "status", F.col("score").cast("bigint").alias("score"))
+
+
+@_q(
+    "tpch_q11_important_parts",
+    """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS micro
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(micro) AS BIGINT) AS total_micro FROM pr)
+SELECT l_partkey, (micro // 100) / 100.0 AS part_revenue
+FROM pr CROSS JOIN tot
+WHERE micro * 10000 > total_micro * 6
+""",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: parts whose revenue exceeds a FRACTION of the
+    global total (0.06%) — the scalar-subquery-threshold shape, decorrelated
+    into a 1-row aggregate broadcast-crossJoined against the per-part
+    rollup.  The share test is pure integer arithmetic on micro-unit sums
+    (micro * 10000 > total * 6), so both engines decide membership on exact
+    integers — no float threshold can flake at any scale.
+
+    100 TB: one shuffle for the per-part agg; the global total reuses the
+    same micro sums (partial-agg friendly), and the 1-row threshold
+    broadcasts — no second pass over lineitem, no driver round-trip."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    micro = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    pr = li.withColumn("micro", micro).groupBy("l_partkey").agg(
+        F.sum("micro").alias("micro")
+    )
+    tot = pr.agg(F.sum("micro").alias("total_micro"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("micro") * 10000 > F.col("total_micro") * 6)
+        .select("l_partkey", (F.expr("micro div 100") / 100.0).alias("part_revenue"))
+    )
