@@ -1951,3 +1951,64 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("micro") * 10000 > F.col("total_micro") * 6)
         .select("l_partkey", (F.expr("micro div 100") / 100.0).alias("part_revenue"))
     )
+
+
+@_q(
+    "tpch_q19_disjunctive_predicates",
+    """
+SELECT p_brand,
+       (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) // 100)
+         / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+""",
+)
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: OR-of-ANDs predicates spanning BOTH join sides —
+    the classic disjunctive-pushdown shape.  Catalyst extracts the common
+    implications (p_brand IN (...), p_size <= 50, l_quantity <= 30) below
+    the join, evaluates the full disjunction after it, and still broadcasts
+    the filtered part side.  Revenue follows the integer micro-unit
+    discipline (catalog.py DECIMAL-TIE hazard).
+
+    100 TB: the brand IN-list and size bound prune the part scan; quantity
+    bounds prune the lineitem scan (PushedFilters on both) — the join sees
+    orders of magnitude fewer rows than a naive post-join filter."""
+    t = read_testdata(spark, sf_dir, "lineitem", "part")
+    branch = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(16, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#33")
+        & F.col("p_size").between(31, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    micro = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .withColumn("micro", micro)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("micro").alias("rev_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "p_brand",
+            (F.expr("rev_micro div 100") / 100.0).alias("revenue"),
+            "n_lines",
+        )
+    )
