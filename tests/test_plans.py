@@ -155,3 +155,25 @@ def test_new_tpch_analogs_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_late_tpch_analogs_have_scale_safe_plans(spark, sf_smoke):
+    """Q7/Q11/Q16/Q19: broadcast and pushdown properties their docstrings
+    claim."""
+    for name, pred in {
+        # Q7: both nation role-joins broadcast, fact joins never cartesian
+        "tpch_q7_volume_shipping": lambda p: p.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in p,
+        # Q11: the 1-row global total joins via broadcast NL (one row) —
+        # never a shuffled cartesian
+        "tpch_q11_important_parts": lambda p: "CartesianProduct" not in p,
+        # Q16: blacklist anti-join broadcasts; distinct count has no Expand
+        "tpch_q16_supplier_part_counts": lambda p: "BroadcastHashJoin" in p
+        and "Expand" not in p,
+        # Q19: quantity bounds push to the lineitem scan even though they
+        # sit inside a cross-side disjunction
+        "tpch_q19_disjunctive_predicates": lambda p: "PushedFilters: [" in p
+        and "l_quantity" in p.split("PushedFilters")[1][:400],
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
