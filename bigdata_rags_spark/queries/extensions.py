@@ -2012,3 +2012,116 @@ def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFra
             "n_lines",
         )
     )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS micro
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(micro) AS max_micro FROM rev)
+SELECT s_suppkey, s_name, (micro // 100) / 100.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+CROSS JOIN mx
+WHERE micro = max_micro
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: the top supplier by quarterly revenue — argmax via
+    an equality join against a broadcast 1-row MAX, which (unlike a LIMIT 1)
+    returns ALL tied maxima deterministically.  Exact integer micro-unit
+    revenue makes the equality test tie-safe across engines.
+
+    100 TB: one shuffle for the per-supplier agg; the max reuses those
+    partial sums and broadcasts back as one row — the same
+    two-aggregates-one-scan shape as Q11."""
+    t = read_testdata(spark, sf_dir, "lineitem", "supplier")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    micro = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .withColumn("micro", micro)
+        .groupBy("l_suppkey")
+        .agg(F.sum("micro").alias("micro"))
+    )
+    mx = rev.agg(F.max("micro").alias("max_micro"))
+    return (
+        rev.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("micro") == F.col("max_micro"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.expr("micro div 100") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "tpch_q21_sole_blamed_supplier",
+    """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r
+  FROM per GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT per.l_suppkey
+  FROM per JOIN o USING (l_orderkey)
+  WHERE per.has_r = 1 AND o.n_supp > 1 AND o.n_r = 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+""",
+)
+def tpch_q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: suppliers SOLELY responsible for a problem on a
+    multi-supplier order (returned lines stand in for late delivery — the
+    testdata lacks receipt/commit dates).  The classic
+    EXISTS(another supplier) AND NOT EXISTS(another problem supplier)
+    double-quantification collapses into ONE aggregation over
+    (order, supplier) — counting suppliers and problem-suppliers per order
+    answers both existentials at once, instead of two correlated probes of
+    the fact table.
+
+    100 TB: one shuffle on (l_orderkey, l_suppkey), one map-side rollup to
+    order grain, a key-only self-join back, and a broadcast supplier-name
+    join — the fact table is scanned ONCE (vs three times for naive
+    EXISTS/NOT EXISTS rewrites)."""
+    t = read_testdata(spark, sf_dir, "lineitem", "supplier")
+    per = (
+        t["lineitem"]
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"))
+    )
+    o = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_r")
+    )
+    blamed = (
+        per.join(o, "l_orderkey")
+        .filter((F.col("has_r") == 1) & (F.col("n_supp") > 1) & (F.col("n_r") == 1))
+        .select("l_suppkey")
+    )
+    return (
+        blamed.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
