@@ -2125,3 +2125,212 @@ def tpch_q21_sole_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
+
+
+@_q(
+    "tpch_q8_market_share",
+    """
+WITH lines AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS micro,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+)
+SELECT yr,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN micro ELSE 0 END) AS BIGINT)
+             / CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE), 6) AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lines GROUP BY yr
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one supplier nation's share of a region's purchase
+    volume per year — a conditional-sum / total-sum ratio per group.  Both
+    sums are exact integer micro-units, so the engines divide IDENTICAL
+    integers and round identical doubles.
+
+    100 TB: same join topology as the flagship (dimensions broadcast,
+    facts shuffle once); the share needs no second pass — numerator and
+    denominator come out of one partial-agg."""
+    t = read_testdata(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    micro = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    lines = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            micro.alias("micro"),
+            "supp_nation",
+        )
+    )
+    return lines.groupBy("yr").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("micro")).otherwise(F.lit(0)))
+            / F.sum("micro").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@_q(
+    "tpch_q17_small_quantity_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) // 100) / 100.0
+         AS small_lot_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE l_quantity < threshold
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: revenue locked in below-average small lots — the
+    correlated per-group-average threshold, decorrelated into a self-agg
+    join on the SAME fact table.  The 0.2*AVG threshold is a quotient of
+    exact integer-valued doubles (quantities are whole numbers), identical
+    in both engines; the strict < decides membership on those identical
+    doubles.
+
+    100 TB: the per-part average is one shuffle over (partkey, qty) pairs;
+    joining it back is a shuffle join on the same key, which AQE can
+    satisfy from the agg's existing partitioning — the wide price column
+    moves only for surviving rows."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("threshold")
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.expr("sum(cast(round(l_extendedprice * 100) as bigint)) div 100")
+                / 100.0
+            ).alias("small_lot_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q20_concentrated_suppliers",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+p AS (
+  SELECT l_partkey, SUM(q) AS tot, COUNT(*) AS nsup FROM ps GROUP BY l_partkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_concentrated_parts
+FROM ps
+JOIN p USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE q * nsup > 2 * tot
+GROUP BY s_name
+""",
+)
+def tpch_q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: suppliers holding an outsized share of a part's
+    volume (> 2x the fair 1/nsup share — the testdata's parts each have
+    13+ suppliers, so the reference's 50%-dominance test is vacuous here;
+    2x-fair flags ~3% of (part, supplier) pairs).  The nested semi-join
+    chain collapses to two stacked aggregations on the same shuffle key.
+
+    100 TB: both aggs reuse one (l_partkey) shuffle partitioning; the
+    share test is exact integer arithmetic on whole-number quantities; only
+    flagged key pairs reach the broadcast name join."""
+    t = read_testdata(spark, sf_dir, "lineitem", "supplier")
+    ps = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    p = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("tot"), F.count(F.lit(1)).alias("nsup")
+    )
+    return (
+        ps.join(p, "l_partkey")
+        .filter(F.col("q") * F.col("nsup") > 2 * F.col("tot"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_concentrated_parts"))
+    )
+
+
+@_q(
+    "tpch_q22_dormant_rich_customers",
+    """
+WITH ab AS (SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       ROUND(SUM(ROUND(c_acctbal, 2)), 2) AS total_bal
+FROM customer CROSS JOIN ab
+LEFT JOIN recent ON c_custkey = o_custkey
+WHERE c_acctbal > avg_bal AND o_custkey IS NULL
+GROUP BY c_nationkey
+""",
+)
+def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: well-funded customers gone dormant — acctbal above
+    the positive-balance average (global scalar threshold) AND no order in
+    the recent window (NOT EXISTS -> anti-join), rolled up by nation.
+    Summing ROUND(bal, 2) values keeps the 2-decimal sum exact in both
+    engines (14 qualifying customers at sf0.01).
+
+    100 TB: the scalar average broadcasts; the anti-join probes a
+    DISTINCT-custkey build side (date-filtered first, so the build is the
+    small recent slice, not all orders)."""
+    t = read_testdata(spark, sf_dir, "customer", "orders")
+    ab = t["customer"].filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.round(F.sum(F.round(F.col("c_acctbal"), 2)), 2).alias("total_bal"),
+        )
+    )
