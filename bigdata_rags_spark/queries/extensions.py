@@ -2334,3 +2334,62 @@ def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum(F.round(F.col("c_acctbal"), 2)), 2).alias("total_bal"),
         )
     )
+
+
+@_q(
+    "winsorized_price_stats",
+    """
+WITH bounds AS (
+  SELECT o_orderpriority AS pr,
+         quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority
+),
+clipped AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(LEAST(GREATEST(o_totalprice, lo), hi) * 100) AS BIGINT) AS cents,
+         CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END AS clip_hi
+  FROM orders JOIN bounds ON o_orderpriority = pr
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_high,
+       (CAST(SUM(cents) AS BIGINT) // COUNT(*)) / 100.0 AS winsorized_mean
+FROM clipped GROUP BY o_orderpriority
+""",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at p05/p95) — the outlier treatment a
+    training-data pipeline applies before fitting mixture weights or length
+    targets; complements the MAD detector (mad_outlier_orders) which flags
+    instead of clipping.  Clipped values are cent-quantized BEFORE summing
+    and the mean is an integer floor division, so the output is exact under
+    any partitioning / summation order (catalog.py float discipline).
+
+    100 TB: the percentile bounds are one agg per group (exact here; swap
+    for approx_percentile at extreme cardinality), broadcast back; clipping
+    is a row-local expression — one shuffle for bounds, one for the final
+    rollup."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    bounds = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    clipped = (
+        o.join(F.broadcast(bounds), F.col("o_orderpriority") == F.col("pr"))
+        .select(
+            "o_orderpriority",
+            F.round(clip * 100).cast("bigint").alias("cents"),
+            (F.col("o_totalprice") < F.col("lo")).cast("long").alias("clip_lo"),
+            (F.col("o_totalprice") > F.col("hi")).cast("long").alias("clip_hi"),
+        )
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("clip_lo").cast("bigint").alias("n_clipped_low"),
+        F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
+        (F.expr("sum(cents) div count(*)") / 100.0).alias("winsorized_mean"),
+    )
