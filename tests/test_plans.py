@@ -177,3 +177,17 @@ def test_late_tpch_analogs_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_full_registry_has_no_cartesian_products(spark, sf_smoke):
+    """Global guard: building EVERY registered query's physical plan (no
+    execution) and asserting none falls back to CartesianProduct.
+    Intentional broadcast nested-loop joins (tiny side: 1-row scalar
+    aggregates, small query sets) are allowed; an unbroadcast cartesian is
+    never acceptable at 100 TB."""
+    failures = []
+    for name, spec in sorted(REGISTRY.items()):
+        plan = _plan(spec.spark(spark, sf_smoke))
+        if "CartesianProduct" in plan:
+            failures.append(name)
+    assert not failures, failures
