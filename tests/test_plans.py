@@ -191,3 +191,30 @@ def test_full_registry_has_no_cartesian_products(spark, sf_smoke):
         if "CartesianProduct" in plan:
             failures.append(name)
     assert not failures, failures
+
+
+def test_final_tpch_analogs_have_scale_safe_plans(spark, sf_smoke):
+    """Q8/Q15/Q17/Q20/Q21/Q22: the aggregate-reuse and broadcast shapes
+    their docstrings claim."""
+    for name, pred in {
+        # Q8: dimension joins broadcast; single-pass conditional share
+        "tpch_q8_market_share": lambda p: p.count("BroadcastHashJoin") >= 3,
+        # Q15: argmax equality joins a broadcast 1-row max — Catalyst even
+        # converts crossJoin+equality-filter into a BroadcastHashJoin on
+        # the max key; no sort anywhere
+        "tpch_q15_top_supplier": lambda p: "BroadcastHashJoin" in p
+        and "TakeOrderedAndProject" not in p
+        and "Sort" not in p,
+        # Q17: per-part threshold join is a real equi-join, not cartesian
+        "tpch_q17_small_quantity_revenue": lambda p: "CartesianProduct" not in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
+        # Q20: supplier-name join broadcasts; two stacked aggs
+        "tpch_q20_concentrated_suppliers": lambda p: "BroadcastHashJoin" in p,
+        # Q21: the double existential is agg+join, never a window funnel
+        "tpch_q21_sole_blamed_supplier": lambda p: "Window" not in p,
+        # Q22: anti-join present; scalar average broadcasts
+        "tpch_q22_dormant_rich_customers": lambda p: "LeftAnti" in p
+        and "BroadcastNestedLoopJoin" in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
