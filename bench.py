@@ -57,7 +57,14 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customers",
     "multimodal_video_framesample",
+    # r3: the de-quadratic'd registered near-dup plan (block-pair equi-join
+    # replacing the corpus x corpus BNLJ) — measured so the trade is visible
+    "embedding_near_dup_pairs",
 ]
+
+# the 13 queries BENCH_r01 measured — reported as a stable subtotal so
+# round-over-round comparison never needs key intersection (VERDICT r2 #8)
+SHARED_R1 = HEADLINE[:13]
 
 
 def main() -> None:
@@ -93,6 +100,13 @@ def main() -> None:
     times = run_once()
     warm = run_once()
 
+    def tier_totals(ts: dict[str, float]) -> dict[str, float]:
+        by: dict[str, float] = {}
+        for name, t in ts.items():
+            tier = REGISTRY[name].tier
+            by[tier] = round(by.get(tier, 0.0) + t, 3)
+        return by
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -107,6 +121,10 @@ def main() -> None:
                 "queries": times,
                 "queries_warm": warm,
                 "value_warm": round(sum(warm.values()), 3),
+                "queries_by_tier": tier_totals(times),
+                "queries_by_tier_warm": tier_totals(warm),
+                "shared_r1_sec": round(sum(times[n] for n in SHARED_R1), 3),
+                "shared_r1_warm_sec": round(sum(warm[n] for n in SHARED_R1), 3),
                 "sf": sf_val,
             }
         )

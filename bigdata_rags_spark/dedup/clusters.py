@@ -34,6 +34,7 @@ def connected_components(
         .cache()
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    changed = -1  # sentinel: max_iter <= 0 must hit the RuntimeError, not a NameError
     try:
         for _ in range(max_iter):
             neighbor_min = (

@@ -51,6 +51,28 @@ def _swap_dirs(spark: SparkSession, staging: str, final: str) -> None:
     fs.delete(old, True)
 
 
+def _zone_exists(spark: SparkSession, zone_path: str) -> bool:
+    """Existence probe via the Hadoop FileSystem, NOT read-and-catch.
+
+    Merges must distinguish "zone not created yet" (first load) from "zone
+    exists but the read failed" (corrupt footer, FS hiccup, permissions).
+    Swallowing the latter would make a merge treat the zone as empty and
+    the staging swap would then replace real history with only the fresh
+    batch (ADVICE r2) — so any read error after a positive probe
+    propagates.
+    """
+    fs, jvm = _hadoop_fs(spark, zone_path)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(zone_path)))
+
+
+def remove_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete a directory on any Spark-reachable FS (no-op if
+    absent).  Used by the pipeline driver to drop an empty-extraction output
+    so ERROR-status datasets leave no data behind in the raw zone."""
+    fs, jvm = _hadoop_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+
+
 def _count_part_files(spark: SparkSession, zone_path: str) -> int:
     fs, jvm = _hadoop_fs(spark, zone_path)
     glob = jvm.org.apache.hadoop.fs.Path(zone_path.rstrip("/") + "/part-*")
@@ -78,10 +100,10 @@ def merge_upsert(
     only the partitions the updates touch (partition pruning on the
     update keys) — or use a table format's MERGE INTO.
     """
-    try:
+    if _zone_exists(spark, zone_path):
         existing = spark.read.parquet(zone_path).withColumn("__src", F.lit(0))
         merged_input = existing.unionByName(updates.withColumn("__src", F.lit(1)))
-    except Exception:
+    else:
         merged_input = updates.withColumn("__src", F.lit(1))
 
     order = (
@@ -166,11 +188,9 @@ def merge_scd2(
         F.col(change_ts_col).alias("__valid_from"),
     ).withColumn("__hash", attr_hash())
 
-    try:
+    have_zone = _zone_exists(spark, zone_path)
+    if have_zone:
         existing = spark.read.parquet(zone_path)
-        have_zone = True
-    except Exception:
-        have_zone = False
 
     if not have_zone:
         out = fresh.select(

@@ -24,8 +24,11 @@ import datetime as dt
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from bigdata_rags_spark.io.maintenance import remove_dir
 from bigdata_rags_spark.io.writers import write_partitioned
+from bigdata_rags_spark.operators.observability import observe_metrics
 from bigdata_rags_spark.io.zones import (
     ERROR,
     SUCCESS,
@@ -75,12 +78,21 @@ def run_extract(
     for name in dict.fromkeys(sources):
         df = sources[name]
         try:
-            n = df.count()
-            if n == 0:
-                # reference dag-extract.py:91-93 — empty extraction is ERROR
+            # ONE job per dataset: the row counter rides the write action via
+            # the Observation API instead of a separate df.count() pre-scan
+            # (reference dag-extract.py:91-93 re-counts; at 100 TB that is a
+            # second full read of the source per table — VERDICT r2 #4).
+            observed, obs = observe_metrics(
+                df, {"rows": F.count(F.lit(1))}, name=f"extract_{name}"
+            )
+            write_partitioned(observed, layout.table_dir("raw", name, run_date))
+            if obs.get["rows"] == 0:
+                # reference dag-extract.py:91-93 — empty extraction is ERROR;
+                # drop the empty output so the raw zone only holds real data
+                # (the status marker, not the dir, gates transform anyway)
+                remove_dir(df.sparkSession, layout.table_dir("raw", name, run_date))
                 status[name] = ERROR
             else:
-                write_partitioned(df, layout.table_dir("raw", name, run_date))
                 status[name] = SUCCESS
         except Exception:
             status[name] = ERROR

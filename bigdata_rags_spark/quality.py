@@ -43,6 +43,10 @@ def repetition_quality(
     6 places before thresholding so both engines gate on identical values).
     Documents with zero tokens drop out (no grams to aggregate) — mirrored
     by the oracle SQL, where ``unnest([])`` yields no rows.
+    Documents with a single token (no bigrams) still get a row — the bigram
+    stats left-join as 0 and the word-count floor zeroes the flag; a quality
+    gate must not silently pass over exactly the most pathological docs
+    (ADVICE r2).
     """
     t = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
     uni = t.select("doc_id", F.explode("toks").alias("tok")).groupBy("doc_id", "tok").count()
@@ -65,7 +69,7 @@ def repetition_quality(
         F.sum("count").cast("bigint").alias("n_bigrams"),
         F.max("count").alias("top_bc"),
     )
-    m = us.join(bs, "doc_id").select(
+    m = us.join(bs, "doc_id", "left").select(
         "doc_id",
         "n_words",
         "n_distinct",
@@ -75,9 +79,12 @@ def repetition_quality(
         F.round(
             F.col("n_distinct") / F.nullif(F.col("n_words"), F.lit(0)).cast("double"), 6
         ).alias("distinct_ratio"),
-        F.round(F.col("top_bc") / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double"), 6).alias(
-            "top_bigram_frac"
-        ),
+        F.coalesce(
+            F.round(
+                F.col("top_bc") / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double"), 6
+            ),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
     )
     return m.select(
         "*",

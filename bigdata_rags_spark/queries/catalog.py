@@ -200,3 +200,69 @@ from bigdata_rags_spark.queries import extensions as _extensions  # noqa: E402,F
 from bigdata_rags_spark.queries import llm_ops as _llm_ops  # noqa: E402,F401
 from bigdata_rags_spark.queries import streaming_batch as _streaming_batch  # noqa: E402,F401
 from bigdata_rags_spark.queries import retrieval_ops as _retrieval_ops  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering.
+#
+# The verify driver checks only the FIRST 50 entries of ``queries()``
+# iteration order (measured: CORRECTNESS_r02 keys == list(REGISTRY)[:50]).
+# With >50 registered queries, registration order silently decides which
+# operators ever get a driver CORRECTNESS row.  ``ordered_registry()`` makes
+# that choice explicit: queries without a driver row yet (plus any whose
+# semantics changed since their last row) come first, tier-prioritized
+# streaming -> llm -> extension (the tiers the r1/r2 windows never reached);
+# already-driver-verified queries fill the tail.  Rotate _DRIVER_CHECKED
+# forward each round by appending the new CORRECTNESS keys.
+# ---------------------------------------------------------------------------
+
+# Queries with a green driver row in CORRECTNESS_r01/r02 (60 distinct).
+_DRIVER_CHECKED: frozenset[str] = frozenset({
+    "agg_suite_by_segment", "anti_join_customers_no_orders",
+    "approx_count_distinct_orders", "approx_percentile_prices",
+    "asof_join_events_orders", "attack_shape_metrics", "collect_sorted_lists",
+    "conditional_agg_priority_matrix", "correlated_scalar_above_avg",
+    "cube_returnflag_linestatus", "data_quality_report",
+    "date_arithmetic_orders", "date_functions_orders", "dedup_surviving_docs",
+    "defense_shape_metrics", "discipline_shape_metrics",
+    "distinct_nation_segments", "dup_cluster_assignment",
+    "embedding_cosine_topk", "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_mm", "exact_dedup_docs", "exact_dup_clusters",
+    "explode_embedding_dim_stats", "filter_pushdown_highvalue",
+    "flagship_revenue_by_nation", "full_outer_join_supplier_customer_nations",
+    "hash_functions_documents", "histogram_order_prices",
+    "left_join_customer_orders", "mad_outlier_orders",
+    "math_functions_lineitem", "minhash_lsh_candidates",
+    "ngram_jaccard_near_dups", "pandas_udaf_geometric_mean",
+    "pandas_udf_harmonic_price", "percentiles_by_priority",
+    "pivot_returnflag_by_status", "projection_rename_quoted",
+    "range_join_shipments_in_window", "rollup_status_priority",
+    "rollup_sum_by_supplier", "salted_join_revenue_by_priority",
+    "semi_join_customers_with_urgent", "set_ops_nation_membership",
+    "simhash_fingerprints", "sql_grouping_sets", "string_functions_extended",
+    "string_functions_parts", "topk_orders_by_price",
+    "tpch_q13_customer_distribution", "tpch_q1_pricing_summary",
+    "tpch_q2_cheapest_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "unpivot_lineitem_measures",
+    "window_lag_running_sum", "window_ntile_lead_firstvalue",
+    "window_rank_orders_in_segment", "window_trailing_7d_range_frame",
+})
+
+# Checked queries whose semantics/plan changed this round -> re-check first.
+_RECHECK: tuple[str, ...] = ("exact_dup_clusters", "embedding_near_dup_pairs")
+
+_TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY reordered so the driver's first-50 window hits unverified work.
+
+    Front: _RECHECK (changed since last driver row), then never-driver-checked
+    queries tier-ordered streaming -> llm -> extension (registration order
+    within a tier).  Tail: queries already hash-matched in r1/r2.
+    """
+    names = list(REGISTRY)
+    front = [n for n in _RECHECK if n in REGISTRY]
+    fresh = [n for n in names if n not in _DRIVER_CHECKED and n not in front]
+    fresh.sort(key=lambda n: _TIER_PRIORITY[REGISTRY[n].tier])  # stable within tier
+    tail = [n for n in names if n in _DRIVER_CHECKED and n not in front]
+    return {n: REGISTRY[n] for n in (*front, *fresh, *tail)}

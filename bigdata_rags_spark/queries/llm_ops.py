@@ -33,7 +33,7 @@ from bigdata_rags_spark.operators.sampling import stratified_hash_sample
 from bigdata_rags_spark.quality import repetition_quality
 from bigdata_rags_spark.queries.catalog import TIER_LLM, query
 from bigdata_rags_spark.similarity.ivf import ivf_topk
-from bigdata_rags_spark.similarity.knn import brute_force_topk, cosine_pairs_above
+from bigdata_rags_spark.similarity.knn import brute_force_topk
 
 # DuckDB fragments mirroring functions/text.py (single source of truth for
 # the Spark side; these strings are the oracle's equivalent definitions).
@@ -79,17 +79,38 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_llm(
     "exact_dup_clusters",
     f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0
+)
 SELECT md5({_SQL_NORM}) AS content_hash,
        MIN(doc_id)      AS keeper_id,
        CAST(COUNT(*) AS BIGINT) AS cluster_size
-FROM documents
+FROM corpus
 GROUP BY 1
 HAVING COUNT(*) > 1
 """,
 )
 def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_testdata(spark, sf_dir, "documents")["documents"]
-    return dup_clusters(docs)
+    """Exact-duplicate clusters over a corpus that PROVABLY contains dups.
+
+    The sf fixtures have no exact duplicates, so running the detector on the
+    raw table produced 0 rows in both engines — a vacuous check (VERDICT r2
+    #2: the driver hash proved nothing about cluster semantics).  The
+    registered query therefore unions a deterministically re-keyed copy of
+    every 7th document (doc_id + 1e9, far above any fixture id) so ~14% of
+    docs form size-2 clusters and the driver hash pins keeper choice
+    (MIN(doc_id) = the original id) and cluster sizes for real.  The
+    detector itself is unchanged (`dedup/exact.py`); planted-dup unit tests
+    in tests/test_llm_ops.py cover it independently.
+    """
+    docs = read_testdata(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    rekeyed = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    return dup_clusters(docs.unionByName(rekeyed))
 
 
 @_llm(
@@ -456,9 +477,20 @@ SELECT id_a, id_b, similarity FROM p WHERE similarity >= 0.4
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold on the rounded similarity
-    so the boundary is engine-deterministic)."""
+    so the boundary is engine-deterministic).
+
+    Registered plan (r3): block-pair equi-join decomposition — B(B+1)/2
+    bounded shuffle-join cells instead of the r1/r2 corpus x corpus
+    BroadcastNestedLoopJoin, with the oracle's exact expression order so the
+    value hash still matches.  block_rows=256 so even the sf0.01 driver run
+    exercises >1 block (same-block dedup + cross-block orientation paths).
+    LSH prefiltering was measured and rejected for this data/threshold —
+    see similarity/knn.py:cosine_pairs_above_blocked.
+    """
+    from bigdata_rags_spark.similarity.knn import cosine_pairs_above_blocked
+
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    return cosine_pairs_above(e, threshold=0.4)
+    return cosine_pairs_above_blocked(e, threshold=0.4, block_rows=256)
 
 
 @_llm("embedding_near_dup_pairs_mm", None)
@@ -1452,8 +1484,9 @@ m AS (
   SELECT us.doc_id, n_words, n_distinct,
          ROUND(top_c / CAST(NULLIF(n_words, 0) AS DOUBLE), 6)    AS top_unigram_frac,
          ROUND(n_distinct / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) AS distinct_ratio,
-         ROUND(top_bc / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 6) AS top_bigram_frac
-  FROM us JOIN bs ON us.doc_id = bs.doc_id
+         COALESCE(ROUND(top_bc / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 6), 0.0)
+           AS top_bigram_frac
+  FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
 )
 SELECT doc_id, n_words, n_distinct, top_unigram_frac, distinct_ratio, top_bigram_frac,
        CAST(CASE WHEN n_words >= 30 AND top_unigram_frac <= 0.15

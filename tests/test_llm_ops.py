@@ -152,6 +152,28 @@ def test_cosine_pairs_mm_matches_expr_path_across_block_sizes(vectors):
         assert mm == expr, block_rows
 
 
+def test_cosine_pairs_blocked_matches_expr_path_across_block_sizes(vectors):
+    # the block-pair EQUI-join decomposition (the registered
+    # embedding_near_dup_pairs plan since r3) must agree with the expression
+    # path bit-exactly at every block count: block_rows=5 exercises the
+    # same-block ia<ib dedup AND the cross-block arbitrary-orientation path,
+    # where the norm-division order is canonicalized to lower-id-first to
+    # stay bit-identical to the oracle
+    from bigdata_rags_spark.similarity.knn import cosine_pairs_above_blocked
+
+    expr = sorted(map(tuple, cosine_pairs_above(vectors, threshold=0.99).collect()))
+    for block_rows in (4096, 5, 2):
+        blocked = sorted(
+            map(
+                tuple,
+                cosine_pairs_above_blocked(
+                    vectors, threshold=0.99, block_rows=block_rows
+                ).collect(),
+            )
+        )
+        assert blocked == expr, block_rows
+
+
 def test_lsh_bucketed_topk_recalls_near_identical(vectors):
     out = lsh_bucketed_topk(
         vectors.filter(F.col("vec_id") == 1), vectors, k=3, n_planes=6, dim=16

