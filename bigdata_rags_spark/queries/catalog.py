@@ -215,7 +215,17 @@ from bigdata_rags_spark.queries import retrieval_ops as _retrieval_ops  # noqa: 
 # forward each round by appending the new CORRECTNESS keys.
 # ---------------------------------------------------------------------------
 
-# Queries with a green driver row in CORRECTNESS_r01/r02 (60 distinct).
+# Queries that can NEVER turn green: registered rows-only (no oracle SQL) by
+# design, so the driver records ``err: no_oracle`` forever.  Kept out of the
+# fresh front so they stop burning window slots every round (VERDICT r4 #2).
+_PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
+    "embedding_ivf_topk",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+})
+
+# Queries with a green driver row in CORRECTNESS_r01..r04 (r1/r2: 60 distinct;
+# r3 window added 47 including the 10 events_* and 37 re-greens in r4).
 _DRIVER_CHECKED: frozenset[str] = frozenset({
     "agg_suite_by_segment", "anti_join_customers_no_orders",
     "approx_count_distinct_orders", "approx_percentile_prices",
@@ -245,10 +255,40 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "tpch_q4_order_priority", "unpivot_lineitem_measures",
     "window_lag_running_sum", "window_ntile_lead_firstvalue",
     "window_rank_orders_in_segment", "window_trailing_7d_range_frame",
+    # --- CORRECTNESS_r03 greens (r3 window; 37 of them re-greened in r4) ---
+    "benchmark_decontamination", "bm25_keyword_search", "corpus_health_by_lang",
+    "corpus_top_tokens", "doc_fingerprint_minshingle", "document_chunking",
+    "embedding_int8_quantization", "embedding_label_centroids",
+    "embedding_norm_stats", "embedding_random_projection",
+    "events_click_attribution", "events_cohort_retention",
+    "events_conversion_funnel", "events_hourly_gapfill",
+    "events_json_extraction", "events_pii_redaction",
+    "events_segment_enrichment", "events_sliding_halfhour",
+    "events_tumbling_hourly", "events_user_sessions",
+    "fuzzy_dedup_surviving_docs", "gopher_quality_filters", "hybrid_rag_search",
+    "langid_stopword_heuristic", "length_weighted_sample_docs",
+    "map_functions_status_scores", "multimodal_video_framesample",
+    "sequence_packing_bins", "simhash64_fingerprints", "simhash_near_dup_pairs",
+    "stratified_sample_docs", "text_quality_scores", "tfidf_top_terms",
+    "token_count_stats", "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q14_promo_effect", "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_customers", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "train_test_split_assignment", "training_mixture_plan",
+    "unigram_lm_doc_scores",
 })
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
-_RECHECK: tuple[str, ...] = ("exact_dup_clusters", "embedding_near_dup_pairs")
+# Round 5: the type-adaptive events reader (timestamp[us] fixture) touches
+# every query that reads the events table — the 10 streaming-tier queries
+# plus the as-of join.
+_RECHECK: tuple[str, ...] = (
+    "events_tumbling_hourly", "events_sliding_halfhour", "events_user_sessions",
+    "events_segment_enrichment", "events_click_attribution",
+    "events_conversion_funnel", "events_cohort_retention",
+    "events_hourly_gapfill", "events_pii_redaction", "events_json_extraction",
+    "asof_join_events_orders",
+)
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
 
@@ -262,7 +302,8 @@ def ordered_registry() -> dict[str, QuerySpec]:
     """
     names = list(REGISTRY)
     front = [n for n in _RECHECK if n in REGISTRY]
-    fresh = [n for n in names if n not in _DRIVER_CHECKED and n not in front]
+    skip_fresh = _DRIVER_CHECKED | _PERMANENT_NO_ORACLE | set(front)
+    fresh = [n for n in names if n not in skip_fresh]
     fresh.sort(key=lambda n: _TIER_PRIORITY[REGISTRY[n].tier])  # stable within tier
-    tail = [n for n in names if n in _DRIVER_CHECKED and n not in front]
+    tail = [n for n in names if n in skip_fresh and n not in front]
     return {n: REGISTRY[n] for n in (*front, *fresh, *tail)}

@@ -7,14 +7,19 @@ batch frame and a ``readStream`` frame — Structured Streaming's contract —
 so correctness is oracle-checked in batch (driver/DuckDB) and the streaming
 execution path is tested with real micro-batches in pytest.
 
-Timestamp discipline: the events parquet stores nanosecond timestamps, which
-Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
-``spark.sql.legacy.parquet.nanosAsLong=true`` — set per-session in
-``read_events_batch`` since the driver owns the session.  All window math is
-integer arithmetic on epoch nanoseconds (``ts_ns``), which is bit-exact,
-timezone-free, and mirrors DuckDB's ``epoch_ns``.  The wall-clock ``ts``
-column is rebuilt at microsecond precision for Spark's native
-window/session_window operators (epoch-aligned, tz-independent).
+Timestamp discipline: the batch reader is TYPE-ADAPTIVE because the driver
+fixture has shipped the ``ts`` column as both parquet ``timestamp[ns]``
+(which Spark reads as BIGINT epoch-ns under
+``spark.sql.legacy.parquet.nanosAsLong=true``, set per-session here) and
+``timestamp[us]`` (which Spark reads as a real TIMESTAMP / TIMESTAMP_NTZ —
+``nanosAsLong`` is inert on µs columns).  Whatever the physical type, the
+reader normalizes to the same two-column contract every downstream operator
+uses: exact integer epoch nanoseconds ``ts_ns`` (bit-exact, timezone-free,
+mirrors DuckDB's ``epoch_ns``) plus a wall-clock ``ts`` rebuilt at
+microsecond precision via ``timestamp_micros`` for Spark's native
+window/session_window operators (epoch-aligned, tz-independent).  The NTZ →
+ns conversion uses ``timestampdiff`` against the NTZ epoch literal, which is
+pure integer math on naive timestamps — no session-timezone dependency.
 """
 
 from __future__ import annotations
@@ -44,10 +49,49 @@ def _with_ts(df: DataFrame) -> DataFrame:
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch source: nanos-as-long read + derived ``ts_ns``/``ts`` columns."""
+    """Batch source: type-adaptive read + derived ``ts_ns``/``ts`` columns.
+
+    Handles every physical type the driver fixture has used for ``ts``:
+
+    - ``bigint`` — parquet ``timestamp[ns]`` read under ``nanosAsLong``
+      (historical fixtures) or a pre-derived long column: already epoch-ns,
+      just rename.
+    - ``timestamp_ntz`` — parquet ``timestamp[us]`` (current fixtures,
+      ``isAdjustedToUTC=false``): exact epoch-µs via ``timestampdiff``
+      against the naive epoch literal (pure NTZ integer math, no session
+      timezone involved), then ×1000.
+    - ``timestamp`` — µs parquet read as LTZ (e.g. with NTZ inference off):
+      ``unix_micros`` is exact epoch-µs regardless of session timezone.
+
+    All three paths then rebuild ``ts`` from ``ts_ns`` via
+    ``timestamp_micros`` so downstream window/session operators see the
+    identical column type in every environment.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return _with_ts(raw.withColumnRenamed("ts", "ts_ns"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        norm = raw.withColumnRenamed("ts", "ts_ns")
+    elif ts_type == "timestamp_ntz":
+        norm = raw.withColumn(
+            "ts_ns",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).cast("long")
+            * F.lit(1000).cast("long"),
+        ).drop("ts")
+    elif ts_type == "timestamp":
+        norm = raw.withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("long")
+        ).drop("ts")
+    else:  # pragma: no cover - fixture drift guard
+        raise TypeError(
+            f"events.ts has unsupported type {ts_type!r}; expected bigint, "
+            "timestamp_ntz, or timestamp"
+        )
+    # pin column order to the stream schema so batch and stream frames are
+    # interchangeable regardless of which branch produced ts_ns
+    return _with_ts(norm.select([f.name for f in EVENTS_STREAM_SCHEMA.fields]))
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:

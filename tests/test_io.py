@@ -203,3 +203,91 @@ def test_zorder_code_matches_python_reference(spark):
         assert z == morton_py(x, y), (x, y)
     # locality: adjacent points get nearby codes; distant y dominates high bits
     assert abs(got[(5, 2)] - got[(5, 7)]) < abs(got[(5, 2)] - got[(5, 1024)])
+
+
+# ---------------------------------------------------------------------------
+# Fixture-drift early warning (VERDICT r4 #7).  The r4 incident — the driver
+# regenerated events.parquet from timestamp[ns] to timestamp[us], silently
+# breaking 11 queries and the whole bench — was detectable with one cheap
+# schema probe.  This test pins the READ dtypes of every driver fixture table
+# to what the readers assume, so a driver-side regeneration fails ONE named
+# test instead of 21 scattered ones.
+# ---------------------------------------------------------------------------
+
+FIXTURE_DTYPES = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": {"timestamp", "timestamp_ntz"},
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double", "l_extendedprice": "double",
+        "l_discount": "double", "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": {"timestamp", "timestamp_ntz"},
+    },
+    "events": {
+        "event_id": "bigint",
+        # every physical type read_events_batch adapts to; anything else is
+        # new drift and must fail here first
+        "ts": {"bigint", "timestamp", "timestamp_ntz"},
+        "user_id": "bigint", "event_type": "string", "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+    },
+}
+
+
+def test_fixture_schema_contract(spark, sf_smoke):
+    """Every driver fixture table reads with the dtypes the library assumes."""
+    problems = []
+    for table, want in FIXTURE_DTYPES.items():
+        got = dict(spark.read.parquet(f"{sf_smoke}/{table}.parquet").dtypes)
+        if set(got) != set(want):
+            problems.append(f"{table}: columns {sorted(got)} != {sorted(want)}")
+            continue
+        for col, exp in want.items():
+            ok = got[col] in exp if isinstance(exp, set) else got[col] == exp
+            if not ok:
+                problems.append(f"{table}.{col}: read as {got[col]!r}, expected {exp!r}")
+    assert not problems, "\n".join(problems)
+
+
+def test_events_reader_output_contract(spark, sf_smoke):
+    """read_events_batch normalizes ANY fixture type to the two-column
+    contract every downstream operator uses: exact bigint epoch-ns ``ts_ns``
+    plus a microsecond-precision ``ts`` rebuilt from it."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.streaming.events import EVENTS_STREAM_SCHEMA, read_events_batch
+
+    ev = read_events_batch(spark, sf_smoke)
+    dts = dict(ev.dtypes)
+    assert dts["ts_ns"] == "bigint"
+    assert dts["ts"] == "timestamp"
+    # column order matches the stream schema (+ trailing ts) so batch and
+    # stream frames are interchangeable
+    assert [c for c, _ in ev.dtypes] == [f.name for f in EVENTS_STREAM_SCHEMA.fields] + ["ts"]
+    # ts is exactly ts_ns truncated to micros — no timezone drift
+    bad = ev.filter(F.unix_micros("ts") != F.expr("ts_ns div 1000")).count()
+    assert bad == 0

@@ -235,15 +235,27 @@ def test_driver_window_ordering_contract():
     (measured r2: checked keys == list(REGISTRY)[:50]).  ordered_registry()
     must therefore front-load queries without a prior driver row — otherwise
     whole tiers silently never earn a CORRECTNESS row."""
-    from bigdata_rags_spark.queries.catalog import _DRIVER_CHECKED, _RECHECK, ordered_registry
+    from bigdata_rags_spark.queries.catalog import (
+        _DRIVER_CHECKED,
+        _PERMANENT_NO_ORACLE,
+        _RECHECK,
+        ordered_registry,
+    )
 
     ordered = list(ordered_registry())
     assert set(ordered) == set(REGISTRY), "reordering must not add/drop queries"
     window = ordered[:50]
     # the window is spent on queries needing (re-)verification first
-    fresh = [n for n in window if n not in _DRIVER_CHECKED or n in _RECHECK]
+    verifiable = _DRIVER_CHECKED | _PERMANENT_NO_ORACLE
+    fresh = [n for n in window if n not in verifiable or n in _RECHECK]
     assert len(fresh) == 50 or len(fresh) == len(
-        [n for n in REGISTRY if n not in _DRIVER_CHECKED or n in _RECHECK]
+        [n for n in REGISTRY if n not in verifiable or n in _RECHECK]
     )
     # every recheck entry sits inside the window
     assert all(n in window for n in _RECHECK if n in REGISTRY)
+    # permanent no-oracle rows never burn a fresh-front slot: they may only
+    # appear in the window as tail filler AFTER every fresh query
+    fresh_positions = [window.index(n) for n in fresh]
+    for n in _PERMANENT_NO_ORACLE:
+        if n in window and fresh_positions:
+            assert window.index(n) > max(fresh_positions)
