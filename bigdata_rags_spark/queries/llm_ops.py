@@ -493,6 +493,66 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above_blocked(e, threshold=0.4, block_rows=256)
 
 
+def _lsh_pairs_oracle(
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_bits: int = 2,
+    dim: int = 64,
+) -> str:
+    """Oracle for lsh_verified_pairs: the IDENTICAL deterministic semantics
+    (same md5-derived plane literals, candidate rule = signature Hamming
+    distance <= probe_bits in any table, exact-cosine verify) — DuckDB just
+    evaluates the candidate rule directly as ``bit_count(xor(.))`` over all
+    pairs, while the Spark plan realizes it as the subquadratic probe
+    equi-join.  Plane values are exact multiples of 1/256, so their repr()
+    literals parse to bit-identical float64 in both engines."""
+    from bigdata_rags_spark.similarity.knn import _deterministic_hyperplanes
+
+    sig_cols = []
+    for t in range(n_tables):
+        planes = _deterministic_hyperplanes(dim, n_planes, seed=f"lsh{t}" if t else "lsh")
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in plane)
+            + "]::DOUBLE[]) > 0 THEN "
+            + str(1 << p)
+            + " ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        sig_cols.append(f"CAST({bits} AS BIGINT) AS sig{t}")
+    collide = " OR ".join(
+        f"bit_count(xor(a.sig{t}, b.sig{t})) <= {probe_bits}" for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, {", ".join(sig_cols)} FROM e),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
+               / sqrt(list_dot_product(b.v, b.v)), 6) AS similarity
+  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({collide})
+)
+SELECT id_a, id_b, similarity FROM cand WHERE similarity >= {threshold}
+"""
+
+
+@_llm("embedding_near_dup_pairs_lsh", _lsh_pairs_oracle())
+def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup path (VERDICT r4 #3): LSH candidate pairs ->
+    exact cosine verify, all equi-joins, no O(N^2) stage anywhere in the
+    plan (pinned in tests/test_plans.py).  Same output contract as
+    embedding_near_dup_pairs but approximate-by-contract: recall vs the
+    exact op is the documented ANN tradeoff (~0.85 on this adversarial
+    near-isotropic fixture; near-1 with pruning on clustered real corpora —
+    see similarity/knn.py:lsh_verified_pairs).  The exact blocked op stays
+    registered for bounded corpora."""
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return lsh_verified_pairs(e, threshold=0.4, n_planes=8, n_tables=4, probe_bits=2)
+
+
 @_llm("embedding_near_dup_pairs_mm", None)
 def embedding_near_dup_pairs_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as embedding_near_dup_pairs, executed as Arrow-batched

@@ -259,3 +259,40 @@ def test_driver_window_ordering_contract():
     for n in _PERMANENT_NO_ORACLE:
         if n in window and fresh_positions:
             assert window.index(n) > max(fresh_positions)
+
+
+def test_lsh_near_dup_pairs_plan_is_subquadratic(spark, sf_smoke):
+    """VERDICT r4 #3: the production near-dup path (LSH candidates -> exact
+    verify) must contain NO O(N^2) stage — every join is an equi-join on the
+    probed signature or the pair ids; candidate volume is collision-bounded,
+    not corpus x corpus."""
+    p = _plan(REGISTRY["embedding_near_dup_pairs_lsh"].spark(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_lsh_near_dup_recall_vs_exact(spark, sf_smoke):
+    """The approximate path's recall against the exact op is the contract
+    users tune (tables/probes); pin a floor on the smoke fixture — the
+    adversarial no-margin case — so parameter regressions surface."""
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["embedding_near_dup_pairs_lsh"].spark(spark, sf_smoke).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["embedding_near_dup_pairs"].spark(spark, sf_smoke).collect()
+    }
+    assert lsh <= exact, "verify step must make every emitted pair exact-true"
+    assert len(lsh & exact) >= 0.6 * len(exact), (len(lsh), len(exact))
+
+
+def test_q9_q12_substitute_plans_are_scale_safe(spark, sf_smoke):
+    """Q9/Q12 shape substitutes (VERDICT r4 #5): Q9 broadcasts part/supplier/
+    nation and never goes cartesian; Q12's shipdate window pushes to the
+    lineitem parquet scan."""
+    p9 = _plan(REGISTRY["tpch_q9_profit_by_nation_year"].spark(spark, sf_smoke))
+    assert p9.count("BroadcastHashJoin") >= 3 and "CartesianProduct" not in p9
+    p12 = _plan(REGISTRY["tpch_q12_priority_by_returnflag"].spark(spark, sf_smoke))
+    assert "PushedFilters: [" in p12 and "GreaterThanOrEqual(l_shipdate" in p12
+    assert "CartesianProduct" not in p12
