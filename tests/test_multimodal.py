@@ -185,3 +185,44 @@ def test_audio_features_and_stub_contract(spark, sf_smoke):
     assert np.allclose(x, [0.0, 0.5, -0.5, 32767 / 32768])
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00\x00", codec="audio/mp3")
+
+
+def test_wav_payloads_are_real_riff_and_features_exact(spark, sf_smoke):
+    """VERDICT r4 #6 closure: multimodal_wav_features pushes genuine
+    RIFF/WAVE bytes through the stdlib codec.  Assert the payloads really
+    are WAV files, and the decoded features match an independent pure-python
+    recomputation of the deterministic PCM signal."""
+    import math
+
+    import numpy as np
+
+    from bigdata_rags_spark.multimodal.codecs import attach_wav_payload, decode_wav
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(5)
+    rows = attach_wav_payload(docs).collect()
+    assert rows
+    for r in rows:
+        payload = bytes(r["payload"])
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        x, rate = decode_wav(payload)
+        assert rate == 16_000 and r["meta"]["codec"] == "audio/wav"
+        pcm = np.rint(x * 32768.0).astype(np.int64)
+        n = pcm.size
+        want = ((r["doc_id"] * 31 + np.arange(n, dtype=np.int64) * 25173) % 65536) - 32768
+        assert (pcm == want).all(), r["doc_id"]
+
+    feats = {
+        r["doc_id"]: r
+        for r in REGISTRY["multimodal_wav_features"].spark(spark, sf_smoke).collect()
+    }
+    for r in rows:
+        pcm = np.rint(decode_wav(bytes(r["payload"]))[0] * 32768.0).astype(np.int64)
+        f = feats[r["doc_id"]]
+        assert f["n_samples"] == pcm.size
+        assert f["peak_abs"] == int(np.abs(pcm).max())
+        assert f["n_zero_cross"] == int(((pcm[1:] < 0) != (pcm[:-1] < 0)).sum())
+        sum_sq = int((pcm * pcm).sum())
+        assert f["rms"] == math.floor(
+            math.sqrt(sum_sq / pcm.size) / 32768.0 * 1_000_000.0
+        ) / 1e6
