@@ -40,3 +40,15 @@ def test_nonconvergence_raises_instead_of_returning_wrong_labels(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(8)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+def test_zero_max_iter_raises_convergence_error_not_nameerror(spark):
+    """ADVICE r3 (pinned per VERDICT r4 #4): max_iter=0 on a non-empty edge
+    set must raise the intended non-convergence RuntimeError — the
+    ``changed`` sentinel guards against an unbound-variable crash."""
+    import pytest
+
+    from bigdata_rags_spark.dedup.clusters import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge in 0 rounds"):
+        connected_components(pairs, max_iter=0)

@@ -334,3 +334,22 @@ def test_approx_percentile_accuracy(spark, sf_oracle):
     for k in exact:
         assert abs(approx[k]["p50_approx"] - exact[k]["p50"]) / exact[k]["p50"] < 0.02
         assert abs(approx[k]["p95_approx"] - exact[k]["p95"]) / exact[k]["p95"] < 0.02
+
+
+def test_repetition_quality_flags_single_token_docs(spark):
+    """ADVICE r2 (pinned per VERDICT r4 #4): a one-token doc has no bigrams
+    but must still get a row with keep_flag=0 — the bigram stats left-join
+    as 0 instead of inner-joining the doc away.  Zero-token docs drop out
+    (no grams at all), mirroring the oracle's unnest([]) semantics."""
+    from bigdata_rags_spark.quality import repetition_quality
+
+    docs = spark.createDataFrame(
+        [(1, "solitary"), (2, ""), (3, "a normal document " * 20)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_quality(docs).collect()}
+    for doc_id in (1, 2):  # ws split yields one (possibly empty) token
+        assert doc_id in out, "pathological doc must not vanish from the quality gate"
+        assert out[doc_id]["keep_flag"] == 0 and out[doc_id]["n_words"] == 1
+        assert out[doc_id]["top_bigram_frac"] == 0.0
+    assert out[3]["keep_flag"] == 0  # 20x-repeated trigram trips the gates
