@@ -60,6 +60,13 @@ HEADLINE = [
     # r3: the de-quadratic'd registered near-dup plan (block-pair equi-join
     # replacing the corpus x corpus BNLJ) — measured so the trade is visible
     "embedding_near_dup_pairs",
+    # r5: the subquadratic production near-dup path (LSH candidates ->
+    # exact verify) measured ALONGSIDE the exact variant, the new TPC-H
+    # shapes, and the real-codec WAV pipeline
+    "embedding_near_dup_pairs_lsh",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q12_priority_by_returnflag",
+    "multimodal_wav_features",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

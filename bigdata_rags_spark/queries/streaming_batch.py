@@ -3,8 +3,11 @@ batch mode over the events table so the DuckDB oracle can verify them (the
 identical transforms run as real micro-batch streams in
 tests/test_streaming.py — Structured Streaming's unified-API contract).
 
-Oracle math is pure integer arithmetic on epoch nanoseconds (``epoch_ns`` /
-``nanosAsLong``): no floats, no timezones, bit-exact in both engines.
+Oracle math is pure integer arithmetic on epoch nanoseconds: DuckDB's
+``epoch_ns(ts)`` on one side, and on the Spark side the ``ts_ns`` column the
+type-adaptive ``read_events_batch`` derives from whatever physical type the
+fixture ships (``timestamp[us]`` today, int64-ns historically) — no floats,
+no timezones, bit-exact in both engines.
 """
 
 from __future__ import annotations
