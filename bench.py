@@ -67,6 +67,7 @@ HEADLINE = [
     "tpch_q9_profit_by_nation_year",
     "tpch_q12_priority_by_returnflag",
     "multimodal_wav_features",
+    "segment_dedup_docs",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
@@ -92,6 +93,15 @@ def main() -> None:
     ).split():
         spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").count()
 
+    def clear_persisted() -> None:
+        # iterative ops (connected components) localCheckpoint their loop
+        # state; those cached RDDs outlive the query and pile storage-memory
+        # pressure onto every LATER measurement — drop them between queries
+        # so each timing sees the same clean executor state
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+
     def run_once() -> dict[str, float]:
         times: dict[str, float] = {}
         for name in HEADLINE:
@@ -99,6 +109,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             times[name] = round(time.perf_counter() - t0, 3)
+            clear_persisted()
         return times
 
     # pass 1 = cold (includes codegen/JIT compilation of each query shape),

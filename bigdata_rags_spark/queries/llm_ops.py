@@ -136,6 +136,85 @@ def dedup_surviving_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_K = 4  # tokens per dedup segment (CCNet dedups paragraphs; the fixture
+# has no newlines, so fixed 4-token windows stand in — 341 cross-doc
+# duplicate segments at sf0.01, non-vacuous without wiping the corpus)
+
+
+@_llm(
+    "segment_dedup_docs",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+segs AS (
+  SELECT doc_id, t,
+         unnest(range(0, (len(t) + {_SEG_K - 1}) // {_SEG_K})) AS seg_no
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, seg_no,
+         array_to_string(t[(seg_no*{_SEG_K}+1):(seg_no*{_SEG_K}+{_SEG_K})], ' ') AS seg
+  FROM segs
+),
+cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY seg)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS kept_frac,
+       COALESCE(string_agg(CASE WHEN c.n_docs = 1 THEN s.seg END, ' '
+                           ORDER BY s.seg_no), '') AS cleaned_text
+FROM seg s JOIN cnt c ON s.seg = c.seg
+GROUP BY s.doc_id
+""",
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: drop every text SEGMENT that occurs
+    in more than one document, reassembling each doc from its surviving
+    segments (the paragraph-dedup step of CCNet/C4 pipelines; the fixture
+    has no newlines, so segments are fixed 4-token windows).
+
+    Plan: tokenize -> per-doc segment list via a codegen'd
+    ``transform(sequence)``/``slice`` (no explode until segments exist) ->
+    posexplode -> global per-segment distinct-doc counts (partial+final
+    agg) -> hash join back -> per-doc reassembly ordered by segment
+    position.  100 TB: the only corpus-wide shuffles carry (segment,
+    doc_id) pairs and the count table; at real scale key both sides by
+    ``md5(segment)`` so the exchange ships 16-byte keys instead of text —
+    semantics unchanged (the text stays on the exploded row).  Reassembly
+    groups by doc_id, so text never shuffles twice.
+    """
+    docs = _docs_parallel(spark, sf_dir)
+    k = _SEG_K
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    n_seg = F.floor((F.size("t") + F.lit(k - 1)) / F.lit(k)).cast("int")
+    seg_list = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * k + 1, k), " "),
+    )
+    seg = toks.select(
+        "doc_id", F.posexplode(seg_list).alias("seg_no", "seg")
+    )
+    cnt = seg.groupBy("seg").agg(F.countDistinct("doc_id").alias("n_docs"))
+    joined = seg.join(cnt, "seg")
+    keep = F.col("n_docs") == 1
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(keep.cast("long")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("kept_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("seg_no", "seg")))
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
