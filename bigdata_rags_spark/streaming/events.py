@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bigdata_rags_spark.io.maintenance import _hadoop_fs
+
 NS = 1_000_000_000
 
 EVENTS_STREAM_SCHEMA = T.StructType(
@@ -69,8 +71,18 @@ def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(raw.dtypes)["ts"]
-    if ts_type == "bigint":
+    return _normalize_events(raw)
+
+
+def _normalize_events(raw: DataFrame) -> DataFrame:
+    """Shared batch/stream normalization: whatever physical type ``ts`` (or a
+    pre-derived ``ts_ns``) arrived as, emit the stream-schema column order
+    with exact bigint epoch-ns ``ts_ns`` plus rebuilt microsecond ``ts``."""
+    dtypes = dict(raw.dtypes)
+    ts_type = dtypes.get("ts", "bigint" if "ts_ns" in dtypes else None)
+    if "ts_ns" in dtypes and "ts" not in dtypes:
+        norm = raw
+    elif ts_type == "bigint":
         norm = raw.withColumnRenamed("ts", "ts_ns")
     elif ts_type == "timestamp_ntz":
         norm = raw.withColumn(
@@ -95,14 +107,36 @@ def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream with the same column contract as the batch reader
-    (expects parquet files with a ``ts_ns`` long column)."""
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(path)
+    """File-source stream with the same column contract as the batch reader.
+
+    ``readStream`` needs the schema up front, so it is probed from the
+    existing files with a static reader (footer listing only, no job) and
+    the same type-adaptive normalization as ``read_events_batch`` applies —
+    streaming the driver's actual ``events.parquet`` directory (µs
+    timestamps) and streaming self-written ``ts_ns`` long fixtures both
+    work unchanged."""
+    import posixpath
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(probed).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
     )
-    return _with_ts(raw)
+    # The driver fixture ships events.parquet as a SINGLE FILE, which the
+    # file-stream source rejects: for a non-glob path it forces
+    # basePath := path and then requires basePath to be a directory.  Turn
+    # a single-file path into an exact-match glob (last char bracketed) so
+    # our explicit parent-directory basePath survives — then a directory of
+    # part files and a bare file stream identically.
+    stream_path = path
+    fs, jvm = _hadoop_fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(jpath) and fs.getFileStatus(jpath).isFile():
+        stream_path = f"{path[:-1]}[{path[-1]}]"
+        reader = reader.option(
+            "basePath", posixpath.dirname(path.rstrip("/")) or path
+        )
+    return _normalize_events(reader.parquet(stream_path))
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:

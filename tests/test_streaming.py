@@ -229,3 +229,22 @@ def test_foreachbatch_checkpoint_resume_is_exactly_once(spark, tmp_path):
     run_once()
     final = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert final == [1, 2, 3]  # ids 1,2 landed exactly once
+
+
+def test_stream_reads_native_fixture_directory(spark, sf_smoke):
+    """The stream reader must consume the driver's ACTUAL events.parquet
+    (timestamp[us] ts column) with no fixture rewriting — schema is probed
+    from the files and the same type-adaptive normalization as the batch
+    reader applies.  Streamed rows == batch rows, column for column."""
+    stream = read_events_stream(spark, f"{sf_smoke}/events.parquet", max_files_per_trigger=8)
+    got = _run_stream_to_memory(
+        spark,
+        stream.select("event_id", "ts_ns", "user_id", "event_type", "value"),
+        "t_native_dir",
+        "append",
+    )
+    want = read_events_batch(spark, sf_smoke).select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    cols = ["event_id", "ts_ns", "user_id", "event_type", "value"]
+    assert _canon(got, cols) == _canon(want, cols)
