@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+and sub-document segment dedup."""
 
 from bigdata_rags_spark.dedup.exact import dup_clusters, exact_dedup, with_content_hash
 from bigdata_rags_spark.dedup.minhash import (
@@ -6,6 +7,7 @@ from bigdata_rags_spark.dedup.minhash import (
     minhash_signatures,
     ngram_jaccard_pairs,
 )
+from bigdata_rags_spark.dedup.segments import segment_dedup
 from bigdata_rags_spark.dedup.simhash import simhash16, simhash_near_pairs
 
 __all__ = [
@@ -15,6 +17,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "segment_dedup",
     "simhash16",
     "simhash_near_pairs",
 ]

@@ -183,36 +183,9 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics unchanged (the text stays on the exploded row).  Reassembly
     groups by doc_id, so text never shuffles twice.
     """
-    docs = _docs_parallel(spark, sf_dir)
-    k = _SEG_K
-    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
-    n_seg = F.floor((F.size("t") + F.lit(k - 1)) / F.lit(k)).cast("int")
-    seg_list = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(F.col("t"), i * k + 1, k), " "),
-    )
-    seg = toks.select(
-        "doc_id", F.posexplode(seg_list).alias("seg_no", "seg")
-    )
-    cnt = seg.groupBy("seg").agg(F.countDistinct("doc_id").alias("n_docs"))
-    joined = seg.join(cnt, "seg")
-    keep = F.col("n_docs") == 1
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(keep.cast("long")).alias("n_kept"),
-        F.round(
-            F.sum(keep.cast("long")) / F.count(F.lit(1)).cast("double"), 6
-        ).alias("kept_frac"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.when(keep, F.struct("seg_no", "seg")))
-                ),
-                lambda x: x["seg"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
+    from bigdata_rags_spark.dedup.segments import segment_dedup
+
+    return segment_dedup(_docs_parallel(spark, sf_dir), k=_SEG_K)
 
 
 # ---------------------------------------------------------------------------
