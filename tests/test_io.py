@@ -291,3 +291,31 @@ def test_events_reader_output_contract(spark, sf_smoke):
     # ts is exactly ts_ns truncated to micros — no timezone drift
     bad = ev.filter(F.unix_micros("ts") != F.expr("ts_ns div 1000")).count()
     assert bad == 0
+
+
+def test_events_reader_handles_historical_bigint_fixture(spark, tmp_path):
+    """The type-adaptive reader's bigint branch (pre-r4 fixtures shipped ts
+    as int64 epoch-ns) must normalize identically to the timestamp branch:
+    same ts_ns values, same rebuilt ts."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.streaming.events import read_events_batch
+
+    current = read_events_batch(spark, "/root/testdata/sf0.001")
+    legacy_dir = str(tmp_path / "legacy_sf")
+    (
+        current.select(
+            "event_id",
+            F.col("ts_ns").alias("ts"),  # historical layout: ts IS epoch-ns
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.parquet(f"{legacy_dir}/events.parquet")
+    )
+    legacy = read_events_batch(spark, legacy_dir)
+    assert dict(legacy.dtypes) == dict(current.dtypes)
+    cols = ["event_id", "ts_ns", "user_id", "event_type", "value"]
+    assert sorted(map(tuple, legacy.select(cols).collect())) == sorted(
+        map(tuple, current.select(cols).collect())
+    )
