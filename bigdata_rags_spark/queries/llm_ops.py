@@ -1669,6 +1669,71 @@ def corpus_health_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "dup_bigram_fraction_docs",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+g AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
+gram AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram FROM g),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM gram GROUP BY doc_id, gram),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_instances
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_dup_instances,
+       ROUND(n_dup_instances / CAST(n_bigrams AS DOUBLE), 6) AS dup_frac
+FROM agg
+UNION ALL
+SELECT doc_id, 0, 0, 0.0 FROM toks WHERE len(t) < 2
+""",
+)
+def dup_bigram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram coverage (Rae et al. 2021 §A1.1.3,
+    'fraction of tokens in repeated n-grams', n=2 here): per doc, the share
+    of bigram instances whose bigram occurs more than once WITHIN the doc —
+    the repetition signal the top-bigram fraction alone misses (many small
+    repeats vs one dominant one).  Sub-2-token docs keep a zeroed row (the
+    quality-gate never silently drops pathological docs — ADVICE r2 rule).
+
+    All column expressions: in-doc bigrams via transform over the token
+    array, one (doc_id, gram) partial+final count, one per-doc rollup —
+    scan-shaped at any corpus size, text never crosses an exchange."""
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    exploded = toks.filter(n >= 2).select("doc_id", F.explode(grams).alias("gram"))
+    cnt = exploded.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_instances"
+        ),
+    )
+    scored = agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_dup_instances",
+        F.round(
+            F.col("n_dup_instances") / F.col("n_bigrams").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+    short = toks.filter(n < 2).select(
+        "doc_id",
+        F.lit(0).cast("bigint").alias("n_bigrams"),
+        F.lit(0).cast("bigint").alias("n_dup_instances"),
+        F.lit(0.0).alias("dup_frac"),
+    )
+    return scored.unionByName(short)
+
+
+@_llm(
     "gopher_quality_filters",
     f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),

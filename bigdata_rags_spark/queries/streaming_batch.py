@@ -410,3 +410,38 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_users") / F.col("cohort_size").cast("double"), 6
         ).alias("retention_rate"),
     )
+
+
+@_s(
+    "events_unattributed_clicks",
+    """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_ns(ts) // 1000 AS us
+  FROM events
+),
+l AS (SELECT * FROM e WHERE event_type = 'click'),
+r AS (SELECT * FROM e WHERE event_type != 'click')
+SELECT l.user_id, l.event_id AS left_event_id, r.event_id AS right_event_id,
+       CAST(r.us - l.us AS BIGINT) AS lag_us
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+  AND r.us >= l.us AND r.us < l.us + 600000000
+""",
+)
+def events_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER attribution join (batch form of
+    ``streaming/events.interval_join_left``): every click appears — matched
+    clicks once per conversion in the next 10 minutes, unconverted clicks
+    once with null right columns.  On streams this is the watermarked
+    stream-stream left outer join, whose null-extended rows Spark emits
+    only after the right watermark proves no match can arrive — bounded
+    state, same as the inner join (tests/test_streaming.py runs it as a
+    real micro-batch stream)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.streaming.events import interval_join_left
+
+    ev = read_events_batch(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    others = ev.filter(F.col("event_type") != "click")
+    return interval_join_left(clicks, others, within="10 minutes")

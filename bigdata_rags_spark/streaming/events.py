@@ -302,3 +302,39 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def interval_join_left(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER variant of ``interval_join``: every left event survives,
+    with null right columns when no same-key right event falls inside
+    [left.ts, left.ts + within) — the unattributed-clicks shape (which
+    clicks never converted?).
+
+    On streams this is the watermarked stream-stream LEFT OUTER join:
+    Spark emits the null-extended row only once the right watermark passes
+    the left row's interval (it can then prove no match will arrive), so
+    state stays bounded exactly as in the inner join.  Works identically on
+    batch frames.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark("ts", watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") < F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "left_outer").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.expr("r.ts_ns div 1000 - l.ts_ns div 1000").alias("lag_us"),
+    )

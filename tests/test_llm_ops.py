@@ -390,3 +390,26 @@ def test_segment_dedup_removes_planted_cross_doc_segments(spark):
         "doc_id": 3, "n_segments": 1, "n_kept": 1, "kept_frac": 1.0,
         "cleaned_text": "nine ten eleven twelve",
     }
+
+
+def test_dup_bigram_fraction_planted(spark, tmp_path):
+    """Planted docs pin the duplicate-bigram math: a fully-repetitive doc
+    scores 1.0, a no-repeat doc 0.0, a one-token doc keeps a zeroed row."""
+    import bigdata_rags_spark.queries.llm_ops as llm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 10),        # every bigram repeated
+            (2, "a b c d e f g"),          # all bigrams unique
+            (3, "solo"),                   # no bigrams at all
+        ],
+        ["doc_id", "text"],
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in llm.dup_bigram_fraction_docs(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["dup_frac"] == 1.0 and out[1]["n_bigrams"] == 19
+    assert out[2]["dup_frac"] == 0.0 and out[2]["n_dup_instances"] == 0
+    assert out[3] == {"doc_id": 3, "n_bigrams": 0, "n_dup_instances": 0, "dup_frac": 0.0}

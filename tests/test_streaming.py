@@ -248,3 +248,57 @@ def test_stream_reads_native_fixture_directory(spark, sf_smoke):
     )
     cols = ["event_id", "ts_ns", "user_id", "event_type", "value"]
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stream_left_outer_interval_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Watermarked stream-stream LEFT OUTER interval join: Spark emits the
+    null-extended row for an unmatched click only once the watermark passes
+    its interval (proving no match can arrive).  A far-future sentinel event
+    appended to EACH side advances both watermarks past all real data, so
+    the streamed result (minus sentinels) equals the batch left join."""
+    from bigdata_rags_spark.streaming.events import interval_join_left
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") != "click"),
+        )
+
+    batch = read_events_batch(spark, sf_smoke).select(
+        "event_id", "ts_ns", "user_id", "event_type", "value", "props"
+    )
+    max_ns = batch.agg(F.max("ts_ns")).collect()[0][0]
+    sentinel_ns = max_ns + 40 * 24 * 3600 * NS  # beyond watermark + interval
+    dirs = {}
+    for side, (etype, filt) in {
+        "l": ("click", F.col("event_type") == "click"),
+        "r": ("view", F.col("event_type") != "click"),
+    }.items():
+        path = str(tmp_path / side)
+        batch.filter(filt).coalesce(2).write.parquet(path)
+        sentinel = spark.createDataFrame(
+            [(-1, sentinel_ns, -1, etype, 0.0, "")],
+            "event_id long, ts_ns long, user_id long, event_type string, value double, props string",
+        )
+        # separate file, written last -> its micro-batch advances the
+        # watermark AFTER all real rows are in join state
+        sentinel.coalesce(1).write.mode("append").parquet(path)
+        dirs[side] = path
+
+    got = _run_stream_to_memory(
+        spark,
+        interval_join_left(
+            read_events_stream(spark, dirs["l"], max_files_per_trigger=10),
+            read_events_stream(spark, dirs["r"], max_files_per_trigger=10),
+            within="10 minutes",
+            watermark="35 days",
+        ),
+        "t_ssjoin_outer",
+        "append",
+    ).filter("user_id >= 0")
+    lb, rb = split(read_events_batch(spark, sf_smoke))
+    want = interval_join_left(lb, rb, within="10 minutes")
+    cols = ["user_id", "left_event_id", "right_event_id", "lag_us"]
+    rows = got.collect()
+    assert any(r["right_event_id"] is None for r in rows)  # outer branch real
+    assert _canon(got, cols) == _canon(want, cols)
