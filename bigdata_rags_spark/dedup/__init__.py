@@ -1,7 +1,12 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 and sub-document segment dedup."""
 
-from bigdata_rags_spark.dedup.exact import dup_clusters, exact_dedup, with_content_hash
+from bigdata_rags_spark.dedup.exact import (
+    dup_clusters,
+    exact_dedup,
+    incremental_new_keepers,
+    with_content_hash,
+)
 from bigdata_rags_spark.dedup.minhash import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -13,6 +18,7 @@ from bigdata_rags_spark.dedup.simhash import simhash16, simhash_near_pairs
 __all__ = [
     "dup_clusters",
     "exact_dedup",
+    "incremental_new_keepers",
     "with_content_hash",
     "lsh_candidate_pairs",
     "minhash_signatures",

@@ -36,3 +36,29 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def dup_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Only the clusters with >1 member (the actual duplicates)."""
     return exact_dedup(df, id_col, text_col).filter(F.col("cluster_size") > 1)
+
+
+def incremental_new_keepers(
+    batch: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus ingestion dedup: rows of ``batch`` that survive
+    (a) intra-batch exact dedup (keeper = min id per content hash) and
+    (b) an anti-join against the content hashes already in ``existing`` —
+    the snapshot-over-snapshot pattern (e.g. a new crawl against the
+    accumulated corpus).
+
+    Scale shape: both sides reduce to (content_hash[, id]) before any join —
+    the text payload never crosses an exchange; the historical side ships
+    one 32-byte hash per distinct historical document, and the survivors
+    rejoin the batch by id (left semi).  At 100 TB keep the historical hash
+    set as its own compact table and let AQE pick broadcast vs shuffle for
+    the anti-join.
+    """
+    b = with_content_hash(batch, text_col)
+    seen = with_content_hash(existing, text_col).select("content_hash").distinct()
+    keepers = b.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    fresh = keepers.join(seen, "content_hash", "left_anti")
+    return batch.join(fresh.select(id_col), id_col, "left_semi")

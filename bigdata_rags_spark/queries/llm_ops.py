@@ -136,6 +136,51 @@ def dedup_surviving_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm(
+    "incremental_dedup_new_docs",
+    f"""
+WITH h AS (SELECT doc_id, md5({_SQL_NORM}) AS content_hash FROM documents),
+planted AS (
+  SELECT doc_id + 1000000000 AS doc_id, content_hash FROM h WHERE doc_id % 7 = 0
+),
+e AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 5 = 0),
+b AS (
+  SELECT doc_id, content_hash FROM h WHERE doc_id % 5 != 0
+  UNION ALL SELECT doc_id, content_hash FROM planted
+),
+k AS (SELECT content_hash, MIN(doc_id) AS doc_id FROM b GROUP BY 1),
+fresh AS (
+  SELECT k.doc_id FROM k LEFT JOIN e ON k.content_hash = e.content_hash
+  WHERE e.content_hash IS NULL
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN fresh ON d.doc_id = fresh.doc_id
+""",
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot ingestion dedup (``dedup/exact.py:
+    incremental_new_keepers``): an incoming batch is deduped BOTH against
+    itself and against the content hashes of the already-ingested corpus —
+    the pattern every recurring-crawl pipeline runs.  Fixture roles:
+    existing corpus = docs with doc_id % 5 == 0; new batch = the rest PLUS
+    a re-keyed copy of every 7th doc (the exact_dup_clusters planting
+    trick, since the raw fixture has no duplicate text).  Planted copies of
+    existing docs die in the anti-join; planted copies of batch docs die in
+    intra-batch dedup — both drop paths are exercised non-vacuously, and
+    the surviving set hash-checks to exactly the original batch rows."""
+    from bigdata_rags_spark.dedup.exact import incremental_new_keepers
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    rekeyed = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0).unionByName(rekeyed)
+    return incremental_new_keepers(batch, existing).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 _SEG_K = 4  # tokens per dedup segment (CCNet dedups paragraphs; the fixture
 # has no newlines, so fixed 4-token windows stand in — 341 cross-doc
 # duplicate segments at sf0.01, non-vacuous without wiping the corpus)

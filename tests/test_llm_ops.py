@@ -413,3 +413,28 @@ def test_dup_bigram_fraction_planted(spark, tmp_path):
     assert out[1]["dup_frac"] == 1.0 and out[1]["n_bigrams"] == 19
     assert out[2]["dup_frac"] == 0.0 and out[2]["n_dup_instances"] == 0
     assert out[3] == {"doc_id": 3, "n_bigrams": 0, "n_dup_instances": 0, "dup_frac": 0.0}
+
+
+def test_incremental_dedup_drops_both_paths(spark):
+    """incremental_new_keepers must drop (a) batch rows whose hash exists in
+    the historical corpus and (b) intra-batch duplicate rows beyond the min
+    id — and keep everything else."""
+    from bigdata_rags_spark.dedup.exact import incremental_new_keepers
+
+    existing = spark.createDataFrame(
+        [(100, "history one"), (101, "history two")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "fresh alpha"),
+            (2, "history one"),      # dies: known to the corpus
+            (3, "fresh beta"),
+            (4, "fresh beta"),       # dies: intra-batch dup of 3
+            (5, "  History ONE  "),  # dies: normalized match of corpus
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_new_keepers(batch, existing).collect()
+    )
+    assert kept == [1, 3]
