@@ -69,6 +69,9 @@ HEADLINE = [
     "multimodal_wav_features",
     "segment_dedup_docs",
     "embedding_lsh_topk",
+    "events_unattributed_clicks",
+    "dup_bigram_fraction_docs",
+    "incremental_dedup_new_docs",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
