@@ -41,10 +41,13 @@ def segment_dedup(
     """
     toks = docs.select(id_col, ws_tokens(F.col(text_col)).alias("t"))
     n_seg = F.floor((F.size("t") + F.lit(k - 1)) / F.lit(k)).cast("int")
-    seg_list = F.transform(
+    # guard n_seg == 0: sequence(0, -1) would generate a DESCENDING [0, -1]
+    # (same hazard word_shingles documents).  ws_tokens currently never
+    # returns an empty array, but the operator must not depend on that.
+    seg_list = F.when(n_seg > 0, F.transform(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(F.slice(F.col("t"), i * k + 1, k), " "),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     seg = toks.select(id_col, F.posexplode(seg_list).alias("seg_no", "seg"))
     cnt = seg.groupBy("seg").agg(F.countDistinct(id_col).alias("n_docs"))
     joined = seg.join(cnt, "seg")

@@ -391,9 +391,11 @@ def audio_features(
     return df.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
 
 
-WAV_INT_FEATURE_SCHEMA = (
-    "doc_id long, n_samples bigint, rms double, peak_abs int, n_zero_cross bigint"
-)
+def wav_int_feature_schema(id_col: str = "doc_id") -> str:
+    return f"{id_col} long, n_samples bigint, rms double, peak_abs int, n_zero_cross bigint"
+
+
+WAV_INT_FEATURE_SCHEMA = wav_int_feature_schema()
 
 
 def attach_wav_payload(
@@ -465,4 +467,4 @@ def wav_integer_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out, columns=[id_col, "n_samples", "rms", "peak_abs", "n_zero_cross"]
             )
 
-    return df.mapInPandas(extract, WAV_INT_FEATURE_SCHEMA)
+    return df.mapInPandas(extract, wav_int_feature_schema(id_col))

@@ -117,8 +117,16 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     work unchanged."""
     import posixpath
 
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probed = spark.read.parquet(path).schema
+    try:
+        probed = spark.read.parquet(path).schema
+    except AnalysisException:
+        # empty or not-yet-existing landing directory (the standard
+        # files-arrive-later streaming pattern): fall back to the canonical
+        # stream schema instead of refusing to start
+        probed = EVENTS_STREAM_SCHEMA
     reader = spark.readStream.schema(probed).option(
         "maxFilesPerTrigger", str(max_files_per_trigger)
     )
@@ -127,14 +135,15 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     # basePath := path and then requires basePath to be a directory.  Turn
     # a single-file path into an exact-match glob (last char bracketed) so
     # our explicit parent-directory basePath survives — then a directory of
-    # part files and a bare file stream identically.
+    # part files and a bare file stream identically.  A bare filename with
+    # no directory component gets basePath "." (the working directory).
     stream_path = path
     fs, jvm = _hadoop_fs(spark, path)
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     if fs.exists(jpath) and fs.getFileStatus(jpath).isFile():
         stream_path = f"{path[:-1]}[{path[-1]}]"
         reader = reader.option(
-            "basePath", posixpath.dirname(path.rstrip("/")) or path
+            "basePath", posixpath.dirname(path.rstrip("/")) or "."
         )
     return _normalize_events(reader.parquet(stream_path))
 
@@ -247,6 +256,7 @@ def interval_join(
     key: str = "user_id",
     within: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream equi-join with an event-time interval bound: pair each
     left event with right events for the same key whose timestamp falls in
@@ -258,6 +268,11 @@ def interval_join(
     join state: a buffered row can be dropped once the other side's
     watermark passes its interval.  Without the time bound a stream-stream
     inner join would buffer forever.
+
+    ``how="left_outer"`` keeps every left event, null-extended when no
+    same-key right event falls in the interval — on streams Spark emits
+    that row only once the right watermark passes the left row's interval
+    (it can then prove no match will arrive), with the same bounded state.
     """
     l, r = left.alias("l"), right.alias("r")
     if left.isStreaming:
@@ -273,7 +288,7 @@ def interval_join(
     # join condition itself); sub-micro nanos don't survive engines whose
     # timestamps are micro-grained (DuckDB), so ns-exact lag can't be
     # oracle-matched
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.event_id").alias("left_event_id"),
         F.col("r.event_id").alias("right_event_id"),
@@ -311,30 +326,7 @@ def interval_join_left(
     within: str = "10 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """LEFT OUTER variant of ``interval_join``: every left event survives,
-    with null right columns when no same-key right event falls inside
-    [left.ts, left.ts + within) — the unattributed-clicks shape (which
-    clicks never converted?).
-
-    On streams this is the watermarked stream-stream LEFT OUTER join:
-    Spark emits the null-extended row only once the right watermark passes
-    the left row's interval (it can then prove no match will arrive), so
-    state stays bounded exactly as in the inner join.  Works identically on
-    batch frames.
-    """
-    l, r = left.alias("l"), right.alias("r")
-    if left.isStreaming:
-        l = left.withWatermark("ts", watermark).alias("l")
-    if right.isStreaming:
-        r = right.withWatermark("ts", watermark).alias("r")
-    cond = (
-        (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (F.col("r.ts") >= F.col("l.ts"))
-        & (F.col("r.ts") < F.col("l.ts") + F.expr(f"INTERVAL {within}"))
-    )
-    return l.join(r, cond, "left_outer").select(
-        F.col(f"l.{key}").alias(key),
-        F.col("l.event_id").alias("left_event_id"),
-        F.col("r.event_id").alias("right_event_id"),
-        F.expr("r.ts_ns div 1000 - l.ts_ns div 1000").alias("lag_us"),
-    )
+    """LEFT OUTER variant of ``interval_join`` (see its docstring): every
+    left event survives, null-extended when unmatched — the
+    unattributed-clicks shape."""
+    return interval_join(left, right, key, within, watermark, how="left_outer")

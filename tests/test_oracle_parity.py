@@ -75,12 +75,3 @@ def test_coverage_doc_lists_every_query():
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
 
 
-def test_coverage_md_documents_every_registered_query():
-    """CLAUDE.md contract: COVERAGE.md maps every operator to its
-    queries() key — a registered query with no coverage row is
-    undocumented surface the judge (and future rounds) can't audit."""
-    from pathlib import Path
-
-    text = (Path(__file__).parent.parent / "COVERAGE.md").read_text()
-    missing = [n for n in REGISTRY if n not in text]
-    assert not missing, f"queries missing from COVERAGE.md: {missing}"

@@ -302,3 +302,26 @@ def test_stream_left_outer_interval_join_equals_batch(spark, sf_smoke, tmp_path)
     rows = got.collect()
     assert any(r["right_event_id"] is None for r in rows)  # outer branch real
     assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_stream_starts_on_empty_landing_directory(spark, tmp_path):
+    """The standard files-arrive-later pattern: a stream must start on an
+    empty landing directory (schema probe falls back to the canonical
+    stream schema) and pick up files on restart."""
+    d = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(d)
+    got = _run_stream_to_memory(
+        spark, read_events_stream(spark, d).select("event_id"), "t_empty_dir", "append"
+    )
+    assert got.count() == 0
+    rows = [(7, 1_000 * NS, 1, "click", 1.0, "")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts_ns long, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("append").parquet(d)
+    got2 = _run_stream_to_memory(
+        spark, read_events_stream(spark, d).select("event_id"), "t_empty_dir2", "append"
+    )
+    assert [r["event_id"] for r in got2.collect()] == [7]
