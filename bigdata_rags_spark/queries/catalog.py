@@ -21,6 +21,17 @@ first so the exact result has < p decimals: see blended_price), and
 compute averages with integer micro-unit floor division
 (``cents * 10^4 div n``: see events_tumbling_hourly) instead of
 ROUND(AVG(..), 6).
+
+DOT-PRODUCT-FOLD dependency (ADVICE r5): the LSH/IVF oracles assume DuckDB's
+``list_dot_product`` accumulates left-to-right in float64 exactly like
+Spark's ``aggregate(zip_with(..), 0.0, acc+x)`` fold — true of the pinned
+DuckDB build, but a future version switching to pairwise/SIMD summation
+could flip a sign (LSH bucket bit) or a cell ranking (IVF probe set) where
+a projection sits within ulps of the decision boundary.
+``tests/test_llm_ops.py::test_lsh_and_ivf_projections_have_numeric_margin``
+guards this: on the driver fixture every plane projection is bounded away
+from 0 and every IVF cell ranking has a real gap, so ANY summation order
+reaching float64-faithful accuracy produces the same buckets/probes.
 """
 
 from __future__ import annotations
@@ -217,77 +228,158 @@ from bigdata_rags_spark.queries import retrieval_ops as _retrieval_ops  # noqa: 
 
 # Queries that can NEVER turn green: registered rows-only (no oracle SQL) by
 # design, so the driver records ``err: no_oracle`` forever.  Kept out of the
-# fresh front so they stop burning window slots every round (VERDICT r4 #2).
+# fresh front so they stop burning window slots every round (VERDICT r4 #2);
+# the staleness sort in ordered_registry() additionally pushes every
+# oracle-less query (checked or not) behind all re-greenable ones.
 _PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
     "embedding_ivf_topk",
-    "multimodal_image_features",
-    "multimodal_audio_features",
+    "embedding_near_dup_pairs_mm",
+    "approx_percentile_prices",
+    "approx_count_distinct_orders",
 })
 
-# Queries with a green driver row in CORRECTNESS_r01..r04 (r1/r2: 60 distinct;
-# r3 window added 47 including the 10 events_* and 37 re-greens in r4).
-_DRIVER_CHECKED: frozenset[str] = frozenset({
-    "agg_suite_by_segment", "anti_join_customers_no_orders",
-    "approx_count_distinct_orders", "approx_percentile_prices",
-    "asof_join_events_orders", "attack_shape_metrics", "collect_sorted_lists",
-    "conditional_agg_priority_matrix", "correlated_scalar_above_avg",
-    "cube_returnflag_linestatus", "data_quality_report",
-    "date_arithmetic_orders", "date_functions_orders", "dedup_surviving_docs",
-    "defense_shape_metrics", "discipline_shape_metrics",
-    "distinct_nation_segments", "dup_cluster_assignment",
-    "embedding_cosine_topk", "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_mm", "exact_dedup_docs", "exact_dup_clusters",
-    "explode_embedding_dim_stats", "filter_pushdown_highvalue",
-    "flagship_revenue_by_nation", "full_outer_join_supplier_customer_nations",
-    "hash_functions_documents", "histogram_order_prices",
-    "left_join_customer_orders", "mad_outlier_orders",
-    "math_functions_lineitem", "minhash_lsh_candidates",
-    "ngram_jaccard_near_dups", "pandas_udaf_geometric_mean",
-    "pandas_udf_harmonic_price", "percentiles_by_priority",
-    "pivot_returnflag_by_status", "projection_rename_quoted",
-    "range_join_shipments_in_window", "rollup_status_priority",
-    "rollup_sum_by_supplier", "salted_join_revenue_by_priority",
-    "semi_join_customers_with_urgent", "set_ops_nation_membership",
-    "simhash_fingerprints", "sql_grouping_sets", "string_functions_extended",
-    "string_functions_parts", "topk_orders_by_price",
-    "tpch_q13_customer_distribution", "tpch_q1_pricing_summary",
-    "tpch_q2_cheapest_supplier", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "unpivot_lineitem_measures",
-    "window_lag_running_sum", "window_ntile_lead_firstvalue",
-    "window_rank_orders_in_segment", "window_trailing_7d_range_frame",
-    # --- CORRECTNESS_r03 greens (r3 window; 37 of them re-greened in r4) ---
-    "benchmark_decontamination", "bm25_keyword_search", "corpus_health_by_lang",
-    "corpus_top_tokens", "doc_fingerprint_minshingle", "document_chunking",
-    "embedding_int8_quantization", "embedding_label_centroids",
-    "embedding_norm_stats", "embedding_random_projection",
-    "events_click_attribution", "events_cohort_retention",
-    "events_conversion_funnel", "events_hourly_gapfill",
-    "events_json_extraction", "events_pii_redaction",
-    "events_segment_enrichment", "events_sliding_halfhour",
-    "events_tumbling_hourly", "events_user_sessions",
-    "fuzzy_dedup_surviving_docs", "gopher_quality_filters", "hybrid_rag_search",
-    "langid_stopword_heuristic", "length_weighted_sample_docs",
-    "map_functions_status_scores", "multimodal_video_framesample",
-    "sequence_packing_bins", "simhash64_fingerprints", "simhash_near_dup_pairs",
-    "stratified_sample_docs", "text_quality_scores", "tfidf_top_terms",
-    "token_count_stats", "tpch_q10_returned_items", "tpch_q11_important_parts",
-    "tpch_q14_promo_effect", "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume_customers", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "train_test_split_assignment", "training_mixture_plan",
-    "unigram_lm_doc_scores",
-})
+# Every query's LAST driver CORRECTNESS row (name -> round), rebuilt each
+# round from CORRECTNESS_r{N}.json.  The tail of ordered_registry() sorts
+# ascending on this so the STALEST confirmations refresh first (VERDICT r5
+# #2): with all 125 queries checked at least once, the window now rotates
+# through vintages instead of re-confirming last round's greens.
+_DRIVER_CHECKED: dict[str, int] = {
+    # --- last driver row: round 1 ---
+    "dedup_surviving_docs": 1,
+    "dup_cluster_assignment": 1,
+    "embedding_cosine_topk": 1,
+    "embedding_near_dup_pairs_mm": 1,
+    "exact_dedup_docs": 1,
+    "minhash_lsh_candidates": 1,
+    "ngram_jaccard_near_dups": 1,
+    "simhash_fingerprints": 1,
+    # --- last driver row: round 2 ---
+    "approx_count_distinct_orders": 2,
+    "approx_percentile_prices": 2,
+    "collect_sorted_lists": 2,
+    "conditional_agg_priority_matrix": 2,
+    "correlated_scalar_above_avg": 2,
+    "data_quality_report": 2,
+    "date_arithmetic_orders": 2,
+    "explode_embedding_dim_stats": 2,
+    "hash_functions_documents": 2,
+    "histogram_order_prices": 2,
+    "mad_outlier_orders": 2,
+    "math_functions_lineitem": 2,
+    "pandas_udaf_geometric_mean": 2,
+    "pandas_udf_harmonic_price": 2,
+    "percentiles_by_priority": 2,
+    "pivot_returnflag_by_status": 2,
+    "range_join_shipments_in_window": 2,
+    "salted_join_revenue_by_priority": 2,
+    "sql_grouping_sets": 2,
+    "string_functions_extended": 2,
+    "tpch_q13_customer_distribution": 2,
+    "tpch_q2_cheapest_supplier": 2,
+    "tpch_q3_shipping_priority": 2,
+    "tpch_q4_order_priority": 2,
+    "unpivot_lineitem_measures": 2,
+    "window_ntile_lead_firstvalue": 2,
+    "window_trailing_7d_range_frame": 2,
+    # --- last driver row: round 4 ---
+    "benchmark_decontamination": 4,
+    "bm25_keyword_search": 4,
+    "corpus_health_by_lang": 4,
+    "corpus_top_tokens": 4,
+    "doc_fingerprint_minshingle": 4,
+    "document_chunking": 4,
+    "embedding_int8_quantization": 4,
+    "embedding_ivf_topk": 4,
+    "embedding_label_centroids": 4,
+    "embedding_near_dup_pairs": 4,
+    "embedding_norm_stats": 4,
+    "embedding_random_projection": 4,
+    "exact_dup_clusters": 4,
+    "fuzzy_dedup_surviving_docs": 4,
+    "gopher_quality_filters": 4,
+    "hybrid_rag_search": 4,
+    "langid_stopword_heuristic": 4,
+    "length_weighted_sample_docs": 4,
+    "map_functions_status_scores": 4,
+    "multimodal_video_framesample": 4,
+    "sequence_packing_bins": 4,
+    "simhash64_fingerprints": 4,
+    "simhash_near_dup_pairs": 4,
+    "stratified_sample_docs": 4,
+    "text_quality_scores": 4,
+    "tfidf_top_terms": 4,
+    "token_count_stats": 4,
+    "tpch_q10_returned_items": 4,
+    "tpch_q11_important_parts": 4,
+    "tpch_q14_promo_effect": 4,
+    "tpch_q16_supplier_part_counts": 4,
+    "tpch_q18_large_volume_customers": 4,
+    "tpch_q5_local_supplier_volume": 4,
+    "tpch_q6_forecast_revenue": 4,
+    "tpch_q7_volume_shipping": 4,
+    "train_test_split_assignment": 4,
+    "training_mixture_plan": 4,
+    "unigram_lm_doc_scores": 4,
+    # --- last driver row: round 5 ---
+    "agg_suite_by_segment": 5,
+    "anti_join_customers_no_orders": 5,
+    "asof_join_events_orders": 5,
+    "attack_shape_metrics": 5,
+    "cube_returnflag_linestatus": 5,
+    "date_functions_orders": 5,
+    "defense_shape_metrics": 5,
+    "discipline_shape_metrics": 5,
+    "distinct_nation_segments": 5,
+    "dup_bigram_fraction_docs": 5,
+    "embedding_lsh_topk": 5,
+    "embedding_near_dup_pairs_lsh": 5,
+    "events_click_attribution": 5,
+    "events_cohort_retention": 5,
+    "events_conversion_funnel": 5,
+    "events_hourly_gapfill": 5,
+    "events_json_extraction": 5,
+    "events_pii_redaction": 5,
+    "events_segment_enrichment": 5,
+    "events_sliding_halfhour": 5,
+    "events_tumbling_hourly": 5,
+    "events_unattributed_clicks": 5,
+    "events_user_sessions": 5,
+    "filter_pushdown_highvalue": 5,
+    "flagship_revenue_by_nation": 5,
+    "full_outer_join_supplier_customer_nations": 5,
+    "incremental_dedup_new_docs": 5,
+    "left_join_customer_orders": 5,
+    "multimodal_wav_features": 5,
+    "projection_rename_quoted": 5,
+    "rollup_status_priority": 5,
+    "rollup_sum_by_supplier": 5,
+    "segment_dedup_docs": 5,
+    "semi_join_customers_with_urgent": 5,
+    "set_ops_nation_membership": 5,
+    "string_functions_parts": 5,
+    "topk_orders_by_price": 5,
+    "tpch_q12_priority_by_returnflag": 5,
+    "tpch_q15_top_supplier": 5,
+    "tpch_q17_small_quantity_revenue": 5,
+    "tpch_q19_disjunctive_predicates": 5,
+    "tpch_q1_pricing_summary": 5,
+    "tpch_q20_concentrated_suppliers": 5,
+    "tpch_q21_sole_blamed_supplier": 5,
+    "tpch_q22_dormant_rich_customers": 5,
+    "tpch_q8_market_share": 5,
+    "tpch_q9_profit_by_nation_year": 5,
+    "window_lag_running_sum": 5,
+    "window_rank_orders_in_segment": 5,
+    "winsorized_price_stats": 5,
+}
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
-# Round 5: the type-adaptive events reader (timestamp[us] fixture) touches
-# every query that reads the events table — the 10 streaming-tier queries
-# plus the as-of join.
+# Round 6: segment dedup's count join now keys by md5(segment) (same
+# semantics, new exchange key) and tpch_q9 moved to integer-cents
+# accumulation on both engine sides (ADVICE r5 float-tie hardening).
 _RECHECK: tuple[str, ...] = (
-    "events_tumbling_hourly", "events_sliding_halfhour", "events_user_sessions",
-    "events_segment_enrichment", "events_click_attribution",
-    "events_conversion_funnel", "events_cohort_retention",
-    "events_hourly_gapfill", "events_pii_redaction", "events_json_extraction",
-    "asof_join_events_orders",
+    "segment_dedup_docs",
+    "tpch_q9_profit_by_nation_year",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
@@ -298,12 +390,23 @@ def ordered_registry() -> dict[str, QuerySpec]:
 
     Front: _RECHECK (changed since last driver row), then never-driver-checked
     queries tier-ordered streaming -> llm -> extension (registration order
-    within a tier).  Tail: queries already hash-matched in r1/r2.
+    within a tier).  Tail: already-checked queries, STALEST first (ascending
+    last-checked round, registration order as tiebreak) so old confirmations
+    refresh as the window rotates; oracle-less queries sort behind everything
+    re-greenable because their driver row can never improve.
     """
     names = list(REGISTRY)
+    reg_idx = {n: i for i, n in enumerate(names)}
     front = [n for n in _RECHECK if n in REGISTRY]
-    skip_fresh = _DRIVER_CHECKED | _PERMANENT_NO_ORACLE | set(front)
+    skip_fresh = set(_DRIVER_CHECKED) | _PERMANENT_NO_ORACLE | set(front)
     fresh = [n for n in names if n not in skip_fresh]
     fresh.sort(key=lambda n: _TIER_PRIORITY[REGISTRY[n].tier])  # stable within tier
     tail = [n for n in names if n in skip_fresh and n not in front]
+    tail.sort(
+        key=lambda n: (
+            REGISTRY[n].oracle is None,
+            _DRIVER_CHECKED.get(n, 0),
+            reg_idx[n],
+        )
+    )
     return {n: REGISTRY[n] for n in (*front, *fresh, *tail)}

@@ -2410,8 +2410,9 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_profit_by_nation_year",
     """
 SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * 0.6 * l_quantity), 2) AS profit,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.6 * l_quantity) * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS profit,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 JOIN supplier ON l_suppkey  = s_suppkey
@@ -2432,7 +2433,13 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB: part and supplier join BEFORE orders so the LIKE filter prunes
     lineitem early via the broadcast part side; nation broadcasts; the
     profit expression folds into the partial agg, so the final shuffle
-    carries one row per (nation, year) per partition."""
+    carries one row per (nation, year) per partition.
+
+    Float discipline (ADVICE r5): profit is a CANCELLING revenue-minus-cost
+    sum, so ROUND(SUM(double), 2) is partitioning-order-fragile — each line
+    amount is rounded to integer cents BEFORE the aggregation (order-free)
+    and the bigint cent sum divides once at the end, the same
+    integer-accumulation rule as winsorized_price_stats."""
     t = read_testdata(spark, sf_dir, "lineitem", "supplier", "part", "orders", "nation")
     red_parts = t["part"].filter(F.col("p_name").like("%red%"))
     joined = (
@@ -2445,11 +2452,12 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.lit(0.6) * F.col("l_quantity")
+    cents = F.round(amount * 100).cast("bigint")
     return (
-        joined.select("n_name", F.year("o_orderdate").alias("yr"), amount.alias("amt"))
+        joined.select("n_name", F.year("o_orderdate").alias("yr"), cents.alias("amt_cents"))
         .groupBy("n_name", "yr")
         .agg(
-            F.round(F.sum("amt"), 2).alias("profit"),
+            (F.sum("amt_cents") / F.lit(100.0)).alias("profit"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -2502,3 +2510,59 @@ def tpch_q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone maintenance as a driver query (VERDICT r5 #8): the snapshot diff is
+# SQL-expressible, so the last test-only component family earns a value-hash
+# row.  Two deterministic "snapshots" are derived from orders — removals
+# (key % 7 == 0 dropped from new), additions (key % 10 == 9 absent from
+# old), and in-place changes (key % 3 == 0 gets o_totalprice + 1.0; exact
+# double addition, no ROUND, so equality is engine-neutral) — and every key
+# is classified added/removed/changed/unchanged.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "zone_snapshot_diff",
+    """
+WITH old_s AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 10 < 9
+),
+new_s AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 > 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_orderstatus != n.o_orderstatus
+              OR o.o_orderpriority != n.o_orderpriority
+              OR o.o_totalprice != n.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+""",
+)
+def zone_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``io/maintenance.snapshot_diff``): both zone
+    versions reduce to (key, md5 attr-hash) BEFORE the full outer join, so
+    the diff's one exchange ships 16-byte hashes regardless of row width —
+    the oracle replays the hash-equality semantics as direct value equality
+    (equal values <-> equal hashes; md5 over an injective string rendering).
+    All four statuses are non-vacuous at sf0.01."""
+    from bigdata_rags_spark.io.maintenance import snapshot_diff
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    old_s = o.filter(F.col("o_orderkey") % 10 < 9)
+    new_s = o.filter(F.col("o_orderkey") % 7 > 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old_s, new_s, "o_orderkey")

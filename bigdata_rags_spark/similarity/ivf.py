@@ -58,6 +58,19 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     return F.slice(F.sort_array(scored, asc=False), 1, n).getField("cell")
 
 
+def fixed_centroids(dim: int = 64, n_cells: int = 16, seed: str = "ivfc") -> list[list[float]]:
+    """A deterministic LITERAL codebook (md5-derived, exact multiples of
+    1/256 — the same repr-stable construction as the LSH hyperplanes), for
+    the oracle-checkable probe path: k-means TRAINING is iterative and stays
+    rows-only, but cell assignment + probing against a fixed codebook is
+    pure relational algebra a SQL oracle can replay exactly (VERDICT r5 #4).
+    In production the trained codebook gets pinned as literals the same way
+    — train once, serve many."""
+    from bigdata_rags_spark.similarity.knn import _deterministic_hyperplanes
+
+    return _deterministic_hyperplanes(dim, n_cells, seed=seed)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

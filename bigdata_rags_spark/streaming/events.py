@@ -133,15 +133,30 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     # The driver fixture ships events.parquet as a SINGLE FILE, which the
     # file-stream source rejects: for a non-glob path it forces
     # basePath := path and then requires basePath to be a directory.  Turn
-    # a single-file path into an exact-match glob (last char bracketed) so
-    # our explicit parent-directory basePath survives — then a directory of
-    # part files and a bare file stream identically.  A bare filename with
-    # no directory component gets basePath "." (the working directory).
+    # a single-file path into an exact-match glob so our explicit
+    # parent-directory basePath survives — then a directory of part files
+    # and a bare file stream identically.  EVERY glob metacharacter in the
+    # path is bracket-escaped (ADVICE r5: escaping only the last char left
+    # earlier components glob-expandable — a path like ``run[3]/events``
+    # could match unintended files); the trailing char is always bracketed
+    # so the result is glob-shaped even for metachar-free paths.  A bare
+    # filename with no directory component gets basePath "." (the working
+    # directory).
+    def _escape_glob(s: str) -> str:
+        # backslash is Hadoop GlobPattern's escape char ("[c]" classes can't
+        # express a literal "]": re2j rejects "[]]" as an unclosed class)
+        return "".join("\\" + c if c in "*?{}[]\\" else c for c in s)
+
     stream_path = path
     fs, jvm = _hadoop_fs(spark, path)
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     if fs.exists(jpath) and fs.getFileStatus(jpath).isFile():
-        stream_path = f"{path[:-1]}[{path[-1]}]"
+        # bracket the (safe) trailing char so even a metachar-free path is
+        # glob-shaped; a metachar trailing char is backslash-escaped, which
+        # is glob-shaped already
+        last = path[-1]
+        tail = f"[{last}]" if last not in "*?{}[]\\" else "\\" + last
+        stream_path = _escape_glob(path[:-1]) + tail
         reader = reader.option(
             "basePath", posixpath.dirname(path.rstrip("/")) or "."
         )

@@ -293,7 +293,7 @@ def test_events_reader_output_contract(spark, sf_smoke):
     assert bad == 0
 
 
-def test_events_reader_handles_historical_bigint_fixture(spark, tmp_path):
+def test_events_reader_handles_historical_bigint_fixture(spark, tmp_path, sf_smoke):
     """The type-adaptive reader's bigint branch (pre-r4 fixtures shipped ts
     as int64 epoch-ns) must normalize identically to the timestamp branch:
     same ts_ns values, same rebuilt ts."""
@@ -301,7 +301,7 @@ def test_events_reader_handles_historical_bigint_fixture(spark, tmp_path):
 
     from bigdata_rags_spark.streaming.events import read_events_batch
 
-    current = read_events_batch(spark, "/root/testdata/sf0.001")
+    current = read_events_batch(spark, sf_smoke)
     legacy_dir = str(tmp_path / "legacy_sf")
     (
         current.select(

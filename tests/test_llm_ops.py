@@ -261,6 +261,31 @@ def test_ivf_recall_at_5_on_real_embeddings(spark, sf_oracle):
     assert cents == train_ivf_centroids(e, n_cells=16, n_iter=5)
 
 
+def test_ivf_probe_fixed_codebook_is_exact_within_probed_cells(spark, sf_oracle):
+    """The oracle-checked serving path (embedding_ivf_probe_fixed): every
+    emitted neighbor carries the EXACT rounded cosine (ANN only prunes
+    candidates, never approximates scores), and probing all cells of the
+    fixed codebook degenerates to brute force."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids, ivf_topk
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    exact_sim = {
+        (r["query_id"], r["neighbor_id"]): r["similarity"]
+        for r in brute_force_topk(q, e, k=10_000).collect()
+    }
+    got = REGISTRY["embedding_ivf_probe_fixed"].spark(spark, sf_oracle).collect()
+    assert got and all(r["rank"] <= 5 for r in got)
+    for r in got:
+        assert exact_sim[(r["query_id"], r["neighbor_id"])] == r["similarity"]
+    cents = fixed_centroids(64, 16)
+    full = {tuple(r) for r in ivf_topk(q, e, k=5, n_probe=16, centroids=cents).collect()}
+    brute = {tuple(r) for r in brute_force_topk(q, e, k=5).collect()}
+    assert full == brute
+
+
 def test_int8_quantization_bounds(spark, sf_oracle):
     from bigdata_rags_spark.queries.llm_ops import embedding_int8_quantization
 
@@ -438,3 +463,33 @@ def test_incremental_dedup_drops_both_paths(spark):
         r["doc_id"] for r in incremental_new_keepers(batch, existing).collect()
     )
     assert kept == [1, 3]
+
+
+def test_lsh_and_ivf_projections_have_numeric_margin(spark, sf_oracle):
+    """ADVICE r5: the LSH/IVF oracles assume DuckDB's list_dot_product folds
+    left-to-right like Spark's aggregate().  Guard the assumption where it
+    could actually bite: every fixture projection onto every LSH plane must
+    sit well away from 0 (sign = bucket bit), and every vector's IVF cell
+    ranking must have a non-ulp gap around the probe cutoffs (ranking =
+    probe set) — then any float64-faithful summation order agrees."""
+    import numpy as np
+
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+    from bigdata_rags_spark.similarity.knn import _deterministic_hyperplanes
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    mat = np.array([list(r["embedding"]) for r in e.collect()], dtype=np.float64)
+
+    planes = []
+    for t in range(4):
+        planes.extend(_deterministic_hyperplanes(64, 8, seed=f"lsh{t}" if t else "lsh"))
+    proj = mat @ np.array(planes, dtype=np.float64).T
+    # |proj| ~ O(1); 1e-9 is ~1e7 ulps at this magnitude — far beyond any
+    # reordering error of a 64-term sum
+    assert np.abs(proj).min() > 1e-9, np.abs(proj).min()
+
+    cents = np.array(fixed_centroids(64, 16), dtype=np.float64)
+    sims = np.sort(mat @ cents.T, axis=1)
+    gaps = np.diff(sims, axis=1)
+    assert gaps.min() > 1e-9, gaps.min()

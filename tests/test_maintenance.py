@@ -127,3 +127,17 @@ def test_merge_refuses_to_treat_corrupt_zone_as_first_load(spark, tmp_path):
     # and the corrupt zone was not clobbered by a staging swap
     assert Path(zone).exists()
     assert all(p.read_bytes() == b"not a parquet file" for p in Path(zone).glob("part-*"))
+
+
+def test_zone_snapshot_diff_query_covers_all_statuses(spark, sf_oracle):
+    """The registered zone_snapshot_diff must exercise every branch of the
+    classifier at the driver's correctness SF — a diff where some status
+    never occurs proves nothing about that branch."""
+    from collections import Counter
+
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["zone_snapshot_diff"].spark(spark, sf_oracle).collect()
+    counts = Counter(r["status"] for r in rows)
+    assert set(counts) == {"added", "removed", "changed", "unchanged"}, counts
+    assert all(v > 10 for v in counts.values()), counts

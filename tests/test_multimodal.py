@@ -226,3 +226,44 @@ def test_wav_payloads_are_real_riff_and_features_exact(spark, sf_smoke):
         assert f["rms"] == math.floor(
             math.sqrt(sum_sq / pcm.size) / 32768.0 * 1_000_000.0
         ) / 1e6
+
+
+def test_png_payloads_are_real_png_and_features_exact(spark, sf_smoke):
+    """VERDICT r5 #3 closure: multimodal_png_features pushes genuine PNG
+    bytes through the pure-python codec.  Assert the payloads really are
+    PNG files, and the decoded features match an independent pure-python
+    recomputation of the deterministic pixel grid."""
+    import numpy as np
+
+    from bigdata_rags_spark.multimodal.codecs import attach_png_payload, decode_png
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(5)
+    rows = attach_png_payload(docs).collect()
+    assert rows
+    grids = {}
+    for r in rows:
+        payload = bytes(r["payload"])
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        img = decode_png(payload)
+        w, h = r["meta"]["width"], r["meta"]["height"]
+        assert img.shape == (h, w) and r["meta"]["format"] == "image/png"
+        i = np.arange(w * h, dtype=np.int64)
+        want = ((r["doc_id"] * 31 + i * 97) % 256).reshape(h, w)
+        assert (img.astype(np.int64) == want).all(), r["doc_id"]
+        grids[r["doc_id"]] = want
+
+    feats = {
+        r["doc_id"]: r
+        for r in REGISTRY["multimodal_png_features"].spark(spark, sf_smoke).collect()
+    }
+    for doc_id, img in grids.items():
+        f = feats[doc_id]
+        h, w = img.shape
+        assert (f["width"], f["height"], f["n_pixels"]) == (w, h, w * h)
+        assert f["sum_pix"] == int(img.sum())
+        assert f["mean_micro"] == int(img.sum()) * 1_000_000 // (w * h)
+        assert (f["max_pix"], f["min_pix"]) == (int(img.max()), int(img.min()))
+        assert f["n_h_edges"] == int((np.abs(np.diff(img, axis=1)) >= 64).sum())
+        assert f["n_v_edges"] == int((np.abs(np.diff(img, axis=0)) >= 64).sum())
+        assert f["n_h_edges"] > 0 and f["n_v_edges"] > 0  # non-vacuous edges

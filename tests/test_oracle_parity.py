@@ -54,10 +54,8 @@ def test_registry_contract():
     assert rows_only == {
         "approx_count_distinct_orders",       # HLL sketch: engine-specific
         "embedding_near_dup_pairs_mm",        # BLAS reduction order
-        "multimodal_image_features",          # Pandas-UDF codec path
         "embedding_ivf_topk",                 # iterative k-means training
         "approx_percentile_prices",           # GK quantile sketch: engine-specific
-        "multimodal_audio_features",          # Pandas-UDF codec path
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name

@@ -246,7 +246,7 @@ def test_driver_window_ordering_contract():
     assert set(ordered) == set(REGISTRY), "reordering must not add/drop queries"
     window = ordered[:50]
     # the window is spent on queries needing (re-)verification first
-    verifiable = _DRIVER_CHECKED | _PERMANENT_NO_ORACLE
+    verifiable = set(_DRIVER_CHECKED) | _PERMANENT_NO_ORACLE
     fresh = [n for n in window if n not in verifiable or n in _RECHECK]
     assert len(fresh) == 50 or len(fresh) == len(
         [n for n in REGISTRY if n not in verifiable or n in _RECHECK]
@@ -259,6 +259,37 @@ def test_driver_window_ordering_contract():
     for n in _PERMANENT_NO_ORACLE:
         if n in window and fresh_positions:
             assert window.index(n) > max(fresh_positions)
+    # rotation (VERDICT r5 #2): with every query driver-checked at least
+    # once, the window must refresh the STALEST confirmations, not re-spend
+    # slots on last round's greens — so it stays >=80% disjoint from the
+    # most-recent-round set and the checked tail is ordered oldest-first.
+    latest_round = max(_DRIVER_CHECKED.values())
+    last_window = {n for n, r in _DRIVER_CHECKED.items() if r == latest_round}
+    overlap = [n for n in window if n in last_window]
+    assert len(overlap) <= 10, f"window re-checks last round's greens: {overlap}"
+    tail_rounds = [
+        _DRIVER_CHECKED[n]
+        for n in ordered
+        if n in _DRIVER_CHECKED
+        and n not in _RECHECK
+        and REGISTRY[n].oracle is not None
+    ]
+    assert tail_rounds == sorted(tail_rounds), "checked tail must be stalest-first"
+    # already-checked oracle-less queries (can never re-green) sort behind
+    # every re-greenable one (a BRAND-NEW rows-only query may still front
+    # once to earn its one rows-only row)
+    first_no_oracle = min(
+        (
+            ordered.index(n)
+            for n in ordered
+            if REGISTRY[n].oracle is None and n in _DRIVER_CHECKED
+        ),
+        default=len(ordered),
+    )
+    last_greenable = max(
+        ordered.index(n) for n in ordered if REGISTRY[n].oracle is not None
+    )
+    assert first_no_oracle > last_greenable
 
 
 def test_lsh_near_dup_pairs_plan_is_subquadratic(spark, sf_smoke):
@@ -314,3 +345,12 @@ def test_lsh_topk_plan_and_ann_quality(spark, sf_smoke):
         for r in REGISTRY["embedding_cosine_topk"].spark(spark, sf_smoke).collect()
     }
     assert len(ann) == len(exact) == 25  # 5 queries x top-5, fully populated
+
+
+def test_segment_dedup_count_join_keys_by_md5_not_text(spark, sf_smoke):
+    """VERDICT r5 #5: the segment-dedup count join must exchange on the
+    16-byte md5(segment) key, never partition by the raw segment string —
+    at 100 TB the text-keyed exchange ships full paragraphs twice."""
+    p = _plan(REGISTRY["segment_dedup_docs"].spark(spark, sf_smoke))
+    assert "hashpartitioning(seg_key#" in p
+    assert "hashpartitioning(seg#" not in p

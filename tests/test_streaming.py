@@ -325,3 +325,35 @@ def test_stream_starts_on_empty_landing_directory(spark, tmp_path):
         spark, read_events_stream(spark, d).select("event_id"), "t_empty_dir2", "append"
     )
     assert [r["event_id"] for r in got2.collect()] == [7]
+
+
+def test_single_file_stream_path_with_glob_metachars(spark, sf_smoke, tmp_path):
+    """ADVICE r5: the single-file workaround must escape glob metacharacters
+    in EVERY path component.  'run[3]' as a raw glob is a character class
+    matching 'run3' — plant a decoy file there and assert the stream reads
+    exactly the intended file, never the decoy."""
+    import posixpath
+
+    batch = read_events_batch(spark, sf_smoke).select(
+        "event_id", "ts_ns", "user_id", "event_type", "value", "props"
+    )
+    intended = batch.filter(F.col("event_id") < 100)
+    decoy = batch.filter((F.col("event_id") >= 100) & (F.col("event_id") < 300))
+
+    for sub, df in (("run[3]", intended), ("run3", decoy)):
+        d = tmp_path / sub
+        d.mkdir()
+        one = df.coalesce(1)
+        tmp = str(tmp_path / f"_w_{sub.strip('[]')}")
+        one.write.parquet(tmp)
+        import glob as globmod
+        import shutil
+
+        part = globmod.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, str(d / "events.parquet"))
+
+    stream = read_events_stream(spark, str(tmp_path / "run[3]" / "events.parquet"))
+    got = _run_stream_to_memory(spark, stream, "t_globesc", "append")
+    ids = sorted(r["event_id"] for r in got.select("event_id").collect())
+    want = sorted(r["event_id"] for r in intended.select("event_id").collect())
+    assert ids == want, (len(ids), len(want))
