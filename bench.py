@@ -74,10 +74,13 @@ HEADLINE = [
     "dup_bigram_fraction_docs",
     "incremental_dedup_new_docs",
     # r6 additions: real-codec PNG pipeline, fixed-codebook IVF serving
-    # path, CDC-lite snapshot diff
+    # path, maintenance family (CDC-lite diff, SCD-1, SCD-2), prefix dedup
     "multimodal_png_features",
     "embedding_ivf_probe_fixed",
     "zone_snapshot_diff",
+    "scd2_current_rows",
+    "upsert_current_rows",
+    "prefix_dup_docs",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -62,3 +62,33 @@ def incremental_new_keepers(
     keepers = b.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     fresh = keepers.join(seen, "content_hash", "left_anti")
     return batch.join(fresh.select(id_col), id_col, "left_semi")
+
+
+def prefix_dup_clusters(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-PREFIX duplicate clusters: documents sharing their first ``k``
+    whitespace tokens (RefinedWeb/CCNet-style prefix dedup — catches
+    boilerplate-headed and truncated-tail variants that whole-document
+    hashing misses because the suffixes differ).
+
+    Same scale shape as ``exact_dedup``: the shuffle key is the 32-hex-char
+    md5 of the joined prefix (never the text), partial aggregation, keeper =
+    min id.  Documents shorter than ``k`` tokens key on their full token
+    sequence — a whole-short-doc exact dedup, the standard degenerate case.
+    """
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    prefix = F.array_join(F.slice(ws_tokens(F.col(text_col)), 1, k), " ")
+    return (
+        df.select(F.col(id_col), F.md5(prefix).alias("prefix_key"))
+        .groupBy("prefix_key")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -79,6 +79,36 @@ def _count_part_files(spark: SparkSession, zone_path: str) -> int:
     return len(fs.globStatus(glob) or [])
 
 
+def upsert_apply(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    version_col: str | None = None,
+) -> DataFrame:
+    """The DataFrame core of the SCD-1 merge (registered as the driver query
+    ``upsert_current_rows``): winner per key is the updates row, or with
+    ``version_col`` the max-version row across existing+updates (ties ->
+    updates).  One union + one window shuffle on ``key``; see
+    ``merge_upsert`` for the zone IO wrapper and scale notes."""
+    tagged = updates.withColumn("__src", F.lit(1))
+    merged_input = (
+        existing.withColumn("__src", F.lit(0)).unionByName(tagged)
+        if existing is not None
+        else tagged
+    )
+    order = (
+        [F.col(version_col).desc(), F.col("__src").desc()]
+        if version_col
+        else [F.col("__src").desc()]
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        merged_input.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     zone_path: str,
@@ -100,23 +130,10 @@ def merge_upsert(
     only the partitions the updates touch (partition pruning on the
     update keys) — or use a table format's MERGE INTO.
     """
-    if _zone_exists(spark, zone_path):
-        existing = spark.read.parquet(zone_path).withColumn("__src", F.lit(0))
-        merged_input = existing.unionByName(updates.withColumn("__src", F.lit(1)))
-    else:
-        merged_input = updates.withColumn("__src", F.lit(1))
-
-    order = (
-        [F.col(version_col).desc(), F.col("__src").desc()]
-        if version_col
-        else [F.col("__src").desc()]
+    existing = (
+        spark.read.parquet(zone_path) if _zone_exists(spark, zone_path) else None
     )
-    w = Window.partitionBy(key).orderBy(*order)
-    merged = (
-        merged_input.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
+    merged = upsert_apply(existing, updates, key, version_col)
     staging = zone_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
     _swap_dirs(spark, staging, zone_path)
@@ -148,29 +165,16 @@ def compact_zone(
     return files_before, files_after
 
 
-def merge_scd2(
-    spark: SparkSession,
-    zone_path: str,
+def scd2_apply(
+    existing: DataFrame | None,
     updates: DataFrame,
     key: str,
     change_ts_col: str,
-) -> int:
-    """History-preserving (SCD-2) merge: changed keys CLOSE their current
-    row (``__valid_to`` = change ts, ``__is_current`` = false) and open a
-    new one, unchanged keys are no-ops, so every historical attribute state
-    stays queryable ("as of" reads filter on the validity interval).
-
-    ``updates`` must carry ``key``, the attribute columns, and
-    ``change_ts_col`` — an explicit, caller-supplied event time (never
-    wall-clock inside the operator: deterministic, replayable, and exactly
-    re-appliable — re-running the same batch is a no-op because identical
-    attributes don't produce a new version).
-
-    Change detection hashes the attribute columns (md5 of a null-tagged
-    concat), so only (key, hash) pairs shuffle for the diff — attribute
-    payloads move once, in the final rewrite.  Same staging-swap discipline
-    as ``merge_upsert``; same table-format caveat.  Returns post-merge rows.
-    """
+) -> DataFrame:
+    """The DataFrame core of the SCD-2 merge (registered as the driver query
+    ``scd2_current_rows``): returns the post-merge history frame without any
+    zone IO.  ``existing`` is the prior SCD-2 frame (or None for the first
+    load); see ``merge_scd2`` for the semantics and scale shape."""
     attr_cols = [c for c in updates.columns if c not in (key, change_ts_col)]
 
     def attr_hash() -> Column:
@@ -188,11 +192,7 @@ def merge_scd2(
         F.col(change_ts_col).alias("__valid_from"),
     ).withColumn("__hash", attr_hash())
 
-    have_zone = _zone_exists(spark, zone_path)
-    if have_zone:
-        existing = spark.read.parquet(zone_path)
-
-    if not have_zone:
+    if existing is None:
         out = fresh.select(
             key,
             *attr_cols,
@@ -236,6 +236,38 @@ def merge_scd2(
             )
         )
         out = history.unionByName(closed).unionByName(untouched).unionByName(opened)
+
+    return out
+
+
+def merge_scd2(
+    spark: SparkSession,
+    zone_path: str,
+    updates: DataFrame,
+    key: str,
+    change_ts_col: str,
+) -> int:
+    """History-preserving (SCD-2) merge: changed keys CLOSE their current
+    row (``__valid_to`` = change ts, ``__is_current`` = false) and open a
+    new one, unchanged keys are no-ops, so every historical attribute state
+    stays queryable ("as of" reads filter on the validity interval).
+
+    ``updates`` must carry ``key``, the attribute columns, and
+    ``change_ts_col`` — an explicit, caller-supplied event time (never
+    wall-clock inside the operator: deterministic, replayable, and exactly
+    re-appliable — re-running the same batch is a no-op because identical
+    attributes don't produce a new version).
+
+    Change detection hashes the attribute columns (md5 of a null-tagged
+    concat), so only (key, hash) pairs shuffle for the diff — attribute
+    payloads move once, in the final rewrite (``scd2_apply`` is the
+    DataFrame core).  Same staging-swap discipline as ``merge_upsert``;
+    same table-format caveat.  Returns post-merge rows.
+    """
+    existing = (
+        spark.read.parquet(zone_path) if _zone_exists(spark, zone_path) else None
+    )
+    out = scd2_apply(existing, updates, key, change_ts_col)
 
     staging = zone_path.rstrip("/") + "__staging"
     out.write.mode("overwrite").parquet(staging)

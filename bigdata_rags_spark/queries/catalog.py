@@ -375,11 +375,14 @@ _DRIVER_CHECKED: dict[str, int] = {
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 # Round 6: segment dedup's count join now keys by md5(segment) (same
-# semantics, new exchange key) and tpch_q9 moved to integer-cents
-# accumulation on both engine sides (ADVICE r5 float-tie hardening).
+# semantics, new exchange key), tpch_q9 moved to integer-cents accumulation
+# on both engine sides (ADVICE r5 float-tie hardening), and the LSH top-k
+# widened its probe radius to 2 bits (measured faster at 2.1x recall —
+# both the Spark call and the oracle constants changed together).
 _RECHECK: tuple[str, ...] = (
     "segment_dedup_docs",
     "tpch_q9_profit_by_nation_year",
+    "embedding_lsh_topk",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

@@ -2566,3 +2566,122 @@ def zone_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old_s, new_s, "o_orderkey")
+
+
+@_q(
+    "scd2_current_rows",
+    """
+WITH changed AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0),
+closed AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority,
+         STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+         STRFTIME(CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS valid_to,
+         FALSE AS is_current
+  FROM orders o JOIN changed USING (o_orderkey)
+),
+opened AS (
+  SELECT o.o_orderkey, 'X' AS o_orderstatus, o.o_orderpriority,
+         STRFTIME(CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to,
+         TRUE AS is_current
+  FROM orders o JOIN changed USING (o_orderkey)
+),
+untouched AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to,
+         TRUE AS is_current
+  FROM orders WHERE o_orderkey % 5 != 0
+)
+SELECT * FROM closed
+UNION ALL SELECT * FROM opened
+UNION ALL SELECT * FROM untouched
+""",
+)
+def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving SCD-2 merge as a value-hashed query
+    (``io/maintenance.scd2_apply``): batch 1 loads every order's status/
+    priority valid from its (date-cast) order date; batch 2 flips status to
+    'X' for every 5th key 30 days later.  The merge must CLOSE exactly
+    those keys' first versions (valid_to = close ts, is_current = false),
+    OPEN their new versions, and leave the rest untouched — the oracle
+    states that outcome declaratively.  Change detection diffs only (key,
+    md5 attr-hash) pairs; attribute payloads cross one exchange."""
+    from bigdata_rags_spark.io.maintenance import scd2_apply
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("change_d"),
+    )
+    b1 = o.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("change_d").alias("change_ts"),
+    )
+    b2 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_orderpriority",
+        F.date_add("change_d", 30).alias("change_ts"),
+    )
+    hist = scd2_apply(
+        scd2_apply(None, b1, "o_orderkey", "change_ts"), b2, "o_orderkey", "change_ts"
+    )
+    return hist.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("__valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("__valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("__is_current").alias("is_current"),
+    )
+
+
+@_q(
+    "upsert_current_rows",
+    """
+SELECT o_orderkey, o_orderstatus,
+       o_totalprice + 1000.0 AS o_totalprice,
+       CAST(2 AS INTEGER) AS version
+FROM orders WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_totalprice,
+       CAST(2 AS INTEGER) AS version
+FROM orders WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(1 AS INTEGER) AS version
+FROM orders WHERE o_orderkey % 4 != 0
+""",
+)
+def upsert_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge as a value-hashed query (``io/maintenance.upsert_apply``):
+    the existing zone is every order at version 1; the update batch bumps
+    o_totalprice (+1000.0, exact double addition) for every 4th key at
+    version 2 and INSERTS a re-keyed copy of every 11th key.  The merge
+    must overwrite exactly the updated keys, insert the new ones, and pass
+    everything else through — the oracle states that outcome declaratively
+    while the Spark plan realizes it as one union + one max-version window
+    (the portable MERGE INTO).  All three paths non-vacuous at sf0.01."""
+    from bigdata_rags_spark.io.maintenance import upsert_apply
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    existing = o.withColumn("version", F.lit(1).cast("int"))
+    updated = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit(2).cast("int").alias("version"),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(2).cast("int").alias("version"),
+    )
+    return upsert_apply(
+        existing, updated.unionByName(inserted), "o_orderkey", version_col="version"
+    )

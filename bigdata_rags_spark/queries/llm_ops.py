@@ -181,6 +181,46 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm(
+    "prefix_dup_docs",
+    f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         text || ' zzqx prefix dedup suffix marker' AS text
+  FROM documents WHERE doc_id % 9 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(({_SQL_TOKS})[1:8], ' ')) AS prefix_key
+  FROM aug
+)
+SELECT prefix_key, MIN(doc_id) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM fp GROUP BY prefix_key HAVING COUNT(*) > 1
+""",
+)
+def prefix_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-PREFIX dedup (``dedup/exact.py:prefix_dup_clusters``): cluster
+    documents on the md5 of their first 8 whitespace tokens — the
+    RefinedWeb-style pass that catches boilerplate-headed / truncated-tail
+    variants whole-document hashing misses (suffixes differ, prefixes
+    don't).  Non-vacuous by the planting trick: every 9th doc is re-keyed
+    AND given a divergent suffix, so it is invisible to exact dedup but
+    forms a size-2 prefix cluster whose keeper must be the original id.
+    Scale shape = exact_dedup: one shuffle on the 32-hex key, partial agg,
+    text never crosses an exchange."""
+    from bigdata_rags_spark.dedup.exact import prefix_dup_clusters
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    variant = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx prefix dedup suffix marker")).alias("text"),
+    )
+    return prefix_dup_clusters(docs.unionByName(variant), k=8)
+
+
 _SEG_K = 4  # tokens per dedup segment (CCNet dedups paragraphs; the fixture
 # has no newlines, so fixed 4-token windows stand in — 341 cross-doc
 # duplicate segments at sf0.01, non-vacuous without wiping the corpus)
@@ -583,7 +623,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_topk_oracle(
-    k: int = 5, n_planes: int = 8, n_tables: int = 2, probe_bits: int = 1, dim: int = 64
+    k: int = 5, n_planes: int = 8, n_tables: int = 2, probe_bits: int = 2, dim: int = 64
 ) -> str:
     """Oracle for the registered ANN top-k: candidates = corpus vectors
     whose table-t signature lies within Hamming ``probe_bits`` of the
@@ -623,13 +663,19 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed once per table by a codegen'd signature expression and shuffles
     only on the signature key; the exact cosine is paid ONLY by deduped
     bucket-collision candidates.  Top-k semantics are fully deterministic:
-    rounded similarity desc, neighbor_id tiebreak."""
+    rounded similarity desc, neighbor_id tiebreak.
+
+    Constants (r6 measurement, VERDICT r5 #7): probe_bits 1 -> 2 — at
+    sf0.1 the wider probe measured FASTER-or-equal (0.46 s vs 0.57 s warm;
+    the exact-cosine stage dominates, so probe fan-out on the 5-row query
+    side is free) while recall@5 vs brute force rose 0.28 -> 0.60 on the
+    adversarial near-isotropic fixture."""
     from bigdata_rags_spark.similarity.knn import lsh_bucketed_topk
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return lsh_bucketed_topk(
         e.filter(F.col("vec_id") < 5), e, k=5, n_planes=8, dim=64,
-        n_tables=2, probe_bits=1,
+        n_tables=2, probe_bits=2,
     )
 
 

@@ -493,3 +493,28 @@ def test_lsh_and_ivf_projections_have_numeric_margin(spark, sf_oracle):
     sims = np.sort(mat @ cents.T, axis=1)
     gaps = np.diff(sims, axis=1)
     assert gaps.min() > 1e-9, gaps.min()
+
+
+def test_prefix_dup_clusters_catches_divergent_suffixes(spark):
+    """prefix_dup_clusters must cluster docs sharing their first k tokens
+    even when the suffixes differ (invisible to whole-doc exact dedup), and
+    must NOT cluster docs differing inside the prefix."""
+    from bigdata_rags_spark.dedup.exact import dup_clusters, prefix_dup_clusters
+
+    head = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{head} tail one two"),
+            (2, f"{head} completely different continuation"),
+            (3, f"{head}"),  # exactly the prefix, no suffix
+            (4, "alpha beta gamma delta epsilon zeta eta OTHER and more"),
+            (5, "short doc"),
+            (6, "short doc"),  # exact dup of 5 (prefix = whole text)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["keeper_id"]: r["cluster_size"] for r in prefix_dup_clusters(docs, k=8).collect()}
+    assert out == {1: 3, 5: 2}, out
+    # whole-doc exact dedup misses the suffix-divergent cluster
+    exact = {r["keeper_id"] for r in dup_clusters(docs).collect()}
+    assert exact == {5}
