@@ -445,3 +445,31 @@ def events_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     others = ev.filter(F.col("event_type") != "click")
     return interval_join_left(clicks, others, within="10 minutes")
+
+
+@_s(
+    "events_dedup_replayed",
+    """
+SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value
+FROM events
+""",
+)
+def events_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event dedup (``streaming/events.dedupe_events`` — the
+    batch form of ``dropDuplicatesWithinWatermark``): the source is the
+    events table PLUS a replayed byte-identical copy of every 6th event
+    (the at-least-once delivery duplicate every real stream produces), and
+    the dedup must collapse the stream back to exactly the original rows —
+    which is what the oracle states declaratively.  Replays are exact
+    copies, so the keep-any-row-per-id semantics stay value-deterministic.
+    Streaming mode bounds state by watermark (events.py:240); batch mode is
+    one hash-agg shuffle on event_id."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.streaming.events import dedupe_events
+
+    ev = read_events_batch(spark, sf_dir).select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    replay = ev.filter(F.col("event_id") % 6 == 0)
+    return dedupe_events(ev.unionByName(replay))

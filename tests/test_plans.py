@@ -354,3 +354,29 @@ def test_segment_dedup_count_join_keys_by_md5_not_text(spark, sf_smoke):
     p = _plan(REGISTRY["segment_dedup_docs"].spark(spark, sf_smoke))
     assert "hashpartitioning(seg_key#" in p
     assert "hashpartitioning(seg#" not in p
+
+
+def test_r6_queries_have_scale_safe_plans(spark, sf_smoke):
+    """Round-6 additions: the plan properties their docstrings claim."""
+    for name, pred in {
+        # maintenance family: hash-pair full outer join / max-version
+        # window — equi-joins and single-key shuffles only
+        "zone_snapshot_diff": lambda p: "CartesianProduct" not in p
+        and ("SortMergeJoin FullOuter" in p or "FullOuter" in p),
+        "upsert_current_rows": lambda p: "CartesianProduct" not in p
+        and "Window" in p,
+        "scd2_current_rows": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # prefix dedup: one hash-agg shuffle on the 32-hex key, no join
+        "prefix_dup_docs": lambda p: "Join" not in p and "Exchange" in p,
+        # IVF fixed-codebook probe: cell equi-join, partitioned top-k
+        # window, no cartesian anywhere
+        "embedding_ivf_probe_fixed": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # PNG features: narrow Arrow map over synthesized payloads — no
+        # exchange at all after the parallelize repartition
+        "multimodal_png_features": lambda p: "Join" not in p
+        and "Window" not in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
