@@ -81,6 +81,9 @@ HEADLINE = [
     "scd2_current_rows",
     "upsert_current_rows",
     "prefix_dup_docs",
+    "edit_distance_near_dups",
+    "bigram_lm_doc_scores",
+    "multimodal_png_resize_features",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -2685,3 +2685,58 @@ def upsert_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_apply(
         existing, updated.unionByName(inserted), "o_orderkey", version_col="version"
     )
+
+
+@_q(
+    "join_key_skew_report",
+    """
+WITH k AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1
+),
+t AS (SELECT c FROM k ORDER BY c DESC, o_custkey LIMIT 10),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT)   AS n_rows,
+         CAST(MAX(c) AS BIGINT)   AS max_count
+  FROM k
+),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM t)
+SELECT n_keys, n_rows, max_count,
+       ROUND(max_count / CAST(n_rows AS DOUBLE), 6) AS max_share,
+       top10_rows,
+       ROUND(top10_rows / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+       n_rows * 1000000 // n_keys AS avg_rows_per_key_micro
+FROM agg, tt
+""",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic that decides between a plain
+    shuffle join, AQE skew handling, and ``operators/skew.salted_join``
+    BEFORE burning a cluster-hour on a lopsided exchange: per-key row
+    counts reduce to key cardinality, hottest-key share, and top-10 share.
+
+    Scale shape: one partial+final count per key (shuffle carries
+    |keys|/partition rows), a top-10 via TakeOrderedAndProject (never a
+    global sort), and 1-row broadcast crossJoins for the report row; the
+    average is integer micro-unit floor division (engine-neutral)."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top10 = k.orderBy(F.col("c").desc(), F.col("o_custkey")).limit(10)
+    agg = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_count"),
+    )
+    tt = top10.agg(F.sum("c").cast("bigint").alias("top10_rows"))
+    return (
+        agg.crossJoin(F.broadcast(tt))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_count",
+            F.round(F.col("max_count") / F.col("n_rows").cast("double"), 6).alias("max_share"),
+            "top10_rows",
+            F.round(F.col("top10_rows") / F.col("n_rows").cast("double"), 6).alias("top10_share"),
+            F.expr("n_rows * 1000000 div n_keys").alias("avg_rows_per_key_micro"),
+        )
+    )

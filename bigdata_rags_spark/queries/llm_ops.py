@@ -1977,3 +1977,174 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bigdata_rags_spark/quality.py`` for provenance and design notes.
     """
     return repetition_quality(_docs_parallel(spark, sf_dir))
+
+
+@_llm(
+    "edit_distance_near_dups",
+    f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         substr(text, 1, 100) || 'QQQ' || substr(text, 104) AS text
+  FROM documents WHERE doc_id % 10 = 0 AND n_chars >= 104
+),
+b AS (
+  SELECT doc_id, substr(text, 1, 256) AS t,
+         md5(array_to_string(({_SQL_TOKS})[1:4], ' ')) AS bk
+  FROM aug
+),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(levenshtein(x.t, y.t) AS INT) AS edit_distance
+  FROM b x JOIN b y ON x.bk = y.bk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, edit_distance FROM cand WHERE edit_distance <= 5
+""",
+)
+def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs via blocking + Levenshtein verify
+    (``dedup/editdist.blocked_edit_distance_pairs``) — the entity-resolution
+    composition: first-4-token md5 blocks bound candidates, only candidates
+    pay the quadratic string compare (capped to 256 chars, the bounded-field
+    ER practice).  Non-vacuous by planting: every 10th long-enough doc gets
+    a re-keyed copy with 3 characters overwritten at position 101 — same
+    blocking prefix, edit distance exactly 3, invisible to exact dedup.
+    Spark's levenshtein and DuckDB's agree integer-for-integer."""
+    from bigdata_rags_spark.dedup.editdist import blocked_edit_distance_pairs
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"].select("doc_id", "text", "n_chars")
+    variant = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("n_chars") >= 104)).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100), F.lit("QQQ"), F.expr("substring(text, 104)")
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(variant)
+    return blocked_edit_distance_pairs(aug, max_dist=5)
+
+
+@_llm(
+    "bigram_lm_doc_scores",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    list_transform(
+      CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END,
+      i -> array_to_string(toks[i:i+1], ' ')
+    )) AS bigram
+  FROM t
+),
+c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+cp AS (
+  SELECT string_split(bigram, ' ')[1] AS w, CAST(SUM(c) AS BIGINT) AS cw
+  FROM c2 GROUP BY 1
+),
+nll AS (
+  SELECT bg.doc_id, -ln(CAST(c2.c AS DOUBLE) / CAST(cp.cw AS DOUBLE)) AS b_nll
+  FROM bg JOIN c2 USING (bigram)
+  JOIN cp ON string_split(bg.bigram, ' ')[1] = cp.w
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(b_nll), 6) AS bigram_cross_entropy
+FROM nll GROUP BY doc_id
+""",
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality scoring — the order-sensitive tier
+    above ``unigram_lm_doc_scores`` (CCNet/KenLM practice, Wenzek et al.
+    2020: higher-order n-gram perplexity separates fluent text from
+    bag-of-frequent-words noise the unigram model scores as fine).  The
+    corpus trains its own MLE: p(w_i | w_{{i-1}}) = c2(bigram) /
+    c_prefix(w_{{i-1}}), where the denominator sums bigram counts by first
+    word, so probabilities normalize exactly over the observed table (no
+    unseen-mass smoothing needed when scoring the training corpus itself).
+    Per-doc score = -avg ln p over the doc's len-1 bigram positions;
+    sub-2-token docs have no bigram rows in either engine.
+
+    100 TB: same policy as the unigram scorer — one explode -> bigram/
+    prefix aggregations with map-side combine, count tables broadcast
+    under the ceiling (shuffle-on-key beyond, SCALE.md vocabulary-join
+    policy); log arithmetic stays off the decimal grid so ROUND(avg, 6)
+    has no tie exposure."""
+    docs = _docs_parallel(spark, sf_dir)
+    bg = docs.select(
+        "doc_id", F.explode(word_shingles(ws_tokens(F.col("text")), 2)).alias("bigram")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cp = (
+        c2.withColumn("w", F.split("bigram", " ").getItem(0))
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("cw"))
+    )
+    nll = (
+        bg.join(F.broadcast(c2), "bigram")
+        .withColumn("w", F.split("bigram", " ").getItem(0))
+        .join(F.broadcast(cp), "w")
+        .withColumn("b_nll", -F.log(F.col("c").cast("double") / F.col("cw").cast("double")))
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("b_nll"), 6).alias("bigram_cross_entropy"),
+    )
+
+
+def _png_resize_oracle(out_w: int = 8, out_h: int = 6) -> str:
+    """Oracle for the decode->resize->feature pipeline: nearest-neighbor
+    resize maps output pixel (r, c) to source index (r*h//out_h)*w +
+    (c*w//out_w) (exactly numpy's ``arange(out)*in//out`` index grid, which
+    never exceeds the source bounds), and the source pixel is the same
+    (doc_id, i) integer signal attach_png_payload synthesizes — so every
+    resized-grid feature is recomputable symbolically."""
+    n = out_w * out_h
+
+    def pix(i: str) -> str:
+        src = f"((({i}) // {out_w}) * h // {out_h}) * w + ((({i}) % {out_w}) * w // {out_w})"
+        return f"(doc_id * 31 + ({src}) * 97) % 256"
+
+    return f"""
+WITH d AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 3 AS h
+           FROM documents),
+s AS (SELECT doc_id, w, h, unnest(range(0, {n})) AS i FROM d),
+p AS (SELECT doc_id, w, h, i, {pix('i')} AS pix FROM s),
+g AS (
+  SELECT doc_id,
+         CAST({out_w} AS INT) AS width,
+         CAST({out_h} AS INT) AS height,
+         CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         CAST(SUM(pix) AS BIGINT) AS sum_pix,
+         CAST(MAX(pix) AS INT) AS max_pix,
+         CAST(MIN(pix) AS INT) AS min_pix,
+         CAST(SUM(CASE WHEN i % {out_w} != 0
+                        AND abs(pix - ({pix('i - 1')})) >= 64
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_h_edges,
+         CAST(SUM(CASE WHEN i >= {out_w}
+                        AND abs(pix - ({pix(f'i - {out_w}')})) >= 64
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_v_edges
+  FROM p GROUP BY doc_id
+)
+SELECT doc_id, width, height, n_pixels, sum_pix,
+       sum_pix * 1000000 // n_pixels AS mean_micro,
+       max_pix, min_pix, n_h_edges, n_v_edges
+FROM g
+"""
+
+
+@_llm("multimodal_png_resize_features", _png_resize_oracle())
+def multimodal_png_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image PIPELINE under a value-hash oracle: genuine PNG bytes
+    -> pure-python decode -> nearest-neighbor resize to 8x6
+    (``multimodal/codecs.resize_images``, numpy index-grid sampling) ->
+    exact-integer features of the RESIZED grid.  Extends
+    ``multimodal_png_features`` by one real transform stage, so the resize
+    operator itself (not just the codec) is oracle-checked.  Two chained
+    Arrow ``mapInPandas`` stages, no exchange between them."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_png_payload,
+        png_integer_features,
+        resize_images,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    return png_integer_features(resize_images(attach_png_payload(docs), out_w=8, out_h=6))

@@ -518,3 +518,78 @@ def test_prefix_dup_clusters_catches_divergent_suffixes(spark):
     # whole-doc exact dedup misses the suffix-divergent cluster
     exact = {r["keeper_id"] for r in dup_clusters(docs).collect()}
     assert exact == {5}
+
+
+def test_blocked_edit_distance_pairs_planted(spark, sf_oracle):
+    """Blocking recall + verify precision on planted variants, and the
+    registered query must be non-vacuous at the driver's correctness SF."""
+    from bigdata_rags_spark.dedup.editdist import blocked_edit_distance_pairs
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    head = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{head} the quick brown fox jumps over the lazy dog"),
+            (2, f"{head} the quick brown fox jumps over the lazy cat"),  # dist 3
+            (3, f"{head} a completely different continuation entirely here"),
+            (4, f"OTHER {head} the quick brown fox jumps over the lazy dog"),  # other block
+            (5, f"{head} the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in blocked_edit_distance_pairs(docs, max_dist=5).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 5)] == 0 and got[(2, 5)] == 3
+    assert (1, 3) not in got  # same block, distance beyond threshold
+    assert all(4 not in pair for pair in got)  # different block never compared
+
+    rows = REGISTRY["edit_distance_near_dups"].spark(spark, sf_oracle).collect()
+    planted = [r for r in rows if r["doc_b"] >= 1_000_000_000]
+    assert planted and all(r["edit_distance"] == 3 for r in planted)
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """bigram_lm_doc_scores == a direct python MLE recomputation on a small
+    corpus, including the deterministic-transition (p=1, nll=0) and
+    branching-prefix cases."""
+    import math
+    import tempfile
+    from collections import Counter
+
+    import bigdata_rags_spark.queries.llm_ops as llm
+
+    texts = {
+        1: "a b a b a b",       # repeated transition
+        2: "a c a d a b",       # 'a' branches into c/d/b
+        3: "x y",               # single deterministic bigram
+        4: "solo",              # <2 tokens: no bigram rows
+    }
+    rows = [(i, t) for i, t in texts.items()]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in llm.bigram_lm_doc_scores(spark, d).collect()
+        }
+
+    bigrams = {
+        i: [f"{a} {b}" for a, b in zip(t.split(), t.split()[1:])]
+        for i, t in texts.items()
+    }
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    cp = Counter()
+    for b, c in c2.items():
+        cp[b.split()[0]] += c
+    for i, bs in bigrams.items():
+        if not bs:
+            assert i not in got
+            continue
+        want = round(sum(-math.log(c2[b] / cp[b.split()[0]]) for b in bs) / len(bs), 6)
+        assert got[i]["n_bigrams"] == len(bs)
+        assert abs(got[i]["bigram_cross_entropy"] - want) < 1e-9, (i, got[i], want)
+    assert got[3]["bigram_cross_entropy"] == 0.0  # deterministic transition
+    assert got[2]["bigram_cross_entropy"] > got[1]["bigram_cross_entropy"]
