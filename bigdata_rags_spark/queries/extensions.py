@@ -2740,3 +2740,152 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_rows * 1000000 div n_keys").alias("avg_rows_per_key_micro"),
         )
     )
+
+
+@_q(
+    "histogram_quantile_prices",
+    """
+WITH b AS (
+  SELECT o_orderpriority AS pr, CAST(FLOOR(o_totalprice / 600.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT pr, bin, c,
+         CAST(SUM(c) OVER (PARTITION BY pr ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY pr) AS BIGINT) AS n
+  FROM b
+)
+SELECT pr AS o_orderpriority, MAX(n) AS n,
+       CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * 600 AS BIGINT) AS p50_lo,
+       CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) * 600 AS BIGINT) AS p90_lo,
+       CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) * 600 AS BIGINT) AS p99_lo
+FROM w GROUP BY pr
+""",
+)
+def histogram_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile estimation — the oracle-checkable
+    sibling of the rows-only GK sketch (``approx_percentile_prices``):
+    fixed-width 600-unit bins per priority, cumulative counts, and the
+    quantile estimate is the lower edge of the first bin whose cumulative
+    count reaches ceil(q*n) — pure integer arithmetic end to end, so two
+    engines (or two cluster runs with different partitioning) agree
+    bit-for-bit, and bin histograms MERGE by addition (the property that
+    makes this the 100 TB pattern: per-partition histograms combine
+    associatively, unlike exact percentiles).  Estimate error is bounded by
+    bin width by construction."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    b = o.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") / F.lit(600.0)).cast("bigint").alias("bin"),
+    ).groupBy("pr", "bin").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("pr").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("pr")
+    w = b.select(
+        "pr", "bin", "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    def q_lo(thresh_expr: str, name: str):
+        return (F.min(F.when(F.expr(thresh_expr), F.col("bin"))) * 600).cast(
+            "bigint"
+        ).alias(name)
+
+    return w.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+        F.max("n").alias("n"),
+        q_lo("cum >= (n + 1) div 2", "p50_lo"),
+        q_lo("cum >= (9 * n + 9) div 10", "p90_lo"),
+        q_lo("cum >= (99 * n + 99) div 100", "p99_lo"),
+    )
+
+
+_LL_RHO_SQL = "(54 - (CASE WHEN rest >= 9007199254740992 THEN 54 WHEN rest >= 4503599627370496 THEN 53 WHEN rest >= 2251799813685248 THEN 52 WHEN rest >= 1125899906842624 THEN 51 WHEN rest >= 562949953421312 THEN 50 WHEN rest >= 281474976710656 THEN 49 WHEN rest >= 140737488355328 THEN 48 WHEN rest >= 70368744177664 THEN 47 WHEN rest >= 35184372088832 THEN 46 WHEN rest >= 17592186044416 THEN 45 WHEN rest >= 8796093022208 THEN 44 WHEN rest >= 4398046511104 THEN 43 WHEN rest >= 2199023255552 THEN 42 WHEN rest >= 1099511627776 THEN 41 WHEN rest >= 549755813888 THEN 40 WHEN rest >= 274877906944 THEN 39 WHEN rest >= 137438953472 THEN 38 WHEN rest >= 68719476736 THEN 37 WHEN rest >= 34359738368 THEN 36 WHEN rest >= 17179869184 THEN 35 WHEN rest >= 8589934592 THEN 34 WHEN rest >= 4294967296 THEN 33 WHEN rest >= 2147483648 THEN 32 WHEN rest >= 1073741824 THEN 31 WHEN rest >= 536870912 THEN 30 WHEN rest >= 268435456 THEN 29 WHEN rest >= 134217728 THEN 28 WHEN rest >= 67108864 THEN 27 WHEN rest >= 33554432 THEN 26 WHEN rest >= 16777216 THEN 25 WHEN rest >= 8388608 THEN 24 WHEN rest >= 4194304 THEN 23 WHEN rest >= 2097152 THEN 22 WHEN rest >= 1048576 THEN 21 WHEN rest >= 524288 THEN 20 WHEN rest >= 262144 THEN 19 WHEN rest >= 131072 THEN 18 WHEN rest >= 65536 THEN 17 WHEN rest >= 32768 THEN 16 WHEN rest >= 16384 THEN 15 WHEN rest >= 8192 THEN 14 WHEN rest >= 4096 THEN 13 WHEN rest >= 2048 THEN 12 WHEN rest >= 1024 THEN 11 WHEN rest >= 512 THEN 10 WHEN rest >= 256 THEN 9 WHEN rest >= 128 THEN 8 WHEN rest >= 64 THEN 7 WHEN rest >= 32 THEN 6 WHEN rest >= 16 THEN 5 WHEN rest >= 8 THEN 4 WHEN rest >= 4 THEN 3 WHEN rest >= 2 THEN 2 WHEN rest >= 1 THEN 1 ELSE 0 END) + 1)"  # rank of first 1-bit from the MSB of the 54-bit rest
+
+
+@_q(
+    "loglog_distinct_customers",
+    f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM orders
+),
+rb AS (SELECT hv % 64 AS bucket, hv // 64 AS rest FROM h),
+mx AS (
+  SELECT bucket, CAST(MAX({_LL_RHO_SQL}) AS INT) AS m_j
+  FROM rb GROUP BY bucket
+),
+spine AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS bucket),
+filled AS (
+  SELECT s.bucket, COALESCE(mx.m_j, 0) AS m_j
+  FROM spine s LEFT JOIN mx ON s.bucket = mx.bucket
+),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (55 - m_j)) AS BIGINT) AS s_scaled,
+         CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+  FROM filled
+),
+ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders)
+SELECT 64 AS m, n_empty, n_exact,
+       ROUND((0.7213 / (1 + 1.079 / 64)) * 64 * 64
+             / (CAST(s_scaled AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)),
+             4) AS estimate,
+       ROUND(abs((0.7213 / (1 + 1.079 / 64)) * 64 * 64
+             / (CAST(s_scaled AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE))
+             - n_exact) / n_exact, 4) AS rel_error
+FROM agg, ex
+""",
+)
+def loglog_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog-style distinct estimation — the
+    oracle-checkable sibling of the rows-only HLL sketch
+    (``approx_count_distinct_orders``): md5-derived 60-bit hashes split
+    into 64 buckets, per-bucket max rank-of-first-1-bit, and the classic
+    bias-corrected harmonic estimate (Flajolet et al. 2007) — every step
+    integer or single-rounded, so two engines agree bit-for-bit.
+
+    Determinism details: the harmonic sum is computed as an INTEGER
+    (sum of 2^(55-M_j) <= 2^61, exact in bigint, order-free) and divides
+    by 2^55 once — a float SUM of 2^-M_j terms would round differently
+    per partition order.  Per-partition bucket maxima merge associatively,
+    the same property that makes HLL the 100 TB distinct-count pattern;
+    the exact COUNT(DISTINCT) rides along so the report shows its own
+    relative error (~1.3/sqrt(64) = 16% theoretical)."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rb = o.select(hv.alias("hv")).distinct().select(
+        (F.col("hv") % 64).alias("bucket"),
+        F.expr("hv div 64").alias("rest"),
+    )
+    mx = rb.groupBy("bucket").agg(
+        F.expr(f"CAST(MAX({_LL_RHO_SQL}) AS INT)").alias("m_j")
+    )
+    spine = spark.range(64).select(F.col("id").alias("bucket"))
+    filled = spine.join(mx, "bucket", "left").select(
+        "bucket", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    agg = filled.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m_j)")).cast("bigint").alias("s_scaled"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).cast("bigint").alias("n_empty"),
+    )
+    ex = o.agg(F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
+    est = (
+        F.lit(0.7213 / (1 + 1.079 / 64)) * 64 * 64
+        / (F.col("s_scaled").cast("double") / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55) AS DOUBLE)"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(64).cast("int").alias("m"),
+            "n_empty",
+            "n_exact",
+            F.round(est, 4).alias("estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
+        )
+    )
+

@@ -593,3 +593,35 @@ def test_bigram_lm_matches_python_reference(spark):
         assert abs(got[i]["bigram_cross_entropy"] - want) < 1e-9, (i, got[i], want)
     assert got[3]["bigram_cross_entropy"] == 0.0  # deterministic transition
     assert got[2]["bigram_cross_entropy"] > got[1]["bigram_cross_entropy"]
+
+
+def test_deterministic_sketch_siblings_accuracy(spark, sf_oracle):
+    """The oracle-checkable sketch siblings must actually estimate: binned
+    quantiles within one bin width of the exact quantile, LogLog within a
+    loose multiple of its m=64 theoretical error, and both invariant to
+    input partitioning (the merge-associativity property that makes them
+    the 100 TB patterns)."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    o = read_testdata(spark, sf_oracle, "orders")["orders"]
+    rows = {r["o_orderpriority"]: r for r in
+            REGISTRY["histogram_quantile_prices"].spark(spark, sf_oracle).collect()}
+    import numpy as np
+
+    prices = {}
+    for r in o.select("o_orderpriority", "o_totalprice").collect():
+        prices.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for pr, r in rows.items():
+        xs = np.sort(np.array(prices[pr]))
+        for q, col in ((0.5, "p50_lo"), (0.9, "p90_lo"), (0.99, "p99_lo")):
+            exact = xs[int(np.ceil(q * len(xs))) - 1]
+            assert r[col] <= exact < r[col] + 600, (pr, col, r[col], exact)
+
+    ll = REGISTRY["loglog_distinct_customers"].spark(spark, sf_oracle).collect()[0]
+    assert ll["rel_error"] < 0.5  # ~3 sigma of 1.3/sqrt(64)
+    assert ll["n_exact"] == o.select("o_custkey").distinct().count()
+
+    # partitioning invariance: same report from a 1-partition input path
+    one = REGISTRY["loglog_distinct_customers"].spark(spark, sf_oracle)
+    assert one.coalesce(1).collect() == [ll]
