@@ -86,6 +86,8 @@ HEADLINE = [
     "multimodal_png_resize_features",
     "histogram_quantile_prices",
     "loglog_distinct_customers",
+    "events_hourly_anomaly",
+    "events_time_weighted_value",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -473,3 +473,122 @@ def events_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     replay = ev.filter(F.col("event_id") % 6 == 0)
     return dedupe_events(ev.unionByName(replay))
+
+
+@_s(
+    "events_hourly_anomaly",
+    """
+WITH h AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hr, c,
+         CAST(COUNT(c) OVER t AS BIGINT)     AS n_prev,
+         CAST(SUM(c)   OVER t AS BIGINT)     AS s,
+         CAST(SUM(c*c) OVER t AS BIGINT)     AS ss
+  FROM h
+  WINDOW t AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hr, c, n_prev,
+       s * 1000000 // n_prev AS trailing_mean_micro,
+       CAST(CASE WHEN (c * n_prev - s) * (c * n_prev - s) * n_prev
+                      > 9 * (n_prev * ss - s * s) * n_prev
+                  AND n_prev * ss - s * s >= 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM w WHERE n_prev >= 12
+""",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on hourly event-type volumes — the
+    monitoring op every streaming pipeline wants next to its windowed aggs:
+    an hour is anomalous when its count deviates from the trailing-24-bucket
+    mean by more than 3 trailing standard deviations.
+
+    The entire test is INTEGER arithmetic: with n = trailing bucket count,
+    s = sum, ss = sum of squares, the z>3 test  (c - s/n)^2 > 9*(ss/n -
+    (s/n)^2)  multiplies through by n^2 to (c*n - s)^2 * n > 9*(n*ss - s^2)
+    * n — exact bigints, no float variance accumulation to drift across
+    engines or partitionings.  The trailing frame is ROWS-based (observed
+    buckets), so sparse streams compare against their own history density.
+    Scale shape: one partial+final hourly rollup, one window shuffle on
+    event_type."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    h = ev.select(
+        "event_type", F.expr("ts_ns div 3600000000000").alias("hr")
+    ).groupBy("event_type", "hr").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    t = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    w = h.select(
+        "event_type", "hr", "c",
+        F.count("c").over(t).cast("bigint").alias("n_prev"),
+        F.sum("c").over(t).cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(t).cast("bigint").alias("ss"),
+    )
+    dev = F.col("c") * F.col("n_prev") - F.col("s")
+    var_num = F.col("n_prev") * F.col("ss") - F.col("s") * F.col("s")
+    return w.filter(F.col("n_prev") >= 12).select(
+        "event_type", "hr", "c", "n_prev",
+        F.expr("s * 1000000 div n_prev").alias("trailing_mean_micro"),
+        F.when(
+            (dev * dev * F.col("n_prev") > 9 * var_num * F.col("n_prev"))
+            & (var_num >= 0),
+            1,
+        ).otherwise(0).cast("bigint").alias("is_anomaly"),
+    )
+
+
+@_s(
+    "events_time_weighted_value",
+    """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+d AS (
+  SELECT user_id, sec, v_cents,
+         LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, v_cents) - sec AS dur_s
+  FROM e
+),
+held AS (SELECT user_id, v_cents, dur_s FROM d WHERE dur_s IS NOT NULL AND dur_s > 0)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_intervals,
+       CAST(SUM(dur_s) AS BIGINT)    AS held_secs,
+       CAST(SUM(v_cents * dur_s) AS BIGINT) * 100 // CAST(SUM(dur_s) AS BIGINT)
+         AS twap_micro
+FROM held GROUP BY user_id
+""",
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the stream-analytics
+    aggregate where each observation is held until the next one): value is
+    integer cents, the holding duration integer seconds, so the weighted
+    sum and the final micro-unit division are exact bigint arithmetic —
+    immune to float accumulation order across engines/partitionings.
+    Zero-length holds (same-second updates) are excluded symmetrically;
+    ordering ties break on (sec, v_cents) so LEAD is deterministic.
+    Scale shape: one window shuffle on user_id, then partial+final agg on
+    the same key — AQE coalesces the co-partitioned exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    e = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000000000").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "v_cents")
+    d = e.withColumn("dur_s", F.lead("sec").over(w) - F.col("sec"))
+    held = d.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur_s").cast("bigint").alias("held_secs"),
+        F.expr("CAST(SUM(v_cents * dur_s) AS BIGINT) * 100 div CAST(SUM(dur_s) AS BIGINT)")
+        .alias("twap_micro"),
+    )

@@ -171,3 +171,89 @@ def test_segment_dedup_matches_python_reference(spark, docs):
         assert got[i]["n_segments"] == len(ss)
         assert got[i]["n_kept"] == len(kept)
         assert got[i]["cleaned_text"] == " ".join(kept)
+
+
+# --- zone-maintenance DataFrame cores vs python references ----------------
+
+_MAINT_KEYS = st.integers(0, 8)
+_MAINT_OLD = st.lists(
+    st.tuples(_MAINT_KEYS, st.integers(0, 5)), min_size=0, max_size=12,
+    unique_by=lambda t: t[0],
+)
+_MAINT_NEW = st.lists(
+    st.tuples(_MAINT_KEYS, st.integers(0, 5)), min_size=0, max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(old=_MAINT_OLD, new=_MAINT_NEW)
+@_SETTINGS
+def test_snapshot_diff_matches_python_reference(spark, old, new):
+    from bigdata_rags_spark.io.maintenance import snapshot_diff
+
+    schema = "k long, v long"
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(
+            spark.createDataFrame(old, schema), spark.createDataFrame(new, schema), "k"
+        ).collect()
+    }
+    od, nd = dict(old), dict(new)
+    want = {}
+    for k in set(od) | set(nd):
+        if k not in od:
+            want[k] = "added"
+        elif k not in nd:
+            want[k] = "removed"
+        elif od[k] != nd[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+@given(old=_MAINT_OLD, new=_MAINT_NEW)
+@_SETTINGS
+def test_upsert_apply_matches_python_reference(spark, old, new):
+    """Winner per key = the updates row (no version col): existing keys
+    overwritten, new keys inserted, untouched keys passed through."""
+    from bigdata_rags_spark.io.maintenance import upsert_apply
+
+    schema = "k long, v long"
+    got = {
+        r["k"]: r["v"]
+        for r in upsert_apply(
+            spark.createDataFrame(old, schema), spark.createDataFrame(new, schema), "k"
+        ).collect()
+    }
+    want = {**dict(old), **dict(new)}
+    assert got == want
+
+
+@given(old=_MAINT_OLD, new=_MAINT_NEW)
+@_SETTINGS
+def test_scd2_apply_invariants(spark, old, new):
+    """After two merges: exactly one current row per key; changed keys have
+    a closed first version whose valid_to equals the new valid_from;
+    unchanged keys keep their original version untouched."""
+    from bigdata_rags_spark.io.maintenance import scd2_apply
+
+    schema = "k long, v long, ts long"
+    b1 = spark.createDataFrame([(k, v, 1) for k, v in old], schema)
+    b2 = spark.createDataFrame([(k, v, 2) for k, v in new], schema)
+    hist = scd2_apply(scd2_apply(None, b1, "k", "ts"), b2, "k", "ts").collect()
+    od, nd = dict(old), dict(new)
+    cur = {r["k"]: r for r in hist if r["__is_current"]}
+    closed = {r["k"]: r for r in hist if not r["__is_current"]}
+    assert len(cur) == len(set(od) | set(nd))
+    assert len([r for r in hist if r["__is_current"]]) == len(cur)
+    for k in set(od) | set(nd):
+        if k in od and (k not in nd or nd[k] == od[k]):
+            assert cur[k]["v"] == od[k] and cur[k]["__valid_from"] == 1
+            assert cur[k]["__valid_to"] is None
+        else:
+            assert cur[k]["v"] == nd[k] and cur[k]["__valid_from"] == 2
+        if k in od and k in nd and nd[k] != od[k]:
+            assert closed[k]["v"] == od[k] and closed[k]["__valid_to"] == 2
+        else:
+            assert k not in closed

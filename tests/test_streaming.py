@@ -357,3 +357,41 @@ def test_single_file_stream_path_with_glob_metachars(spark, sf_smoke, tmp_path):
     ids = sorted(r["event_id"] for r in got.select("event_id").collect())
     want = sorted(r["event_id"] for r in intended.select("event_id").collect())
     assert ids == want, (len(ids), len(want))
+
+
+def test_hourly_anomaly_flags_planted_spike(spark, sf_smoke):
+    """A 10x planted spike hour must flag; the organic fixture hours
+    (uniform-ish traffic) must produce rows with mostly no flags."""
+    import tempfile
+
+    import bigdata_rags_spark.queries.streaming_batch as sb
+
+    base = read_events_batch(spark, sf_smoke).select(
+        "event_id", "ts_ns", "user_id", "event_type", "value", "props"
+    )
+    organic = {
+        (r["event_type"], r["hr"]): r["is_anomaly"]
+        for r in sb.events_hourly_anomaly(spark, sf_smoke).collect()
+    }
+    assert organic, "fixture must produce >=12-history hours"
+
+    # plant: clone one event 500x into a single later hour for one type
+    one = base.filter(F.col("event_type") == "click").limit(1)
+    spike_ns = base.agg(F.max("ts_ns")).collect()[0][0] + 3_600_000_000_000
+    spike = (
+        one.crossJoin(spark.range(500).select(F.col("id").alias("i")))
+        .select(
+            (F.col("event_id") + F.col("i") + 10_000_000).alias("event_id"),
+            F.lit(spike_ns).cast("long").alias("ts_ns"),
+            "user_id", "event_type", "value", "props",
+        )
+    )
+    with tempfile.TemporaryDirectory() as d:
+        base.unionByName(spike).write.parquet(f"{d}/events.parquet")
+        out = {
+            (r["event_type"], r["hr"]): r
+            for r in sb.events_hourly_anomaly(spark, d).collect()
+        }
+    spike_hr = spike_ns // 3_600_000_000_000
+    assert out[("click", spike_hr)]["is_anomaly"] == 1
+    assert out[("click", spike_hr)]["c"] >= 500
