@@ -2889,3 +2889,70 @@ def loglog_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@_q(
+    "decimal_exact_revenue",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_discounted
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-DECIMAL aggregation — the money-arithmetic surface: casting
+    prices/discounts to DECIMAL(18,2) makes every product and sum EXACT
+    (base-10 fixed point), so no rounding discipline, accumulation-order
+    argument, or micro-unit trick is needed at all — the principled fix
+    for the float-tie hazards catalog.py documents, demonstrated
+    end-to-end (the doubles in the fixture sit ~1e-13 off the decimal
+    grid, so both engines' nearest-decimal cast lands on the same grid
+    point).  The exact decimal totals convert to double once at the end
+    for the engine-neutral report.  Scale shape: plain partial+final hash
+    agg; Spark's decimal sums run in the same codegen'd path as longs."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(price).cast("double").alias("sum_base"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_discounted"),
+    )
+
+
+@_q(
+    "null_safe_join_semantics",
+    """
+WITH a AS (SELECT NULLIF(o_orderkey % 7, 0) AS k, o_totalprice FROM orders),
+b AS (SELECT DISTINCT k FROM a)
+SELECT b.k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(a.o_totalprice), 2) AS total
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY b.k
+""",
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL key
+    bucket JOINS (one output group with k IS NULL) instead of silently
+    dropping, the semantic difference from `=` that bites every pipeline
+    joining on nullable dimensions.  Spark plans eqNullSafe as a regular
+    hash-join key (null hashes to a bucket like any value — no skew cliff,
+    no cartesian fallback), pinned in the plan tests."""
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    a = o.select(
+        F.nullif(F.col("o_orderkey") % 7, F.lit(0)).alias("k"), "o_totalprice"
+    )
+    b = a.select("k").distinct().select(F.col("k").alias("bk"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("bk")))
+        .groupBy(F.col("bk").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -377,6 +377,14 @@ def test_r6_queries_have_scale_safe_plans(spark, sf_smoke):
         # exchange at all after the parallelize repartition
         "multimodal_png_features": lambda p: "Join" not in p
         and "Window" not in p,
+        # null-safe equality plans as a real hash/sort-merge join key —
+        # never a cartesian/BNLJ fallback
+        "null_safe_join_semantics": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p),
+        # decimal aggregation stays a plain partial+final hash agg
+        "decimal_exact_revenue": lambda p: "HashAggregate" in p
+        and "Join" not in p,
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
