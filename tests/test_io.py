@@ -319,3 +319,18 @@ def test_events_reader_handles_historical_bigint_fixture(spark, tmp_path, sf_smo
     assert sorted(map(tuple, legacy.select(cols).collect())) == sorted(
         map(tuple, current.select(cols).collect())
     )
+
+
+def test_parquet_codec_matrix_roundtrips(spark, sf_smoke, tmp_path):
+    """Zone writes must round-trip under every codec the lake might
+    standardize on (snappy default, zstd for cold storage, gzip legacy,
+    lz4) — same rows, same values, per-codec directories.  (Avro is the
+    one builtin-but-external format: its module jar is not deployable in
+    this offline environment, so the format matrix is parquet/orc/json/csv
+    — see io/readers.py.)"""
+    src = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    want = sorted(map(tuple, src.collect()))
+    for codec in ("snappy", "zstd", "gzip", "lz4"):
+        p = str(tmp_path / f"codec_{codec}")
+        src.write.option("compression", codec).parquet(p)
+        assert sorted(map(tuple, spark.read.parquet(p).collect())) == want, codec
