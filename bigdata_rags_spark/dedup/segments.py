@@ -12,9 +12,11 @@ Scale shape (100 TB): tokenization and segment construction are codegen'd
 column expressions (``transform(sequence)`` + ``slice`` — no explode until
 segments exist); the only corpus-wide shuffles carry (segment, doc_id)
 pairs for the distinct-doc count (partial+final agg) and the count join
-back — both keyed by ``md5(segment)`` so those exchanges ship 16-byte
-keys, never full segment text, on the count side; reassembly groups by
-doc_id.  Semantics are unchanged by the hash key (collisions aside).
+back — both keyed by ``md5(segment)`` so the count-side exchanges ship
+16-byte keys and the join compares fixed-width keys; the probe side of
+the join still carries segment text as payload (reassembly needs it), so
+text crosses that exchange and the final doc_id regroup.  Semantics are
+unchanged by the hash key (collisions aside).
 """
 
 from __future__ import annotations
@@ -51,10 +53,12 @@ def segment_dedup(
     seg = toks.select(
         id_col, F.posexplode(seg_list).alias("seg_no", "seg")
     ).withColumn("seg_key", F.md5("seg"))
-    # count and join back by md5(segment): the operator's two corpus-wide
-    # exchanges ship 16-byte keys instead of full segment text (the module
-    # docstring's 100 TB prescription, VERDICT r5 #5); the distinct-doc
-    # count is identical because md5 is injective modulo collisions
+    # count and join back by md5(segment): the count aggregation and the
+    # count side of the join ship 16-byte keys instead of full segment
+    # text, and the join compares fixed-width keys (VERDICT r5 #5).  The
+    # probe side still carries seg text as payload — reassembly needs it —
+    # so text crosses this exchange and the doc_id regroup; the distinct-
+    # doc count is identical because md5 is injective modulo collisions
     cnt = seg.groupBy("seg_key").agg(F.countDistinct(id_col).alias("n_docs"))
     joined = seg.join(cnt, "seg_key")
     keep = F.col("n_docs") <= max_docs_per_segment

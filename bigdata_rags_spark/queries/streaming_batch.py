@@ -494,8 +494,8 @@ w AS (
 )
 SELECT event_type, hr, c, n_prev,
        s * 1000000 // n_prev AS trailing_mean_micro,
-       CAST(CASE WHEN (c * n_prev - s) * (c * n_prev - s) * n_prev
-                      > 9 * (n_prev * ss - s * s) * n_prev
+       CAST(CASE WHEN (c * n_prev - s) * (c * n_prev - s)
+                      > 9 * (n_prev * ss - s * s)
                   AND n_prev * ss - s * s >= 0
                  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM w WHERE n_prev >= 12
@@ -509,8 +509,8 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The entire test is INTEGER arithmetic: with n = trailing bucket count,
     s = sum, ss = sum of squares, the z>3 test  (c - s/n)^2 > 9*(ss/n -
-    (s/n)^2)  multiplies through by n^2 to (c*n - s)^2 * n > 9*(n*ss - s^2)
-    * n — exact bigints, no float variance accumulation to drift across
+    (s/n)^2)  multiplies through by n^2 to (c*n - s)^2 > 9*(n*ss - s^2) —
+    exact bigints, no float variance accumulation to drift across
     engines or partitionings.  The trailing frame is ROWS-based (observed
     buckets), so sparse streams compare against their own history density.
     Scale shape: one partial+final hourly rollup, one window shuffle on
@@ -534,11 +534,8 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(F.col("n_prev") >= 12).select(
         "event_type", "hr", "c", "n_prev",
         F.expr("s * 1000000 div n_prev").alias("trailing_mean_micro"),
-        F.when(
-            (dev * dev * F.col("n_prev") > 9 * var_num * F.col("n_prev"))
-            & (var_num >= 0),
-            1,
-        ).otherwise(0).cast("bigint").alias("is_anomaly"),
+        F.when((dev * dev > 9 * var_num) & (var_num >= 0), 1)
+        .otherwise(0).cast("bigint").alias("is_anomaly"),
     )
 
 
@@ -559,7 +556,7 @@ held AS (SELECT user_id, v_cents, dur_s FROM d WHERE dur_s IS NOT NULL AND dur_s
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT)      AS n_intervals,
        CAST(SUM(dur_s) AS BIGINT)    AS held_secs,
-       CAST(SUM(v_cents * dur_s) AS BIGINT) * 100 // CAST(SUM(dur_s) AS BIGINT)
+       CAST(SUM(v_cents * dur_s) AS BIGINT) * 10000 // CAST(SUM(dur_s) AS BIGINT)
          AS twap_micro
 FROM held GROUP BY user_id
 """,
@@ -589,6 +586,6 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return held.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         F.sum("dur_s").cast("bigint").alias("held_secs"),
-        F.expr("CAST(SUM(v_cents * dur_s) AS BIGINT) * 100 div CAST(SUM(dur_s) AS BIGINT)")
+        F.expr("CAST(SUM(v_cents * dur_s) AS BIGINT) * 10000 div CAST(SUM(dur_s) AS BIGINT)")
         .alias("twap_micro"),
     )

@@ -622,6 +622,14 @@ def test_deterministic_sketch_siblings_accuracy(spark, sf_oracle):
     assert ll["rel_error"] < 0.5  # ~3 sigma of 1.3/sqrt(64)
     assert ll["n_exact"] == o.select("o_custkey").distinct().count()
 
-    # partitioning invariance: same report from a 1-partition input path
-    one = REGISTRY["loglog_distinct_customers"].spark(spark, sf_oracle)
-    assert one.coalesce(1).collect() == [ll]
+    # partitioning invariance: the same fixture rewritten as a single
+    # parquet file (1 scan partition, different shuffle layout upstream of
+    # every aggregation) must produce the byte-identical reports
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        o.coalesce(1).write.parquet(f"{d}/orders.parquet")
+        assert REGISTRY["loglog_distinct_customers"].spark(spark, d).collect() == [ll]
+        assert sorted(
+            map(tuple, REGISTRY["histogram_quantile_prices"].spark(spark, d).collect())
+        ) == sorted(map(tuple, (r for pr, r in rows.items())))

@@ -362,7 +362,8 @@ def test_r6_queries_have_scale_safe_plans(spark, sf_smoke):
         # maintenance family: hash-pair full outer join / max-version
         # window — equi-joins and single-key shuffles only
         "zone_snapshot_diff": lambda p: "CartesianProduct" not in p
-        and ("SortMergeJoin FullOuter" in p or "FullOuter" in p),
+        and "BroadcastNestedLoopJoin" not in p
+        and "FullOuter" in p,
         "upsert_current_rows": lambda p: "CartesianProduct" not in p
         and "Window" in p,
         "scd2_current_rows": lambda p: "CartesianProduct" not in p
