@@ -88,6 +88,7 @@ HEADLINE = [
     "loglog_distinct_customers",
     "events_hourly_anomaly",
     "events_time_weighted_value",
+    "corpus_training_selection",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

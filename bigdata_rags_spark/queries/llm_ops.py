@@ -2148,3 +2148,98 @@ def multimodal_png_resize_features(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = _docs_parallel(spark, sf_dir)
     return png_integer_features(resize_images(attach_png_payload(docs), out_w=8, out_h=6))
+
+
+@_llm(
+    "corpus_training_selection",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_SQL_NORM})),
+lens AS (SELECT doc_id, len(t) AS n_words FROM toks),
+g AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
+gram AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram FROM g),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM gram GROUP BY doc_id, gram),
+bg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+  FROM cnt GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1) ELSE [] END,
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+),
+probes AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+contam AS (
+  SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM sh JOIN probes USING (shingle) WHERE sh.doc_id >= 5 GROUP BY sh.doc_id
+)
+SELECT d.doc_id, d.lang, d.source, CAST(l.n_words AS BIGINT) AS n_words
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+JOIN lens l ON d.doc_id = l.doc_id
+LEFT JOIN bg ON d.doc_id = bg.doc_id
+LEFT JOIN contam ct ON d.doc_id = ct.doc_id
+WHERE d.doc_id >= 5
+  AND l.n_words BETWEEN 10 AND 1000
+  AND COALESCE(bg.n_dup * 5 <= bg.n_bigrams, TRUE)
+  AND COALESCE(ct.hits, 0) < 2
+""",
+)
+def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone corpus-materialization query: one pass that composes
+    four gate families into the final 'goes into training' set —
+    (1) exact-dedup keeper (min-id per normalized-content hash),
+    (2) length gate 10..1000 tokens, (3) duplicate-bigram coverage <= 20%
+    (expressed as the exact integer test 5*n_dup <= n_bigrams — no float
+    ratio), (4) benchmark decontamination (< 2 distinct 3-gram shingles
+    shared with the doc_id<5 probe set, probe set excluded outright).
+    This is the shape every pretraining pipeline ultimately runs: all the
+    per-doc signals reduce to (doc_id, small ints) BEFORE the final joins,
+    so document text is scanned once and never joined on.
+
+    100 TB: keepers/lens/bigram/contamination are independent aggregations
+    over one shared scan; the probe set broadcasts (benchmark-sized); the
+    final selection joins are id-keyed — co-partitioned after AQE — with
+    the wide row recovered by keeper-style id join, never by shuffling
+    text."""
+    from bigdata_rags_spark.dedup.exact import exact_dedup
+
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    lens = toks.select("doc_id", F.size("t").cast("bigint").alias("n_words"))
+    gram = toks.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("gram")
+    )
+    cnt = gram.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    bg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("bigint").alias("n_dup"),
+    )
+    sh = toks.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("t"), 3))).alias("shingle")
+    )
+    probes = sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    contam = (
+        sh.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(keepers, "doc_id", "left_semi")
+        .join(lens, "doc_id")
+        .join(bg, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .filter(
+            (F.col("doc_id") >= 5)
+            & F.col("n_words").between(10, 1000)
+            & F.coalesce(F.col("n_dup") * 5 <= F.col("n_bigrams"), F.lit(True))
+            & (F.coalesce(F.col("hits"), F.lit(0)) < 2)
+        )
+        .select("doc_id", "lang", "source", "n_words")
+    )

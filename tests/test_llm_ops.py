@@ -633,3 +633,37 @@ def test_deterministic_sketch_siblings_accuracy(spark, sf_oracle):
         assert sorted(
             map(tuple, REGISTRY["histogram_quantile_prices"].spark(spark, d).collect())
         ) == sorted(map(tuple, (r for pr, r in rows.items())))
+
+
+def test_corpus_training_selection_per_gate_drops(spark):
+    """Every gate of the capstone selection must drop its planted doc:
+    duplicate text (non-keeper), too short, too long, >20% duplicate
+    bigrams, benchmark contamination, and the probe set itself."""
+    import tempfile
+
+    import bigdata_rags_spark.queries.llm_ops as llm
+
+    good = " ".join(f"w{i}" for i in range(40))
+    probe = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # doc_id < 5: benchmark probe set (always excluded)
+        (0, probe), (1, "p q r s t u v w x y z aa bb cc"),
+        (2, "unused probe two three four five six seven eight nine ten"),
+        (3, "m n o p q r s t u v w"), (4, "j k l m n o p q r s t"),
+        (10, good),                                # survives
+        (11, good),                                # exact dup of 10: dropped
+        (12, "too short doc"),                      # < 10 tokens: dropped
+        (13, " ".join(f"t{i}" for i in range(1200))),  # > 1000: dropped
+        (14, "dup dup " * 30 + "ending filler one"),   # >20% dup bigrams
+        (15, f"{probe} plus some extra unique tail content here"),  # contaminated
+        (16, " ".join(f"u{i}" for i in range(25))),    # survives
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("test").alias("source"),
+            F.length("text").alias("n_chars"),
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"] for r in
+               llm.corpus_training_selection(spark, d).collect()}
+    assert got == {10, 16}, got
