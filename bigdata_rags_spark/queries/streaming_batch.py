@@ -589,3 +589,88 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(v_cents * dur_s) AS BIGINT) * 10000 div CAST(SUM(dur_s) AS BIGINT)")
         .alias("twap_micro"),
     )
+
+
+def _hourly_sketch_oracle() -> str:
+    """Oracle for the windowed LogLog sketch: shares extensions._LL_RHO_SQL
+    (the integer rank-of-first-1-bit CASE) — extensions is fully imported
+    by catalog before this module's body runs, so the decoration-time call
+    is safe."""
+    from bigdata_rags_spark.queries.extensions import _LL_RHO_SQL
+
+    return f"""
+WITH base AS (
+  SELECT DISTINCT epoch_ns(ts) // 3600000000000 AS hr,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rb AS (SELECT hr, hv % 64 AS bucket, hv // 64 AS rest FROM base),
+mx AS (SELECT hr, bucket, CAST(MAX({_LL_RHO_SQL}) AS INT) AS m_j
+       FROM rb GROUP BY hr, bucket),
+agg AS (
+  SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CAST(1 AS BIGINT) << (55 - m_j)) AS BIGINT) AS s_obs
+  FROM mx GROUP BY hr
+),
+ex AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS hr,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT agg.hr, ex.n_exact,
+       ROUND((0.7213 / (1 + 1.079 / 64)) * 64 * 64
+             / (CAST(s_obs + (64 - n_buckets) * (CAST(1 AS BIGINT) << 55) AS DOUBLE)
+                / CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)),
+             4) AS estimate
+FROM agg JOIN ex ON agg.hr = ex.hr
+"""
+
+
+@_s("events_hourly_unique_users_sketch", _hourly_sketch_oracle())
+def events_hourly_unique_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour, twice: exact COUNT(DISTINCT) and
+    the deterministic LogLog estimate (same md5/bucket/rho construction as
+    ``loglog_distinct_customers``) — the windowed form of the mergeable
+    sketch, which is how distinct counting actually runs on an unbounded
+    stream: per-partition (hour, bucket) maxima merge associatively into
+    per-window registers, so state is 64 small ints per open window
+    instead of a user-id set.  The exact count rides along per window so
+    every row reports its own estimation error.  All integer arithmetic
+    (bigint harmonic sum, micro-rounded estimate) — engine-neutral."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.queries.extensions import _LL_RHO_SQL
+
+    ev = read_events_batch(spark, sf_dir)
+    base = ev.select(
+        F.expr("ts_ns div 3600000000000").alias("hr"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("hv"),
+    ).distinct()
+    rb = base.select(
+        "hr", (F.col("hv") % 64).alias("bucket"), F.expr("hv div 64").alias("rest")
+    )
+    mx = rb.groupBy("hr", "bucket").agg(
+        F.expr(f"CAST(MAX({_LL_RHO_SQL}) AS INT)").alias("m_j")
+    )
+    # per-window registers: observed buckets only; the 64 - n_buckets
+    # missing registers each contribute 2^55 to the scaled harmonic sum
+    agg = mx.groupBy("hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m_j)")).cast("bigint").alias("s_obs"),
+    )
+    s_scaled = F.col("s_obs") + (64 - F.col("n_buckets")) * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 55)"
+    )
+    est = (
+        F.lit(0.7213 / (1 + 1.079 / 64)) * 64 * 64
+        / (s_scaled.cast("double") / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 55) AS DOUBLE)"))
+    )
+    exact = ev.select(
+        F.expr("ts_ns div 3600000000000").alias("hr"), "user_id"
+    ).groupBy("hr").agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return (
+        agg.join(exact, "hr")
+        .select("hr", "n_exact", F.round(est, 4).alias("estimate"))
+    )

@@ -395,3 +395,26 @@ def test_hourly_anomaly_flags_planted_spike(spark, sf_smoke):
     spike_hr = spike_ns // 3_600_000_000_000
     assert out[("click", spike_hr)]["is_anomaly"] == 1
     assert out[("click", spike_hr)]["c"] >= 500
+
+
+def test_hourly_unique_users_sketch_estimates(spark, sf_smoke):
+    """Per-window LogLog estimates must be positive and within a loose
+    error band of the per-window exact counts (m=64 => ~16% std; allow 3
+    sigma), and the exact rider must match an independent recount."""
+    import bigdata_rags_spark.queries.streaming_batch as sb
+
+    rows = sb.events_hourly_unique_users_sketch(spark, sf_smoke).collect()
+    assert rows
+    ev = read_events_batch(spark, sf_smoke)
+    want = {
+        r["hr"]: r["n"]
+        for r in ev.select(F.expr("ts_ns div 3600000000000").alias("hr"), "user_id")
+        .groupBy("hr")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_exact"] == want[r["hr"]]
+        assert r["estimate"] > 0
+        if r["n_exact"] >= 32:  # sketch error bound only meaningful past tiny n
+            assert abs(r["estimate"] - r["n_exact"]) / r["n_exact"] < 0.75, r
