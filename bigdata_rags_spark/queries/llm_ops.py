@@ -2243,3 +2243,58 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "n_words")
     )
+
+
+@_llm(
+    "balanced_corpus_quota",
+    f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(LEAST(len(toks), 100) * 10
+              + COALESCE(len(list_distinct(toks)) * 1000 // NULLIF(len(toks), 0), 0)
+              AS BIGINT) AS score_milli
+  FROM t
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY score_milli DESC, doc_id) AS INT) AS rank
+  FROM sc
+)
+SELECT lang, doc_id, score_milli, rank FROM r WHERE rank <= 50
+""",
+)
+def balanced_corpus_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus quota — the balancing step after quality
+    filtering: keep the top-50 docs PER LANGUAGE by a deterministic
+    integer quality score (capped length + lexical-diversity ratio in
+    milli-units), so low-resource languages keep their best documents
+    instead of being drowned by the head language's volume (the
+    data-mixture counterpart of ``training_mixture_plan``, which balances
+    by sampling rate rather than hard quota).
+
+    Scale shape: the score is a codegen'd expression over one scan; the
+    per-group top-K is a window over the lang partition — shuffle carries
+    (doc_id, lang, score) only, text never moves, and K rows per language
+    survive regardless of corpus skew."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql import Window
+
+    toks = ws_tokens(F.col("text"))
+    score = (
+        F.least(F.size(toks), F.lit(100)) * 10
+        + F.coalesce(
+            F.expr(
+                "size(array_distinct(split(lower(trim(text)), '\\\\s+'))) * 1000 "
+                "div nullif(size(split(lower(trim(text)), '\\\\s+')), 0)"
+            ),
+            F.lit(0),
+        )
+    ).cast("bigint")
+    sc = docs.select("doc_id", "lang", score.alias("score_milli"))
+    w = Window.partitionBy("lang").orderBy(F.col("score_milli").desc(), F.col("doc_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .select("lang", "doc_id", "score_milli", "rank")
+    )
