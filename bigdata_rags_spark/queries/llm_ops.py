@@ -1715,18 +1715,8 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + broadcast-semi-join + per-doc count; no corpus self-join, and
     the corpus text never shuffles."""
     docs = _docs_parallel(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(ws_tokens(F.col("text")), 3))).alias("shingle"),
-    )
-    probes = sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    sh, hits = _doc_contamination_hits(docs)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
-    hits = (
-        sh.filter(F.col("doc_id") >= 5)
-        .join(F.broadcast(probes), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
-    )
     return hits.join(counts, "doc_id").select(
         "doc_id",
         "n_contaminated",
@@ -1852,6 +1842,48 @@ def corpus_health_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+def _doc_bigram_dup_counts(toks: DataFrame) -> DataFrame:
+    """Per-doc bigram repetition counts over a (doc_id, t: array<string>)
+    frame: n_bigrams = bigram instances, n_dup_instances = instances whose
+    bigram repeats WITHIN the doc.  Shared by dup_bigram_fraction_docs and
+    the capstone corpus_training_selection so the gate definition cannot
+    drift between them; docs with <2 tokens produce no row (word_shingles
+    guards the empty case)."""
+    exploded = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("gram")
+    )
+    cnt = exploded.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_instances"),
+    )
+
+
+def _doc_contamination_hits(docs: DataFrame, k: int = 3, probe_below: int = 5):
+    """(shingles, per-doc probe-overlap counts) for benchmark
+    decontamination: docs below ``probe_below`` form the broadcast probe
+    set; every other doc's count of distinct shared k-gram shingles comes
+    back as ``n_contaminated``.  Shared by benchmark_decontamination and
+    corpus_training_selection."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(ws_tokens(F.col("text")), k))).alias(
+            "shingle"
+        ),
+    )
+    probes = sh.filter(F.col("doc_id") < probe_below).select("shingle").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") >= probe_below)
+        .join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    return sh, hits
+
+
 @_llm(
     "dup_bigram_fraction_docs",
     f"""
@@ -1885,21 +1917,7 @@ def dup_bigram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-shaped at any corpus size, text never crosses an exchange."""
     docs = _docs_parallel(spark, sf_dir)
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
-    n = F.size("t")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
-        ),
-    )
-    exploded = toks.filter(n >= 2).select("doc_id", F.explode(grams).alias("gram"))
-    cnt = exploded.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-            "n_dup_instances"
-        ),
-    )
+    agg = _doc_bigram_dup_counts(toks)
     scored = agg.select(
         "doc_id",
         "n_bigrams",
@@ -1908,7 +1926,7 @@ def dup_bigram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_instances") / F.col("n_bigrams").cast("double"), 6
         ).alias("dup_frac"),
     )
-    short = toks.filter(n < 2).select(
+    short = toks.filter(F.size("t") < 2).select(
         "doc_id",
         F.lit(0).cast("bigint").alias("n_bigrams"),
         F.lit(0).cast("bigint").alias("n_dup_instances"),
@@ -2205,30 +2223,12 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     final selection joins are id-keyed — co-partitioned after AQE — with
     the wide row recovered by keeper-style id join, never by shuffling
     text."""
-    from bigdata_rags_spark.dedup.exact import exact_dedup
-
     docs = _docs_parallel(spark, sf_dir)
     toks = docs.select("doc_id", ws_tokens(F.col("text")).alias("t"))
     keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     lens = toks.select("doc_id", F.size("t").cast("bigint").alias("n_words"))
-    gram = toks.filter(F.size("t") >= 2).select(
-        "doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("gram")
-    )
-    cnt = gram.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    bg = cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_bigrams"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("bigint").alias("n_dup"),
-    )
-    sh = toks.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("t"), 3))).alias("shingle")
-    )
-    probes = sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
-    contam = (
-        sh.filter(F.col("doc_id") >= 5)
-        .join(F.broadcast(probes), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
-    )
+    bg = _doc_bigram_dup_counts(toks)
+    _, contam = _doc_contamination_hits(docs)
     return (
         docs.select("doc_id", "lang", "source")
         .join(keepers, "doc_id", "left_semi")
@@ -2238,8 +2238,10 @@ def corpus_training_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("doc_id") >= 5)
             & F.col("n_words").between(10, 1000)
-            & F.coalesce(F.col("n_dup") * 5 <= F.col("n_bigrams"), F.lit(True))
-            & (F.coalesce(F.col("hits"), F.lit(0)) < 2)
+            & F.coalesce(
+                F.col("n_dup_instances") * 5 <= F.col("n_bigrams"), F.lit(True)
+            )
+            & (F.coalesce(F.col("n_contaminated"), F.lit(0)) < 2)
         )
         .select("doc_id", "lang", "source", "n_words")
     )
@@ -2280,18 +2282,15 @@ def balanced_corpus_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
     from pyspark.sql import Window
 
-    toks = ws_tokens(F.col("text"))
+    toks = docs.select("doc_id", "lang", ws_tokens(F.col("text")).alias("t"))
     score = (
-        F.least(F.size(toks), F.lit(100)) * 10
+        F.least(F.size("t"), F.lit(100)) * 10
         + F.coalesce(
-            F.expr(
-                "size(array_distinct(split(lower(trim(text)), '\\\\s+'))) * 1000 "
-                "div nullif(size(split(lower(trim(text)), '\\\\s+')), 0)"
-            ),
+            F.expr("size(array_distinct(t)) * 1000 div nullif(size(t), 0)"),
             F.lit(0),
         )
     ).cast("bigint")
-    sc = docs.select("doc_id", "lang", score.alias("score_milli"))
+    sc = toks.select("doc_id", "lang", score.alias("score_milli"))
     w = Window.partitionBy("lang").orderBy(F.col("score_milli").desc(), F.col("doc_id"))
     return (
         sc.withColumn("rank", F.row_number().over(w).cast("int"))

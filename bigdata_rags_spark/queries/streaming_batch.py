@@ -635,8 +635,10 @@ def events_hourly_unique_users_sketch(spark: SparkSession, sf_dir: str) -> DataF
     stream: per-partition (hour, bucket) maxima merge associatively into
     per-window registers, so state is 64 small ints per open window
     instead of a user-id set.  The exact count rides along per window so
-    every row reports its own estimation error.  All integer arithmetic
-    (bigint harmonic sum, micro-rounded estimate) — engine-neutral."""
+    every row reports its own estimation error.  Every step is integer or
+    single-rounded (bigint harmonic sum; ONE double division + ROUND(.,4)
+    at the end from identical bigints -> identical doubles both engines),
+    the same discipline as loglog_distinct_customers."""
     from pyspark.sql import functions as F
 
     from bigdata_rags_spark.queries.extensions import _LL_RHO_SQL
