@@ -74,3 +74,73 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SEQUENCE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_ts_ns", LongType()),
+        StructField("then_ts_ns", LongType()),
+        StructField("gap_ns", LongType()),
+    ]
+)
+
+SEQUENCE_STATE = StructType([StructField("first_ts_ns", LongType())])
+
+
+def detect_sequences(
+    events: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within_sec: int = 3600,
+) -> DataFrame:
+    """CEP-style A-then-B pattern detection per user: emit a match whenever
+    a ``then_type`` event arrives within ``within_sec`` of the latest
+    unmatched ``first_type`` event — the keyed pattern-match primitive
+    (fraud sequences, conversion paths) that windowed aggregations cannot
+    express because the match depends on ORDER and on state that may span
+    micro-batch boundaries.
+
+    State per user = one i64 (the pending A timestamp): latest A wins, a
+    matching B consumes it — O(1) state per key regardless of stream
+    length, the property that survives 100 TB/day.  Rows are folded in
+    event-time order inside each batch; production deployments add an
+    event-time timeout sized to ``within_sec`` so abandoned A-states age
+    out with the watermark (NoTimeout here keeps the operator minimal —
+    state is one long either way)."""
+    within_ns = int(within_sec) * 1_000_000_000
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pending = state.get[0] if state.exists else None
+        matches: list[tuple[int, int, int, int]] = []
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:  # timeout-only invocation: nothing to fold
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(["ts_ns", "event_id"])
+        for ts_ns, etype in zip(rows["ts_ns"], rows["event_type"]):
+            ts_ns = int(ts_ns)
+            if etype == first_type:
+                pending = ts_ns  # latest unmatched A wins
+            elif etype == then_type and pending is not None:
+                gap = ts_ns - pending
+                if 0 <= gap <= within_ns:
+                    matches.append((key[0], pending, ts_ns, gap))
+                    pending = None  # a match consumes the A
+        if pending is None:
+            state.remove()
+        else:
+            state.update((pending,))
+        if matches:
+            yield pd.DataFrame(
+                matches, columns=["user_id", "first_ts_ns", "then_ts_ns", "gap_ns"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SEQUENCE_OUTPUT,
+        stateStructType=SEQUENCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -334,3 +334,45 @@ def test_parquet_codec_matrix_roundtrips(spark, sf_smoke, tmp_path):
         p = str(tmp_path / f"codec_{codec}")
         src.write.option("compression", codec).parquet(p)
         assert sorted(map(tuple, spark.read.parquet(p).collect())) == want, codec
+
+
+def test_partitioned_zone_scan_prunes_partitions(spark, tmp_path):
+    """Hive-layout date partitioning must actually prune: a filter on the
+    partition column reaches the scan as a PartitionFilter and the plan
+    reports fewer files read than the zone holds — the mechanism that
+    makes a 100 TB date-partitioned lake scan only the queried days."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.io.writers import write_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("string").alias("day"),
+    )
+    out = str(tmp_path / "bydate")
+    write_partitioned(df, out, partition_by=["day"])
+    scan = spark.read.parquet(out).filter(F.col("day") == "3")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf
+    assert scan.count() == 100
+    # non-partition columns must NOT appear inside the partition-filter list
+    assert "id" not in pf
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution: batches written before a column existed
+    must read back (null-filled) next to newer batches via mergeSchema —
+    the lake's standard forward-compatible evolution path."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(5).select("id").write.parquet(out)
+    spark.range(5, 10).select(
+        "id", (F.col("id") * 2).alias("extra")
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[2] is None and rows[7] == 14

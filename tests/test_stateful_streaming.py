@@ -36,3 +36,38 @@ def test_state_accumulates_across_batches(spark, tmp_path):
         assert latest["max_value"] == 5.0
     finally:
         q.stop()
+
+def test_sequence_detection_matches_across_batches(spark, tmp_path):
+    """detect_sequences must match an A event from batch 1 against a B
+    event arriving in batch 2 (state crosses micro-batches), must NOT
+    match beyond the window, and a match must consume the pending A."""
+    from bigdata_rags_spark.streaming.stateful import detect_sequences
+
+    path = str(tmp_path / "seq_stream")
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    b1 = [
+        (1, 10 * NS, 7, "view", 1.0, ""),        # pending A for user 7
+        (2, 11 * NS, 7, "click", 1.0, ""),       # irrelevant type
+        (3, 10 * NS, 8, "view", 1.0, ""),        # pending A for user 8
+        (4, 5000 * NS, 9, "purchase", 1.0, ""),  # B with no prior A: no match
+    ]
+    b2 = [
+        (5, 40 * NS, 7, "purchase", 1.0, ""),      # matches batch-1 A (gap 30s)
+        (6, 90 * NS, 7, "purchase", 1.0, ""),      # A consumed: no second match
+        (7, 10_000 * NS, 8, "purchase", 1.0, ""),  # beyond 3600s window
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    out = detect_sequences(read_events_stream(spark, path), "view", "purchase", 3600)
+    q = (
+        out.writeStream.format("memory").queryName("t_seq")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("t_seq").count() == 0  # no B yet in batch 1
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        rows = [tuple(r) for r in spark.table("t_seq").collect()]
+        assert rows == [(7, 10 * NS, 40 * NS, 30 * NS)], rows
+    finally:
+        q.stop()
