@@ -89,6 +89,7 @@ HEADLINE = [
     "events_hourly_anomaly",
     "events_time_weighted_value",
     "corpus_training_selection",
+    "embedding_fuzzy_dedup_vectors",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

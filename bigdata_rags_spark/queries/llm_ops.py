@@ -2297,3 +2297,72 @@ def balanced_corpus_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .select("lang", "doc_id", "score_milli", "rank")
     )
+
+
+def _embedding_fuzzy_oracle(
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_bits: int = 2,
+    dim: int = 64,
+) -> str:
+    """Oracle for the embedding fuzzy-dedup pipeline: the SAME deterministic
+    LSH candidate rule as _lsh_pairs_oracle feeding the recursive-CTE
+    connected components + min-id-keeper survival of the text pipeline."""
+    sig_cols = _lsh_sig_sql(n_planes, n_tables, dim)
+    collide = " OR ".join(
+        f"bit_count(xor(a.sig{t}, b.sig{t})) <= {probe_bits}" for t in range(n_tables)
+    )
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, {", ".join(sig_cols)} FROM e),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
+               / sqrt(list_dot_product(b.v, b.v)), 6) AS similarity
+  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({collide})
+),
+pairs AS (SELECT id_a, id_b FROM cand WHERE similarity >= {threshold}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v
+),
+clusters AS (SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+losers AS (SELECT vec_id FROM clusters WHERE vec_id != cluster_id)
+SELECT em.vec_id, em.label
+FROM embeddings em LEFT JOIN losers l ON em.vec_id = l.vec_id
+WHERE l.vec_id IS NULL
+"""
+
+
+@_llm("embedding_fuzzy_dedup_vectors", _embedding_fuzzy_oracle())
+def embedding_fuzzy_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END embedding-space fuzzy dedup: deterministic LSH candidate
+    pairs -> exact cosine verify (>= 0.4) -> connected components ->
+    min-id keeper per cluster, everything else surviving — the
+    embedding-modality twin of ``fuzzy_dedup_surviving_docs`` (which runs
+    the same survival algebra over shingle-Jaccard pairs).  Subquadratic
+    at every stage: probe equi-joins for candidates, collision-bounded
+    verify, iterative label propagation shipping only (id, label) pairs,
+    and a final loser anti-join — no vector crosses an exchange after the
+    signature pass.  The recursive-CTE oracle replays pair generation AND
+    the transitive closure exactly."""
+    from bigdata_rags_spark.dedup.clusters import connected_components
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = lsh_verified_pairs(
+        e, threshold=0.4, n_planes=8, n_tables=4, probe_bits=2
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs, a="id_a", b="id_b")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return e.join(losers, "vec_id", "left_anti").select("vec_id", "label")
