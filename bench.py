@@ -90,6 +90,8 @@ HEADLINE = [
     "events_time_weighted_value",
     "corpus_training_selection",
     "embedding_fuzzy_dedup_vectors",
+    "minhash_jaccard_estimates",
+    "correlation_price_quantity",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

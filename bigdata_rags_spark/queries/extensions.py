@@ -2956,3 +2956,71 @@ def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@_q(
+    "correlation_price_quantity",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT)      AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT)   AS n,
+         CAST(SUM(x) AS BIGINT)     AS sx,
+         CAST(SUM(y) AS BIGINT)     AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM m GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * n), 6) AS covariance,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                      0.0), 6) AS correlation
+FROM agg
+""",
+)
+def correlation_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation and population covariance between
+    quantity and price — the bivariate-statistics surface, computed the
+    DETERMINISTIC way: the five moment sums accumulate as EXACT bigints
+    over unit-rounded values (quantities are integral; prices round to
+    whole dollars so y^2 sums stay far inside int64), then the correlation
+    assembles in double from identical integers — identical IEEE ops both
+    engines, no dependence on float accumulation order (the reason the
+    built-in corr()/covar_pop() can't be value-hashed across engines).
+    Scale shape: one partial+final hash agg; the moment trick is also the
+    mergeable form (per-partition moment vectors add associatively)."""
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    m = li.select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round("l_extendedprice").cast("bigint").alias("y"),
+    )
+    agg = m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    cov_num = n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    var_x = n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    var_y = n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / (n_d * F.col("n")), 6).alias("covariance"),
+        F.round(
+            cov_num / F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)), 6
+        ).alias("correlation"),
+    )

@@ -2366,3 +2366,119 @@ def embedding_fuzzy_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("doc_id").alias("vec_id")
     )
     return e.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+_SIG_MATCHES = " + ".join(
+    f"(CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END)" for s in range(12)
+)
+
+
+@_llm(
+    "minhash_jaccard_estimates",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS token
+  FROM documents
+),
+based AS (
+  SELECT doc_id, token, ('0x' || substr(md5(token), 1, 7))::BIGINT AS base FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {_MIN_EXPRS}
+  FROM based GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([0, 1, 2, 3, 4, 5]) AS band,
+         unnest([{_BAND_KEYS}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM toks GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(({_SIG_MATCHES}) * 1000 // 12 AS BIGINT) AS est_milli
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_milli,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS n_union,
+       COALESCE(i.n_inter, 0) * 1000
+         // (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)) AS true_milli
+FROM est e
+LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+""",
+)
+def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, not just a bucketer: for every LSH candidate
+    pair, the matching-component fraction of the 12-hash signatures
+    (est_milli, the unbiased Jaccard estimate E[matches/k] = J) next to the
+    exact shingle Jaccard (true_milli) — the property the banding
+    construction is built on, surfaced so pipelines can threshold on the
+    cheap estimate instead of the exact set intersection.  All integer
+    milli-units; the exact intersection costs one token join over
+    CANDIDATE pairs only (collision-bounded, never corpus x corpus)."""
+    from bigdata_rags_spark.dedup.minhash import (
+        _doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    sh = _doc_shingles(docs, "doc_id", "text", 5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    cand = lsh_candidate_pairs(docs, num_hashes=12, rows_per_band=2)
+    sig = minhash_signatures(docs, num_hashes=12, shingle_k=5)
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(12)])
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(12)])
+    est = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", F.expr(f"CAST({'+'.join(f'(CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END)' for s in range(12))} AS BIGINT) * 1000 div 12").alias("est_milli"))
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "token")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_milli",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("bigint").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr(
+                "CAST(coalesce(n_inter, 0) * 1000 div (na + nb - coalesce(n_inter, 0)) AS BIGINT)"
+            ).alias("true_milli"),
+        )
+    )

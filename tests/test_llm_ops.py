@@ -667,3 +667,46 @@ def test_corpus_training_selection_per_gate_drops(spark):
         got = {r["doc_id"] for r in
                llm.corpus_training_selection(spark, d).collect()}
     assert got == {10, 16}, got
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_oracle):
+    """The signature-match estimator must be a real estimate: mean absolute
+    deviation from the exact Jaccard bounded by the k=12 binomial error
+    (std ~ sqrt(J(1-J)/12) <= 0.145), and exact-duplicate pairs (J=1) must
+    estimate exactly 1000 milli (all signatures equal)."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["minhash_jaccard_estimates"].spark(spark, sf_oracle).collect()
+    assert rows
+    devs = [abs(r["est_milli"] - r["true_milli"]) / 1000 for r in rows]
+    assert sum(devs) / len(devs) < 0.2, sum(devs) / len(devs)
+    for r in rows:
+        if r["true_milli"] == 1000:
+            assert r["est_milli"] == 1000, r
+        assert 0 <= r["est_milli"] <= 1000 and r["n_inter"] <= r["n_union"]
+
+
+def test_correlation_matches_numpy(spark, sf_oracle):
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    import numpy as np
+
+    got = {r["l_returnflag"]: r for r in
+           REGISTRY["correlation_price_quantity"].spark(spark, sf_oracle).collect()}
+    li = read_testdata(spark, sf_oracle, "lineitem")["lineitem"]
+    data = {}
+    for r in li.select("l_returnflag", "l_quantity", "l_extendedprice").collect():
+        data.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_quantity"]), round(r["l_extendedprice"]))
+        )
+    # the exact-integer moment formula and numpy's mean-centered one differ
+    # by float cancellation in the moment differences (~5 digits at these
+    # magnitudes) — 1e-4 relative pins the STATISTIC; bit-exactness across
+    # engines is what the oracle parity check pins
+    for flag, xs in data.items():
+        a = np.array(xs, dtype=np.float64)
+        want = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
+        assert abs(got[flag]["correlation"] - want) < 1e-4, flag
+        want_cov = ((a[:, 0] - a[:, 0].mean()) * (a[:, 1] - a[:, 1].mean())).mean()
+        assert abs(got[flag]["covariance"] - want_cov) / max(abs(want_cov), 1) < 1e-4
