@@ -104,18 +104,15 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 12,
-    rows_per_band: int = 2,
-    shingle_k: int = 5,
+def candidate_pairs_from_signatures(
+    signatures: DataFrame, rows_per_band: int = 2
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >=1 band."""
-    bands = lsh_bands(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k), rows_per_band
-    )
+    """Distinct candidate pairs (doc_a < doc_b) sharing >=1 band, from an
+    ALREADY-COMPUTED signature matrix — callers that also need the
+    signatures themselves (e.g. Jaccard estimation) compute them once and
+    feed both consumers instead of re-running the shingle->md5->min-agg
+    pipeline."""
+    bands = lsh_bands(signatures, rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -126,6 +123,20 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >=1 band."""
+    return candidate_pairs_from_signatures(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k), rows_per_band
     )
 
 

@@ -383,10 +383,12 @@ _RECHECK: tuple[str, ...] = (
     "segment_dedup_docs",
     "tpch_q9_profit_by_nation_year",
     "embedding_lsh_topk",
-    # refactored onto shared gate helpers late in r6 (same semantics/plan
-    # family, new code path) — recheck per the CLAUDE.md contract
+    # refactored onto shared gate helpers / shared minhash CTEs late in r6
+    # (same semantics/plan family, new code path) — recheck per the
+    # CLAUDE.md contract
     "dup_bigram_fraction_docs",
     "benchmark_decontamination",
+    "minhash_lsh_candidates",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

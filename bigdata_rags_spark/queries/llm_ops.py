@@ -289,10 +289,7 @@ _BAND_KEYS = ", ".join(
 )
 
 
-@_llm(
-    "minhash_lsh_candidates",
-    f"""
-WITH toks AS (
+_SQL_MINHASH_CAND = f"""toks AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(
       CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
@@ -302,7 +299,7 @@ WITH toks AS (
   FROM documents
 ),
 based AS (
-  SELECT doc_id, ('0x' || substr(md5(token), 1, 7))::BIGINT AS base FROM toks
+  SELECT doc_id, token, ('0x' || substr(md5(token), 1, 7))::BIGINT AS base FROM toks
 ),
 sig AS (
   SELECT doc_id,
@@ -313,10 +310,20 @@ bands AS (
   SELECT doc_id, unnest([0, 1, 2, 3, 4, 5]) AS band,
          unnest([{_BAND_KEYS}]) AS band_key
   FROM sig
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)"""
+
+
+@_llm(
+    "minhash_lsh_candidates",
+    f"""
+WITH {_SQL_MINHASH_CAND}
+SELECT doc_a, doc_b FROM mh_cand
 """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2376,34 +2383,8 @@ _SIG_MATCHES = " + ".join(
 @_llm(
     "minhash_jaccard_estimates",
     f"""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(
-    list_transform(
-      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
-           ELSE [] END,
-      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
-    ))) AS token
-  FROM documents
-),
-based AS (
-  SELECT doc_id, token, ('0x' || substr(md5(token), 1, 7))::BIGINT AS base FROM toks
-),
-sig AS (
-  SELECT doc_id,
-         {_MIN_EXPRS}
-  FROM based GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, unnest([0, 1, 2, 3, 4, 5]) AS band,
-         unnest([{_BAND_KEYS}]) AS band_key
-  FROM sig
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),
+WITH {_SQL_MINHASH_CAND},
+cand AS (SELECT doc_a, doc_b FROM mh_cand),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM toks GROUP BY 1),
 inter AS (
   SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
@@ -2441,15 +2422,16 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     CANDIDATE pairs only (collision-bounded, never corpus x corpus)."""
     from bigdata_rags_spark.dedup.minhash import (
         _doc_shingles,
-        lsh_candidate_pairs,
+        candidate_pairs_from_signatures,
         minhash_signatures,
     )
 
     docs = _docs_parallel(spark, sf_dir)
     sh = _doc_shingles(docs, "doc_id", "text", 5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
-    cand = lsh_candidate_pairs(docs, num_hashes=12, rows_per_band=2)
+    # ONE signature pass feeds both the candidate join and the estimator
     sig = minhash_signatures(docs, num_hashes=12, shingle_k=5)
+    cand = candidate_pairs_from_signatures(sig, rows_per_band=2)
     sig_a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(12)])
     sig_b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(12)])
     est = (

@@ -122,7 +122,10 @@ def detect_sequences(
         for ts_ns, etype in zip(rows["ts_ns"], rows["event_type"]):
             ts_ns = int(ts_ns)
             if etype == first_type:
-                pending = ts_ns  # latest unmatched A wins
+                # latest unmatched A by EVENT TIME wins: a late-arriving
+                # older A must not overwrite a newer pending A from a
+                # previous micro-batch
+                pending = ts_ns if pending is None else max(pending, ts_ns)
             elif etype == then_type and pending is not None:
                 gap = ts_ns - pending
                 if 0 <= gap <= within_ns:

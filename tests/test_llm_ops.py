@@ -695,10 +695,17 @@ def test_correlation_matches_numpy(spark, sf_oracle):
     got = {r["l_returnflag"]: r for r in
            REGISTRY["correlation_price_quantity"].spark(spark, sf_oracle).collect()}
     li = read_testdata(spark, sf_oracle, "lineitem")["lineitem"]
+    import math
+
+    def half_up(v: float) -> int:
+        # mirror Spark/DuckDB ROUND (half away from zero), not python's
+        # banker's rounding — .50 price boundaries are common in TPC-H data
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
     data = {}
     for r in li.select("l_returnflag", "l_quantity", "l_extendedprice").collect():
         data.setdefault(r["l_returnflag"], []).append(
-            (round(r["l_quantity"]), round(r["l_extendedprice"]))
+            (half_up(r["l_quantity"]), half_up(r["l_extendedprice"]))
         )
     # the exact-integer moment formula and numpy's mean-centered one differ
     # by float cancellation in the moment differences (~5 digits at these

@@ -71,3 +71,28 @@ def test_sequence_detection_matches_across_batches(spark, tmp_path):
         assert rows == [(7, 10 * NS, 40 * NS, 30 * NS)], rows
     finally:
         q.stop()
+
+
+def test_sequence_detection_late_old_a_does_not_regress_pending(spark, tmp_path):
+    """A late-arriving OLDER A in a later batch must not overwrite the
+    newer pending A: the match must use the event-time-latest A."""
+    from bigdata_rags_spark.streaming.stateful import detect_sequences
+
+    path = str(tmp_path / "seq_late")
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    b1 = [(1, 100 * NS, 7, "view", 1.0, "")]
+    b2 = [
+        (2, 50 * NS, 7, "view", 1.0, ""),       # late, OLDER A
+        (3, 120 * NS, 7, "purchase", 1.0, ""),  # must match A@100, gap 20s
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    out = detect_sequences(read_events_stream(spark, path), "view", "purchase", 60)
+    q = out.writeStream.format("memory").queryName("t_seq_late").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        rows = [tuple(r) for r in spark.table("t_seq_late").collect()]
+        assert rows == [(7, 100 * NS, 120 * NS, 20 * NS)], rows
+    finally:
+        q.stop()
