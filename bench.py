@@ -92,6 +92,8 @@ HEADLINE = [
     "embedding_fuzzy_dedup_vectors",
     "minhash_jaccard_estimates",
     "correlation_price_quantity",
+    "events_attribution_first_vs_last",
+    "dup_cluster_size_histogram",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

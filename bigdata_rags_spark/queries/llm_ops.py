@@ -2464,3 +2464,50 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("true_milli"),
         )
     )
+
+
+@_llm(
+    "dup_cluster_size_histogram",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, text FROM documents WHERE doc_id % 12 = 0
+),
+clusters AS (
+  SELECT md5({_SQL_NORM}) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM corpus GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+FROM clusters GROUP BY cluster_size
+""",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the cluster-size histogram (how many exact-dup
+    clusters of each size, docs covered, and docs removable) — the report
+    every dedup run ships before anyone deletes anything, and the input to
+    storage-savings estimates.  Non-vacuous by planting BOTH a size-2 and
+    a size-3 population (every 6th doc re-keyed once, every 12th twice).
+    Scale shape: the content-hash groupBy (text never shuffles past the
+    partial agg) then a tiny histogram rollup over |clusters| rows."""
+    from bigdata_rags_spark.dedup.exact import exact_dedup
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    aug = docs
+    for mod, off in ((6, 1_000_000_000), (12, 2_000_000_000)):
+        aug = aug.unionByName(
+            docs.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
+            )
+        )
+    sizes = exact_dedup(aug).select("cluster_size")
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )

@@ -676,3 +676,91 @@ def events_hourly_unique_users_sketch(spark: SparkSession, sf_dir: str) -> DataF
         agg.join(exact, "hr")
         .select("hr", "n_exact", F.round(est, 4).alias("estimate"))
     )
+
+
+@_s(
+    "events_attribution_first_vs_last",
+    """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ns FROM events),
+p AS (SELECT event_id AS purchase_id, user_id, ns AS p_ns FROM e
+      WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ns AS c_ns FROM e
+      WHERE event_type = 'click'),
+cand AS (
+  SELECT p.purchase_id, p.user_id, c.click_id, c.c_ns
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ns <= p.p_ns AND c.c_ns > p.p_ns - 3600000000000
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ns, click_id) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY c_ns DESC, click_id DESC) AS rn_l,
+         CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_clicks
+  FROM cand
+)
+SELECT f.purchase_id, f.user_id,
+       f.click_id AS first_click_id,
+       l.click_id AS last_click_id,
+       f.n_clicks,
+       CAST(CASE WHEN f.click_id != l.click_id THEN 1 ELSE 0 END AS BIGINT)
+         AS multi_touch
+FROM (SELECT * FROM r WHERE rn_f = 1) f
+JOIN (SELECT purchase_id, click_id FROM r WHERE rn_l = 1) l
+  ON f.purchase_id = l.purchase_id
+""",
+)
+def events_attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: for every purchase, BOTH the first-touch and
+    last-touch click by the same user in the preceding hour, plus the touch
+    count and a multi_touch flag — the comparison marketing pipelines run
+    to choose an attribution model (the single-model cousin of
+    ``events_click_attribution``'s raw interval join).  Fully deterministic:
+    both ROW_NUMBER orders tie-break on click_id.
+
+    Scale shape: the user-keyed interval join bounds candidates by the 1h
+    window (streaming form would be the watermarked interval join); the
+    two rank windows and the count share one purchase_id shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts_ns").alias("p_ns"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ns").alias("c_ns"),
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ns") <= F.col("p_ns"))
+        & (F.col("c_ns") > F.col("p_ns") - F.lit(3_600_000_000_000)),
+    )
+    w_f = Window.partitionBy("purchase_id").orderBy("c_ns", "click_id")
+    w_l = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ns").desc(), F.col("click_id").desc()
+    )
+    w_n = Window.partitionBy("purchase_id")
+    r = cand.select(
+        "purchase_id", "user_id", "click_id",
+        F.row_number().over(w_f).alias("rn_f"),
+        F.row_number().over(w_l).alias("rn_l"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n_clicks"),
+    )
+    first = r.filter(F.col("rn_f") == 1).select(
+        "purchase_id", "user_id",
+        F.col("click_id").alias("first_click_id"), "n_clicks",
+    )
+    last = r.filter(F.col("rn_l") == 1).select(
+        "purchase_id", F.col("click_id").alias("last_click_id")
+    )
+    return first.join(last, "purchase_id").select(
+        "purchase_id", "user_id", "first_click_id", "last_click_id", "n_clicks",
+        F.when(F.col("first_click_id") != F.col("last_click_id"), 1)
+        .otherwise(0).cast("bigint").alias("multi_touch"),
+    )
