@@ -245,44 +245,23 @@ _PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
 # through vintages instead of re-confirming last round's greens.
 _DRIVER_CHECKED: dict[str, int] = {
     # --- last driver row: round 1 ---
-    "dedup_surviving_docs": 1,
-    "dup_cluster_assignment": 1,
-    "embedding_cosine_topk": 1,
     "embedding_near_dup_pairs_mm": 1,
-    "exact_dedup_docs": 1,
-    "minhash_lsh_candidates": 1,
-    "ngram_jaccard_near_dups": 1,
-    "simhash_fingerprints": 1,
     # --- last driver row: round 2 ---
     "approx_count_distinct_orders": 2,
     "approx_percentile_prices": 2,
     "collect_sorted_lists": 2,
-    "conditional_agg_priority_matrix": 2,
     "correlated_scalar_above_avg": 2,
-    "data_quality_report": 2,
     "date_arithmetic_orders": 2,
-    "explode_embedding_dim_stats": 2,
     "hash_functions_documents": 2,
-    "histogram_order_prices": 2,
-    "mad_outlier_orders": 2,
-    "math_functions_lineitem": 2,
     "pandas_udaf_geometric_mean": 2,
     "pandas_udf_harmonic_price": 2,
-    "percentiles_by_priority": 2,
-    "pivot_returnflag_by_status": 2,
-    "range_join_shipments_in_window": 2,
     "salted_join_revenue_by_priority": 2,
     "sql_grouping_sets": 2,
     "string_functions_extended": 2,
     "tpch_q13_customer_distribution": 2,
-    "tpch_q2_cheapest_supplier": 2,
-    "tpch_q3_shipping_priority": 2,
     "tpch_q4_order_priority": 2,
-    "unpivot_lineitem_measures": 2,
     "window_ntile_lead_firstvalue": 2,
-    "window_trailing_7d_range_frame": 2,
     # --- last driver row: round 4 ---
-    "benchmark_decontamination": 4,
     "bm25_keyword_search": 4,
     "corpus_health_by_lang": 4,
     "corpus_top_tokens": 4,
@@ -330,8 +309,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "defense_shape_metrics": 5,
     "discipline_shape_metrics": 5,
     "distinct_nation_segments": 5,
-    "dup_bigram_fraction_docs": 5,
-    "embedding_lsh_topk": 5,
     "embedding_near_dup_pairs_lsh": 5,
     "events_click_attribution": 5,
     "events_cohort_retention": 5,
@@ -353,7 +330,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "projection_rename_quoted": 5,
     "rollup_status_priority": 5,
     "rollup_sum_by_supplier": 5,
-    "segment_dedup_docs": 5,
     "semi_join_customers_with_urgent": 5,
     "set_ops_nation_membership": 5,
     "string_functions_parts": 5,
@@ -367,28 +343,65 @@ _DRIVER_CHECKED: dict[str, int] = {
     "tpch_q21_sole_blamed_supplier": 5,
     "tpch_q22_dormant_rich_customers": 5,
     "tpch_q8_market_share": 5,
-    "tpch_q9_profit_by_nation_year": 5,
     "window_lag_running_sum": 5,
     "window_rank_orders_in_segment": 5,
     "winsorized_price_stats": 5,
+    # --- last driver row: round 6 ---
+    "balanced_corpus_quota": 6,
+    "benchmark_decontamination": 6,
+    "bigram_lm_doc_scores": 6,
+    "conditional_agg_priority_matrix": 6,
+    "corpus_training_selection": 6,
+    "correlation_price_quantity": 6,
+    "data_quality_report": 6,
+    "decimal_exact_revenue": 6,
+    "dedup_surviving_docs": 6,
+    "dup_bigram_fraction_docs": 6,
+    "dup_cluster_assignment": 6,
+    "dup_cluster_size_histogram": 6,
+    "edit_distance_near_dups": 6,
+    "embedding_cosine_topk": 6,
+    "embedding_fuzzy_dedup_vectors": 6,
+    "embedding_ivf_probe_fixed": 6,
+    "embedding_lsh_topk": 6,
+    "events_attribution_first_vs_last": 6,
+    "events_dedup_replayed": 6,
+    "events_hourly_anomaly": 6,
+    "events_hourly_unique_users_sketch": 6,
+    "events_time_weighted_value": 6,
+    "exact_dedup_docs": 6,
+    "explode_embedding_dim_stats": 6,
+    "histogram_order_prices": 6,
+    "histogram_quantile_prices": 6,
+    "join_key_skew_report": 6,
+    "loglog_distinct_customers": 6,
+    "mad_outlier_orders": 6,
+    "math_functions_lineitem": 6,
+    "minhash_jaccard_estimates": 6,
+    "minhash_lsh_candidates": 6,
+    "multimodal_png_features": 6,
+    "multimodal_png_resize_features": 6,
+    "ngram_jaccard_near_dups": 6,
+    "null_safe_join_semantics": 6,
+    "percentiles_by_priority": 6,
+    "pivot_returnflag_by_status": 6,
+    "prefix_dup_docs": 6,
+    "range_join_shipments_in_window": 6,
+    "scd2_current_rows": 6,
+    "segment_dedup_docs": 6,
+    "simhash_fingerprints": 6,
+    "tpch_q2_cheapest_supplier": 6,
+    "tpch_q3_shipping_priority": 6,
+    "tpch_q9_profit_by_nation_year": 6,
+    "unpivot_lineitem_measures": 6,
+    "upsert_current_rows": 6,
+    "window_trailing_7d_range_frame": 6,
+    "zone_snapshot_diff": 6,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
-# Round 6: segment dedup's count join now keys by md5(segment) (same
-# semantics, new exchange key), tpch_q9 moved to integer-cents accumulation
-# on both engine sides (ADVICE r5 float-tie hardening), and the LSH top-k
-# widened its probe radius to 2 bits (measured faster at 2.1x recall —
-# both the Spark call and the oracle constants changed together).
 _RECHECK: tuple[str, ...] = (
-    "segment_dedup_docs",
-    "tpch_q9_profit_by_nation_year",
-    "embedding_lsh_topk",
-    # refactored onto shared gate helpers / shared minhash CTEs late in r6
-    # (same semantics/plan family, new code path) — recheck per the
-    # CLAUDE.md contract
-    "dup_bigram_fraction_docs",
-    "benchmark_decontamination",
-    "minhash_lsh_candidates",
+    # round 7: populated as queries change this round (CLAUDE.md contract)
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
