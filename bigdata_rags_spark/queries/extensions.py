@@ -2687,6 +2687,37 @@ def upsert_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("zone_compaction_invariant", None)
+def zone_compaction_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction invariant (``io/maintenance.compact_zone`` —
+    VERDICT r6 #5): write the documents table as a deterministic 8-file
+    zone, compact it to one file, and report (files_before, files_after,
+    rows_before, rows_after, row_delta).  Rows-only by nature: the checked
+    effect is a FILESYSTEM layout change (part-file count), which SQL
+    cannot observe — the row invariant (row_delta = 0, files 8 -> 1) is
+    the correctness contract and is additionally pinned with planted data
+    in tests/test_io.py.  Scale shape: compaction is one scan + one
+    round-robin repartition sized by target rows per file; on partitioned
+    zones it runs per hot partition (see compact_zone docstring)."""
+    import tempfile
+
+    from bigdata_rags_spark.io.maintenance import compact_zone
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    zone = tempfile.mkdtemp(prefix="bdrs_compact_") + "/zone"
+    docs.repartition(8).write.mode("overwrite").parquet(zone)
+    rows_before = spark.read.parquet(zone).count()
+    files_before, files_after = compact_zone(
+        spark, zone, target_rows_per_file=1_000_000_000
+    )
+    rows_after = spark.read.parquet(zone).count()
+    return spark.createDataFrame(
+        [(files_before, files_after, rows_before, rows_after, rows_after - rows_before)],
+        "files_before int, files_after int, rows_before bigint, rows_after bigint, "
+        "row_delta bigint",
+    )
+
+
 @_q(
     "join_key_skew_report",
     """

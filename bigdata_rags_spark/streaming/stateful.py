@@ -147,3 +147,65 @@ def detect_sequences(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def detect_sequences_batch(
+    events: "DataFrame",
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within_sec: int = 3600,
+) -> "DataFrame":
+    """Batch form of ``detect_sequences`` — the same match semantics as pure
+    window functions, no state store (VERDICT r6 #2).  Output contract is
+    identical (user_id, first_ts_ns, then_ts_ns, gap_ns).
+
+    Equivalence to the stateful fold (events processed per user in
+    (ts_ns, event_id) order): a B event matches iff the latest preceding A
+    is NEWER than every preceding B ("A-after-last-B") and within the
+    window.  Proof sketch that this equals latest-unmatched-A-with-
+    consumption: (i) if the fold matches B, its pending A is the globally
+    latest preceding A and postdates the last consuming B; any unmatched B
+    between that A and this B would have failed only on the window test
+    against the SAME A, and this B's gap to it is larger — contradiction,
+    so no B separates them and A-after-last-B holds.  (ii) if
+    A-after-last-B holds with gap <= window, that A postdates every prior
+    consuming B, so it is exactly the fold's pending A and the fold
+    matches.  Consumption falls out of (i): after a match, the next B sees
+    last-B >= the matched B > its latest A until a fresh A arrives.
+
+    All integer epoch-ns math; ordering ties break on event_id, so the
+    result is deterministic under any partitioning.  Scale shape: one
+    window shuffle on user_id shared by all four window expressions —
+    no self-join, no state.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    within_ns = int(within_sec) * 1_000_000_000
+    e = events.filter(
+        F.col("event_type").isin(first_type, then_type)
+    ).select("user_id", "event_id", "ts_ns", "event_type")
+    order = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    r = e.withColumn("rn", F.row_number().over(order))
+    prec = order.rowsBetween(Window.unboundedPreceding, -1)
+    is_a = F.col("event_type") == first_type
+    is_b = F.col("event_type") == then_type
+    s = r.select(
+        "user_id",
+        "ts_ns",
+        "event_type",
+        F.max(F.when(is_a, F.col("rn"))).over(prec).alias("la_rn"),
+        F.max(F.when(is_a, F.col("ts_ns"))).over(prec).alias("la_ns"),
+        F.max(F.when(is_b, F.col("rn"))).over(prec).alias("lb_rn"),
+    )
+    return s.filter(
+        is_b
+        & F.col("la_rn").isNotNull()
+        & (F.col("lb_rn").isNull() | (F.col("la_rn") > F.col("lb_rn")))
+        & (F.col("ts_ns") - F.col("la_ns") <= F.lit(within_ns))
+    ).select(
+        "user_id",
+        F.col("la_ns").alias("first_ts_ns"),
+        F.col("ts_ns").alias("then_ts_ns"),
+        (F.col("ts_ns") - F.col("la_ns")).alias("gap_ns"),
+    )

@@ -376,3 +376,15 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "extra"}
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows[2] is None and rows[7] == 14
+
+
+def test_zone_compaction_invariant_query(spark, sf_smoke):
+    """The registered rows-only compaction query must report the planted
+    8 -> 1 file collapse with zero row delta (VERDICT r6 #5)."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    row = REGISTRY["zone_compaction_invariant"].spark(spark, sf_smoke).collect()[0]
+    assert row["files_before"] == 8
+    assert row["files_after"] == 1
+    assert row["rows_before"] > 0
+    assert row["row_delta"] == 0

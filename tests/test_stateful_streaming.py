@@ -96,3 +96,134 @@ def test_sequence_detection_late_old_a_does_not_regress_pending(spark, tmp_path)
         assert rows == [(7, 100 * NS, 120 * NS, 20 * NS)], rows
     finally:
         q.stop()
+
+
+def _write_time_split_batches(spark, path, batches):
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode("overwrite").parquet(path)
+    for b in batches[1:]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_cep_batch_form_equals_stream_across_batches(spark, tmp_path):
+    """detect_sequences_batch (the window-function form behind the
+    events_cep_view_purchase driver query) must emit EXACTLY the rows the
+    stateful stream emits when micro-batches arrive in event-time order —
+    consumption, latest-A-wins, window expiry, same-ts ties, and
+    back-to-back re-arming all planted."""
+    from bigdata_rags_spark.streaming.stateful import (
+        detect_sequences,
+        detect_sequences_batch,
+    )
+
+    path = str(tmp_path / "cep_eq")
+    b1 = [
+        (1, 10 * NS, 7, "view", 1.0, ""),
+        (2, 11 * NS, 7, "click", 1.0, ""),    # irrelevant type interleaved
+        (3, 10 * NS, 8, "view", 1.0, ""),
+        (4, 10 * NS, 10, "view", 1.0, ""),
+        (5, 20 * NS, 10, "purchase", 1.0, ""),   # match, then re-arm below
+        (6, 50 * NS, 11, "view", 1.0, ""),
+        (7, 50 * NS, 11, "purchase", 1.0, ""),   # same-ts tie: A sorts first -> gap 0
+    ]
+    b2 = [
+        (8, 40 * NS, 7, "purchase", 1.0, ""),    # matches batch-1 A across batches
+        (9, 90 * NS, 7, "purchase", 1.0, ""),    # A consumed: no second match
+        (10, 100 * NS, 7, "view", 1.0, ""),
+        (11, 110 * NS, 7, "view", 1.0, ""),      # latest A wins
+        (12, 5000 * NS, 9, "purchase", 1.0, ""), # no prior A: no match
+        (13, 30 * NS, 10, "view", 1.0, ""),
+    ]
+    b3 = [
+        (14, 120 * NS, 7, "purchase", 1.0, ""),  # matches A@110
+        (15, 10000 * NS, 8, "purchase", 1.0, ""),  # beyond 3600s window
+        (16, 40 * NS, 10, "purchase", 1.0, ""),  # second match after re-arm
+    ]
+    _write_time_split_batches(spark, path, [b1, b2, b3])
+
+    out = detect_sequences(read_events_stream(spark, path), "view", "purchase", 3600)
+    q = out.writeStream.format("memory").queryName("t_cep_eq").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        stream_rows = sorted(tuple(r) for r in spark.table("t_cep_eq").collect())
+    finally:
+        q.stop()
+
+    batch_df = spark.read.parquet(path)
+    from bigdata_rags_spark.streaming.events import _normalize_events
+
+    batch_rows = sorted(
+        tuple(r)
+        for r in detect_sequences_batch(
+            _normalize_events(batch_df), "view", "purchase", 3600
+        ).collect()
+    )
+    assert stream_rows == batch_rows, (stream_rows, batch_rows)
+    expected = [
+        (7, 10 * NS, 40 * NS, 30 * NS),
+        (7, 110 * NS, 120 * NS, 10 * NS),
+        (10, 10 * NS, 20 * NS, 10 * NS),
+        (10, 30 * NS, 40 * NS, 10 * NS),
+        (11, 50 * NS, 50 * NS, 0),
+    ]
+    assert batch_rows == sorted(expected), batch_rows
+
+
+def test_cep_registered_query_runs_on_planted_zone(spark, tmp_path):
+    """The registered driver query applied to a planted events.parquet zone
+    (bigint ts path of the type-adaptive reader) reproduces the library
+    function's rows."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    path = str(tmp_path / "events.parquet")
+    rows = [
+        (1, 10 * NS, 7, "view", 1.0, ""),
+        (2, 40 * NS, 7, "purchase", 1.0, ""),
+        (3, 90 * NS, 7, "purchase", 1.0, ""),
+    ]
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["events_cep_view_purchase"].spark(spark, str(tmp_path)).collect()
+    )
+    assert got == [(7, 10 * NS, 40 * NS, 30 * NS)], got
+
+
+def test_running_totals_batch_final_rows_equal_stream_state(spark, tmp_path):
+    """events_running_user_totals' LAST row per user must equal the stateful
+    stream's final accumulated state (count/sum/max), across micro-batch
+    boundaries.  Values are exact cents on both sides."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    zone = tmp_path / "rt"
+    path = str(zone / "events.parquet")
+    b1 = [(1, 1 * NS, 7, "click", 2.25, ""), (2, 2 * NS, 7, "click", 3.5, ""),
+          (3, 3 * NS, 8, "view", 10.0, "")]
+    b2 = [(4, 4 * NS, 7, "click", 5.0, ""), (5, 5 * NS, 8, "view", -1.25, "")]
+    _write_time_split_batches(spark, path, [b1, b2])
+
+    out = running_user_totals(read_events_stream(spark, path))
+    q = out.writeStream.format("memory").queryName("t_rt_eq").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        final = {}
+        for r in spark.table("t_rt_eq").collect():
+            if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+                final[r["user_id"]] = r
+    finally:
+        q.stop()
+
+    batch = REGISTRY["events_running_user_totals"].spark(spark, str(zone))
+    last = {}
+    for r in batch.collect():
+        if r["user_id"] not in last or r["n_events"] > last[r["user_id"]]["n_events"]:
+            last[r["user_id"]] = r
+    assert set(last) == set(final)
+    for uid, b in last.items():
+        s = final[uid]
+        assert b["n_events"] == s["n_events"]
+        assert b["total_cents"] == round(s["total_value"] * 100)
+        assert b["max_cents"] == round(s["max_value"] * 100)
+    assert last[7]["total_cents"] == 1075 and last[7]["max_cents"] == 500
+    assert last[8]["total_cents"] == 875 and last[8]["max_cents"] == 1000
