@@ -2,20 +2,39 @@
 
 Pairwise detectors (MinHash/LSH, Jaccard, SimHash) emit edges; dedup needs
 the transitive closure — if A~B and B~C, then {A,B,C} is one cluster with
-one keeper.  Implemented as iterative min-label propagation (the standard
-large-graph approach, e.g. Kiveris et al. "Connected Components in
-MapReduce"): every node starts labeled with itself; each round it takes the
-min label among itself and its neighbors; convergence in O(component
-diameter) rounds — tiny for dup clusters.
+one keeper.  Implemented as iterative min-label propagation WITH pointer
+doubling (min propagation is the standard large-graph approach, e.g.
+Kiveris et al. "Connected Components in MapReduce"; the doubling step is
+classic Shiloach-Vishkin shortcutting): every node starts labeled with
+itself; each round it takes the min label among itself and its neighbors,
+then jumps once through the label table (label <- label[label]).  Labels
+only ever decrease and every label value is itself a node id, so the jump
+is a total inner self-join and preserves component membership; the jump
+flattens label trees so the min crosses >1 edge-hop per round (a 15-node
+chain converges in 3 rounds instead of 14).
 
-Everything is joins + groupBy (no driver-side graph); the only driver-side
-value per round is the `changed` count that decides convergence.  The edge
-set is cached across iterations.
+Everything is joins + groupBy (no driver-side graph).  Per-round driver
+work is ONE job: the convergence signal (count of labels that changed)
+rides the localCheckpoint materialization as an Observation metric instead
+of a second count() job.
+
+Round-7 measurements at sf0.1 (the 1,088-node / 802-edge threshold-0.4
+embedding near-dup graph), recorded so future rounds don't re-litigate:
+the r6 one-hop/two-job loop ran 14 rounds in 9.6 s; this doubled/observed
+loop runs 10 rounds in ~7 s.  The per-round floor is ~0.7 s of
+job-launch/py4j/plan-analysis latency, NOT task work — shrinking
+shuffle width to 1 partition and repartitioning the edge cache both
+changed nothing, extra pointer jumps per round did not reduce the round
+count on this graph topology (min propagation is edge-hop-bound off
+chains), and folding 2 hop+jump cycles into one job halved rounds to 6
+but tripled per-round plan cost (32 s total).  Further gains need edge
+contraction (large-star/small-star), whose 2 phases/round offer no win
+at this round count.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -47,39 +66,49 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("nlabel").alias("nmin"))
             )
+            # one min-propagation hop, keeping the previous label around so
+            # the convergence metric needs no extra join
+            hop = labels.join(neighbor_min, "u", "left").select(
+                "u",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            # pointer doubling: label <- label[label].  Every label value is
+            # a node id (labels start as self and only take mins of other
+            # labels), so the self-join is total; label[x] <= x makes it
+            # monotone and component-preserving.
+            jumped = hop.join(
+                hop.select(F.col("u").alias("label"), F.col("label").alias("glabel")),
+                "label",
+            ).select("u", "old", F.col("glabel").alias("label"))
             # localCheckpoint truncates the lineage each round — without it
             # the logical plan nests one full join per iteration and the
             # driver OOMs on analysis long before the data is big.  (On a
             # real cluster with unreliable executors, set a checkpoint dir
-            # and use .checkpoint() instead.)
-            new_labels = (
-                labels.join(neighbor_min, "u", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.join(
-                    labels.select("u", F.col("label").alias("old")), "u"
-                )
-                .filter(F.col("label") != F.col("old"))
-                .count()
-            )
-            labels = new_labels
+            # and use .checkpoint() instead.)  The Observation rides the
+            # checkpoint job, so `changed` costs no extra action.
+            obs = Observation()
+            new_labels = jumped.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("old")).cast("long")), F.lit(0)
+                ).alias("changed"),
+            ).localCheckpoint()
+            changed = obs.get["changed"]
+            labels = new_labels.select("u", "label")
             if changed == 0:
                 break
         else:
             # loop exhausted max_iter with changed > 0: labels are NOT the
-            # transitive closure (a component's diameter exceeds max_iter).
-            # Silent wrong answers are worse than loud ones (ADVICE r1).
+            # transitive closure (a component needs more doubled rounds than
+            # max_iter).  Silent wrong answers are worse than loud ones
+            # (ADVICE r1).
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} rounds "
                 f"({changed} labels still changing); raise max_iter — "
-                "rounds needed = max component diameter"
+                "rounds needed ~ log2(max component diameter)"
             )
         return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
