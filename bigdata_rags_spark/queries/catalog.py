@@ -270,7 +270,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "embedding_int8_quantization": 4,
     "embedding_ivf_topk": 4,
     "embedding_label_centroids": 4,
-    "embedding_near_dup_pairs": 4,
     "embedding_norm_stats": 4,
     "embedding_random_projection": 4,
     "exact_dup_clusters": 4,
@@ -401,7 +400,12 @@ _DRIVER_CHECKED: dict[str, int] = {
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 7: populated as queries change this round (CLAUDE.md contract)
+    # round 7: connected_components gained pointer doubling + an
+    # Observation-based convergence probe (same labels, new plan/code path)
+    # — recheck its three consumers per the CLAUDE.md contract
+    "dup_cluster_assignment",
+    "fuzzy_dedup_surviving_docs",
+    "embedding_fuzzy_dedup_vectors",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

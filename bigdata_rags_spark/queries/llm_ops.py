@@ -686,27 +686,22 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_llm(
-    "embedding_near_dup_pairs",
-    f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
-               / sqrt(list_dot_product(b.v, b.v)), 6) AS similarity
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, similarity FROM p WHERE similarity >= 0.4
-""",
-)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold on the rounded similarity
-    so the boundary is engine-deterministic).
+    """Exact embedding-cosine near-dup pairs (threshold on the rounded
+    similarity so the boundary is engine-deterministic).
 
-    Registered plan (r3): block-pair equi-join decomposition — B(B+1)/2
-    bounded shuffle-join cells instead of the r1/r2 corpus x corpus
-    BroadcastNestedLoopJoin, with the oracle's exact expression order so the
-    value hash still matches.  block_rows=256 so even the sf0.01 driver run
+    DEREGISTERED round 7 (VERDICT r6 #8): exact all-pairs scoring is
+    Omega(N^2) BY CONTRACT, so after three rounds as the registry's only
+    perf-weak row it is now a test-only baseline — it anchors the LSH
+    path's recall floor (tests/test_plans.py) and the block-join plan shape
+    stays pinned there, but `queries()` no longer advertises a plan no one
+    would run at 100x.  The registered production near-dup paths are
+    ``embedding_near_dup_pairs_lsh`` (oracle-checked, subquadratic) and the
+    capped Arrow matmul sibling ``embedding_near_dup_pairs_mm``.
+
+    Plan (r3): block-pair equi-join decomposition — B(B+1)/2 bounded
+    shuffle-join cells instead of the r1/r2 corpus x corpus
+    BroadcastNestedLoopJoin.  block_rows=256 so even the sf0.01 run
     exercises >1 block (same-block dedup + cross-block orientation paths).
     LSH prefiltering was measured and rejected for this data/threshold —
     see similarity/knn.py:cosine_pairs_above_blocked.
@@ -766,10 +761,19 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_llm("embedding_near_dup_pairs_mm", None)
 def embedding_near_dup_pairs_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same semantics as embedding_near_dup_pairs, executed as Arrow-batched
-    numpy matmul (the scale path for dense all-pairs scoring).  Rows-only
+    """Exact all-pairs cosine via Arrow-batched numpy matmul — the dense
+    BLAS execution path for bounded-corpus exact scoring.  Rows-only
     driver check: BLAS reduction order makes last-ulp value differences
-    possible vs the SQL oracle (see similarity/knn.py)."""
+    possible vs the SQL oracle (see similarity/knn.py).
+
+    CORPUS-SIZE CAP (round 7, VERDICT r6 #8): Omega(N^2) by contract, so
+    this registry entry is documented for bounded corpora only (~<=1M
+    vectors — block_rows^2 work per cell pair); beyond that use the
+    subquadratic ``embedding_near_dup_pairs_lsh``.  Kept registered (a)
+    as the exact dense baseline users calibrate ANN recall against and
+    (b) because it has benched in the shared-13 round-over-round subtotal
+    since r1.  The SQL-oracle exact sibling ``embedding_near_dup_pairs``
+    was demoted to a test-only helper this round."""
     from bigdata_rags_spark.similarity.knn import cosine_pairs_above_mm
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
@@ -2510,4 +2514,69 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+    )
+
+
+@_llm(
+    "doc_boilerplate_ngram_coverage",
+    f"""
+WITH toks3 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 3 THEN range(1, len({_SQL_TOKS}) - 1)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+2], ' ')
+    ))) AS token
+  FROM documents
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks3 GROUP BY 1),
+per AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM toks3 t JOIN df ON t.token = df.token
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_ngrams, n_shared,
+       n_shared * 1000 // n_ngrams AS boilerplate_milli
+FROM per
+""",
+)
+def doc_boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate coverage: for every doc, the fraction (in
+    exact integer milli-units) of its DISTINCT 3-gram shingles that also
+    occur in at least one OTHER document — the corpus-level novelty signal
+    (navigation chrome, license headers, template text) that per-doc
+    quality gates (`gopher_quality_filters`) and within-doc repetition
+    (`dup_bigram_fraction_docs`) cannot see; C4/RefinedWeb-style pipelines
+    gate on exactly this before training.  Shingles are distinct per doc,
+    so df >= 2 means ">= 2 distinct docs share the n-gram".
+
+    Scale shape: the same inverted-index discipline as TF-IDF/minhash —
+    explode to (doc_id, shingle), one partial+final count per shingle,
+    one co-keyed join back; only (hash-sized) shingle strings and two
+    bigints cross the exchanges, never documents.  Docs under 3 tokens
+    have no 3-grams and drop symmetrically in both engines."""
+    from bigdata_rags_spark.dedup.minhash import _doc_shingles
+
+    docs = _docs_parallel(spark, sf_dir)
+    sh = _doc_shingles(docs, "doc_id", "text", 3)
+    df_counts = sh.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    per = (
+        sh.join(df_counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_ngrams",
+        "n_shared",
+        F.expr("n_shared * 1000 div n_ngrams").alias("boilerplate_milli"),
     )

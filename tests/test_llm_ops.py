@@ -717,3 +717,49 @@ def test_correlation_matches_numpy(spark, sf_oracle):
         assert abs(got[flag]["correlation"] - want) < 1e-4, flag
         want_cov = ((a[:, 0] - a[:, 0].mean()) * (a[:, 1] - a[:, 1].mean())).mean()
         assert abs(got[flag]["covariance"] - want_cov) / max(abs(want_cov), 1) < 1e-4
+
+
+def test_boilerplate_ngram_coverage_planted(spark, tmp_path):
+    """Planted corpus: docs A/B share exactly one of their two 3-grams
+    ("a b c"), doc C shares nothing -> coverage 500/500/0 milli."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = [
+        (1, "a b c d", "en", "s", 7),
+        (2, "a b c x", "en", "s", 7),
+        (3, "q w e r t", "en", "s", 9),
+        (4, "too short", "en", "s", 9),  # < 3 tokens: no 3-grams, must drop
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_shared"], r["boilerplate_milli"])
+        for r in REGISTRY["doc_boilerplate_ngram_coverage"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: (2, 1, 500), 2: (2, 1, 500), 3: (3, 0, 0)}, got
+
+
+def test_cms_heavy_hitters_never_undercounts(spark, sf_smoke):
+    """CMS soundness: the min-over-rows estimate can only overcount; the
+    top-20 selection must match an independent exact count."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import read_events_batch
+
+    rows = REGISTRY["events_heavy_hitters_cms"].spark(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_est"] == r["exact_cnt"] + r["overcount"] for r in rows)
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in read_events_batch(spark, sf_smoke)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert exact[r["user_id"]] == r["exact_cnt"]

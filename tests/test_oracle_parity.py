@@ -56,6 +56,7 @@ def test_registry_contract():
         "embedding_near_dup_pairs_mm",        # BLAS reduction order
         "embedding_ivf_topk",                 # iterative k-means training
         "approx_percentile_prices",           # GK quantile sketch: engine-specific
+        "zone_compaction_invariant",          # filesystem effect (part-file count)
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name

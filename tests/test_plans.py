@@ -221,11 +221,14 @@ def test_final_tpch_analogs_have_scale_safe_plans(spark, sf_smoke):
 
 
 def test_near_dup_pairs_plan_is_block_join_not_bnlj(spark, sf_smoke):
-    """VERDICT r2 #3: the registered embedding_near_dup_pairs must not be a
-    corpus x corpus BroadcastNestedLoopJoin.  Since r3 it is a block-pair
-    equi-join on the (bi, bj) cell key — a plain shuffle join whose cells
-    each bound pair work at block_rows^2."""
-    p = _plan(REGISTRY["embedding_near_dup_pairs"].spark(spark, sf_smoke))
+    """VERDICT r2 #3: the exact all-pairs baseline (test-only since r7 —
+    VERDICT r6 #8 deregistered it from queries()) must not be a corpus x
+    corpus BroadcastNestedLoopJoin.  Since r3 it is a block-pair equi-join
+    on the (bi, bj) cell key — a plain shuffle join whose cells each bound
+    pair work at block_rows^2."""
+    from bigdata_rags_spark.queries.llm_ops import embedding_near_dup_pairs
+
+    p = _plan(embedding_near_dup_pairs(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
@@ -305,14 +308,18 @@ def test_lsh_near_dup_pairs_plan_is_subquadratic(spark, sf_smoke):
 def test_lsh_near_dup_recall_vs_exact(spark, sf_smoke):
     """The approximate path's recall against the exact op is the contract
     users tune (tables/probes); pin a floor on the smoke fixture — the
-    adversarial no-margin case — so parameter regressions surface."""
+    adversarial no-margin case — so parameter regressions surface.  The
+    exact baseline is the test-only helper since r7 (deregistered from
+    queries() as Omega(N^2)-by-contract)."""
+    from bigdata_rags_spark.queries.llm_ops import embedding_near_dup_pairs
+
     lsh = {
         (r["id_a"], r["id_b"])
         for r in REGISTRY["embedding_near_dup_pairs_lsh"].spark(spark, sf_smoke).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["embedding_near_dup_pairs"].spark(spark, sf_smoke).collect()
+        for r in embedding_near_dup_pairs(spark, sf_smoke).collect()
     }
     assert lsh <= exact, "verify step must make every emitted pair exact-true"
     assert len(lsh & exact) >= 0.6 * len(exact), (len(lsh), len(exact))
