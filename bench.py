@@ -59,11 +59,11 @@ HEADLINE = [
     "multimodal_video_framesample",
     # r5: the subquadratic production near-dup path (LSH candidates ->
     # exact verify), the new TPC-H shapes, and the real-codec WAV pipeline.
-    # r6 (VERDICT r5 #6): the exact-by-contract embedding_near_dup_pairs is
+    # r6 (VERDICT r5 #6): the exact-by-contract embedding_near_dup_pairs was
     # DE-HEADLINED — Ω(N²) all-pairs was 31% of the r5 warm bench for a plan
-    # no one would run at 100×; it stays correctness-checked (registry +
-    # tests/test_oracle_parity.py) while the LSH path below is the measured
-    # production near-dup plan.
+    # no one would run at 100×; r7 (VERDICT r6 #8) then deregistered it to a
+    # test-only baseline (tests/test_plans.py recall/plan pins) while the LSH
+    # path below is the measured production near-dup plan.
     "embedding_near_dup_pairs_lsh",
     "tpch_q9_profit_by_nation_year",
     "tpch_q12_priority_by_returnflag",
@@ -94,6 +94,13 @@ HEADLINE = [
     "correlation_price_quantity",
     "events_attribution_first_vs_last",
     "dup_cluster_size_histogram",
+    # r7 additions: CEP batch form and running-totals batch form (the last
+    # two stateful streaming operators earning driver rows), count-min heavy
+    # hitters, cross-document boilerplate coverage
+    "events_cep_view_purchase",
+    "events_running_user_totals",
+    "events_heavy_hitters_cms",
+    "doc_boilerplate_ngram_coverage",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
@@ -152,7 +159,15 @@ def main() -> None:
     # conservative cold total.
     rest = [n for n in HEADLINE if n not in SHARED_R1]
     times = run_pass(SHARED_R1)
-    warm = run_pass(SHARED_R1)
+    # Warm = MEDIAN of 3 passes, with min/max reported (VERDICT r6 #6):
+    # SCALE.md's variance study measured ±35% run-to-run spread on identical
+    # code from host capacity alone, so a single warm number invites false
+    # alarms — the spread makes the noise band visible in every BENCH_r{N}.
+    warm_passes = [run_pass(SHARED_R1) for _ in range(3)]
+    warm_totals = sorted(round(sum(p.values()), 3) for p in warm_passes)
+    warm = warm_passes[
+        [round(sum(p.values()), 3) for p in warm_passes].index(warm_totals[1])
+    ]
     times.update(run_pass(rest))
     warm.update(run_pass(rest))
 
@@ -181,6 +196,9 @@ def main() -> None:
                 "queries_by_tier_warm": tier_totals(warm),
                 "shared_r1_sec": round(sum(times[n] for n in SHARED_R1), 3),
                 "shared_r1_warm_sec": round(sum(warm[n] for n in SHARED_R1), 3),
+                "shared_r1_warm_med": warm_totals[1],
+                "shared_r1_warm_min": warm_totals[0],
+                "shared_r1_warm_max": warm_totals[2],
                 "sf": sf_val,
             }
         )
