@@ -101,6 +101,9 @@ HEADLINE = [
     "events_running_user_totals",
     "events_heavy_hitters_cms",
     "doc_boilerplate_ngram_coverage",
+    "ngram_containment_pairs",
+    "bigram_collocation_lift",
+    "image_phash_near_dups",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

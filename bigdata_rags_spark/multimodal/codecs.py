@@ -251,6 +251,43 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id")
     return df.mapInPandas(resize, schema)
 
 
+def image_ahash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of an 8x8 greyscale
+    image — the classic image near-dup sketch (resize small, threshold
+    each pixel against the mean, pack the bits).  The threshold is the
+    INTEGER-EXACT rule ``pixel * 64 >= sum(pixels)`` (no float mean), and
+    the 64 row-major bits are emitted as two bigint halves (``hash_lo``
+    bits 0-31, ``hash_hi`` bits 32-63) so no shift ever reaches the sign
+    bit — ANSI-safe and symbolically recomputable by a SQL oracle.
+    Arrow-batched ``mapInPandas`` over the payload frames that
+    ``resize_images`` emits."""
+    schema = f"{id_col} long, hash_lo long, hash_hi long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                img = decode_payload(
+                    bytes(row.payload), meta["width"], meta["height"], meta["format"]
+                ).astype(np.int64)
+                flat = img.reshape(-1)
+                if flat.size != 64:
+                    raise ValueError(
+                        f"aHash expects an 8x8 grid, got {img.shape}"
+                    )
+                total = int(flat.sum())
+                bits = flat * 64 >= total
+                lo = int(sum(1 << i for i in range(32) if bits[i]))
+                hi = int(sum(1 << i for i in range(32) if bits[32 + i]))
+                ids.append(getattr(row, id_col))
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({id_col: ids, "hash_lo": los, "hash_hi": his})
+
+    return df.mapInPandas(hash_batch, schema)
+
+
 def frame_sample(
     df: DataFrame, every_k: int = 4, frame_bytes: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2580,3 +2580,264 @@ def doc_boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFram
         "n_shared",
         F.expr("n_shared * 1000 div n_ngrams").alias("boilerplate_milli"),
     )
+
+
+@_llm(
+    "ngram_containment_pairs",
+    f"""
+WITH {_SQL_MINHASH_CAND},
+cand AS (SELECT doc_a, doc_b FROM mh_cand),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM toks GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       COALESCE(i.n_inter, 0)        AS n_inter,
+       sa.n_sh                       AS n_a,
+       sb.n_sh                       AS n_b,
+       COALESCE(i.n_inter, 0) * 1000 // sa.n_sh AS cont_a_milli,
+       COALESCE(i.n_inter, 0) * 1000 // sb.n_sh AS cont_b_milli
+FROM cand c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+""",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: Broder's containment coefficient
+    |S(A) ∩ S(B)| / |S(A)| per direction for every LSH candidate pair —
+    the quote/subset primitive symmetric Jaccard cannot see (a short doc
+    fully embedded in a long one has low Jaccard but containment 1000
+    milli), which is how pipelines catch excerpt spam and nested
+    boilerplate.  Shares ONE shingle pass and the banded candidate join
+    with the minhash family; the exact intersection is computed over
+    collision-bounded candidates only, all integer milli arithmetic.
+
+    Scale shape: identical to ``minhash_jaccard_estimates`` — signature
+    banding bounds candidates, the token join meets only candidate pairs,
+    and sizes reduce to (doc_id, bigint) before joining."""
+    from bigdata_rags_spark.dedup.minhash import (
+        _doc_shingles,
+        candidate_pairs_from_signatures,
+        minhash_signatures,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    sh = _doc_shingles(docs, "doc_id", "text", 5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    sig = minhash_signatures(docs, num_hashes=12, shingle_k=5)
+    cand = candidate_pairs_from_signatures(sig, rows_per_band=2)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "token")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("bigint").alias("n_inter"),
+            "n_a",
+            "n_b",
+            F.expr("coalesce(n_inter, 0) * 1000 div n_a").alias("cont_a_milli"),
+            F.expr("coalesce(n_inter, 0) * 1000 div n_b").alias("cont_b_milli"),
+        )
+    )
+
+
+@_llm(
+    "bigram_collocation_lift",
+    f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+big AS (
+  SELECT unnest(list_transform(
+    CASE WHEN len({_SQL_TOKS}) >= 2 THEN range(1, len({_SQL_TOKS}))
+         ELSE [] END,
+    i -> array_to_string(({_SQL_TOKS})[i:i+1], ' '))) AS bg
+  FROM documents
+),
+bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM toks),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM big),
+scored AS (
+  SELECT string_split(bc.bg, ' ')[1] AS w1,
+         string_split(bc.bg, ' ')[2] AS w2,
+         bc.c12, ua.c1 AS c1_w1, ub.c1 AS c1_w2,
+         ROUND(((CAST(bc.c12 AS DOUBLE) * n1.n_uni) * n1.n_uni)
+               / ((CAST(n2.n_big AS DOUBLE) * ua.c1) * ub.c1), 6) AS lift
+  FROM bc
+  JOIN uni ua ON ua.w = string_split(bc.bg, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(bc.bg, ' ')[2]
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE bc.c12 >= 5
+)
+SELECT * FROM scored ORDER BY lift DESC, w1, w2 LIMIT 20
+""",
+)
+def bigram_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 bigrams by LIFT — P(w1 w2) /
+    (P(w1) * P(w2)), the association measure (pointwise-MI's ratio form)
+    corpus linguists and tokenizer-vocabulary builders rank multi-word
+    units by — over corpus-wide non-distinct counts, min support c12 >= 5.
+    Exactness: every count is a bigint; the single lift expression
+    multiplies/divides bigint-exact doubles in a pinned order (all
+    intermediates < 2^53 at the tested SFs — beyond that, switch to
+    per-shard log-space) and rounds once, so both engines produce the
+    identical float64.  Deterministic order: (lift DESC, w1, w2).
+
+    Scale shape: two token explosions with partial+final counts (the
+    unigram join keys are words, the scalars broadcast via 1-row cross
+    joins), top-20 via TakeOrderedAndProject — no global sort."""
+    from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    big = docs.select(
+        F.explode(word_shingles(ws_tokens(F.col("text")), 2)).alias("bg")
+    )
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    n1 = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    n2 = big.agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    scored = (
+        bc.filter(F.col("c12") >= 5)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1_w1",
+            "c1_w2",
+            F.round(
+                (F.col("c12").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                / (F.col("n_big").cast("double") * F.col("c1_w1") * F.col("c1_w2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(20)
+
+
+def _phash_oracle(max_hamming: int = 7) -> str:
+    """Oracle for the image aHash near-dup join: the 8x8 downsample grid is
+    the resize index map (see _png_resize_oracle), the source pixel is
+    attach_png_payload's (doc_id, i) integer signal, the threshold is the
+    exact ``pix * 64 >= sum`` rule, and the pair predicate is evaluated
+    directly over all doc pairs (the Spark plan realizes the identical
+    predicate as an 8-band equi-join, exact by pigeonhole for
+    hamming <= 7)."""
+    src = "(((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)"
+    pix = f"(doc_id * 31 + ({src}) * 97) % 256"
+    return f"""
+WITH d AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 3 AS h
+           FROM documents),
+s AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS i FROM d),
+p AS (SELECT doc_id, i, {pix} AS pix FROM s),
+t AS (SELECT doc_id, CAST(SUM(pix) AS BIGINT) AS total FROM p GROUP BY 1),
+bits AS (
+  SELECT p.doc_id, p.i,
+         CASE WHEN p.pix * 64 >= t.total THEN 1 ELSE 0 END AS b
+  FROM p JOIN t USING (doc_id)
+),
+hh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i < 32
+                       THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+           AS hash_lo,
+         CAST(SUM(CASE WHEN i >= 32
+                       THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+           AS hash_hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+            + bit_count(xor(a.hash_hi, b.hash_hi)) AS INT) AS hamming
+FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+      + bit_count(xor(a.hash_hi, b.hash_hi)) <= {max_hamming}
+"""
+
+
+@_llm("image_phash_near_dups", _phash_oracle())
+def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality near-dup detection: genuine PNG bytes -> pure-python
+    decode -> 8x8 nearest-neighbor downsample -> 64-bit average hash
+    (``multimodal/codecs.image_ahash64``) -> banded Hamming self-join —
+    the multimodal twin of the SimHash text path, and the standard
+    perceptual-dedup step image-training pipelines run before (expensive)
+    embedding similarity.  EXACT by construction: 8 bands of 8 bits with
+    threshold hamming <= 7 guarantee (pigeonhole) every qualifying pair
+    collides in at least one untouched band, so the banded equi-join plus
+    exact bit_count verify equals the all-pairs predicate the oracle
+    states directly — a hash-green approximate-LOOKING op with exact
+    semantics.
+
+    Scale shape: hashes are 2 bigints/image; the band explode ships 8
+    (band, byte) keys per image into an equi-join, candidates are
+    collision-bounded (256 values per band — widen bands as the corpus
+    grows, same knob as every banded sketch here), and the verify is two
+    bit_counts per candidate.  Images themselves never cross an exchange
+    after the hash stage."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_png_payload,
+        image_ahash64,
+        resize_images,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    # cache: the hash frame feeds the band explode twice and both verify
+    # sides; without it the (python-codec) hash pipeline would run 4x
+    h = image_ahash64(
+        resize_images(attach_png_payload(docs), out_w=8, out_h=8)
+    ).cache()
+    bands = []
+    for b in range(4):
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.expr(f"shiftright(hash_lo, {8 * b}) & 255").alias("key")))
+    for b in range(4, 8):
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.expr(f"shiftright(hash_hi, {8 * (b - 4)}) & 255").alias("key")))
+    exploded = h.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_a"), F.col("hash_lo").alias("lo_a"),
+                  F.col("hash_hi").alias("hi_a"))
+    hb = h.select(F.col("doc_id").alias("doc_b"), F.col("hash_lo").alias("lo_b"),
+                  F.col("hash_hi").alias("hi_b"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("int"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .select("doc_a", "doc_b", "hamming")
+    )

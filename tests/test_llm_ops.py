@@ -763,3 +763,27 @@ def test_cms_heavy_hitters_never_undercounts(spark, sf_smoke):
     }
     for r in rows:
         assert exact[r["user_id"]] == r["exact_cnt"]
+
+
+def test_ngram_containment_detects_planted_subset_doc(spark, tmp_path):
+    """A doc whose text is a strict prefix of another must surface with
+    containment 1000 milli in the short->long direction (and < 1000 the
+    other way) — the asymmetry symmetric Jaccard cannot express."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "en", "s", 0),
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_milli"], r["cont_b_milli"])
+        for r in REGISTRY["ngram_containment_pairs"].spark(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got, got
+    ca, cb = got[(1, 2)]
+    assert ca == 1000 and cb < 1000, got
