@@ -104,6 +104,7 @@ HEADLINE = [
     "ngram_containment_pairs",
     "bigram_collocation_lift",
     "image_phash_near_dups",
+    "near_dup_graph_clustering",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

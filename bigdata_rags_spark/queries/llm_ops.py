@@ -2841,3 +2841,122 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 7)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def _phash_edges_sql() -> str:
+    """The pair predicate of ``_phash_oracle`` as a reusable CTE chain
+    ending in ``edges(doc_a, doc_b)`` (hamming <= 7, doc_a < doc_b)."""
+    src = "(((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)"
+    pix = f"(doc_id * 31 + ({src}) * 97) % 256"
+    return f"""d AS (SELECT doc_id, (n_chars % 13) + 4 AS w, (n_chars % 7) + 3 AS h
+           FROM documents),
+s AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS i FROM d),
+p AS (SELECT doc_id, i, {pix} AS pix FROM s),
+t AS (SELECT doc_id, CAST(SUM(pix) AS BIGINT) AS total FROM p GROUP BY 1),
+bits AS (
+  SELECT p.doc_id, p.i,
+         CASE WHEN p.pix * 64 >= t.total THEN 1 ELSE 0 END AS b
+  FROM p JOIN t USING (doc_id)
+),
+hh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i < 32
+                       THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+           AS hash_lo,
+         CAST(SUM(CASE WHEN i >= 32
+                       THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+           AS hash_hi
+  FROM bits GROUP BY doc_id
+),
+edges AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+        + bit_count(xor(a.hash_hi, b.hash_hi)) <= 7
+)"""
+
+
+@_llm(
+    "near_dup_graph_clustering",
+    f"""
+WITH {_phash_edges_sql()},
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION ALL
+  SELECT doc_b, doc_a FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.doc_a = e1.doc_b
+  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT agg.n_nodes, ne.n_edges, agg.n_wedges, tri.n_triangles,
+       CASE WHEN agg.n_wedges > 0
+            THEN 3 * tri.n_triangles * 1000 // agg.n_wedges
+            ELSE CAST(0 AS BIGINT) END AS closure_milli
+FROM agg, ne, tri
+""",
+)
+def near_dup_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed graph analytics over a near-dup graph: node/edge/wedge/
+    triangle counts and the global clustering coefficient (3*triangles /
+    wedges, integer milli) of the image-aHash similarity graph — the
+    transitivity report that tells a dedup pipeline how aggressive
+    transitive-closure survival (`connected_components`) is versus
+    pairwise-only removal: closure_milli near 1000 means near-dup is
+    ~transitive and CC is safe; low closure means CC chains unrelated
+    docs.  Triangle counting is the classic edge-iterator join (Suri &
+    Vassilvitskii's MR formulation): with edges oriented low->high id,
+    e1(a,b) |X| e2(b,c) enumerates each wedge once and the join back to
+    e3(a,c) closes it — each triangle counted exactly once, no node ever
+    materializes its full neighborhood.
+
+    Scale shape: two equi-joins on edge endpoints (shuffle keys are ids),
+    degree agg for wedges, three 1-row broadcast combines.  Skewed hub
+    nodes are the known hazard at 100 TB (mitigate: orient by degree
+    instead of id — same count, bounded fan-out)."""
+    edges = (
+        image_phash_near_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    und = edges.select(F.col("doc_a").alias("u")).unionAll(
+        edges.select(F.col("doc_b").alias("u"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("3 * n_triangles * 1000 div n_wedges"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("closure_milli"),
+        )
+    )
