@@ -105,6 +105,7 @@ HEADLINE = [
     "bigram_collocation_lift",
     "image_phash_near_dups",
     "near_dup_graph_clustering",
+    "embedding_diversity_fps",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -2960,3 +2960,104 @@ def near_dup_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("closure_milli"),
         )
     )
+
+
+def _fps_dist_sql(x: str, s: str) -> str:
+    """Integer-milli farthest-point distance: 1000 - round(cos * 1000).
+    Exact op order shared with the Spark expression (dot / sqrt / sqrt,
+    then * 1000, one ROUND) so both engines produce the identical bigint."""
+    return (
+        f"1000 - CAST(ROUND((list_dot_product({x}, {s}) "
+        f"/ sqrt(list_dot_product({x}, {x})) "
+        f"/ sqrt(list_dot_product({s}, {s}))) * 1000) AS BIGINT)"
+    )
+
+
+def _fps_oracle(k: int = 8) -> str:
+    """Chained-CTE replay of the greedy farthest-point traversal: step i's
+    argmax is a 1-row CTE, and the running min-distance column folds in the
+    new pick with LEAST — recursion-free, mechanically generated."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+  SELECT e.vec_id, e.v, {_fps_dist_sql('e.v', 's.v')} AS mind
+  FROM e, seed s WHERE e.vec_id != s.vec_id)""",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"p{i} AS (SELECT vec_id, v, mind FROM d{i - 1} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"""d{i} AS (
+  SELECT d.vec_id, d.v,
+         LEAST(d.mind, {_fps_dist_sql('d.v', f'p{i}.v')}) AS mind
+  FROM d{i - 1} d, p{i} WHERE d.vec_id != p{i}.vec_id)"""
+            )
+    selects = ["SELECT 1 AS step, vec_id, CAST(NULL AS BIGINT) AS mind_milli FROM seed"]
+    for i in range(2, k + 1):
+        selects.append(f"SELECT {i}, vec_id, mind FROM p{i}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@_llm("embedding_diversity_fps", _fps_oracle())
+def embedding_diversity_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling via greedy farthest-point traversal (Gonzalez's
+    2-approximate k-center seeding): start from the min-id vector, then
+    k-1 times add the vector maximizing its min cosine-distance to the
+    selected set — the coreset/diverse-few-shot selection step curation
+    pipelines run when they want coverage instead of random samples.
+
+    An ITERATIVE driver-coordinated algorithm that is still value-hash
+    oracle-checked (unlike k-means/IVF training, rows-only by float
+    drift): every selection statistic is the integer milli distance
+    1000 - round(cos*1000), computed in the shared exact fold order, so
+    each argmax (ties broken on vec_id) is engine-deterministic and the
+    oracle replays the whole traversal as chained 1-row CTEs.
+
+    Scale shape: k bounded driver actions of ONE row each (the pick and
+    its vector — same contract as IVF's k-centroid collects); each round
+    is one scan updating the running min-distance column with LEAST
+    against the broadcast pick, localCheckpointed so round i never
+    recomputes rounds 1..i-1.  O(k*N) distance evaluations total — the
+    algorithm's own lower bound."""
+    from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
+
+    K = 8
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+
+    def dist_milli(x: F.Column, s: F.Column) -> F.Column:
+        return F.lit(1000).cast("bigint") - F.round(
+            (dot(x, s) / norm(x) / norm(s)) * 1000
+        ).cast("bigint")
+
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, seed["vec_id"], None)]
+    sel_vec = F.array(*[F.lit(float(x)) for x in seed["v"]])
+    rem = (
+        e.filter(F.col("vec_id") != F.lit(seed["vec_id"]))
+        .select("vec_id", "v", dist_milli(F.col("v"), sel_vec).alias("mind"))
+        .localCheckpoint()
+    )
+    for step in range(2, K + 1):
+        top = rem.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[0]
+        picks.append((step, top["vec_id"], top["mind"]))
+        if step == K:
+            break
+        pvec = F.array(*[F.lit(float(x)) for x in top["v"]])
+        rem = (
+            rem.filter(F.col("vec_id") != F.lit(top["vec_id"]))
+            .select(
+                "vec_id",
+                "v",
+                F.least(F.col("mind"), dist_milli(F.col("v"), pvec)).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        picks, "step int, vec_id long, mind_milli long"
+    )
