@@ -106,6 +106,8 @@ HEADLINE = [
     "image_phash_near_dups",
     "near_dup_graph_clustering",
     "embedding_diversity_fps",
+    "scd2_point_in_time_lookup",
+    "events_run_length_islands",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

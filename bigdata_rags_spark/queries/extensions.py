@@ -3055,3 +3055,102 @@ def correlation_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov_num / F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)), 6
         ).alias("correlation"),
     )
+
+
+@_q(
+    "scd2_point_in_time_lookup",
+    """
+WITH changed AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0),
+closed AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+         STRFTIME(CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS valid_to,
+         FALSE AS is_current
+  FROM orders o JOIN changed USING (o_orderkey)
+),
+opened AS (
+  SELECT o.o_orderkey, 'X' AS o_orderstatus,
+         STRFTIME(CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to,
+         TRUE AS is_current
+  FROM orders o JOIN changed USING (o_orderkey)
+),
+untouched AS (
+  SELECT o_orderkey, o_orderstatus,
+         STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to,
+         TRUE AS is_current
+  FROM orders WHERE o_orderkey % 5 != 0
+),
+hist AS (
+  SELECT * FROM closed UNION ALL SELECT * FROM opened
+  UNION ALL SELECT * FROM untouched
+),
+probes AS (
+  SELECT o_orderkey,
+         STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 15 DAY, '%Y-%m-%d') AS lookup_date
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY, '%Y-%m-%d') AS lookup_date
+  FROM orders
+)
+SELECT p.o_orderkey, p.lookup_date, h.o_orderstatus, h.is_current
+FROM probes p
+JOIN hist h
+  ON p.o_orderkey = h.o_orderkey
+ AND h.valid_from <= p.lookup_date
+ AND (h.valid_to IS NULL OR p.lookup_date < h.valid_to)
+""",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table (point-in-time) join against the SCD-2 history that
+    ``scd2_current_rows`` builds: every order is probed at order date + 15
+    days (hits the CLOSED pre-change version for every 5th key) and + 45
+    days (hits the OPENED post-change version) — the "what did this row
+    look like when the fact happened" lookup that is the entire reason
+    SCD-2 history exists, and the batch analog of a stream's
+    versioned-dim enrichment.  Validity bounds compare as 'YYYY-MM-DD'
+    strings (lexicographic == chronological, engine-neutral); the open
+    interval is NULL-terminated.
+
+    Scale shape: the history reduces to (key, attrs, validity) rows; the
+    probe join is an equi-join on the key with a residual interval
+    predicate — co-partitioned by key, never a range cross-product; at
+    most |versions-per-key| candidates meet each probe."""
+    from bigdata_rags_spark.io.maintenance import scd2_apply
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("change_d"),
+    )
+    b1 = o.select("o_orderkey", "o_orderstatus", F.col("change_d").alias("change_ts"))
+    b2 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.date_add("change_d", 30).alias("change_ts"),
+    )
+    hist = scd2_apply(
+        scd2_apply(None, b1, "o_orderkey", "change_ts"), b2, "o_orderkey", "change_ts"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("__valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("__valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("__is_current").alias("is_current"),
+    )
+    probes = (
+        o.select("o_orderkey", F.date_format(F.date_add("change_d", 15), "yyyy-MM-dd").alias("lookup_date"))
+        .unionByName(
+            o.select("o_orderkey", F.date_format(F.date_add("change_d", 45), "yyyy-MM-dd").alias("lookup_date"))
+        )
+    )
+    return probes.join(
+        hist,
+        (probes["o_orderkey"] == hist["o_orderkey"])
+        & (hist["valid_from"] <= probes["lookup_date"])
+        & (hist["valid_to"].isNull() | (probes["lookup_date"] < hist["valid_to"])),
+    ).select(
+        probes["o_orderkey"], "lookup_date", "o_orderstatus", "is_current"
+    )

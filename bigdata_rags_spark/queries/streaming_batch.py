@@ -960,3 +960,59 @@ def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_cents").over(w).cast("bigint").alias("total_cents"),
         F.max("v_cents").over(w).cast("bigint").alias("max_cents"),
     )
+
+
+@_s(
+    "events_run_length_islands",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ns, event_id FROM events
+),
+r AS (
+  SELECT user_id, event_type, ns,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ns, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ns, event_id) AS rt
+  FROM e
+)
+SELECT user_id, event_type,
+       CAST(MIN(ns) AS BIGINT)  AS start_ns,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM r GROUP BY user_id, event_type, ra - rt
+HAVING COUNT(*) >= 2
+""",
+)
+def events_run_length_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of per-user event streams (gaps-and-islands):
+    maximal runs of >= 2 CONSECUTIVE same-type events, with start time and
+    length — the repeated-action detector (rage clicks, bot loops, retry
+    storms) that sessionization and windowed counts both blur away.  The
+    island key is the classic double-row_number difference (ra - rt is
+    constant exactly within a maximal same-type run); all integer
+    epoch-ns, ties broken on event_id.
+
+    Scale shape: both row_numbers share one user_id window shuffle
+    (Catalyst collapses same-partition windows; the per-(user,type) order
+    is a sort within the same exchange), then a partial+final agg on the
+    island key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    wa = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        "ts_ns",
+        (F.row_number().over(wa) - F.row_number().over(wt)).alias("island"),
+    )
+    return (
+        r.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts_ns").cast("bigint").alias("start_ns"),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 2)
+        .select("user_id", "event_type", "start_ns", "run_len")
+    )
