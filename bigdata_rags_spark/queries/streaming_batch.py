@@ -27,6 +27,20 @@ def _s(name: str, oracle: str | None):
     return query(name, oracle, tier=TIER_STREAMING)
 
 
+def cms_bucket(r: int, col):
+    """Count-min row-r bucket of a key: md5('cms{r}#' || key) -> 60-bit int
+    -> mod 64.  Module-level so the micro-batch merge test and the
+    ``events_heavy_hitters_cms`` query share the identical hash."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{r}#"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % 64
+
+
 @_s(
     "events_tumbling_hourly",
     """
@@ -818,16 +832,7 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = read_events_batch(spark, sf_dir).select("user_id")
-
-    def bucket(r: int, col) -> "F.Column":
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"cms{r}#"), col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        return h % 64
+    bucket = cms_bucket
 
     cells = (
         ev.select(

@@ -418,3 +418,59 @@ def test_hourly_unique_users_sketch_estimates(spark, sf_smoke):
         assert r["estimate"] > 0
         if r["n_exact"] >= 32:  # sketch error bound only meaningful past tiny n
             assert abs(r["estimate"] - r["n_exact"]) / r["n_exact"] < 0.75, r
+
+
+def test_cms_sketch_registers_merge_across_microbatches(spark, tmp_path):
+    """The count-min registers are a MERGEABLE sketch: streaming the events
+    in two micro-batches (complete-mode grouped count over (row, bucket))
+    must produce exactly the cells a single batch pass computes."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.queries.streaming_batch import cms_bucket
+    from bigdata_rags_spark.streaming.events import NS, read_events_stream
+
+    path = str(tmp_path / "cms_stream")
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    b1 = [(i, i * NS, i % 5, "click", 1.0, "") for i in range(40)]
+    b2 = [(100 + i, (100 + i) * NS, i % 7, "view", 1.0, "") for i in range(40)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(path)
+
+    def cells(df):
+        exploded = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            cms_bucket(r, F.col("user_id")).alias("bucket"),
+                        )
+                        for r in range(4)
+                    ]
+                )
+            ).alias("cell")
+        ).select("cell.r", "cell.bucket")
+        return exploded.groupBy("r", "bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    q = (
+        cells(read_events_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName("t_cms_cells")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        streamed = {
+            (r["r"], r["bucket"]): r["c"] for r in spark.table("t_cms_cells").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cells(spark.read.parquet(path)).collect()
+    }
+    assert streamed == batch and len(batch) > 0
