@@ -406,6 +406,9 @@ _RECHECK: tuple[str, ...] = (
     "dup_cluster_assignment",
     "fuzzy_dedup_surviving_docs",
     "embedding_fuzzy_dedup_vectors",
+    # round 7 (late): cms bucket hash hoisted to module level for the
+    # micro-batch merge test — expression unchanged, recheck to be safe
+    "events_heavy_hitters_cms",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

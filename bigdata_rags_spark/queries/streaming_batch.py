@@ -1021,3 +1021,37 @@ def events_run_length_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 2)
         .select("user_id", "event_type", "start_ns", "run_len")
     )
+
+
+@_s(
+    "events_rollup_cascade",
+    """
+SELECT event_type,
+       epoch_ns(ts) // 86400000000000 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+       CAST(COUNT(DISTINCT epoch_ns(ts) // 60000000000) AS BIGINT) AS n_buckets
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: day-level stats computed by
+    CASCADE — minute partials merged into hours, hours merged into days —
+    while the oracle aggregates the raw events directly.  Hash-equality is
+    therefore a proof of the mergeable-summaries algebra (count/sum/min/max
+    as exact bigint cents, `streaming/rollup.py`): the cascade loses
+    nothing vs a full rescan, which is what lets a 100 TB pipeline serve
+    day dashboards from hour partials without ever touching raw events
+    twice.  `n_buckets` rides along as the merge-bookkeeping check (sum of
+    merged minute rows == distinct minutes seen by the direct scan)."""
+    from bigdata_rags_spark.streaming.rollup import merge_up, minute_partials
+
+    minute = minute_partials(read_events_batch(spark, sf_dir))
+    day = merge_up(merge_up(minute, 60), 24)
+    return day.select(
+        "event_type", "bucket", "n_events", "sum_cents",
+        "min_cents", "max_cents", "n_buckets",
+    )

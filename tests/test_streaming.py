@@ -474,3 +474,68 @@ def test_cms_sketch_registers_merge_across_microbatches(spark, tmp_path):
         for r in cells(spark.read.parquet(path)).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_rollup_cascade_equals_direct_aggregation(spark, sf_smoke):
+    """The minute->hour->day cascade must equal a direct day-level
+    aggregation of the raw events (mergeable-summaries algebra)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import read_events_batch
+
+    cascade = {
+        tuple(r) for r in REGISTRY["events_rollup_cascade"].spark(spark, sf_smoke).collect()
+    }
+    ev = read_events_batch(spark, sf_smoke)
+    direct = {
+        tuple(r)
+        for r in ev.select(
+            "event_type",
+            F.expr("ts_ns div 86400000000000").alias("bucket"),
+            F.expr("ts_ns div 60000000000").alias("minute"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v_cents").cast("bigint").alias("sum_cents"),
+            F.min("v_cents").alias("min_cents"),
+            F.max("v_cents").alias("max_cents"),
+            F.countDistinct("minute").cast("bigint").alias("n_buckets"),
+        )
+        .collect()
+    }
+    assert cascade == direct and len(direct) > 0
+
+
+def test_rollup_partials_merge_after_restart_split(spark):
+    """Restart/backfill contract: minute partials computed over two disjoint
+    halves of the stream, unioned and re-merged, equal partials over the
+    whole — the associativity `merge_up` relies on at every level."""
+    from bigdata_rags_spark.streaming.rollup import merge_up, minute_partials
+
+    schema = "event_type string, ts_ns long, value double"
+    rows = [("a" if i % 3 else "b", i * 7_000_000_000, (i % 11) * 0.25) for i in range(200)]
+    whole = spark.createDataFrame(rows, schema)
+    h1 = spark.createDataFrame(rows[:97], schema)
+    h2 = spark.createDataFrame(rows[97:], schema)
+
+    # re-merge at ratio 1: pure partial-merge, no re-bucketing
+    remerged = {
+        (r["event_type"], r["bucket"]): r.asDict()
+        for r in merge_up(
+            minute_partials(h1).unionByName(minute_partials(h2)), 1
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket"]): r.asDict()
+        for r in minute_partials(whole).collect()
+    }
+    assert remerged.keys() == direct.keys() and len(direct) > 0
+    for k, d in direct.items():
+        m = remerged[k]
+        for c in ("n_events", "sum_cents", "min_cents", "max_cents"):
+            assert m[c] == d[c], (k, c, m, d)
+        # a minute spanning the h1/h2 split merges two partial rows
+        assert m["n_buckets"] >= d["n_buckets"], (k, m, d)
