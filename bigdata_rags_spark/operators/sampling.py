@@ -54,3 +54,71 @@ def stratified_hash_sample(
     return df.withColumn("sample_bucket", hash_bucket(key, salt)).filter(
         F.col("sample_bucket") < threshold
     )
+
+
+PRIORITY_SCALE = 1 << 40  # matches the 40-bit u: priorities land in weight units
+
+
+def priority_sample(
+    df: DataFrame, key: Column, weight: Column, k: int, salt: str = "ps"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund, Thorup, "Priority sampling for estimation of arbitrary
+    subset sums", JACM 2007): each row gets priority q = w/u with u uniform
+    in (0,1]; the k highest-priority rows form the sample, and with
+    tau = the (k+1)-th priority, est_weight = max(w, tau) is an unbiased
+    estimator of any subset-sum of the weights.
+
+    Determinism contract (same answer on any engine / any partitioning):
+      * u is md5-derived (40-bit integer + 1), never an RNG;
+      * priorities are INTEGER-scaled: priority = w * 2^40 div u — exact
+        bigint in both engines (w <= ~1e6 keeps the product < 2^63), and
+        because u is 40-bit the scaled priority is floor(w / u_real),
+        ALREADY in weight units;
+      * ordering ties break on the key, so est_weight = max(w, tau) is
+        exact bigint with no unit conversion.
+
+    100 TB shape: one row-local expression pass, then a global top-(k+1)
+    which Spark executes as TakeOrderedAndProject (per-partition heaps +
+    a driver merge of k+1 rows — no global sort, no full shuffle).  The
+    window splitting sample rows from the threshold row runs on k+1 rows
+    only.  The reference has no sampling surface (SURVEY.md §2).
+
+    Returns the k sample rows: (key, weight, u, priority, est_weight).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))), 1, 10),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )  # deterministic uniform integer in [1, 2^40]
+    scored = df.select(
+        key.alias("key"),
+        F.greatest(weight.cast("bigint"), F.lit(1)).alias("weight"),
+        u.alias("u"),
+    ).withColumn("priority", F.expr(f"weight * {PRIORITY_SCALE}L div u"))
+    top = scored.orderBy(F.desc("priority"), F.asc("key")).limit(k + 1)
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("priority"), F.asc("key"))
+    )
+    ranked = top.withColumn("rn", rn)
+    # tau = the (k+1)-th priority; 0 when the table has <= k rows (then the
+    # "sample" is the whole table and est_weight degenerates to the exact w).
+    tau = ranked.filter(F.col("rn") == k + 1).groupBy().agg(
+        F.coalesce(F.min("priority"), F.lit(0)).cast("bigint").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .join(F.broadcast(tau))
+        .select(
+            "key",
+            "weight",
+            "u",
+            "priority",
+            F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
+        )
+    )

@@ -3061,3 +3061,37 @@ def embedding_diversity_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "step int, vec_id long, mind_milli long"
     )
+
+
+@_llm(
+    "priority_sample_docs",
+    """
+WITH scored AS (
+  SELECT doc_id,
+         GREATEST(CAST(n_chars AS BIGINT), 1) AS weight,
+         ('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT + 1 AS u
+  FROM documents
+),
+p AS (SELECT doc_id, weight, u, weight * 1099511627776 // u AS priority FROM scored),
+top AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 101),
+ranked AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM top),
+tau AS (SELECT COALESCE(MIN(CASE WHEN rn = 101 THEN priority END), 0) AS t FROM ranked)
+SELECT doc_id AS key, weight, u, priority,
+       CAST(GREATEST(weight, t) AS BIGINT) AS est_weight
+FROM ranked, tau WHERE rn <= 100
+""",
+)
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 100 docs WITHOUT replacement via priority
+    sampling (Duffield-Lund-Thorup; `operators/sampling.py:priority_sample`):
+    md5-derived uniforms, integer-scaled priorities, tau-thresholded
+    est_weight — an unbiased subset-sum estimator the oracle replays to the
+    bit.  Unlike `length_weighted_sample_docs` (independent keep-coins,
+    random sample SIZE) this yields an exact-k sample with estimation
+    guarantees — the shape to reach for when a fixed token budget must be
+    filled from a weighted corpus.  Scale: TakeOrderedAndProject top-(k+1),
+    no global sort."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    from bigdata_rags_spark.operators.sampling import priority_sample
+
+    return priority_sample(docs, F.col("doc_id"), F.col("n_chars"), k=100, salt="ps")

@@ -199,3 +199,39 @@ def test_expectations_detect_planted_violations(spark):
     # a clean table passes everything
     clean = expect_unique(parent, "pk").collect()[0]
     assert clean["violations"] == 0 and clean["passed"] == 1
+
+
+def test_priority_sample_estimator_and_determinism(spark):
+    """Priority sampling: exact-k sample, est_weight >= weight, the
+    tau-threshold subset-sum estimate lands near the true total weight
+    (~1/sqrt(k) relative error), and the sample is identical under a
+    different input partitioning."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.operators.sampling import priority_sample
+
+    rows = [(i, (i * 37) % 997 + 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = 200
+    out = priority_sample(df, F.col("id"), F.col("w"), k=k).collect()
+    assert len(out) == k
+    assert all(r["est_weight"] >= r["weight"] for r in out)
+    true_total = sum(w for _, w in rows)
+    est_total = sum(r["est_weight"] for r in out)
+    assert abs(est_total - true_total) / true_total < 0.30, (est_total, true_total)
+
+    repart = priority_sample(df.repartition(17, "w"), F.col("id"), F.col("w"), k=k)
+    assert {tuple(r) for r in repart.collect()} == {tuple(r) for r in out}
+
+
+def test_priority_sample_degenerates_below_k(spark):
+    """With n <= k the whole table is the sample and est_weight == weight
+    (tau = 0)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(i, 10 * i + 1) for i in range(5)], "id long, w long")
+    out = priority_sample(df, F.col("id"), F.col("w"), k=100).collect()
+    assert len(out) == 5
+    assert all(r["est_weight"] == r["weight"] for r in out)
