@@ -3095,3 +3095,72 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_rags_spark.operators.sampling import priority_sample
 
     return priority_sample(docs, F.col("doc_id"), F.col("n_chars"), k=100, salt="ps")
+
+
+@_llm(
+    "source_pair_overlap_kmv",
+    f"""
+WITH corpus AS (
+  SELECT source AS src, md5({_SQL_NORM}) AS hh FROM documents
+  UNION ALL
+  SELECT 'mirror' AS src, md5({_SQL_NORM}) AS hh FROM documents WHERE doc_id % 3 = 0
+),
+dist AS (SELECT DISTINCT src, ('0x' || substr(hh, 1, 15))::BIGINT AS h FROM corpus),
+srcs AS (SELECT DISTINCT src FROM dist),
+pairs AS (SELECT a.src AS sa, b.src AS sb FROM srcs a JOIN srcs b ON a.src < b.src),
+sig AS (
+  SELECT src, h FROM (
+    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rn FROM dist
+  ) WHERE rn <= 16
+),
+mem_sig AS (
+  SELECT sa, sb, h, MAX(ia) AS in_a, MAX(ib) AS in_b FROM (
+    SELECT p.sa, p.sb, s.h, 1 AS ia, 0 AS ib FROM pairs p JOIN sig s ON s.src = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, s.h, 0 AS ia, 1 AS ib FROM pairs p JOIN sig s ON s.src = p.sb
+  ) GROUP BY 1, 2, 3
+),
+kmv AS (
+  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS kmv_matches
+  FROM (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM mem_sig)
+  WHERE rn <= 16 GROUP BY 1, 2
+),
+mem_full AS (
+  SELECT sa, sb, h, MAX(ia) AS in_a, MAX(ib) AS in_b FROM (
+    SELECT p.sa, p.sb, d.h, 1 AS ia, 0 AS ib FROM pairs p JOIN dist d ON d.src = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, d.h, 0 AS ia, 1 AS ib FROM pairs p JOIN dist d ON d.src = p.sb
+  ) GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT sa, sb, CAST(SUM(in_a * in_b) AS BIGINT) AS exact_common,
+         CAST(COUNT(*) AS BIGINT) AS exact_union
+  FROM mem_full GROUP BY 1, 2
+)
+SELECT kmv.sa AS source_a, kmv.sb AS source_b, k_used, kmv_matches,
+       exact_common, exact_union
+FROM kmv JOIN exact ON kmv.sa = exact.sa AND kmv.sb = exact.sb
+""",
+)
+def source_pair_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source pairs share content, estimated from k-minimum-values
+    signatures (`dedup/kmv.py`) with an exact-Jaccard rider auditing the
+    estimate — the planning query you run BEFORE a cross-source dedup so
+    disjoint pairs never enter the expensive join.  The sf fixtures have no
+    cross-source duplicates (every pair would be vacuously zero), so the
+    corpus plants a 'mirror' source holding a copy of every 3rd document:
+    pairs (src*, mirror) get real overlap, all-original pairs pin the
+    zero case.  Signatures are mergeable min-k sets of the 60-bit md5
+    content hash, so hash-equality here also certifies the union-merge
+    identity min-k(A∪B) = min-k(min-k(A) ∪ min-k(B))."""
+    from bigdata_rags_spark.dedup.kmv import source_pair_overlap
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    h = F.conv(F.substring(content_hash(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    base = docs.select(F.col("source").alias("src"), h.alias("h"))
+    mirror = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.lit("mirror").alias("src"), h.alias("h")
+    )
+    dist = base.unionByName(mirror).distinct()
+    return source_pair_overlap(dist, k=16)

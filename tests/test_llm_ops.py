@@ -787,3 +787,54 @@ def test_ngram_containment_detects_planted_subset_doc(spark, tmp_path):
     assert (1, 2) in got, got
     ca, cb = got[(1, 2)]
     assert ca == 1000 and cb < 1000, got
+
+
+def test_source_pair_overlap_kmv_planted_and_accuracy(spark, sf_smoke):
+    """Planted mirror source overlaps every original source; all-original
+    pairs are exactly disjoint; the KMV estimate tracks the exact Jaccard
+    on the overlapping pairs."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["source_pair_overlap_kmv"].spark(spark, sf_smoke).collect()
+    assert rows
+    mirror = [r for r in rows if "mirror" in (r["source_a"], r["source_b"])]
+    others = [r for r in rows if "mirror" not in (r["source_a"], r["source_b"])]
+    assert mirror and others
+    assert all(r["exact_common"] == 0 for r in others)
+    assert all(r["kmv_matches"] == 0 for r in others)  # estimator can't invent overlap
+    overlapping = [r for r in mirror if r["exact_common"] > 0]
+    assert overlapping, "mirror source must actually overlap"
+    for r in overlapping:
+        assert r["k_used"] > 0 and 0 <= r["kmv_matches"] <= r["k_used"]
+    # aggregate accuracy: mean estimated J within 0.25 of mean true J
+    est = sum(r["kmv_matches"] / r["k_used"] for r in overlapping) / len(overlapping)
+    true = sum(r["exact_common"] / r["exact_union"] for r in overlapping) / len(overlapping)
+    assert abs(est - true) < 0.25, (est, true)
+
+
+def test_kmv_signature_merge_identity(spark):
+    """min-k(A ∪ B) computed from the two k-signatures equals min-k over the
+    raw union — the mergeability the pair estimator relies on."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.kmv import kmv_signatures
+
+    rows = [("a", (i * 131) % 10007) for i in range(300)] + [
+        ("b", (i * 257) % 10007) for i in range(300)
+    ]
+    dist = spark.createDataFrame(rows, "src string, h long").distinct()
+    k = 8
+    sigs = kmv_signatures(dist, k)
+    merged = {
+        r["h"]
+        for r in kmv_signatures(
+            sigs.select(F.lit("u").alias("src"), "h").distinct(), k
+        ).collect()
+    }
+    direct = {
+        r["h"]
+        for r in kmv_signatures(
+            dist.select(F.lit("u").alias("src"), "h").distinct(), k
+        ).collect()
+    }
+    assert merged == direct and len(direct) == k
