@@ -3164,3 +3164,78 @@ def source_pair_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = base.unionByName(mirror).distinct()
     return source_pair_overlap(dist, k=16)
+
+
+@_llm(
+    "bloom_prefilter_incremental_dedup",
+    f"""
+WITH histk AS (
+  SELECT DISTINCT md5({_SQL_NORM}) AS ch FROM documents WHERE doc_id % 3 != 0
+),
+batch AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS ch FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, md5({_SQL_NORM}) AS ch
+  FROM documents WHERE doc_id % 3 != 0 AND doc_id % 5 = 0
+),
+hbits AS (
+  SELECT ch,
+         ('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR) || '#' || ch), 1, 8))::BIGINT % 4096 AS bitp
+  FROM histk CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+),
+words AS (
+  SELECT bitp // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(bitp % 32 AS INT)) AS mask
+  FROM hbits GROUP BY 1
+),
+pbits AS (
+  SELECT doc_id, ch,
+         ('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR) || '#' || ch), 1, 8))::BIGINT % 4096 AS bitp
+  FROM batch CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+),
+probe AS (
+  SELECT p.doc_id, p.ch,
+         CASE WHEN w.mask IS NOT NULL
+               AND ((w.mask >> CAST(p.bitp % 32 AS INT)) & CAST(1 AS BIGINT)) = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM pbits p LEFT JOIN words w ON p.bitp // 32 = w.w
+),
+flags AS (SELECT doc_id, ch, CAST(MIN(hit) AS BIGINT) AS bloom_maybe FROM probe GROUP BY 1, 2)
+SELECT f.doc_id, f.bloom_maybe,
+       CAST(CASE WHEN h.ch IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_true_dup
+FROM flags f LEFT JOIN histk h ON f.ch = h.ch
+""",
+)
+def bloom_prefilter_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with a broadcast Bloom prefilter (`dedup/bloom.py`):
+    history docs (doc_id % 3 != 0) build a 4096-bit md5 filter; the incoming
+    batch (the % 3 == 0 docs plus planted re-keyed copies of every 15th doc,
+    so true dups exist) probes it map-side.  bloom_maybe = 0 is PROVABLY
+    novel (never-false-negative is the whole contract, pinned by the exact
+    is_true_dup rider the oracle recomputes); only maybe-rows would proceed
+    to the exact verify join at scale.  Replaces the full history-hash
+    shuffle of `incremental_dedup_new_docs` with a KB-sized broadcast for
+    the novel majority."""
+    from bigdata_rags_spark.dedup.bloom import bloom_build, bloom_probe
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    histk = hist.select(content_hash(F.col("text")).alias("ch")).distinct()
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", content_hash(F.col("text")).alias("ch"))
+        .unionByName(
+            hist.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                content_hash(F.col("text")).alias("ch"),
+            )
+        )
+    )
+    probed = bloom_probe(batch, "ch", bloom_build(histk, "ch"))
+    return probed.join(
+        histk.withColumn("is_true_dup", F.lit(1)), "ch", "left"
+    ).select(
+        "doc_id",
+        "bloom_maybe",
+        F.coalesce(F.col("is_true_dup"), F.lit(0)).cast("bigint").alias("is_true_dup"),
+    )

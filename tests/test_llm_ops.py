@@ -838,3 +838,41 @@ def test_kmv_signature_merge_identity(spark):
         ).collect()
     }
     assert merged == direct and len(direct) == k
+
+
+def test_bloom_prefilter_never_false_negative(spark, sf_smoke):
+    """Contract: every true dup is bloom-positive; the filter actually
+    prunes (some novel docs are bloom-negative); planted dups exist."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["bloom_prefilter_incremental_dedup"].spark(spark, sf_smoke).collect()
+    assert rows
+    dups = [r for r in rows if r["is_true_dup"] == 1]
+    assert dups, "planted re-keyed copies must be true dups"
+    assert all(r["bloom_maybe"] == 1 for r in dups), "false negative!"
+    assert any(r["bloom_maybe"] == 0 for r in rows), "filter pruned nothing"
+
+
+def test_bloom_words_merge_across_builds(spark):
+    """Filter built over A ∪ B equals BIT_OR-merge of the filters built
+    over A and B separately — the property that lets per-source/per-batch
+    filters combine without a rebuild."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.bloom import bloom_build
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(50)], "ch string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(30, 90)], "ch string")
+    merged = {
+        (r["w"], r["mask"])
+        for r in bloom_build(a, "ch")
+        .unionByName(bloom_build(b, "ch"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .collect()
+    }
+    direct = {
+        (r["w"], r["mask"])
+        for r in bloom_build(a.unionByName(b), "ch").collect()
+    }
+    assert merged == direct and len(direct) > 0
