@@ -3239,3 +3239,125 @@ def bloom_prefilter_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataF
         "bloom_maybe",
         F.coalesce(F.col("is_true_dup"), F.lit(0)).cast("bigint").alias("is_true_dup"),
     )
+
+
+def _pq_adc_oracle(k: int = 5, n_queries: int = 5, rerank_shortlist: int = 0) -> str:
+    """Oracle for PQ asymmetric-distance top-k: the SAME md5-derived
+    codebook literals as `similarity/pq.py` (exact multiples of 1/256 —
+    repr() parses to bit-identical float64), encode replayed as a
+    descending (score, code) rank per subspace, ADC as integer-micro sums
+    (order-independent, so GROUP BY accumulation order can't drift)."""
+    from bigdata_rags_spark.similarity.pq import SUB_DIM, pq_codebooks
+
+    books = pq_codebooks()
+    enc_ctes = []
+    for j, book in enumerate(books):
+        lo, hi = j * SUB_DIM + 1, j * SUB_DIM + SUB_DIM
+        scores = ", ".join(
+            f"list_dot_product(v[{lo}:{hi}], ["
+            + ", ".join(repr(x) for x in c)
+            + f"]::DOUBLE[]) - {sum(x * x for x in c) / 2.0!r}"
+            for c in book
+        )
+        enc_ctes.append(
+            f"""enc{j} AS (
+  SELECT vec_id, {j} AS m, code FROM (
+    SELECT vec_id, CAST(unnest(range(0, {len(book)})) AS INT) AS code,
+           unnest([{scores}]) AS score
+    FROM e
+  ) s QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, code DESC) = 1
+)"""
+        )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, m, code FROM enc{j}" for j in range(len(books))
+    )
+    m_vals, code_vals, dot_exprs = [], [], []
+    for j, book in enumerate(books):
+        lo, hi = j * SUB_DIM + 1, j * SUB_DIM + SUB_DIM
+        for code, c in enumerate(book):
+            m_vals.append(str(j))
+            code_vals.append(str(code))
+            dot_exprs.append(
+                f"CAST(ROUND(list_dot_product(v[{lo}:{hi}], ["
+                + ", ".join(repr(x) for x in c)
+                + "]::DOUBLE[]) * 1000000) AS BIGINT)"
+            )
+    if rerank_shortlist:
+        suffix = f""",
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_sim_micro DESC, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= {rerank_shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id, ROUND({_SQL_COSINE}, 6) AS similarity
+  FROM short s
+  JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = s.query_id
+  JOIN (SELECT vec_id, v AS cv FROM e) c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, similarity, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS INT) AS rank
+  FROM rr
+) WHERE rank <= {k}"""
+    else:
+        suffix = f"""
+SELECT query_id, neighbor_id, approx_sim_micro, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY approx_sim_micro DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{", ".join(enc_ctes)},
+codes AS ({codes_union}),
+lut AS (
+  SELECT vec_id AS query_id,
+         CAST(unnest([{", ".join(m_vals)}]) AS INT) AS m,
+         CAST(unnest([{", ".join(code_vals)}]) AS INT) AS code,
+         unnest([{", ".join(dot_exprs)}]) AS dot_micro
+  FROM e WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.dot_micro) AS BIGINT) AS approx_sim_micro
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  WHERE c.vec_id != l.query_id
+  GROUP BY 1, 2
+){suffix}
+"""
+
+
+@_llm("embedding_pq_adc_topk", _pq_adc_oracle())
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 (`similarity/pq.py`) — the third ANN
+    serving family after LSH buckets and IVF cells, and the one that wins
+    when the corpus no longer fits as full vectors: each corpus embedding
+    is 4 subspace codes (a byte each at scale), queries broadcast a
+    32-entry integer-micro lookup table, and scoring is an equi-join on
+    (m, code) + an exact bigint SUM — no full-dim vector crosses an
+    exchange after the one-time encode.  Fixed md5-derived codebooks make
+    encode + ADC pure relational algebra the oracle replays bit-for-bit."""
+    from bigdata_rags_spark.similarity.pq import pq_adc_topk
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(q, e, k=5)
+
+
+@_llm("embedding_pq_rerank_topk", _pq_adc_oracle(rerank_shortlist=100))
+def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ serving path (`similarity/pq.py:pq_search_rerank`):
+    ADC shortlists 100 candidates per query in code space (bytes, not
+    vectors), then an EXACT cosine rerank of the shortlist alone picks the
+    top-5 — FAISS's IVFPQ+refine shape.  Recall is bounded by shortlist
+    coverage (test-pinned on the real embeddings); correctness of both
+    stages is oracle-replayed, full vectors are fetched for |Q| x 100 rows
+    only."""
+    from bigdata_rags_spark.similarity.pq import pq_search_rerank
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_search_rerank(q, e, k=5, shortlist=100)
