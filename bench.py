@@ -108,6 +108,15 @@ HEADLINE = [
     "embedding_diversity_fps",
     "scd2_point_in_time_lookup",
     "events_run_length_islands",
+    # late-r7 additions: mergeable rollup cascade, priority sampling, KMV
+    # source-overlap planning, Bloom dedup prefilter, PQ ANN serving
+    "events_rollup_cascade",
+    "priority_sample_docs",
+    "source_pair_overlap_kmv",
+    "bloom_prefilter_incremental_dedup",
+    "embedding_pq_rerank_topk",
+    "zorder_file_skipping_stats",
+    "cdc_apply_log_compaction",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

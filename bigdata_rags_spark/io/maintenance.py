@@ -323,3 +323,31 @@ def zone_diff(
     between snapshots when no table format tracks row history.  See
     ``snapshot_diff`` for the plan shape."""
     return snapshot_diff(spark.read.parquet(old_path), spark.read.parquet(new_path), key)
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture log to produce final table state: the
+    LATEST op per key wins (ordered by ``seq_col``), and a latest 'D'
+    removes the key — the log-compaction semantic of Kafka/Debezium CDC
+    topics, and the delete path `upsert_apply` (SCD-1) deliberately lacks.
+    Insert-after-delete re-keys correctly because ordering is by sequence,
+    not op kind.
+
+    Reference parity: `reference/dag-load.py` replaces whole tables
+    (`if_exists="replace"`); this is the incremental alternative a
+    100 TB zone needs.  Scale shape: ONE hash exchange on the key for the
+    per-key window (AQE-coalesced), no join — payloads cross the wire
+    once.  At extreme skew (hot keys with millions of ops) pre-compact
+    per partition with a (key, max seq) semi-join before the window.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn")
+    )

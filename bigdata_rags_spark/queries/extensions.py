@@ -3154,3 +3154,114 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         probes["o_orderkey"], "lookup_date", "o_orderstatus", "is_current"
     )
+
+
+def _zorder_oracle(n_files: int = 64) -> str:
+    """Oracle for the Z-order layout stats: the same 16-bit grid `div`
+    normalization and the same 32-term shift-add Morton interleave,
+    all exact bigint."""
+    from bigdata_rags_spark.io.layout import GRID_BITS
+
+    cell_max = (1 << GRID_BITS) - 1
+    width = (1 << (2 * GRID_BITS)) // n_files
+    terms = " + ".join(
+        f"(((ca >> {i}) & 1) << {2 * i + 1}) + (((cb >> {i}) & 1) << {2 * i})"
+        for i in range(GRID_BITS)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS b
+  FROM orders
+),
+bounds AS (SELECT MIN(a) AS a_lo, MAX(a) AS a_hi, MIN(b) AS b_lo, MAX(b) AS b_hi FROM base),
+cells AS (
+  SELECT a, b,
+         CASE WHEN a_hi > a_lo THEN (a - a_lo) * {cell_max} // (a_hi - a_lo) ELSE 0 END AS ca,
+         CASE WHEN b_hi > b_lo THEN (b - b_lo) * {cell_max} // (b_hi - b_lo) ELSE 0 END AS cb
+  FROM base, bounds
+),
+z AS (SELECT a, b, {terms} AS zkey FROM cells)
+SELECT zkey // {width} AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(a) AS BIGINT) AS a_max,
+       CAST(MIN(b) AS BIGINT) AS b_min, CAST(MAX(b) AS BIGINT) AS b_max
+FROM z GROUP BY 1
+"""
+
+
+@_q("zorder_file_skipping_stats", _zorder_oracle())
+def zorder_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout quality report (`io/layout.py`): orders are laid out
+    on the Morton interleave of (o_custkey, price-cents) into 64
+    fixed-width key ranges — the deterministic stand-in for
+    `repartitionByRange(zkey)` + write — and each "file" reports the
+    min/max zone map of BOTH dimensions.  Narrow ranges on both axes are
+    what make 2-D predicates prune row groups at 100 TB; a single-column
+    sort would pin one axis and leave the other spanning the full domain
+    (pinned by the clustering test).  The lakehouse OPTIMIZE ZORDER
+    analog; the reference writes unsorted zone parquet
+    (`reference/dag-load.py`)."""
+    from bigdata_rags_spark.io.layout import zorder_stats
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    base = o.select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return zorder_stats(base, "ck", "cents", n_files=64)
+
+
+@_q(
+    "cdc_apply_log_compaction",
+    """
+WITH log AS (
+  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2 AS seq, 'U' AS op, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, 3 AS seq, 'D' AS op, CAST(0.0 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, 4 AS seq, 'I' AS op, o_totalprice + 5000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 12 = 0
+)
+SELECT o_orderkey, CAST(seq AS INTEGER) AS seq, op, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM log
+) WHERE rn = 1 AND op != 'D'
+""",
+)
+def cdc_apply_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (`io/maintenance.cdc_apply`): a synthetic change
+    log over orders exercises every path non-vacuously — insert (seq 1,
+    all keys), update (seq 2, every 4th), delete (seq 3, every 6th), and
+    INSERT-AFTER-DELETE (seq 4, every 12th — the ordering trap: the key
+    must survive with the new payload, which op-kind-based merges get
+    wrong).  Latest-seq-wins, latest 'D' drops the key.  One key-hash
+    window exchange, no join."""
+    from bigdata_rags_spark.io.maintenance import cdc_apply
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def part(flt, seq, op, price):
+        return o.filter(flt).select(
+            "o_orderkey",
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            price.alias("o_totalprice"),
+        )
+
+    log = (
+        part(F.lit(True), 1, "I", F.col("o_totalprice"))
+        .unionByName(part(F.col("o_orderkey") % 4 == 0, 2, "U", F.col("o_totalprice") + F.lit(1000.0)))
+        .unionByName(part(F.col("o_orderkey") % 6 == 0, 3, "D", F.lit(0.0).cast("double")))
+        .unionByName(part(F.col("o_orderkey") % 12 == 0, 4, "I", F.col("o_totalprice") + F.lit(5000.0)))
+    )
+    return cdc_apply(log, ["o_orderkey"], seq_col="seq", op_col="op").select(
+        "o_orderkey", "seq", "op", "o_totalprice"
+    )

@@ -18,9 +18,12 @@ Spark-first, fully oracle-checkable (the whole reason this exists next to
 - codebooks are FIXED md5-derived literals, exact multiples of 1/256, the
   same repr-stable construction as the LSH planes / IVF codebook — k-means
   PQ training would be rows-only, serving shouldn't be;
-- encode = per-subspace argmax of (dot - ||c||^2/2) over literal centroids
-  (equivalent to argmin L2 since ||x||^2 is constant per subspace), ranked
-  by a descending struct sort so ties break identically everywhere;
+- encode = per-subspace argmax of (dot - ||c||^2/2) over the fixed
+  centroids (equivalent to argmin L2 since ||x||^2 is constant per
+  subspace), computed in an Arrow-vectorized numpy pass whose per-element
+  float64 left fold is bit-identical to the oracle's SQL fold (a 256-
+  expression Catalyst projection defeats Janino codegen — see pq_encode);
+  ties break to the higher code in both engines;
 - ADC scores are ROUNDED per subspace to integer micro-units BEFORE the
   M-way sum: the sum of M bigints is order-independent, so the ranking is
   bit-stable under any partitioning/engine (a float sum would not be).
@@ -54,17 +57,6 @@ def pq_codebooks(
     return [_deterministic_hyperplanes(sub, k, seed=f"{seed}{j}") for j in range(m)]
 
 
-def _sub_dot(vec: Column, j: int, centroid: list[float]) -> Column:
-    """Dot product of subspace j of ``vec`` with a literal centroid —
-    F.aggregate's sequential fold matches DuckDB's list_dot_product
-    accumulation order (proven by the IVF oracle)."""
-    sub = F.slice(vec, j * SUB_DIM + 1, SUB_DIM)
-    lit = F.array(*[F.lit(x) for x in centroid])
-    return F.aggregate(
-        F.zip_with(sub, lit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -74,29 +66,56 @@ def pq_encode(
     """(id, m, code): per-subspace nearest-centroid assignment.
 
     score = dot - ||c||^2/2 (argmin-L2 without the per-vector constant);
-    descending struct(score, code) sort breaks ties on higher code id,
-    mirroring `similarity/ivf.py:_nearest_cells`.
+    ties break to the higher code id, mirroring the descending
+    (score, code) order of `similarity/ivf.py:_nearest_cells`.
     """
-    v = as_double_array(F.col(vec_col))
-    bests = []
-    for j, book in enumerate(codebooks):
-        scored = F.array(
-            *[
-                F.struct(
-                    (_sub_dot(v, j, c) - F.lit(sum(x * x for x in c) / 2.0)).alias(
-                        "score"
-                    ),
-                    F.lit(code).alias("code"),
-                )
-                for code, c in enumerate(book)
-            ]
-        )
-        bests.append(F.sort_array(scored, asc=False)[0].getField("code").cast("int"))
-    # all M assignments in ONE projection over ONE scan, then posexplode —
-    # element position IS the subspace index
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(F.array(*bests)).alias("m", "code")
-    ).select("id", F.col("m").cast("int").alias("m"), "code")
+    # Arrow-vectorized numpy encode, NOT a Catalyst expression.  The M*K
+    # (256) score expressions per row defeat whole-stage codegen: both a
+    # struct-sort and a flat greatest+CASE formulation produced generated
+    # code Janino could not compile (method too large), falling back to
+    # interpreted evaluation at ~8-50 s for 2k vectors.  The numpy form is
+    # milliseconds AND parity-exact: each score is accumulated with an
+    # EXPLICIT left fold of float64 elementwise ops (s = s + x_i * c_i,
+    # starting from 0.0), which is bit-identical per element to the SQL
+    # fold the oracle replays; ties argmax to the HIGHEST code via a
+    # reversed argmax, matching the oracle's ORDER BY score DESC, code DESC.
+    import numpy as np
+    import pandas as pd
+
+    m, k, sub = len(codebooks), len(codebooks[0]), SUB_DIM
+    half_norms = [[sum(x * x for x in c) / 2.0 for c in book] for book in codebooks]
+    ms = np.arange(m, dtype=np.int32)
+
+    def enc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]], dtype=np.float64
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            for j, book in enumerate(codebooks):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                scores = np.empty((n, k), dtype=np.float64)
+                for code, c in enumerate(book):
+                    s = np.zeros(n, dtype=np.float64)
+                    for i in range(sub):
+                        s = s + x[:, i] * c[i]
+                    scores[:, code] = s - half_norms[j][code]
+                codes[:, j] = (k - 1) - scores[:, ::-1].argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), m),
+                    "m": np.tile(ms, n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    prepped = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    return prepped.mapInPandas(enc, schema="id long, m int, code int")
 
 
 def pq_lut(
@@ -108,24 +127,51 @@ def pq_lut(
     """(query_id, m, code, dot_micro): per-query lookup table of subspace
     dots against every centroid, rounded to integer micro-units so the
     downstream M-way sum is exact."""
-    v = as_double_array(F.col(vec_col))
-    entries = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("m"),
-                    F.lit(code).alias("code"),
-                    F.round(_sub_dot(v, j, c) * 1_000_000)
-                    .cast("bigint")
-                    .alias("dot_micro"),
-                )
-                for j, book in enumerate(codebooks)
-                for code, c in enumerate(book)
-            ]
-        )
-    ).alias("e")
-    return queries.select(F.col(id_col).alias("query_id"), entries).select(
-        "query_id", "e.m", "e.code", "e.dot_micro"
+    # Same Arrow-vectorized left-fold as pq_encode (one 256-expression
+    # Catalyst projection here OOM'd codegen on the default driver heap).
+    # Rounding is HALF_UP away from zero — floor(x+0.5)/ceil(x-0.5) on the
+    # binary double equals Spark ROUND's BigDecimal HALF_UP and DuckDB's
+    # ROUND for every representable input.
+    import numpy as np
+    import pandas as pd
+
+    m, k, sub = len(codebooks), len(codebooks[0]), SUB_DIM
+    half = m * k
+
+    def lut(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]], dtype=np.float64
+            )
+            dots = np.empty((n, m * k), dtype=np.float64)
+            for j, book in enumerate(codebooks):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                for code, c in enumerate(book):
+                    s = np.zeros(n, dtype=np.float64)
+                    for i in range(sub):
+                        s = s + x[:, i] * c[i]
+                    dots[:, j * k + code] = s
+            scaled = dots * 1_000_000.0
+            micro = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["id"].to_numpy(), half),
+                    "m": np.tile(np.repeat(np.arange(m, dtype=np.int32), k), n),
+                    "code": np.tile(np.tile(np.arange(k, dtype=np.int32), m), n),
+                    "dot_micro": micro.reshape(-1),
+                }
+            )
+
+    prepped = queries.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    return prepped.mapInPandas(
+        lut, schema="query_id long, m int, code int, dot_micro long"
     )
 
 

@@ -388,3 +388,70 @@ def test_zone_compaction_invariant_query(spark, sf_smoke):
     assert row["files_after"] == 1
     assert row["rows_before"] > 0
     assert row["row_delta"] == 0
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """On a uniform 2-D grid, the Z-ordered layout must keep per-file
+    min/max narrow on BOTH dimensions, unlike a single-column sort which
+    pins one axis and leaves the other spanning the full domain."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.io.layout import zorder_stats
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    n_files = 64
+
+    z = zorder_stats(df, "a", "b", n_files=n_files).collect()
+    assert sum(r["n_rows"] for r in z) == n * n
+    span = n - 1
+
+    def avg_range(stats, lo_key, hi_key):
+        widths = [(r[hi_key] - r[lo_key]) for r in stats if r["n_rows"] > 0]
+        return sum(widths) / len(widths)
+
+    # single-column sort baseline: files = equal-width ranges of `a`
+    sorted_stats = (
+        df.withColumn("file_id", F.expr(f"a * {n_files} div {n}"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("a_min"),
+            F.max("a").alias("a_max"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+        )
+        .collect()
+    )
+    # the sorted layout leaves b unpruned (full span per file)
+    assert avg_range(sorted_stats, "b_min", "b_max") >= span
+    # z-order keeps BOTH axes well under half the span on average
+    assert avg_range(z, "a_min", "a_max") < 0.5 * span
+    assert avg_range(z, "b_min", "b_max") < 0.5 * span
+
+
+def test_cdc_apply_all_paths(spark):
+    """insert / update / delete / insert-after-delete each resolve to the
+    correct final state."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.io.maintenance import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "I", 10.0),  # plain insert -> survives at v1
+            (2, 1, "I", 20.0), (2, 2, "U", 25.0),  # update wins
+            (3, 1, "I", 30.0), (3, 2, "D", 0.0),   # deleted -> gone
+            (4, 1, "I", 40.0), (4, 2, "D", 0.0), (4, 3, "I", 45.0),  # re-insert
+        ],
+        "k long, seq int, op string, v double",
+    )
+    out = {r["k"]: (r["op"], r["v"]) for r in cdc_apply(log, ["k"]).collect()}
+    assert out == {1: ("I", 10.0), 2: ("U", 25.0), 4: ("I", 45.0)}
+    # partitioning-independence
+    out2 = {
+        r["k"]: (r["op"], r["v"])
+        for r in cdc_apply(log.repartition(7, "seq"), ["k"]).collect()
+    }
+    assert out2 == out
