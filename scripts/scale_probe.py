@@ -59,6 +59,10 @@ REGISTRY_QUERIES = [
     "fuzzy_dedup_surviving_docs",
     "doc_boilerplate_ngram_coverage",
     "minhash_lsh_candidates",
+    # late-r7 additions
+    "source_pair_overlap_kmv",
+    "bloom_prefilter_incremental_dedup",
+    "embedding_pq_rerank_topk",
 ]
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
 

@@ -396,3 +396,39 @@ def test_r6_queries_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_late_r7_queries_have_scale_safe_plans(spark, sf_smoke):
+    """Late-round-7 additions: the plan properties their docstrings claim."""
+    for name, pred in {
+        # rollup cascade: three stacked hash aggs, no join, no window
+        "events_rollup_cascade": lambda p: "Join" not in p
+        and p.count("HashAggregate") >= 4,  # partial+final per level
+        # priority sampling: top-(k+1) must be TakeOrderedAndProject, not
+        # a global Sort+Exchange
+        "priority_sample_docs": lambda p: "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p,
+        # KMV overlap: broadcast pair expansion, equi-joins (the tiny
+        # src<src pair build is the only nested-loop, on S rows)
+        "source_pair_overlap_kmv": lambda p: "CartesianProduct" not in p,
+        # bloom: filter side is a broadcast; probe join is left outer
+        # broadcast hash join
+        "bloom_prefilter_incremental_dedup": lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p,
+        # PQ ADC: LUT broadcast into an equi-join; partitioned window only
+        "embedding_pq_adc_topk": lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "embedding_pq_rerank_topk": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # z-order stats: 1-row bounds broadcast + partial+final agg, no
+        # window, no sort
+        "zorder_file_skipping_stats": lambda p: "HashAggregate" in p
+        and "CartesianProduct" not in p
+        and "Window" not in p,
+        # CDC compaction: one key window, no join
+        "cdc_apply_log_compaction": lambda p: "Join" not in p
+        and "Window" in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
