@@ -117,6 +117,7 @@ HEADLINE = [
     "embedding_pq_rerank_topk",
     "zorder_file_skipping_stats",
     "cdc_apply_log_compaction",
+    "rrf_fusion_search",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -153,3 +153,50 @@ def hybrid_rag_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return hybrid_search(docs, e, QUERY_TERMS, query_vec_id=0, alpha=0.5, k=10)
+
+
+@query(
+    "rrf_fusion_search",
+    f"""
+WITH {_SQL_BM25_CORE},
+lex AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+  FROM (SELECT * FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 50)
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dsc AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_dot_product(qv.qv, e.embedding::DOUBLE[])
+               / sqrt(list_dot_product(qv.qv, qv.qv))
+               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN qv
+),
+dense AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_dense
+  FROM (SELECT * FROM dsc ORDER BY cosine DESC, doc_id LIMIT 50)
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense,
+         CAST(COALESCE(1000000000000 // (60 + r_lex), 0)
+              + COALESCE(1000000000000 // (60 + r_dense), 0) AS BIGINT) AS rrf_micro
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, r_lex, r_dense, rrf_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
+FROM fused
+QUALIFY rnk <= 10
+""",
+    tier=TIER_LLM,
+)
+def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and dense lists
+    (`retrieval/bm25.py:rrf_search`) — the calibration-free alternative to
+    `hybrid_rag_search`'s weighted sum: scores never mix, only RANKS do
+    (1/(60+rank) per list, exact integer micro-units).  Bounded top-50
+    lists, k-row rank windows, full-outer fuse, top-10."""
+    docs = _docs_parallel(spark, sf_dir)
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    from bigdata_rags_spark.retrieval.bm25 import rrf_search
+
+    return rrf_search(docs, e, QUERY_TERMS, query_vec_id=0, k=10, list_len=50)

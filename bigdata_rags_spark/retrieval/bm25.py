@@ -175,3 +175,69 @@ def hybrid_search(
     return _ranked_topk(fused, [F.col("hybrid_score").desc(), F.col("doc_id")], k).select(
         "doc_id", "bm25", "cosine", "hybrid_score", "rnk"
     )
+
+
+def rrf_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    list_len: int = 50,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher, "Reciprocal rank
+    fusion outperforms Condorcet and individual rank learning methods",
+    SIGIR 2009): fuse the lexical and dense lists by RANK, not score —
+    rrf(d) = sum over lists of 1/(k0 + rank_list(d)).  The standard
+    alternative to `hybrid_search`'s weighted-sum when the two score
+    distributions aren't calibrated against each other (BM25 is unbounded,
+    cosine lives in [-1, 1]); k0=60 is the paper's setting.
+
+    Exactness contract: contributions are INTEGER micro-units
+    (1e12 div (k0 + rank)), so the fused score is an exact bigint sum —
+    no float fusion drift — and ranks order by (rounded score, id), making
+    every stage oracle-replayable.  Scale shape: each list is a bounded
+    top-``list_len`` (TakeOrderedAndProject), the rank windows run on
+    ``list_len`` rows, and the fusion is a full-outer equi-join of two
+    tiny lists.
+    """
+    scored = bm25_all_scores(docs, query_terms, id_col=id_col)
+    lex = _ranked_topk(
+        scored, [F.desc("bm25"), F.asc("doc_id")], list_len, "r_lex"
+    ).select("doc_id", F.col("r_lex").cast("bigint").alias("r_lex"))
+
+    qv = embeddings.filter(F.col(vec_id_col) == query_vec_id).select(
+        as_double_array(F.col("embedding")).alias("qv")
+    )
+    dense_scored = (
+        embeddings.select(
+            F.col(vec_id_col).alias("doc_id"),
+            as_double_array(F.col("embedding")).alias("cv"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / norm(F.col("qv")) / norm(F.col("cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    dense = _ranked_topk(
+        dense_scored, [F.desc("cosine"), F.asc("doc_id")], list_len, "r_dense"
+    ).select("doc_id", F.col("r_dense").cast("bigint").alias("r_dense"))
+
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        (
+            F.coalesce(F.expr(f"1000000000000 div ({k0} + r_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000000 div ({k0} + r_dense)"), F.lit(0))
+        ).cast("bigint").alias("rrf_micro"),
+    )
+    return _ranked_topk(
+        fused, [F.desc("rrf_micro"), F.asc("doc_id")], k
+    ).withColumn("rnk", F.col("rnk").cast("int"))
