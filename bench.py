@@ -118,6 +118,7 @@ HEADLINE = [
     "zorder_file_skipping_stats",
     "cdc_apply_log_compaction",
     "rrf_fusion_search",
+    "snapshot_drift_report",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

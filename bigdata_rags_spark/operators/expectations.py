@@ -104,3 +104,84 @@ def expect_references(
 def expectation_suite(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """Run all column-level checks in one scan; see ``_suite``."""
     return _suite(df, checks)
+
+
+def column_profile(df: DataFrame, numeric_cents: dict[str, Column], strings: list[str]) -> DataFrame:
+    """Long-form per-column profile of one snapshot: (column, metric, v)
+    with every metric an exact bigint — counts, null counts, exact distinct
+    counts, and min/max in integer cents for numeric columns.
+
+    One full-scan aggregate produces all scalar metrics; each distinct
+    count is its own partial+final agg (exact here for oracle parity — at
+    100 TB swap in approx_count_distinct/HLL sketches, which make the
+    profile a single pass; the DRIFT comparison logic is identical).
+    """
+    metrics = []
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for name, cents in numeric_cents.items():
+        aggs += [
+            F.sum(F.when(cents.isNull(), 1).otherwise(0)).cast("bigint").alias(f"__null_{name}"),
+            F.min(cents).cast("bigint").alias(f"__min_{name}"),
+            F.max(cents).cast("bigint").alias(f"__max_{name}"),
+        ]
+    for name in strings:
+        aggs.append(
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__null_{name}")
+        )
+    base = df.agg(*aggs)
+
+    rows = [("_table", "n_rows", F.col("__n"))]
+    for name in numeric_cents:
+        rows += [
+            (name, "n_null", F.col(f"__null_{name}")),
+            (name, "min_cents", F.col(f"__min_{name}")),
+            (name, "max_cents", F.col(f"__max_{name}")),
+        ]
+    for name in strings:
+        rows.append((name, "n_null", F.col(f"__null_{name}")))
+    stacked = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.lit(m).alias("metric"), v.alias("v")
+                    )
+                    for c, m, v in rows
+                ]
+            )
+        ).alias("e")
+    ).select("e.column", "e.metric", "e.v")
+
+    for name in list(numeric_cents) + strings:
+        d = (
+            df.select(
+                (numeric_cents[name] if name in numeric_cents else F.col(name)).alias("x")
+            )
+            .agg(F.count_distinct(F.col("x")).cast("bigint").alias("v"))
+            .select(
+                F.lit(name).alias("column"), F.lit("n_distinct").alias("metric"), "v"
+            )
+        )
+        stacked = stacked.unionByName(d)
+    return stacked
+
+
+def drift_report(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
+    """Join two long-form column profiles and emit per-(column, metric)
+    deltas — the snapshot-over-snapshot distribution-drift monitor every
+    scheduled pipeline wants before promoting a zone (null-rate spikes,
+    range expansion, cardinality collapse).  Full-outer so added/dropped
+    columns surface instead of vanishing."""
+    a = profile_a.withColumnRenamed("v", "v_prev")
+    b = profile_b.withColumnRenamed("v", "v_curr")
+    return a.join(b, ["column", "metric"], "full_outer").select(
+        "column",
+        "metric",
+        "v_prev",
+        "v_curr",
+        (F.coalesce(F.col("v_curr"), F.lit(0)) - F.coalesce(F.col("v_prev"), F.lit(0)))
+        .cast("bigint")
+        .alias("delta"),
+    )

@@ -3265,3 +3265,65 @@ def cdc_apply_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(log, ["o_orderkey"], seq_col="seq", op_col="op").select(
         "o_orderkey", "seq", "op", "o_totalprice"
     )
+
+
+def _drift_profile_sql(src: str) -> str:
+    return f"""
+  SELECT '_table' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS v FROM {src}
+  UNION ALL SELECT 'price', 'n_null', CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM {src}
+  UNION ALL SELECT 'price', 'min_cents', CAST(MIN(cents) AS BIGINT) FROM {src}
+  UNION ALL SELECT 'price', 'max_cents', CAST(MAX(cents) AS BIGINT) FROM {src}
+  UNION ALL SELECT 'status', 'n_null', CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM {src}
+  UNION ALL SELECT 'price', 'n_distinct', CAST(COUNT(DISTINCT cents) AS BIGINT) FROM {src}
+  UNION ALL SELECT 'status', 'n_distinct', CAST(COUNT(DISTINCT status) AS BIGINT) FROM {src}
+"""
+
+
+@_q(
+    "snapshot_drift_report",
+    f"""
+WITH v1 AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderstatus AS status
+  FROM orders
+),
+v2 AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 2500
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 7 != 0
+),
+pa AS ({_drift_profile_sql("v1")}),
+pb AS ({_drift_profile_sql("v2")})
+SELECT COALESCE(pa."column", pb."column") AS "column",
+       COALESCE(pa.metric, pb.metric)     AS metric,
+       pa.v AS v_prev, pb.v AS v_curr,
+       CAST(COALESCE(pb.v, 0) - COALESCE(pa.v, 0) AS BIGINT) AS delta
+FROM pa FULL OUTER JOIN pb ON pa."column" = pb."column" AND pa.metric = pb.metric
+""",
+)
+def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot DISTRIBUTION drift monitor
+    (`operators/expectations.column_profile` + `drift_report`):
+    `zone_snapshot_diff` answers "which rows changed", this answers "did
+    the data's SHAPE change" — null-rate spikes, range expansion,
+    cardinality collapse, row-count cliffs — the check a scheduled
+    pipeline runs before promoting a zone.  The v2 snapshot plants every
+    drift class deterministically: every 7th row dropped (row-count +
+    distinct drift), every 5th price shifted +2500 cents (max drift),
+    every 3rd status nulled (null-rate drift).  All metrics exact bigints;
+    at 100 TB the distinct counts swap to HLL sketches with identical
+    comparison logic."""
+    from bigdata_rags_spark.operators.expectations import column_profile, drift_report
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = o.select(cents.alias("cents"), F.col("o_orderstatus").alias("status"))
+    v2 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.when(F.col("o_orderkey") % 5 == 0, cents + 2500).otherwise(cents).alias("cents"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    prof = lambda df: column_profile(df, {"price": F.col("cents")}, ["status"])  # noqa: E731
+    return drift_report(prof(v1), prof(v2))

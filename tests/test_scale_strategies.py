@@ -235,3 +235,21 @@ def test_priority_sample_degenerates_below_k(spark):
     out = priority_sample(df, F.col("id"), F.col("w"), k=100).collect()
     assert len(out) == 5
     assert all(r["est_weight"] == r["weight"] for r in out)
+
+
+def test_snapshot_drift_report_flags_planted_drift(spark, sf_smoke):
+    """Each planted drift class must surface: row-count cliff, null-rate
+    spike on status, and distinct/cardinality movement on price."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = {
+        (r["column"], r["metric"]): r
+        for r in REGISTRY["snapshot_drift_report"].spark(spark, sf_smoke).collect()
+    }
+    assert rows[("_table", "n_rows")]["delta"] < 0  # every 7th row dropped
+    st = rows[("status", "n_null")]
+    assert st["v_prev"] == 0 and st["v_curr"] > 0 and st["delta"] == st["v_curr"]
+    assert rows[("price", "n_null")]["v_curr"] == 0
+    # price range/cardinality must have moved (+2500-cent shift on 20%)
+    assert rows[("price", "n_distinct")]["delta"] != 0
+    assert rows[("price", "max_cents")]["v_prev"] > 0
