@@ -119,6 +119,7 @@ HEADLINE = [
     "cdc_apply_log_compaction",
     "rrf_fusion_search",
     "snapshot_drift_report",
+    "events_hourly_value_percentiles",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

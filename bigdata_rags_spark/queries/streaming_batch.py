@@ -1055,3 +1055,58 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket", "n_events", "sum_cents",
         "min_cents", "max_cents", "n_buckets",
     )
+
+
+@_s(
+    "events_hourly_value_percentiles",
+    """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+r AS (
+  SELECT event_type, hr, v_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hr ORDER BY v_cents) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type, hr) AS BIGINT) AS n
+  FROM e
+)
+SELECT event_type, hr, n,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v_cents END) AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = n - (n * 5) // 100 THEN v_cents END) AS BIGINT) AS p95_cents,
+       CAST(MAX(CASE WHEN rn = n THEN v_cents END) AS BIGINT) AS max_cents
+FROM r
+GROUP BY 1, 2, 3
+""",
+)
+def events_hourly_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed EXACT percentiles — the latency-dashboard aggregate (p50 /
+    p95 / max per hour per event type) computed as pure rank arithmetic on
+    integer cents: p50 = value at rank (n+1) div 2, p95 = value at rank
+    n - (5n div 100) (the ceil-index discrete percentile), so there is no
+    engine-specific interpolation to drift (Spark `percentile` and DuckDB
+    `quantile_cont` interpolate differently — rank math sidesteps both).
+    Scale shape: one (event_type, hr) window shuffle shared by both window
+    functions, then a partial+final agg on the same key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = read_events_batch(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").alias("hr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    w = Window.partitionBy("event_type", "hr")
+    r = e.select(
+        "event_type",
+        "hr",
+        "v_cents",
+        F.row_number().over(w.orderBy("v_cents")).alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("v_cents"))).cast("bigint")  # noqa: E731
+    return r.groupBy("event_type", "hr", "n").agg(
+        pick(F.col("rn") == F.expr("(n + 1) div 2")).alias("p50_cents"),
+        pick(F.col("rn") == F.expr("n - (n * 5) div 100")).alias("p95_cents"),
+        pick(F.col("rn") == F.col("n")).alias("max_cents"),
+    )

@@ -539,3 +539,25 @@ def test_rollup_partials_merge_after_restart_split(spark):
             assert m[c] == d[c], (k, c, m, d)
         # a minute spanning the h1/h2 split merges two partial rows
         assert m["n_buckets"] >= d["n_buckets"], (k, m, d)
+
+
+def test_hourly_percentiles_rank_math(spark, tmp_path):
+    """p50/p95/max via rank arithmetic on a known distribution."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import NS
+
+    path = str(tmp_path)
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    # one hour, values 0.01..1.00 (cents 1..100)
+    rows = [(i, i * NS, 1, "click", (i + 1) / 100.0, "") for i in range(100)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+    out = REGISTRY["events_hourly_value_percentiles"].spark(spark, path).collect()
+    # hour 0 has 3600/NS-spaced... all i*NS < 3600e9 for i<100 -> one bucket
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 100
+    assert r["p50_cents"] == 50   # rank (100+1) div 2 = 50 -> value 50
+    assert r["p95_cents"] == 95   # rank 100 - 5 = 95
+    assert r["max_cents"] == 100
