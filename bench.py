@@ -120,6 +120,8 @@ HEADLINE = [
     "rrf_fusion_search",
     "snapshot_drift_report",
     "events_hourly_value_percentiles",
+    "events_transition_matrix",
+    "rfm_customer_segmentation",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

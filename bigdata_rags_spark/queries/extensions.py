@@ -3327,3 +3327,129 @@ def snapshot_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prof = lambda df: column_profile(df, {"price": F.col("cents")}, ["status"])  # noqa: E731
     return drift_report(prof(v1), prof(v2))
+
+
+@_q(
+    "rfm_customer_segmentation",
+    """
+WITH cents AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+g AS (SELECT MAX(od) AS gmax FROM cents),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(od), (SELECT gmax FROM g)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(v) AS BIGINT) AS monetary_cents
+  FROM cents GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey)    AS rr,
+         ROW_NUMBER() OVER (ORDER BY frequency, o_custkey)       AS rf,
+         ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey)  AS rm,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM per_cust
+),
+b AS (
+  SELECT
+    MAX(CASE WHEN rr = (n + 3) // 4 THEN recency_days END)     AS r1,
+    MAX(CASE WHEN rr = (n + 1) // 2 THEN recency_days END)     AS r2,
+    MAX(CASE WHEN rr = (3 * n + 3) // 4 THEN recency_days END) AS r3,
+    MAX(CASE WHEN rf = (n + 3) // 4 THEN frequency END)        AS f1,
+    MAX(CASE WHEN rf = (n + 1) // 2 THEN frequency END)        AS f2,
+    MAX(CASE WHEN rf = (3 * n + 3) // 4 THEN frequency END)    AS f3,
+    MAX(CASE WHEN rm = (n + 3) // 4 THEN monetary_cents END)   AS m1,
+    MAX(CASE WHEN rm = (n + 1) // 2 THEN monetary_cents END)   AS m2,
+    MAX(CASE WHEN rm = (3 * n + 3) // 4 THEN monetary_cents END) AS m3
+  FROM ranked
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       CAST(CASE WHEN recency_days <= r1 THEN 4 WHEN recency_days <= r2 THEN 3
+                 WHEN recency_days <= r3 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+       CAST(CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                 WHEN frequency <= f3 THEN 3 ELSE 4 END AS BIGINT) AS f_score,
+       CAST(CASE WHEN monetary_cents <= m1 THEN 1 WHEN monetary_cents <= m2 THEN 2
+                 WHEN monetary_cents <= m3 THEN 3 ELSE 4 END AS BIGINT) AS m_score
+FROM per_cust, b
+""",
+)
+def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary quartile
+    scores, the classic marketing-analytics operator: per-customer stats
+    from one orders scan, quartile BOUNDARIES extracted by exact rank
+    arithmetic (value at rank ceil(n/4), ceil(n/2), ceil(3n/4) — the
+    discrete-percentile trick from `events_hourly_value_percentiles`),
+    then a broadcast of the 1-row boundary set scores every customer
+    map-side.  Only the boundary extraction funnels the per-customer AGG
+    (not the facts) through a global window, once; at 100 TB swap that one
+    step for approx_percentile — the scoring join is unchanged.  Integer
+    cents/days/counts end to end."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    cents = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    g = cents.agg(F.max("od").alias("gmax"))
+    per_cust = (
+        cents.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("v").cast("bigint").alias("monetary_cents"),
+        )
+        .join(F.broadcast(g))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("gmax"), F.col("last_od")).cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    ranked = per_cust.select(
+        "*",
+        F.row_number().over(Window.orderBy("recency_days", "o_custkey")).alias("rr"),
+        F.row_number().over(Window.orderBy("frequency", "o_custkey")).alias("rf"),
+        F.row_number().over(Window.orderBy("monetary_cents", "o_custkey")).alias("rm"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    pick = lambda rank_col, val, idx: F.max(  # noqa: E731
+        F.when(F.col(rank_col) == F.expr(idx), F.col(val))
+    )
+    b = ranked.agg(
+        pick("rr", "recency_days", "(n + 3) div 4").alias("r1"),
+        pick("rr", "recency_days", "(n + 1) div 2").alias("r2"),
+        pick("rr", "recency_days", "(3 * n + 3) div 4").alias("r3"),
+        pick("rf", "frequency", "(n + 3) div 4").alias("f1"),
+        pick("rf", "frequency", "(n + 1) div 2").alias("f2"),
+        pick("rf", "frequency", "(3 * n + 3) div 4").alias("f3"),
+        pick("rm", "monetary_cents", "(n + 3) div 4").alias("m1"),
+        pick("rm", "monetary_cents", "(n + 1) div 2").alias("m2"),
+        pick("rm", "monetary_cents", "(3 * n + 3) div 4").alias("m3"),
+    )
+    lo_good = lambda v, b1, b2, b3: (  # noqa: E731
+        F.when(F.col(v) <= F.col(b1), 4)
+        .when(F.col(v) <= F.col(b2), 3)
+        .when(F.col(v) <= F.col(b3), 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    hi_good = lambda v, b1, b2, b3: (  # noqa: E731
+        F.when(F.col(v) <= F.col(b1), 1)
+        .when(F.col(v) <= F.col(b2), 2)
+        .when(F.col(v) <= F.col(b3), 3)
+        .otherwise(4)
+        .cast("bigint")
+    )
+    return per_cust.join(F.broadcast(b)).select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        lo_good("recency_days", "r1", "r2", "r3").alias("r_score"),
+        hi_good("frequency", "f1", "f2", "f3").alias("f_score"),
+        hi_good("monetary_cents", "m1", "m2", "m3").alias("m_score"),
+    )

@@ -1110,3 +1110,49 @@ def events_hourly_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         pick(F.col("rn") == F.expr("n - (n * 5) div 100")).alias("p95_cents"),
         pick(F.col("rn") == F.col("n")).alias("max_cents"),
     )
+
+
+@_s(
+    "events_transition_matrix",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n, tot.n_from,
+       t.n * 1000000 // tot.n_from AS p_micro
+FROM t JOIN tot ON t.from_type = tot.from_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences —
+    the process-mining/behavior-modeling aggregate (which action follows
+    which): LEAD over each user's event-time order pairs consecutive
+    events, then one count per (from, to) with integer-micro conditional
+    probabilities (n * 1e6 div n_from — exact, no float normalize).
+    Scale shape: one user_id window shuffle, then partial+final aggs on
+    the tiny type-pair key; the matrix is |types|^2 rows regardless of
+    stream length."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = o.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return t.join(tot, "from_type").select(
+        "from_type", "to_type", "n", "n_from",
+        F.expr("n * 1000000 div n_from").alias("p_micro"),
+    )

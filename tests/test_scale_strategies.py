@@ -253,3 +253,28 @@ def test_snapshot_drift_report_flags_planted_drift(spark, sf_smoke):
     # price range/cardinality must have moved (+2500-cent shift on 20%)
     assert rows[("price", "n_distinct")]["delta"] != 0
     assert rows[("price", "max_cents")]["v_prev"] > 0
+
+
+def test_rfm_scores_partition_quartiles(spark, sf_oracle):
+    """Quartile scores cover 1..4 with ~balanced mass, and score ordering
+    respects the underlying metric ordering."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["rfm_customer_segmentation"].spark(spark, sf_oracle).collect()
+    n = len(rows)
+    assert n > 100
+    for col, better_high in [("r_score", None), ("f_score", None), ("m_score", None)]:
+        counts = {}
+        for r in rows:
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert set(counts) <= {1, 2, 3, 4} and len(counts) >= 2, (col, counts)
+        # each present quartile holds a non-trivial share (ties can skew)
+        assert all(c >= n * 0.02 for c in counts.values()), (col, counts)
+    # monetary ordering: every score-4 customer spent more than every score-1
+    m4 = min(r["monetary_cents"] for r in rows if r["m_score"] == 4)
+    m1 = max(r["monetary_cents"] for r in rows if r["m_score"] == 1)
+    assert m4 > m1
+    # recency ordering: score 4 = most recent
+    r4 = max(r["recency_days"] for r in rows if r["r_score"] == 4)
+    r1 = min(r["recency_days"] for r in rows if r["r_score"] == 1)
+    assert r4 < r1

@@ -561,3 +561,27 @@ def test_hourly_percentiles_rank_math(spark, tmp_path):
     assert r["p50_cents"] == 50   # rank (100+1) div 2 = 50 -> value 50
     assert r["p95_cents"] == 95   # rank 100 - 5 = 95
     assert r["max_cents"] == 100
+
+
+def test_transition_matrix_planted_sequence(spark, tmp_path):
+    """A deterministic A->B->A->C sequence yields the exact transition
+    counts and integer-micro conditional probabilities."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import NS
+
+    path = str(tmp_path)
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    seq = ["A", "B", "A", "C", "A", "B"]
+    rows = [(i, i * NS, 1, t, 1.0, "") for i, t in enumerate(seq)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["n_from"], r["p_micro"])
+        for r in REGISTRY["events_transition_matrix"].spark(spark, path).collect()
+    }
+    # transitions: A->B (x2), B->A, A->C, C->A
+    assert out[("A", "B")] == (2, 3, 666666)
+    assert out[("A", "C")] == (1, 3, 333333)
+    assert out[("B", "A")] == (1, 1, 1000000)
+    assert out[("C", "A")] == (1, 1, 1000000)
