@@ -122,6 +122,7 @@ HEADLINE = [
     "events_hourly_value_percentiles",
     "events_transition_matrix",
     "rfm_customer_segmentation",
+    "basket_affinity_lift",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -3453,3 +3453,62 @@ def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi_good("frequency", "f1", "f2", "f3").alias("f_score"),
         hi_good("monetary_cents", "m1", "m2", "m3").alias("m_score"),
     )
+
+
+@_q(
+    "basket_affinity_lift",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, c.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+       n_pair * n.n_orders * 1000000 // (ia.n_item * ib.n_item) AS lift_micro
+FROM pairs
+JOIN item ia ON pairs.part_a = ia.pk
+JOIN item ib ON pairs.part_b = ib.pk
+CROSS JOIN n
+WHERE n_pair >= 2
+""",
+)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (association-rule support + lift, the Apriori
+    pair level): which parts co-occur in the same order more than their
+    independent popularity predicts — lift = P(a,b)/(P(a)P(b)) in exact
+    integer micro-units (n_pair * n_orders * 1e6 div (n_a * n_b)).  The
+    pair self-join is keyed on the BASKET id, so the blowup is bounded by
+    basket size squared (TPC-H baskets are <= 7 lines), never corpus
+    size squared — the classic market-basket shape; at 100 TB a hot
+    basket cap (filter baskets above ~1k items) keeps the bound.  One
+    distinct shuffle + one basket-keyed equi-join + id-keyed support
+    joins; the 1-row order count is broadcast."""
+    from pyspark.sql import functions as F
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    item = b.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a = b.select("ok", F.col("pk").alias("part_a"))
+    c = b.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(c, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_pair", "n_a", "n_b",
+            F.expr("n_pair * n_orders * 1000000 div (n_a * n_b)").alias("lift_micro"),
+        )
+    )

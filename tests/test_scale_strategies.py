@@ -278,3 +278,40 @@ def test_rfm_scores_partition_quartiles(spark, sf_oracle):
     r4 = max(r["recency_days"] for r in rows if r["r_score"] == 4)
     r1 = min(r["recency_days"] for r in rows if r["r_score"] == 1)
     assert r4 < r1
+
+
+def test_basket_affinity_lift_planted(spark, tmp_path):
+    """Parts always bought together get high lift; independent parts hover
+    near 1e6 (lift 1.0)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = []
+    # 40 orders: parts 1,2 in ALL orders; part 3 in the first 20; part 4 in
+    # the first 10 -> lift(3,4) = 10*40/(20*10) = 2.0, lift(1,2) = 1.0
+    for ok in range(40):
+        rows += [(ok, 1), (ok, 2)]
+        if ok < 20:
+            rows.append((ok, 3))
+        if ok < 10:
+            rows.append((ok, 4))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    # write a minimal lineitem parquet the query can read
+    full = li.select(
+        "l_orderkey", "l_partkey",
+        F.lit(1).alias("l_suppkey"), F.lit(1).alias("l_linenumber"),
+        F.lit(1.0).alias("l_quantity"), F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"), F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.current_timestamp().alias("l_shipdate"),
+    )
+    full.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in REGISTRY["basket_affinity_lift"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, 2)]["n_pair"] == 40 and out[(1, 2)]["lift_micro"] == 1_000_000
+    assert out[(3, 4)]["n_pair"] == 10 and out[(3, 4)]["lift_micro"] == 2_000_000
+    assert out[(1, 3)]["lift_micro"] == 1_000_000  # independent of basket membership
+
