@@ -123,6 +123,8 @@ HEADLINE = [
     "events_transition_matrix",
     "rfm_customer_segmentation",
     "basket_affinity_lift",
+    "pareto_abc_customers",
+    "vocab_coverage_curve",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

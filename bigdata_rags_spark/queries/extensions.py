@@ -3512,3 +3512,61 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_pair * n_orders * 1000000 div (n_a * n_b)").alias("lift_micro"),
         )
     )
+
+
+@_q(
+    "pareto_abc_customers",
+    """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_cust),
+r AS (
+  SELECT o_custkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM per_cust
+)
+SELECT o_custkey, cents, cum_cents,
+       cum_cents * 1000000 // tot.total AS cum_share_micro,
+       CASE WHEN cum_cents * 100 <= tot.total * 80 THEN 'A'
+            WHEN cum_cents * 100 <= tot.total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r, tot
+""",
+)
+def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue classification — the 80/20 analysis: customers
+    ranked by revenue, cumulative share in exact integer micro-units
+    (cum * 1e6 div total; class thresholds compared as cross-multiplied
+    bigints, no float shares), class A = the head covering 80% of revenue.
+    The ordered cumulative window runs over the PER-CUSTOMER aggregate
+    (|customers| rows, not facts) — the one global sort this op inherently
+    needs; at 100 TB pre-bin by revenue range (range-partitioned cumsum)
+    or accept the agg-sized funnel.  Deterministic ties on custkey."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = per_cust.agg(F.sum("cents").cast("bigint").alias("total"))
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = per_cust.withColumn("cum_cents", F.sum("cents").over(w).cast("bigint"))
+    return r.join(F.broadcast(tot)).select(
+        "o_custkey",
+        "cents",
+        "cum_cents",
+        F.expr("cum_cents * 1000000 div total").alias("cum_share_micro"),
+        F.when(F.expr("cum_cents * 100 <= total * 80"), "A")
+        .when(F.expr("cum_cents * 100 <= total * 95"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -3361,3 +3361,67 @@ def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     q = e.filter(F.col("vec_id") < 5)
     return pq_search_rerank(q, e, k=5, shortlist=100)
+
+
+@_llm(
+    "vocab_coverage_curve",
+    f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab FROM tc),
+r AS (
+  SELECT token, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
+         CAST(SUM(n) OVER (ORDER BY n DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM tc
+)
+SELECT rnk AS vocab_size, cum AS covered_tokens, tot.total, tot.vocab,
+       cum * 1000000 // tot.total AS coverage_micro
+FROM r, tot
+WHERE rnk IN (1, 2, 4, 8, 16, 32, 64, 128, 256) OR rnk = tot.vocab
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget planning query:
+    with the top-k most frequent types as your vocabulary, what fraction
+    of all corpus tokens is covered (checkpointed at powers of two + the
+    full vocab)?  The Zipf head-coverage shape decides vocab size /
+    byte-fallback rates before a BPE train.  Exact integer micro-shares;
+    the ordered cumsum runs over TYPE counts (vocab-sized, thousands),
+    never tokens.  Deterministic ties on the token string."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    tc = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = tc.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    order = [F.desc("n"), F.asc("token")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = tc.select(
+        "token",
+        "n",
+        F.row_number().over(Window.orderBy(*order)).cast("bigint").alias("rnk"),
+        F.sum("n").over(w).cast("bigint").alias("cum"),
+    )
+    checkpoints = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+    return (
+        r.join(F.broadcast(tot))
+        .filter(F.col("rnk").isin(checkpoints) | (F.col("rnk") == F.col("vocab")))
+        .select(
+            F.col("rnk").alias("vocab_size"),
+            F.col("cum").alias("covered_tokens"),
+            "total",
+            "vocab",
+            F.expr("cum * 1000000 div total").alias("coverage_micro"),
+        )
+    )

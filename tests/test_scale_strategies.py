@@ -315,3 +315,41 @@ def test_basket_affinity_lift_planted(spark, tmp_path):
     assert out[(3, 4)]["n_pair"] == 10 and out[(3, 4)]["lift_micro"] == 2_000_000
     assert out[(1, 3)]["lift_micro"] == 1_000_000  # independent of basket membership
 
+
+
+def test_pareto_abc_classes_ordered(spark, sf_oracle):
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["pareto_abc_customers"].spark(spark, sf_oracle).collect()
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["abc_class"], []).append(r)
+    assert set(by_class) == {"A", "B", "C"}
+    assert max(r["cum_share_micro"] for r in rows) == 1_000_000
+    # every A customer out-earns every C customer
+    assert min(r["cents"] for r in by_class["A"]) >= max(r["cents"] for r in by_class["C"])
+    # boundary property: class A is exactly the head with cum share <= 80%
+    # (TPC-H revenue is near-uniform, so the head is ~80% of customers too)
+    total = sum(r["cents"] for r in rows)
+    a_rev = sum(r["cents"] for r in by_class["A"])
+    assert a_rev * 100 <= total * 80
+    max_a_cum = max(r["cum_cents"] for r in by_class["A"])
+    min_b_cum = min(r["cum_cents"] for r in by_class["B"])
+    assert max_a_cum * 100 <= total * 80 < min_b_cum * 100
+
+
+def test_vocab_coverage_curve_planted_zipf(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text, "en", "s", len(text))],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["vocab_size"]: r for r in
+           REGISTRY["vocab_coverage_curve"].spark(spark, str(tmp_path)).collect()}
+    assert out[1]["covered_tokens"] == 8 and out[1]["coverage_micro"] == 8 * 1_000_000 // 15
+    assert out[2]["covered_tokens"] == 12
+    assert out[4]["covered_tokens"] == 15 and out[4]["coverage_micro"] == 1_000_000
+    assert out[4]["vocab"] == 4
