@@ -125,6 +125,7 @@ HEADLINE = [
     "basket_affinity_lift",
     "pareto_abc_customers",
     "vocab_coverage_curve",
+    "events_seasonal_baseline_error",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

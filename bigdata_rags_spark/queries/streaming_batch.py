@@ -1156,3 +1156,55 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type", "to_type", "n", "n_from",
         F.expr("n * 1000000 div n_from").alias("p_micro"),
     )
+
+
+@_s(
+    "events_seasonal_baseline_error",
+    """
+WITH h AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT cur.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(ABS(cur.c - prev.c)) AS BIGINT) AS total_abs_err,
+       CAST(SUM(ABS(cur.c - prev.c)) AS BIGINT) * 1000000 // CAST(SUM(cur.c) AS BIGINT)
+         AS mae_over_volume_micro
+FROM h cur JOIN h prev
+  ON cur.event_type = prev.event_type AND prev.hr = cur.hr - 24
+GROUP BY 1
+""",
+)
+def events_seasonal_baseline_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline error — the first number any
+    forecasting/capacity pipeline needs: predict each hour's volume with
+    the SAME HOUR YESTERDAY (the seasonal-naive baseline every fancier
+    model must beat; the MASE denominator), and report per event type the
+    total absolute error and error-over-volume in exact integer micro
+    units.  The day-lag pairing is an equi-join on (type, hr-24), not a
+    window over sparse hours — absent hours simply don't pair, so sparse
+    streams aren't zero-filled into fake accuracy.  Scale: one hourly
+    rollup (partial+final), one co-keyed self-join, tiny output."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    h = (
+        ev.select("event_type", F.expr("ts_ns div 3600000000000").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cur = h.select("event_type", "hr", F.col("c").alias("c_cur"))
+    prev = h.select(
+        "event_type", (F.col("hr") + 24).alias("hr"), F.col("c").alias("c_prev")
+    )
+    j = cur.join(prev, ["event_type", "hr"])
+    err = F.abs(F.col("c_cur") - F.col("c_prev"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(err).cast("bigint").alias("total_abs_err"),
+        F.expr(
+            "CAST(SUM(ABS(c_cur - c_prev)) AS BIGINT) * 1000000"
+            " div CAST(SUM(c_cur) AS BIGINT)"
+        ).alias("mae_over_volume_micro"),
+    )

@@ -585,3 +585,29 @@ def test_transition_matrix_planted_sequence(spark, tmp_path):
     assert out[("A", "C")] == (1, 3, 333333)
     assert out[("B", "A")] == (1, 1, 1000000)
     assert out[("C", "A")] == (1, 1, 1000000)
+
+
+def test_seasonal_baseline_error_planted(spark, tmp_path):
+    """Hours 24h apart pair up; the planted +5 spike in day 2 shows up as
+    exactly 5 absolute error per paired hour."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import NS
+
+    path = str(tmp_path)
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    rows = []
+    eid = 0
+    # day 1: 10 events in hour 0 and hour 1;  day 2: 15 in hour 24, 10 in hour 25
+    for hr, n in [(0, 10), (1, 10), (24, 15), (25, 10)]:
+        for i in range(n):
+            rows.append((eid, (hr * 3600 + i) * NS, 1, "click", 1.0, ""))
+            eid += 1
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+    out = REGISTRY["events_seasonal_baseline_error"].spark(spark, path).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hours"] == 2                       # hours 24 and 25 pair with 0 and 1
+    assert r["total_abs_err"] == 5                 # |15-10| + |10-10|
+    assert r["mae_over_volume_micro"] == 5 * 1_000_000 // 25
