@@ -127,6 +127,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "events_seasonal_baseline_error",
     "lsh_tuning_planner",
+    "near_dup_candidate_eval",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

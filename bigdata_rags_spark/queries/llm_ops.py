@@ -3493,3 +3493,67 @@ def lsh_tuning_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("occ").cast("bigint").alias("max_bucket"),
         F.sum(F.expr("occ * (occ - 1) div 2")).cast("bigint").alias("candidate_pairs"),
     )
+
+
+@_llm(
+    "near_dup_candidate_eval",
+    f"""
+WITH {_SQL_MINHASH_CAND},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT COUNT(*) FROM mh_cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM truth t
+               JOIN mh_cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS BIGINT) AS tp
+)
+SELECT n_truth, n_candidates, tp,
+       n_truth - tp AS fn, n_candidates - tp AS fp,
+       tp * 1000000 // n_truth AS recall_micro,
+       tp * 1000000 // n_candidates AS precision_micro
+FROM m
+""",
+)
+def near_dup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation as an operator: MinHash-LSH candidate
+    precision/recall against the EXACT shingle-Jaccard >= 0.5 ground truth
+    — the audit you run when tuning bands/rows before trusting a near-dup
+    pass at scale (recall bounds what dedup can remove; precision bounds
+    wasted verification).  All integer counts + micro-ratios; both sides
+    reuse the already-oracle-checked candidate and ground-truth pipelines,
+    so a red row here isolates the EVALUATION join, not the inputs.
+    Scale: ground truth is the shingle self-join (bounded by real
+    collisions), the eval join is candidate-pair-keyed."""
+    from bigdata_rags_spark.dedup.minhash import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    docs = _docs_parallel(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, k=5, threshold=0.5).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    tp = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tp")
+    )
+    return (
+        n_truth.join(F.broadcast(n_cand))
+        .join(F.broadcast(tp))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "tp",
+            (F.col("n_truth") - F.col("tp")).cast("bigint").alias("fn"),
+            (F.col("n_candidates") - F.col("tp")).cast("bigint").alias("fp"),
+            F.expr("tp * 1000000 div n_truth").alias("recall_micro"),
+            F.expr("tp * 1000000 div n_candidates").alias("precision_micro"),
+        )
+    )

@@ -935,3 +935,17 @@ def test_lsh_tuning_planner_monotone_and_consistent(spark, sf_oracle):
     # scale), 12 planes is sparse
     assert rows[12]["candidate_pairs"] < rows[6]["candidate_pairs"]
     assert rows[6]["candidate_pairs"] < n * (n - 1) // 2
+
+
+def test_near_dup_candidate_eval_counts(spark, sf_oracle):
+    """The eval row's counts must be internally consistent and the LSH
+    recall on true Jaccard>=0.5 pairs must be high (exact dups always
+    collide; the 6x2 banding catches >=0.5 with high probability)."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    r = REGISTRY["near_dup_candidate_eval"].spark(spark, sf_oracle).collect()[0]
+    assert r["n_truth"] > 0 and r["n_candidates"] > 0
+    assert r["tp"] + r["fn"] == r["n_truth"]
+    assert r["tp"] + r["fp"] == r["n_candidates"]
+    assert 0 <= r["recall_micro"] <= 1_000_000
+    assert r["recall_micro"] >= 800_000, r
