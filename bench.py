@@ -128,6 +128,7 @@ HEADLINE = [
     "events_seasonal_baseline_error",
     "lsh_tuning_planner",
     "near_dup_candidate_eval",
+    "gini_revenue_concentration",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -3570,3 +3570,62 @@ def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@_q(
+    "gini_revenue_concentration",
+    """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk
+  FROM per_cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       ROUND(CAST(2 * CAST(SUM(rnk * cents) AS BIGINT)
+                  - (CAST(COUNT(*) AS BIGINT) + 1) * CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(cents) AS BIGINT) AS DOUBLE), 6) AS gini
+FROM r
+""",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the concentration scalar next
+    to the Pareto/ABC detail view (also the dedup-cluster / corpus-source
+    concentration metric when pointed at those tables): computed with the
+    exact rank formula G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))
+    over ascending-sorted values: the rank-weighted sums are exact
+    bigints and only the FINAL scalar ratio is one double division
+    (exact-rounded IEEE, identical in both engines; an integer-micro form
+    overflows int64 at sum(rank*cents)*1e6).  The rank window runs over the
+    per-customer AGGREGATE; ties break on custkey so the rank-weighted sum
+    is identical in both engines (sum(rnk*cents) is tie-order-invariant
+    anyway: equal cents commute)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    r = per_cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "ROUND(CAST(2 * CAST(SUM(rnk * cents) AS BIGINT)"
+            " - (CAST(COUNT(*) AS BIGINT) + 1) * CAST(SUM(cents) AS BIGINT) AS DOUBLE)"
+            " / CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(cents) AS BIGINT) AS DOUBLE), 6)"
+        ).alias("gini"),
+    )

@@ -353,3 +353,33 @@ def test_vocab_coverage_curve_planted_zipf(spark, tmp_path):
     assert out[2]["covered_tokens"] == 12
     assert out[4]["covered_tokens"] == 15 and out[4]["coverage_micro"] == 1_000_000
     assert out[4]["vocab"] == 4
+
+
+def test_gini_known_distributions(spark):
+    """Gini = 0 for perfect equality; the rank formula matches the known
+    closed form for a planted linear distribution."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.io.readers import read_testdata  # noqa: F401
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    def gini_of(rows, tmpdir):
+        df = spark.createDataFrame(rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+        df.write.mode("overwrite").parquet(f"{tmpdir}/orders.parquet")
+        return REGISTRY["gini_revenue_concentration"].spark(spark, str(tmpdir)).collect()[0]
+
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        equal = [(i, i, "O", 100.0, ts, "1") for i in range(10)]
+        r = gini_of(equal, d)
+        assert r["gini"] == 0.0
+    with tempfile.TemporaryDirectory() as d:
+        # cents_i = 100*i for i=1..10: closed form G = (2*sum(i*x_i)/(n*sum x)) - (n+1)/n
+        linear = [(i, i, "O", float(i), ts, "1") for i in range(1, 11)]
+        r = gini_of(linear, d)
+        n, xs = 10, [100 * i for i in range(1, 11)]
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        expect = round((2 * s - (n + 1) * sum(xs)) / (n * sum(xs)), 6)
+        assert abs(r["gini"] - expect) < 1e-9, (r["gini"], expect)
