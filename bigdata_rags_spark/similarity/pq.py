@@ -1,7 +1,9 @@
 """Product quantization (PQ) ANN serving: codes + asymmetric-distance top-k.
 
 Third classic ANN family next to LSH (`similarity/knn.py`) and IVF
-(`similarity/ivf.py`): split the embedding into M subspaces, quantize each
+(`similarity/ivf.py`); the reference has no similarity surface at all
+(its transform DAG is relational-only, `reference/dag-transform.py`;
+SURVEY.md §2 extension tier).  Split the embedding into M subspaces, quantize each
 to one of K codebook centroids (Jégou, Douze, Schmid, "Product quantization
 for nearest neighbor search", TPAMI 2011).  The corpus is then M small ints
 per vector (here 16 codes in [0,16) — a nibble each at scale, 8 bytes vs
