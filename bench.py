@@ -129,6 +129,7 @@ HEADLINE = [
     "lsh_tuning_planner",
     "near_dup_candidate_eval",
     "gini_revenue_concentration",
+    "events_ab_experiment_lift",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

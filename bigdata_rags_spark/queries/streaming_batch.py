@@ -1208,3 +1208,110 @@ def events_seasonal_baseline_error(spark: SparkSession, sf_dir: str) -> DataFram
             " div CAST(SUM(c_cur) AS BIGINT)"
         ).alias("mae_over_volume_micro"),
     )
+
+
+@_s(
+    "events_ab_experiment_lift",
+    """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_conv
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+         MAX(CASE WHEN arm = 0 THEN n_conv END)  AS c_a,
+         MAX(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+         MAX(CASE WHEN arm = 1 THEN n_conv END)  AS c_b
+  FROM arms
+)
+SELECT n_a, c_a, n_b, c_b,
+       c_a * 1000000 // n_a AS rate_a_micro,
+       c_b * 1000000 // n_b AS rate_b_micro,
+       c_b * 1000000 // n_b - c_a * 1000000 // n_a AS lift_micro,
+       COALESCE(ROUND(CAST((n_a + n_b) AS DOUBLE)
+             * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)
+             * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)
+             / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE)
+             / CAST(NULLIF(c_a + c_b, 0) AS DOUBLE)
+             / CAST(NULLIF(n_a + n_b - c_a - c_b, 0) AS DOUBLE),
+             4), 0.0) AS chi2,
+       CAST(CASE WHEN COALESCE(CAST((n_a + n_b) AS DOUBLE)
+             * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)
+             * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)
+             / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE)
+             / CAST(NULLIF(c_a + c_b, 0) AS DOUBLE)
+             / CAST(NULLIF(n_a + n_b - c_a - c_b, 0) AS DOUBLE), 0) > 3.841 THEN 1 ELSE 0 END AS BIGINT)
+         AS significant_95
+FROM w
+""",
+)
+def events_ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the analysis every event pipeline
+    ultimately feeds: users split into two arms by the SAME deterministic
+    md5 hash a real experiment assigner would use (replayable, no RNG),
+    per-arm conversion = a fixed engagement threshold (>= 14 purchase
+    events — roughly the per-user median in the fixture, every user has
+    SOME purchase so a did-purchase flag would be degenerate), exact
+    integer rates
+    and lift in micro-units, and a 2x2 chi-squared independence test
+    (chi2 = N(ad-bc)^2 / (row and column marginals)) whose only float is
+    the final scalar ratio (exact-rounded IEEE division of exact bigint
+    products, same op order both engines; integer cross-multiplication
+    overflows int64 at N(ad-bc)^2).  Scale: one user-level agg, then a
+    2-row pivot — the heavy lifting is the groupBy, which is partial+final
+    on user_id."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("c_b"),
+    )
+    chi2_expr = (
+        "CAST((n_a + n_b) AS DOUBLE)"
+        " * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)"
+        " * CAST(c_a * (n_b - c_b) - c_b * (n_a - c_a) AS DOUBLE)"
+        " / CAST(n_a AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        " / CAST(NULLIF(c_a + c_b, 0) AS DOUBLE)"
+        " / CAST(NULLIF(n_a + n_b - c_a - c_b, 0) AS DOUBLE)"
+    )
+    return w.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.expr("c_a * 1000000 div n_a").alias("rate_a_micro"),
+        F.expr("c_b * 1000000 div n_b").alias("rate_b_micro"),
+        F.expr("c_b * 1000000 div n_b - c_a * 1000000 div n_a").alias("lift_micro"),
+        F.expr(f"COALESCE(ROUND({chi2_expr}, 4), 0.0)").alias("chi2"),
+        F.expr(f"CAST(CASE WHEN COALESCE({chi2_expr}, 0) > 3.841 THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "significant_95"
+        ),
+    )

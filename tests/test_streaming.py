@@ -611,3 +611,47 @@ def test_seasonal_baseline_error_planted(spark, tmp_path):
     assert r["n_hours"] == 2                       # hours 24 and 25 pair with 0 and 1
     assert r["total_abs_err"] == 5                 # |15-10| + |10-10|
     assert r["mae_over_volume_micro"] == 5 * 1_000_000 // 25
+
+
+def test_ab_experiment_planted_significant_lift(spark, tmp_path):
+    """A planted experiment where arm composition differs sharply must come
+    out significant with the right sign; a balanced one must not."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import NS
+
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+
+    def build(users_purchases, path):
+        rows, eid = [], 0
+        for uid, n_purch in users_purchases:
+            for i in range(n_purch):
+                rows.append((eid, (uid * 1000 + i) * NS, uid, "purchase", 1.0, ""))
+                eid += 1
+            rows.append((eid, (uid * 1000 + 999) * NS, uid, "view", 1.0, ""))
+            eid += 1
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{path}/events.parquet"
+        )
+
+    # find the md5 arm of each uid so we can plant a real imbalance
+    import hashlib
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    a_users = [u for u in range(200) if arm(u) == 0][:30]
+    b_users = [u for u in range(200) if arm(u) == 1][:30]
+    # arm B converts (>=14 purchases), arm A doesn't
+    planted = [(u, 2) for u in a_users] + [(u, 20) for u in b_users]
+    d1 = str(tmp_path / "skewed")
+    build(planted, d1)
+    r = REGISTRY["events_ab_experiment_lift"].spark(spark, d1).collect()[0]
+    assert r["n_a"] == 30 and r["n_b"] == 30
+    assert r["c_a"] == 0 and r["c_b"] == 30
+    assert r["lift_micro"] == 1_000_000 and r["significant_95"] == 1
+
+    balanced = [(u, 20) for u in a_users] + [(u, 20) for u in b_users]
+    d2 = str(tmp_path / "balanced")
+    build(balanced, d2)
+    r2 = REGISTRY["events_ab_experiment_lift"].spark(spark, d2).collect()[0]
+    assert r2["lift_micro"] == 0 and r2["significant_95"] == 0
