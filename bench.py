@@ -130,6 +130,7 @@ HEADLINE = [
     "near_dup_candidate_eval",
     "gini_revenue_concentration",
     "events_ab_experiment_lift",
+    "events_dau_wau_stickiness",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

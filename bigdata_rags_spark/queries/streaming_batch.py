@@ -1315,3 +1315,62 @@ def events_ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_95"
         ),
     )
+
+
+@_s(
+    "events_dau_wau_stickiness",
+    """
+WITH du AS (
+  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events
+),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM du),
+contrib AS (
+  SELECT du.day + k.k AS day, du.user_id
+  FROM du CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k) k
+),
+wau AS (
+  SELECT c.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM (SELECT DISTINCT day, user_id FROM contrib) c, span
+  WHERE c.day <= span.d1
+  GROUP BY c.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       dau.dau * 1000000 // wau.wau AS stickiness_micro
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU/WAU) — the canonical
+    engagement metric, computed EXACTLY without a windowed COUNT DISTINCT
+    (which would hold per-window user sets in state): each distinct
+    (day, user) pair is exploded to the 7 future days it makes active, so
+    WAU is a plain distinct-count per day — the offset-explode turns an
+    unsupported sliding distinct into two hash aggregations, the same
+    trick `events_sliding_halfhour` uses for sliding sums.  Integer
+    micro-ratio; days past the observed span are clipped so every output
+    day has a true trailing week.  Scale: 7x the (day, user) pair volume
+    through one exchange — pairs, not events."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    du = ev.select(
+        F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    span = du.agg(F.max("day").alias("d1"))
+    contrib = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .join(F.broadcast(span))
+        .filter(F.col("day") <= F.col("d1"))
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau", F.expr("dau * 1000000 div wau").alias("stickiness_micro")
+    )

@@ -655,3 +655,27 @@ def test_ab_experiment_planted_significant_lift(spark, tmp_path):
     build(balanced, d2)
     r2 = REGISTRY["events_ab_experiment_lift"].spark(spark, d2).collect()[0]
     assert r2["lift_micro"] == 0 and r2["significant_95"] == 0
+
+
+def test_dau_wau_stickiness_planted(spark, tmp_path):
+    """Known activity pattern: user 1 active days 0-6 daily, user 2 only
+    day 3 -> DAU/WAU per day verified by hand."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import NS
+
+    path = str(tmp_path)
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    day_ns = 86_400_000_000_000
+    rows, eid = [], 0
+    for d in range(7):
+        rows.append((eid, d * day_ns + NS, 1, "click", 1.0, "")); eid += 1
+    rows.append((eid, 3 * day_ns + NS, 2, "click", 1.0, ""))
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+    out = {r["day"]: r for r in
+           REGISTRY["events_dau_wau_stickiness"].spark(spark, path).collect()}
+    assert out[0]["dau"] == 1 and out[0]["wau"] == 1
+    assert out[3]["dau"] == 2 and out[3]["wau"] == 2  # both active in trailing week
+    assert out[6]["dau"] == 1 and out[6]["wau"] == 2  # user 2 still inside the week
+    assert out[6]["stickiness_micro"] == 500_000
