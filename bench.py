@@ -131,6 +131,7 @@ HEADLINE = [
     "gini_revenue_concentration",
     "events_ab_experiment_lift",
     "events_dau_wau_stickiness",
+    "events_new_vs_returning",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

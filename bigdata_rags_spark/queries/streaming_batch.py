@@ -1374,3 +1374,45 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, "day").select(
         "day", "dau", "wau", F.expr("dau * 1000000 div wau").alias("stickiness_micro")
     )
+
+
+@_s(
+    "events_new_vs_returning",
+    """
+WITH du AS (
+  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events
+),
+first AS (SELECT user_id, CAST(MIN(day) AS BIGINT) AS first_day FROM du GROUP BY user_id)
+SELECT du.day,
+       CAST(SUM(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN du.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+FROM du JOIN first f ON du.user_id = f.user_id
+GROUP BY du.day
+""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting's first split — per day, how many active users are
+    NEW (first ever activity) vs RETURNING: the acquisition-vs-retention
+    decomposition every growth dashboard leads with.  first-seen day is a
+    per-user MIN over distinct (day, user) pairs; the classification join
+    is user-keyed and the final agg partial+final on day.  Exact integer
+    counts."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_batch(spark, sf_dir)
+    du = ev.select(
+        F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
+    ).distinct()
+    first = du.groupBy("user_id").agg(F.min("day").cast("bigint").alias("first_day"))
+    return (
+        du.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )

@@ -679,3 +679,21 @@ def test_dau_wau_stickiness_planted(spark, tmp_path):
     assert out[3]["dau"] == 2 and out[3]["wau"] == 2  # both active in trailing week
     assert out[6]["dau"] == 1 and out[6]["wau"] == 2  # user 2 still inside the week
     assert out[6]["stickiness_micro"] == 500_000
+
+
+def test_new_vs_returning_planted(spark, tmp_path):
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.streaming.events import NS
+
+    path = str(tmp_path)
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    day_ns = 86_400_000_000_000
+    # user 1: days 0,1; user 2: day 1 only; user 3: days 1,2
+    acts = [(1, 0), (1, 1), (2, 1), (3, 1), (3, 2)]
+    rows = [(i, d * day_ns + NS, u, "click", 1.0, "") for i, (u, d) in enumerate(acts)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{path}/events.parquet"
+    )
+    out = {r["day"]: (r["n_new"], r["n_returning"]) for r in
+           REGISTRY["events_new_vs_returning"].spark(spark, path).collect()}
+    assert out == {0: (1, 0), 1: (2, 1), 2: (0, 1)}
