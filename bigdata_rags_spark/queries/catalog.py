@@ -236,6 +236,9 @@ _PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
     "embedding_near_dup_pairs_mm",
     "approx_percentile_prices",
     "approx_count_distinct_orders",
+    # rows-only filesystem invariant by design (VERDICT r6 #5); its driver row
+    # (err: no_oracle) landed in CORRECTNESS_r07 — never re-greenable
+    "zone_compaction_invariant",
 })
 
 # Every query's LAST driver CORRECTNESS row (name -> round), rebuilt each
@@ -249,18 +252,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     # --- last driver row: round 2 ---
     "approx_count_distinct_orders": 2,
     "approx_percentile_prices": 2,
-    "collect_sorted_lists": 2,
-    "correlated_scalar_above_avg": 2,
-    "date_arithmetic_orders": 2,
-    "hash_functions_documents": 2,
-    "pandas_udaf_geometric_mean": 2,
-    "pandas_udf_harmonic_price": 2,
-    "salted_join_revenue_by_priority": 2,
-    "sql_grouping_sets": 2,
-    "string_functions_extended": 2,
-    "tpch_q13_customer_distribution": 2,
-    "tpch_q4_order_priority": 2,
-    "window_ntile_lead_firstvalue": 2,
     # --- last driver row: round 4 ---
     "bm25_keyword_search": 4,
     "corpus_health_by_lang": 4,
@@ -273,7 +264,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "embedding_norm_stats": 4,
     "embedding_random_projection": 4,
     "exact_dup_clusters": 4,
-    "fuzzy_dedup_surviving_docs": 4,
     "gopher_quality_filters": 4,
     "hybrid_rag_search": 4,
     "langid_stopword_heuristic": 4,
@@ -356,11 +346,9 @@ _DRIVER_CHECKED: dict[str, int] = {
     "decimal_exact_revenue": 6,
     "dedup_surviving_docs": 6,
     "dup_bigram_fraction_docs": 6,
-    "dup_cluster_assignment": 6,
     "dup_cluster_size_histogram": 6,
     "edit_distance_near_dups": 6,
     "embedding_cosine_topk": 6,
-    "embedding_fuzzy_dedup_vectors": 6,
     "embedding_ivf_probe_fixed": 6,
     "embedding_lsh_topk": 6,
     "events_attribution_first_vs_last": 6,
@@ -396,20 +384,61 @@ _DRIVER_CHECKED: dict[str, int] = {
     "upsert_current_rows": 6,
     "window_trailing_7d_range_frame": 6,
     "zone_snapshot_diff": 6,
+    # --- last driver row: round 7 ---
+    "basket_affinity_lift": 7,
+    "bigram_collocation_lift": 7,
+    "bloom_prefilter_incremental_dedup": 7,
+    "cdc_apply_log_compaction": 7,
+    "collect_sorted_lists": 7,
+    "correlated_scalar_above_avg": 7,
+    "date_arithmetic_orders": 7,
+    "doc_boilerplate_ngram_coverage": 7,
+    "dup_cluster_assignment": 7,
+    "embedding_diversity_fps": 7,
+    "embedding_fuzzy_dedup_vectors": 7,
+    "embedding_pq_adc_topk": 7,
+    "embedding_pq_rerank_topk": 7,
+    "events_ab_experiment_lift": 7,
+    "events_cep_view_purchase": 7,
+    "events_dau_wau_stickiness": 7,
+    "events_heavy_hitters_cms": 7,
+    "events_hourly_value_percentiles": 7,
+    "events_new_vs_returning": 7,
+    "events_rollup_cascade": 7,
+    "events_run_length_islands": 7,
+    "events_running_user_totals": 7,
+    "events_seasonal_baseline_error": 7,
+    "events_transition_matrix": 7,
+    "fuzzy_dedup_surviving_docs": 7,
+    "gini_revenue_concentration": 7,
+    "hash_functions_documents": 7,
+    "image_phash_near_dups": 7,
+    "lsh_tuning_planner": 7,
+    "near_dup_candidate_eval": 7,
+    "near_dup_graph_clustering": 7,
+    "ngram_containment_pairs": 7,
+    "pandas_udaf_geometric_mean": 7,
+    "pandas_udf_harmonic_price": 7,
+    "pareto_abc_customers": 7,
+    "priority_sample_docs": 7,
+    "rfm_customer_segmentation": 7,
+    "rrf_fusion_search": 7,
+    "salted_join_revenue_by_priority": 7,
+    "scd2_point_in_time_lookup": 7,
+    "snapshot_drift_report": 7,
+    "source_pair_overlap_kmv": 7,
+    "sql_grouping_sets": 7,
+    "string_functions_extended": 7,
+    "tpch_q13_customer_distribution": 7,
+    "tpch_q4_order_priority": 7,
+    "vocab_coverage_curve": 7,
+    "window_ntile_lead_firstvalue": 7,
+    "zone_compaction_invariant": 7,
+    "zorder_file_skipping_stats": 7,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
-_RECHECK: tuple[str, ...] = (
-    # round 7: connected_components gained pointer doubling + an
-    # Observation-based convergence probe (same labels, new plan/code path)
-    # — recheck its three consumers per the CLAUDE.md contract
-    "dup_cluster_assignment",
-    "fuzzy_dedup_surviving_docs",
-    "embedding_fuzzy_dedup_vectors",
-    # round 7 (late): cms bucket hash hoisted to module level for the
-    # micro-batch merge test — expression unchanged, recheck to be safe
-    "events_heavy_hitters_cms",
-)
+_RECHECK: tuple[str, ...] = ()
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
 
