@@ -438,7 +438,16 @@ _DRIVER_CHECKED: dict[str, int] = {
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
-_RECHECK: tuple[str, ...] = ()
+_RECHECK: tuple[str, ...] = (
+    # round 8: lsh n_planes now self-scales with corpus count (resolves to
+    # the historical 8 on the driver fixtures, but the code path changed)
+    "embedding_near_dup_pairs_lsh",
+    "embedding_fuzzy_dedup_vectors",
+    "embedding_lsh_topk",
+    # round 8: triangle counting re-oriented by (degree, id) — same count,
+    # new join shape
+    "near_dup_graph_clustering",
+)
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
 

@@ -680,8 +680,9 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_rags_spark.similarity.knn import lsh_bucketed_topk
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    # n_planes omitted -> self-scaling default; 8 on the driver fixtures
     return lsh_bucketed_topk(
-        e.filter(F.col("vec_id") < 5), e, k=5, n_planes=8, dim=64,
+        e.filter(F.col("vec_id") < 5), e, k=5, dim=64,
         n_tables=2, probe_bits=2,
     )
 
@@ -756,7 +757,8 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    return lsh_verified_pairs(e, threshold=0.4, n_planes=8, n_tables=4, probe_bits=2)
+    # n_planes omitted -> self-scaling default; 8 on the driver fixtures
+    return lsh_verified_pairs(e, threshold=0.4, n_tables=4, probe_bits=2)
 
 
 @_llm("embedding_near_dup_pairs_mm", None)
@@ -2369,8 +2371,10 @@ def embedding_fuzzy_dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    # n_planes omitted -> auto_n_planes(count) (VERDICT r7 #2); resolves to
+    # 8 on the driver fixtures, so the pinned 8-plane oracle still matches
     pairs = lsh_verified_pairs(
-        e, threshold=0.4, n_planes=8, n_tables=4, probe_bits=2
+        e, threshold=0.4, n_tables=4, probe_bits=2
     ).select("id_a", "id_b")
     clusters = connected_components(pairs, a="id_a", b="id_b")
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
@@ -2913,16 +2917,23 @@ def near_dup_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure survival (`connected_components`) is versus
     pairwise-only removal: closure_milli near 1000 means near-dup is
     ~transitive and CC is safe; low closure means CC chains unrelated
-    docs.  Triangle counting is the classic edge-iterator join (Suri &
-    Vassilvitskii's MR formulation): with edges oriented low->high id,
-    e1(a,b) |X| e2(b,c) enumerates each wedge once and the join back to
-    e3(a,c) closes it — each triangle counted exactly once, no node ever
-    materializes its full neighborhood.
+    docs.  Triangle counting is the edge-iterator join (Suri &
+    Vassilvitskii's MR formulation) with DEGREE ORIENTATION (VERDICT r7
+    #5): each undirected edge is directed from its lower-(degree, id)
+    endpoint to the higher, wedges are enumerated at the LOW-degree apex
+    (pairs of out-neighbors), and the join back to the oriented edge
+    (b, c) closes them — each triangle counted exactly once via its
+    unique (degree, id)-minimal vertex.  Orienting by degree bounds the
+    wedge fan-out of every node by its OUT-degree, which is O(sqrt(m))
+    for any graph (arboricity bound) — a hub with degree h contributes
+    O(h) wedges instead of O(h^2), so a skewed near-dup cluster can no
+    longer blow up the wedge join.  The triangle count (and the oracle
+    hash) is orientation-invariant, so the SQL oracle keeps the simpler
+    id orientation.
 
-    Scale shape: two equi-joins on edge endpoints (shuffle keys are ids),
-    degree agg for wedges, three 1-row broadcast combines.  Skewed hub
-    nodes are the known hazard at 100 TB (mitigate: orient by degree
-    instead of id — same count, bounded fan-out)."""
+    Scale shape: two small degree-attach joins, one self-join on the
+    apex, one closing equi-join on (b, c) endpoints, degree agg for
+    wedges, three 1-row broadcast combines."""
     edges = (
         image_phash_near_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
     )
@@ -2935,13 +2946,35 @@ def near_dup_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
     )
     ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"])
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    # orient every edge low->high by (degree, id); carry the dst's rank key
+    # so the wedge filter below can order out-neighbors without a re-join
+    dega = deg.select(F.col("u").alias("doc_a"), F.col("d").alias("da"))
+    degb = deg.select(F.col("u").alias("doc_b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = (
+        edges.join(dega, "doc_a")
+        .join(degb, "doc_b")
+        .select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_deg").alias("deg_b")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dst_deg").alias("deg_c")
+    )
+    e3 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    )
+    tri = wedges.join(e3, ["b", "c"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
     return (
         agg.crossJoin(F.broadcast(ne))

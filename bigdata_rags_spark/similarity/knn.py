@@ -18,6 +18,7 @@ Python in the scoring loop.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -306,6 +307,38 @@ def signature_col(vec: F.Column, planes: list[list[float]]) -> F.Column:
     return sig
 
 
+def auto_n_planes(
+    n_rows: int,
+    target_occupancy: int = 8,
+    floor: int = 8,
+    cap: int = 24,
+) -> int:
+    """Self-scaling signature width: planes = ceil(log2(N / occupancy)),
+    clamped to [floor, cap].
+
+    Operationalizes the round-7 10x scale-probe finding (SCALE.md finding
+    #1): with a FIXED plane count, expected bucket occupancy is N / 2^planes
+    and candidate volume per table degrades toward N^2 / 2^planes — at 20k
+    vectors the old 8-plane default saturated every bucket (>25 min vs 6 s).
+    Growing planes with log2(N) pins expected occupancy at
+    ``target_occupancy`` so candidate volume stays O(N * occupancy).
+
+    target_occupancy=8 reproduces both prior calibration points exactly:
+    the driver fixtures (N=500 at sf0.01, N=2000 at sf0.1) yield 8 planes —
+    the value every oracle SQL pins, so driver hashes are unchanged — and
+    the 10x probe corpus (N=20000) yields 12, the value the r7 probe
+    hand-tuned as ``8 + ceil(log2(10))``.  Hyperplane families are
+    prefix-nested (``_deterministic_hyperplanes`` derives plane p from the
+    seed alone), so widening only APPENDS signature bits; bucket refinement
+    is monotone.  The cap bounds probe fan-out: C(24,2)=276 masks per probe
+    at probe_bits=2.
+    """
+    if n_rows <= 0:
+        return floor
+    need = math.ceil(math.log2(max(1.0, n_rows / target_occupancy)))
+    return max(floor, min(cap, need))
+
+
 def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
     """All XOR masks of Hamming weight <= probe_bits over n_planes bits —
     the multi-probe neighborhood of a signature."""
@@ -326,7 +359,7 @@ def lsh_verified_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     probe_bits: int = 2,
     dim: int = 64,
@@ -360,6 +393,13 @@ def lsh_verified_pairs(
     base = df.select(
         F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
     )
+    if n_planes is None:
+        # Self-scaling default (VERDICT r7 #2): one cheap count job (parquet
+        # footer row-counts; a warehouse would use table stats) picks the
+        # signature width that pins expected bucket occupancy — on the
+        # driver fixtures this resolves to the historical 8, so oracle
+        # hashes are unchanged, while 10x corpora get 12 automatically.
+        n_planes = auto_n_planes(base.count())
     masks = probe_masks(n_planes, probe_bits)
 
     cand = None
@@ -407,7 +447,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     n_tables: int = 1,
     probe_bits: int = 1,
@@ -441,6 +481,9 @@ def lsh_bucketed_topk(
     from pyspark.sql import Window
 
     signature = signature_col
+    if n_planes is None:
+        # self-scaling default — see auto_n_planes / lsh_verified_pairs
+        n_planes = auto_n_planes(corpus.count())
     # XOR masks for all probe signatures within Hamming <= probe_bits
     masks = probe_masks(n_planes, probe_bits)
 

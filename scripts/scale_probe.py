@@ -21,14 +21,14 @@ Two probe classes:
 
 1. REGISTRY queries (doc-side, expected ~linear): timed verbatim at 1x
    and 10x.
-2. The embedding ANN path, probed PARAMETERIZATION-AWARE: LSH bucket
-   count must scale with N (candidates ~ N^2 / 2^n_planes per table), so
-   the 10x run uses n_planes + ceil(log2(COPIES)) extra hyperplanes —
-   exactly what an operator would tune on a 10x corpus.  The first probe
-   run (round 7) demonstrated why: the REGISTRY defaults (8 planes = 256
-   buckets) at 10x saturate every bucket and the candidate join degrades
-   toward all-pairs (>25 min vs 6 s at 1x) — a parameterization property,
-   not a plan defect; with 12 planes the same plan is ~linear.
+2. The embedding ANN path at REGISTRY DEFAULTS: since round 8, n_planes
+   self-scales with the corpus count (similarity/knn.py:auto_n_planes —
+   candidates ~ N^2 / 2^n_planes per table, so planes must grow with
+   log2(N)), so the probe passes NO plane override.  The first probe run
+   (round 7) motivated this: a then-fixed 8-plane default (256 buckets)
+   at 10x saturated every bucket and the candidate join degraded toward
+   all-pairs (>25 min vs 6 s at 1x); with 12 planes — what auto_n_planes
+   now picks at 20k vectors — the same plan is ~linear.
 
 Run:  python scripts/scale_probe.py   (serialize with other Spark work —
 CLAUDE.md bench rule).  Results table lives in SCALE.md.
@@ -36,7 +36,6 @@ CLAUDE.md bench rule).  Results table lives in SCALE.md.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import sys
@@ -129,16 +128,18 @@ def timed(spark, fn) -> float:
     return best
 
 
-def emb_fuzzy(spark, sf_dir: str, n_planes: int):
-    """embedding_fuzzy_dedup_vectors's exact composition with a tunable
-    bucket width — the knob a 10x corpus requires."""
+def emb_fuzzy(spark, sf_dir: str):
+    """embedding_fuzzy_dedup_vectors's exact composition at REGISTRY
+    defaults — since r8, n_planes self-scales with the corpus count
+    (similarity/knn.py:auto_n_planes), so the probe needs no hand-tuned
+    plane override anymore (VERDICT r7 #2)."""
     from bigdata_rags_spark.dedup.clusters import connected_components
     from bigdata_rags_spark.io.readers import read_testdata
     from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     pairs = lsh_verified_pairs(
-        e, threshold=0.4, n_planes=n_planes, n_tables=4, probe_bits=2
+        e, threshold=0.4, n_tables=4, probe_bits=2
     ).select("id_a", "id_b")
     clusters = connected_components(pairs, a="id_a", b="id_b")
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
@@ -147,14 +148,12 @@ def emb_fuzzy(spark, sf_dir: str, n_planes: int):
     return e.join(losers, "vec_id", "left_anti").select("vec_id", "label")
 
 
-def emb_lsh_pairs(spark, sf_dir: str, n_planes: int):
+def emb_lsh_pairs(spark, sf_dir: str):
     from bigdata_rags_spark.io.readers import read_testdata
     from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    return lsh_verified_pairs(
-        e, threshold=0.4, n_planes=n_planes, n_tables=4, probe_bits=2
-    )
+    return lsh_verified_pairs(e, threshold=0.4, n_tables=4, probe_bits=2)
 
 
 def main() -> None:
@@ -170,7 +169,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_zone(spark)
     print(f"zone built at {WORK} ({COPIES}x documents/embeddings)", flush=True)
-    extra_bits = math.ceil(math.log2(COPIES))
     rows = []
     for name in REGISTRY_QUERIES:
         t1 = timed(spark, lambda: REGISTRY[name].spark(spark, BASE))
@@ -178,11 +176,11 @@ def main() -> None:
         rows.append((name, t1, t10))
         print(f"{name}: 1x={t1:.2f}s {COPIES}x={t10:.2f}s ratio={t10 / t1:.2f}", flush=True)
     for label, fn in (
-        (f"lsh_verified_pairs (8 -> {8 + extra_bits} planes)", emb_lsh_pairs),
-        (f"embedding_fuzzy_dedup (8 -> {8 + extra_bits} planes)", emb_fuzzy),
+        ("lsh_verified_pairs (auto planes)", emb_lsh_pairs),
+        ("embedding_fuzzy_dedup (auto planes)", emb_fuzzy),
     ):
-        t1 = timed(spark, lambda: fn(spark, BASE, 8))
-        t10 = timed(spark, lambda: fn(spark, WORK, 8 + extra_bits))
+        t1 = timed(spark, lambda: fn(spark, BASE))
+        t10 = timed(spark, lambda: fn(spark, WORK))
         rows.append((label, t1, t10))
         print(f"{label}: 1x={t1:.2f}s {COPIES}x={t10:.2f}s ratio={t10 / t1:.2f}", flush=True)
     print()

@@ -949,3 +949,42 @@ def test_near_dup_candidate_eval_counts(spark, sf_oracle):
     assert r["tp"] + r["fp"] == r["n_candidates"]
     assert 0 <= r["recall_micro"] <= 1_000_000
     assert r["recall_micro"] >= 800_000, r
+
+
+def test_auto_n_planes_calibration():
+    """The self-scaling LSH signature width (VERDICT r7 #2) must reproduce
+    both prior calibration points: 8 planes on the driver fixtures (the
+    width every oracle SQL pins) and 12 at the 10x probe corpus (what the
+    r7 probe hand-tuned as 8 + ceil(log2(10)))."""
+    from bigdata_rags_spark.similarity.knn import auto_n_planes
+
+    assert auto_n_planes(500) == 8      # sf0.01 embeddings
+    assert auto_n_planes(2000) == 8     # sf0.1 embeddings
+    assert auto_n_planes(2048) == 8     # last 8-plane corpus size
+    assert auto_n_planes(2049) == 9
+    assert auto_n_planes(20_000) == 12  # r7 probe corpus
+    assert auto_n_planes(10**9) == 24   # capped probe fan-out
+    assert auto_n_planes(0) == 8        # degenerate input -> floor
+    prev = 0
+    for n in (1, 10, 100, 1000, 5000, 10_000, 10**5, 10**6, 10**8):
+        cur = auto_n_planes(n)
+        assert cur >= prev, (n, cur, prev)
+        prev = cur
+
+
+def test_lsh_auto_planes_matches_pinned_default(spark, sf_oracle):
+    """With n_planes omitted, lsh_verified_pairs must resolve to the exact
+    historical 8-plane result on the driver fixture — the property that
+    keeps the pinned 8-plane oracle SQL green after the self-scaling
+    default landed."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    auto = lsh_verified_pairs(e, threshold=0.4, n_tables=4, probe_bits=2)
+    pinned = lsh_verified_pairs(
+        e, threshold=0.4, n_planes=8, n_tables=4, probe_bits=2
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
