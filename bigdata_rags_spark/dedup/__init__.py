@@ -14,6 +14,7 @@ from bigdata_rags_spark.dedup.minhash import (
 )
 from bigdata_rags_spark.dedup.segments import segment_dedup
 from bigdata_rags_spark.dedup.simhash import simhash16, simhash_near_pairs
+from bigdata_rags_spark.dedup.spans import substring_dedup
 
 __all__ = [
     "dup_clusters",
@@ -26,4 +27,5 @@ __all__ = [
     "segment_dedup",
     "simhash16",
     "simhash_near_pairs",
+    "substring_dedup",
 ]

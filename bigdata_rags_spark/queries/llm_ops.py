@@ -3590,3 +3590,75 @@ def near_dup_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tp * 1000000 div n_candidates").alias("precision_micro"),
         )
     )
+
+
+_SPAN_K = 8
+
+
+@_llm(
+    "substring_dedup_docs",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+tok AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1)::BIGINT AS pos
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, s AS start_pos,
+         md5(array_to_string(t[s:s+{_SPAN_K - 1}], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - {_SPAN_K - 1})) AS u(s)
+  WHERE len(t) >= {_SPAN_K}
+),
+duph AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+covered AS (
+  SELECT DISTINCT m.doc_id, m.start_pos + o AS pos
+  FROM (SELECT s.doc_id, s.start_pos FROM spans s JOIN duph USING (h)) m,
+       unnest(generate_series(0, {_SPAN_K - 1})) AS v(o)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM covered
+),
+cov_stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+         CAST(SUM(brk) AS BIGINT) AS n_islands
+  FROM isl GROUP BY doc_id
+),
+surv AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_surviving,
+         md5(string_agg(t.tok, ' ' ORDER BY t.pos)) AS surviving_md5
+  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT ts.doc_id, CAST(len(ts.t) AS BIGINT) AS n_tokens,
+       COALESCE(cs.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       COALESCE(cs.n_islands, CAST(0 AS BIGINT)) AS n_islands,
+       COALESCE(sv.n_surviving, CAST(0 AS BIGINT)) AS n_surviving,
+       COALESCE(sv.surviving_md5, md5('')) AS surviving_md5
+FROM toks ts
+LEFT JOIN cov_stats cs ON ts.doc_id = cs.doc_id
+LEFT JOIN surv sv ON ts.doc_id = sv.doc_id
+""",
+)
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 shape, VERDICT r7 #3):
+    mark every {k}-token span whose hash occurs in >= 2 documents, merge
+    overlapping marked spans per doc into islands (run-length algebra,
+    same shape as ``events_run_length_islands``), and reassemble the
+    surviving text — the strongest exact-dedup tier real pretraining
+    pipelines run, completing the exact-dedup family above ``prefix_dup``
+    / ``segment_dedup`` / ``ngram_containment_pairs``.
+
+    Plan: span hashing is a codegen'd ``slice``/``array_join``/``md5``
+    over the token array; corpus-wide shuffles carry only (md5, doc_id)
+    pairs (distinct-doc count + hash join back); coverage explode is
+    bounded at k rows per marked span; islands/reassembly are per-doc
+    window/agg work bounded by doc length.  O(total tokens) at any corpus
+    size — never pairwise in documents."""
+    from bigdata_rags_spark.dedup.spans import substring_dedup
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return substring_dedup(docs, k=_SPAN_K)

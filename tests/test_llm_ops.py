@@ -988,3 +988,54 @@ def test_lsh_auto_planes_matches_pinned_default(spark, sf_oracle):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, pinned.collect())
     )
+
+
+def test_substring_dedup_planted_spans(spark):
+    """Planted cross-document repeated spans (Lee et al. 2022 semantics at
+    k=4): duplicated regions are covered exactly, overlapping marked spans
+    merge into islands, longer-than-k shared regions merge into ONE island,
+    fully-duplicated docs survive as the empty string, and untouched docs
+    survive verbatim."""
+    import hashlib
+
+    from bigdata_rags_spark.dedup.spans import substring_dedup
+
+    s1 = "s1a s1b s1c s1d"                    # 4-token shared span
+    s2 = "s2a s2b s2c s2d"                    # second shared span
+    region = "r1 r2 r3 r4 r5 r6"              # 6-token shared region (> k)
+    rows = [
+        (1, f"a1 a2 a3 {s1} a4 a5 a6 {s2} a7"),   # two separated dup spans
+        (2, f"b1 b2 {s1} b3 b4 b5 b6 {s2}"),      # same spans, other doc
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),           # unique -> untouched
+        (4, s1),                                   # fully duplicated doc
+        (5, f"e1 {region} e2"),                    # long region, one island
+        (6, f"f1 f2 {region}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=4).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    a = out[1]
+    assert (a["n_tokens"], a["dup_tokens"], a["n_islands"]) == (15, 8, 2)
+    assert a["n_surviving"] == 7
+    assert a["surviving_md5"] == md5("a1 a2 a3 a4 a5 a6 a7")
+
+    b = out[2]
+    assert (b["dup_tokens"], b["n_islands"]) == (8, 2)
+    assert b["surviving_md5"] == md5("b1 b2 b3 b4 b5 b6")
+
+    c = out[3]
+    assert (c["dup_tokens"], c["n_islands"], c["n_surviving"]) == (0, 0, 8)
+    assert c["surviving_md5"] == md5("c1 c2 c3 c4 c5 c6 c7 c8")
+
+    d = out[4]
+    assert (d["dup_tokens"], d["n_surviving"]) == (4, 0)
+    assert d["surviving_md5"] == md5("")
+
+    e = out[5]  # 3 overlapping marked windows merge into one 6-token island
+    assert (e["dup_tokens"], e["n_islands"]) == (6, 1)
+    assert e["surviving_md5"] == md5("e1 e2")
+    f = out[6]
+    assert (f["dup_tokens"], f["n_islands"]) == (6, 1)
+    assert f["surviving_md5"] == md5("f1 f2")
