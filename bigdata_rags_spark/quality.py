@@ -99,3 +99,97 @@ def repetition_quality(
         .cast("bigint")
         .alias("keep_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear (fastText-style) quality classifier with literal weights
+# ---------------------------------------------------------------------------
+
+QCLF_BUCKETS = 64
+QCLF_BIAS_MICRO = 25_000
+
+
+def qclf_weights() -> list[int]:
+    """The literal weight table of the linear classifier: one integer-micro
+    weight per hashed-feature bucket, derived deterministically from md5 so
+    both engines (and tests) can regenerate it byte-identically.  In a real
+    pipeline these are the trained parameters shipped as data — exactly how
+    the reference ships its 30 metric formulas (functions/metrics.py)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qclf:{j}".encode()).hexdigest()[:6], 16) % 1_000_001
+        - 500_000
+        for j in range(QCLF_BUCKETS)
+    ]
+
+
+def quality_classifier_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """fastText-style linear quality scorer (Joulin et al. 2016, "Bag of
+    Tricks for Efficient Text Classification") — the industry-standard
+    learned gate the heuristic LM scorers approximate (CCNet/LLaMA-style
+    quality filtering): hashed unigram features -> literal weight lookup ->
+    mean-pool -> sigmoid.
+
+    All arithmetic is integer micro-units in a fixed op order so the score
+    is engine-exact (the PQ/LSH fold discipline):
+
+    - bucket  = int(md5(token)[:4], 16) % 64
+    - raw     = SUM(weight[bucket])                 (exact integer sum)
+    - mean    = (raw + 500000*n) div n - 500000     (offset keeps the
+      integer division non-negative: Spark ``div`` truncates toward zero
+      while DuckDB ``//`` floors, so a negative numerator would diverge)
+    - z_micro = bias + mean
+    - prob    = fast sigmoid 0.5 + 0.5*z/(1+|z|) as
+      (500000*(1000000+|z|+z)) div (1000000+|z|) — a monotone rational
+      squash in (0,1) using only +,*,abs,div (exact in both engines;
+      exp() last-ulp behavior differs between libm and the JVM, so the
+      logistic itself is NOT oracle-safe).
+
+    Returns ``(id_col, n_tokens, z_micro, prob_micro, keep)`` with
+    ``keep = 1`` iff prob_micro >= 500000 (z >= 0).
+
+    Scale shape: explode -> 64-way literal array lookup (one ``element_at``
+    per token, codegen'd — NOT a 64-branch CASE) -> partial+final hash agg
+    on doc_id; only (doc_id, bucket) pairs shuffle, text never moves."""
+    w_lit = F.array(*[F.lit(w) for w in qclf_weights()])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    feat = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
+            % QCLF_BUCKETS
+        ).alias("b"),
+    )
+    pooled = feat.select(
+        "doc_id", F.element_at(w_lit, F.col("b") + 1).cast("bigint").alias("w")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("raw"),
+    )
+    z = pooled.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(QCLF_BIAS_MICRO)
+            + F.expr("(raw + 500000 * n_tokens) div n_tokens")
+            - F.lit(500_000)
+        ).cast("bigint").alias("z_micro"),
+    )
+    return z.select(
+        F.col("doc_id").alias(id_col),
+        "n_tokens",
+        "z_micro",
+        F.expr(
+            "(500000 * (1000000 + abs(z_micro) + z_micro))"
+            " div (1000000 + abs(z_micro))"
+        ).cast("bigint").alias("prob_micro"),
+        F.when(F.col("z_micro") >= 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )

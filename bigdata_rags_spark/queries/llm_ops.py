@@ -3662,3 +3662,189 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
     return substring_dedup(docs, k=_SPAN_K)
+
+
+# Synthetic deterministic URL per document — the fixture has no URL column,
+# so the curation queries plant one from (doc_id, source, lang) with the
+# SAME expression in both engines; the operators under test are the URL
+# parsing + domain keying that follow, not the synthesis.
+_SQL_URL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN 'www.' WHEN doc_id % 5 = 1 THEN 'cdn.'"
+    " ELSE '' END)"
+    " || source || '.'"
+    " || (CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org'"
+    " ELSE 'net' END)"
+    " || '/p/' || doc_id || '?lang=' || lang"
+)
+# DuckDB mirror of functions/urls.py: host (scheme/port/path stripped,
+# lowered) and naive 2-label registrable domain
+_SQL_HOST = (
+    "lower(string_split(string_split_regex("
+    "regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '[/?#]')[1], ':')[1])"
+)
+_SQL_RDOMAIN = (
+    "CASE WHEN len(string_split(host, '.')) >= 2"
+    " THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]"
+    " ELSE host END"
+)
+
+
+def _docs_with_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_rags_spark.functions.urls import registrable_domain, url_host
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+        F.lit("http://")
+    )
+    sub = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 5 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net"))
+    )
+    url = F.concat(
+        scheme, sub, F.col("source"), F.lit("."), tld,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+    )
+    with_url = docs.withColumn("url", url).withColumn("host", url_host(F.col("url")))
+    return with_url.withColumn("domain", registrable_domain(F.col("host")))
+
+
+@_llm(
+    "domain_quota_selection",
+    f"""
+WITH u AS (SELECT doc_id, lang, source, n_chars, {_SQL_URL} AS url FROM documents),
+h AS (SELECT doc_id, n_chars, {_SQL_HOST} AS host FROM u),
+d AS (SELECT doc_id, n_chars, host, {_SQL_RDOMAIN} AS domain FROM h),
+r AS (
+  SELECT domain, doc_id, host, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+  FROM d
+)
+SELECT domain, doc_id, host, n_chars, rank FROM r WHERE rank <= 3
+""",
+)
+def domain_quota_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (VERDICT r7 #6) — the web-corpus step that
+    caps any single site's contribution to the training mix: parse each
+    doc's URL to its registrable domain (functions/urls.py — pure string
+    expressions, no UDF) and keep the top-3 docs per domain by size
+    (n_chars desc, doc_id tiebreak).  The domain-keyed twin of
+    ``balanced_corpus_quota`` (which quotas by language).
+
+    Scale shape: URL parsing is codegen'd string algebra on the scan; the
+    per-domain top-K is one window over the domain partition — shuffle
+    carries (domain, doc_id, host, n_chars) only, text never moves, and K
+    rows per domain survive regardless of how skewed the crawl is toward
+    megasites."""
+    from pyspark.sql import Window
+
+    d = _docs_with_domain(spark, sf_dir)
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.select("domain", "doc_id", "host", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("domain", "doc_id", "host", "n_chars", "rank")
+    )
+
+
+@_llm(
+    "domain_corpus_stats",
+    f"""
+WITH u AS (SELECT doc_id, lang, text, n_chars, {_SQL_URL} AS url FROM documents),
+h AS (SELECT doc_id, lang, text, n_chars, {_SQL_HOST} AS host FROM u),
+d AS (SELECT doc_id, lang, text, n_chars, host, {_SQL_RDOMAIN} AS domain FROM h)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*) AS BIGINT)
+         AS dup_frac_micro,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY domain
+""",
+)
+def domain_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus observability (VERDICT r7 #6): per registrable
+    domain, doc volume, exact-dup rate (distinct md5(text) vs docs),
+    subdomain/host fan-out, language spread, and total bytes — the report
+    that decides which domains get quotaed, deduped harder, or dropped
+    (boilerplate mills have high dup_frac; link farms have huge host
+    fan-out).
+
+    Scale shape: one scan, md5 reduces text to a 16-byte key BEFORE any
+    exchange; the three COUNT(DISTINCT .)s share one Expand (factor 3 on
+    narrow (domain, key) rows, each partially deduped map-side before the
+    shuffle).  Output is one row per domain."""
+    d = _docs_with_domain(spark, sf_dir)
+    return (
+        d.select("domain", "lang", "host", "n_chars", F.md5("text").alias("tkey"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("tkey").cast("bigint").alias("n_unique_texts"),
+            (F.count(F.lit(1)) - F.countDistinct("tkey"))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.expr(
+                "(count(1) - count(distinct tkey)) * 1000000 div count(1)"
+            ).cast("bigint").alias("dup_frac_micro"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def _qclf_oracle() -> str:
+    from bigdata_rags_spark.quality import QCLF_BIAS_MICRO, qclf_weights
+
+    wlist = ", ".join(str(w) for w in qclf_weights())
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+f AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
+  FROM toks
+),
+pooled AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(([{wlist}])[b + 1]) AS BIGINT) AS raw
+  FROM f GROUP BY doc_id
+),
+z AS (
+  SELECT doc_id, n_tokens,
+         CAST({QCLF_BIAS_MICRO} + (raw + 500000 * n_tokens) // n_tokens
+              - 500000 AS BIGINT) AS z_micro
+  FROM pooled
+)
+SELECT doc_id, n_tokens, z_micro,
+       CAST((500000 * (1000000 + abs(z_micro) + z_micro))
+            // (1000000 + abs(z_micro)) AS BIGINT) AS prob_micro,
+       CAST(CASE WHEN z_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM z
+"""
+
+
+@_llm("quality_classifier_scores", _qclf_oracle())
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quality-gate shape (VERDICT r7 #5 list item: fastText-style
+    linear scorer): hashed unigram features -> literal micro-unit weights ->
+    mean pool -> rational sigmoid, entirely in integer math (see
+    quality.py:quality_classifier_scores for the op-order contract).  The
+    weights are literal parameters shipped as data; swapping in actually
+    trained weights changes ONE array literal and no plan shape."""
+    from bigdata_rags_spark.quality import quality_classifier_scores
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return quality_classifier_scores(docs)

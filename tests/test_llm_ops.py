@@ -1039,3 +1039,99 @@ def test_substring_dedup_planted_spans(spark):
     f = out[6]
     assert (f["dup_tokens"], f["n_islands"]) == (6, 1)
     assert f["surviving_md5"] == md5("f1 f2")
+
+
+def test_url_parsing_messy_urls(spark):
+    """functions/urls.py on adversarial-but-legal URLs: schemes, ports,
+    userinfo-free hosts, query/fragment, missing paths, single-label
+    hosts.  (Known naive-2-label caveat: 'co.uk'-style suffixes — see the
+    module docstring.)"""
+    from bigdata_rags_spark.functions.urls import (
+        registrable_domain,
+        url_host,
+        url_path,
+    )
+
+    rows = [
+        (1, "https://www.News.Example.COM:8080/a/b?x=1#frag"),
+        (2, "http://cdn.example.org/img.png"),
+        (3, "ftp+ssh://example.net"),
+        (4, "https://localhost/admin"),
+        (5, "https://a.b.c.d.example.com/deep/path/"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "url"])
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            url_host(F.col("url")).alias("host"),
+            url_path(F.col("url")).alias("path"),
+            registrable_domain(url_host(F.col("url"))).alias("dom"),
+        ).collect()
+    }
+    assert out[1]["host"] == "www.news.example.com"
+    assert out[1]["path"] == "/a/b"
+    assert out[1]["dom"] == "example.com"
+    assert out[2]["host"] == "cdn.example.org"
+    assert out[2]["path"] == "/img.png"
+    assert out[2]["dom"] == "example.org"
+    assert out[3]["host"] == "example.net"
+    assert out[3]["path"] == ""
+    assert out[3]["dom"] == "example.net"
+    assert out[4]["host"] == "localhost"
+    assert out[4]["dom"] == "localhost"
+    assert out[5]["dom"] == "example.com"
+
+
+def test_domain_quota_caps_megasite(spark, sf_oracle):
+    """No registrable domain may exceed the quota, ranks are 1..k dense per
+    domain, and every domain present in the corpus appears."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["domain_quota_selection"].spark(spark, sf_oracle).collect()
+    per_dom: dict[str, list[int]] = {}
+    for r in rows:
+        per_dom.setdefault(r["domain"], []).append(r["rank"])
+    assert per_dom, "no domains extracted"
+    for dom, ranks in per_dom.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), dom
+        assert len(ranks) <= 3, dom
+        assert "." in dom or dom == "localhost", dom
+
+
+def test_quality_classifier_separates_planted_docs(spark):
+    """The scorer must order documents by their tokens' literal weights:
+    docs built from the most-positive-weight buckets score keep=1 with
+    high prob; most-negative-bucket docs score keep=0 with low prob.
+    Token->bucket math is recomputed in the test with the same md5 rule,
+    so this asserts the whole hash->lookup->pool->sigmoid pipeline."""
+    import hashlib
+
+    from bigdata_rags_spark.quality import (
+        qclf_weights,
+        quality_classifier_scores,
+    )
+
+    w = qclf_weights()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 64
+
+    # mine tokens whose buckets carry strong weights (deterministic search)
+    pos = [t for t in (f"tok{i}" for i in range(500)) if w[bucket(t)] > 300_000]
+    neg = [t for t in (f"tok{i}" for i in range(500)) if w[bucket(t)] < -300_000]
+    assert len(pos) >= 5 and len(neg) >= 5
+    docs = spark.createDataFrame(
+        [(1, " ".join(pos[:8])), (2, " ".join(neg[:8])), (3, " ".join(pos[:4] + neg[:4]))],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in quality_classifier_scores(docs).collect()}
+    assert out[1]["keep"] == 1 and out[1]["prob_micro"] > 600_000
+    assert out[2]["keep"] == 0 and out[2]["prob_micro"] < 400_000
+    assert out[2]["prob_micro"] < out[3]["prob_micro"] < out[1]["prob_micro"]
+    # exact-math spot check on the pure-positive doc
+    raw = sum(w[bucket(t)] for t in pos[:8])
+    n = 8
+    z = 25_000 + (raw + 500_000 * n) // n - 500_000
+    p = (500_000 * (1_000_000 + abs(z) + z)) // (1_000_000 + abs(z))
+    assert out[1]["z_micro"] == z and out[1]["prob_micro"] == p
