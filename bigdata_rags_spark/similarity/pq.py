@@ -242,3 +242,104 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = M_SUB,
+    k: int = K_CODES,
+    n_iter: int = 5,
+    seed: str = "pq",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means (Jégou et al. 2011 §III.A) — the trained
+    sibling of the fixed literal codebooks, completing the PQ family the
+    way ``train_ivf_centroids`` completes IVF (VERDICT r7 #4): train once
+    (rows-only — partition-order float sums make the result
+    oracle-inexact by nature), pin the result as literals, serve through
+    the SAME oracle-checkable ``pq_adc_topk`` / ``pq_search_rerank`` path.
+
+    Iteration contract (the ``train_ivf_centroids`` discipline): each Lloyd
+    round is ONE corpus scan — an Arrow ``mapInPandas`` pass assigns every
+    subvector to its nearest centroid (BLAS matmul scoring; training is
+    rows-only by nature, so the parity-exact left fold is reserved for the
+    serving-side ``pq_encode``) and emits PER-BATCH PARTIAL SUMS
+    (j, code, pos, s, cnt),
+    so the shuffle carries at most m*k*sub_dim rows per batch and the
+    driver collects exactly m*k*sub_dim + m*k bounded rows per round.  No
+    join, no per-vector exchange: at 100 TB each round costs one scan +
+    one tiny agg, Lloyd's floor.  Initialization is the deterministic md5
+    codebook, so training is reproducible run-to-run (no RNG).
+
+    Empty cells keep their previous centroid (stable codebook, same rule
+    as IVF).
+    """
+    import numpy as np
+    import pandas as pd
+
+    sub = SUB_DIM
+    books = pq_codebooks(dim=m * sub, m=m, k=k, seed=seed)
+    prepped = corpus.select(as_double_array(F.col(vec_col)).alias("v"))
+
+    for _ in range(n_iter):
+        flat = np.array(
+            [[c for c in code] for book in books for code in book], dtype=np.float64
+        ).reshape(m, k, sub)
+        half_norms = (flat * flat).sum(axis=2) / 2.0
+
+        def stats(batches, flat=flat, half_norms=half_norms):
+            sums = np.zeros((m, k, sub), dtype=np.float64)
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]],
+                    dtype=np.float64,
+                )
+                for j in range(m):
+                    x = vecs[:, j * sub : (j + 1) * sub]
+                    scores = x @ flat[j].T - half_norms[j]
+                    codes = (k - 1) - scores[:, ::-1].argmax(axis=1)
+                    for code in range(k):
+                        mask = codes == code
+                        if mask.any():
+                            sums[j, code] += x[mask].sum(axis=0)
+                            cnts[j, code] += int(mask.sum())
+            j_idx, c_idx, p_idx = np.meshgrid(
+                np.arange(m), np.arange(k), np.arange(sub), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "j": j_idx.reshape(-1).astype(np.int32),
+                    "code": c_idx.reshape(-1).astype(np.int32),
+                    "pos": p_idx.reshape(-1).astype(np.int32),
+                    "s": sums.reshape(-1),
+                    "cnt": np.repeat(cnts.reshape(-1), sub),
+                }
+            )
+
+        rows = (
+            prepped.mapInPandas(stats, schema="j int, code int, pos int, s double, cnt long")
+            .groupBy("j", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            acc.setdefault((r["j"], r["code"]), {})[r["pos"]] = (r["s"], r["cnt"])
+        new_books: list[list[list[float]]] = []
+        for j in range(m):
+            book = []
+            for code in range(k):
+                dims = acc.get((j, code))
+                cnt = dims[0][1] if dims else 0
+                if not cnt:
+                    book.append(books[j][code])  # empty cell: keep centroid
+                else:
+                    book.append([dims[p][0] / cnt for p in range(sub)])
+            new_books.append(book)
+        books = new_books
+    return books

@@ -1135,3 +1135,55 @@ def test_quality_classifier_separates_planted_docs(spark):
     z = 25_000 + (raw + 500_000 * n) // n - 500_000
     p = (500_000 * (1_000_000 + abs(z) + z)) // (1_000_000 + abs(z))
     assert out[1]["z_micro"] == z and out[1]["prob_micro"] == p
+
+
+def test_trained_pq_beats_fixed_codebooks(spark, sf_oracle):
+    """Lloyd-trained PQ codebooks must strictly lower mean quantization
+    error vs the fixed md5 literals (the k-means property), and the
+    trained serving path must not lose shortlist recall vs brute-force
+    truth relative to fixed codebooks.  Training is deterministic (md5
+    init, no RNG), so these are stable assertions, not flaky ones."""
+    import numpy as np
+
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.pq import (
+        SUB_DIM,
+        pq_codebooks,
+        pq_search_rerank,
+        train_pq_codebooks,
+    )
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    fixed = pq_codebooks()
+    trained = train_pq_codebooks(e, n_iter=3)
+
+    vecs = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in e.collect()]
+    )
+
+    def mean_qerr(books) -> float:
+        m, sub = len(books), SUB_DIM
+        total = 0.0
+        for j in range(m):
+            x = vecs[:, j * sub : (j + 1) * sub]
+            c = np.array(books[j])  # (k, sub)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).sum()
+        return total / len(vecs)
+
+    err_fixed, err_trained = mean_qerr(fixed), mean_qerr(trained)
+    assert err_trained < err_fixed, (err_trained, err_fixed)
+
+    q = e.filter(F.col("vec_id") < 5)
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(q, e, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(books) -> float:
+        got: dict[int, set[int]] = {}
+        for r in pq_search_rerank(q, e, k=5, shortlist=100, codebooks=books).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(truth[i] & got.get(i, set())) for i in truth) / (5 * len(truth))
+
+    r_fixed, r_trained = recall(fixed), recall(trained)
+    assert r_trained >= r_fixed, (r_trained, r_fixed)
