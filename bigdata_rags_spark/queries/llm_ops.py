@@ -3868,3 +3868,136 @@ def embedding_pq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(e, n_iter=3)
     q = e.filter(F.col("vec_id") < 5)
     return pq_search_rerank(q, e, k=5, shortlist=100, codebooks=books)
+
+
+# Deterministic planted PII payload — the fixture text has no emails/phones
+# (a scanner that can never fire proves nothing: the vacuous-oracle rule,
+# VERDICT r1), so the query plants a contact trailer on a deterministic
+# subset of docs with the SAME expression in both engines, then the
+# operator under test is the regex scan + redaction that follows.
+_SQL_PII_TEXT = (
+    "text || (CASE WHEN doc_id % 7 = 0"
+    " THEN ' contact: user' || doc_id || '@mail-' || source || '.com'"
+    " ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0"
+    " THEN ' tel: +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 = 0"
+    " THEN ' id: ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+    " ELSE '' END)"
+)
+_PII_EMAIL = "[a-z0-9.]+@[a-z0-9.-]+\\.[a-z]+"
+_PII_PHONE = "\\+[0-9]{1,2}-[0-9]{3,4}-[0-9]{4}"
+_PII_DIGITS = "[0-9]{6,}"
+
+
+@_llm(
+    "doc_pii_scan",
+    f"""
+WITH p AS (SELECT doc_id, {_SQL_PII_TEXT} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(t, '{_PII_DIGITS}')) AS BIGINT) AS n_long_digits,
+         md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_DIGITS}', '<ID>', 'g')) AS redacted_md5
+  FROM p
+)
+SELECT doc_id, n_emails, n_phones, n_long_digits,
+       CAST(CASE WHEN n_emails + n_phones + n_long_digits > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS has_pii,
+       redacted_md5
+FROM s
+""",
+)
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-side PII scan + redaction — the pre-training privacy gate
+    (emails, phone numbers, long numeric identifiers) run before any
+    corpus export.  Detection counts each pattern class per doc
+    (``regexp_extract_all``), redaction replaces matches with typed
+    placeholders in a fixed order (email -> phone -> digit-run, so a
+    phone inside an email can't double-fire), and the redacted text is
+    reported as md5 to keep the row narrow.  Patterns stay in the
+    RE2-compatible subset both engines parse identically.
+
+    Scale shape: pure codegen'd regex projection on the scan — no
+    shuffle, no UDF; output is one narrow row per doc."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact: user"), F.col("doc_id").cast("string"),
+                F.lit("@mail-"), F.col("source"), F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" tel: +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" id: "), F.lpad(F.col("doc_id").cast("string"), 9, "0")),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", planted.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_DIGITS, "<ID>",
+    )
+    s = t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_EMAIL), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_PHONE), 0)).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_DIGITS), 0)).cast("bigint").alias("n_long_digits"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+    return s.select(
+        "doc_id", "n_emails", "n_phones", "n_long_digits",
+        F.when(F.col("n_emails") + F.col("n_phones") + F.col("n_long_digits") > 0, F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("has_pii"),
+        "redacted_md5",
+    )
+
+
+# Literal domain blocklist — in production this is a side-input table
+# (spam/adult/SEO-farm lists); semantics and plan shape are identical.
+_BLOCKED_DOMAINS = ("src3.com", "src7.net", "src11.org", "src15.com")
+
+
+@_llm(
+    "domain_blocklist_filter",
+    f"""
+WITH u AS (SELECT doc_id, lang, source, n_chars, {_SQL_URL} AS url FROM documents),
+h AS (SELECT doc_id, lang, {_SQL_HOST} AS host FROM u),
+d AS (SELECT doc_id, lang, host, {_SQL_RDOMAIN} AS domain FROM h)
+SELECT doc_id, domain, lang
+FROM d
+WHERE domain NOT IN ({", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)})
+""",
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering — drop every doc whose registrable domain
+    is on a curation blocklist.  The blocklist is a (tiny) DataFrame and
+    the filter is a BROADCAST LEFT ANTI join on the domain key, the plan
+    that still works when the blocklist is a 10M-row side table (an
+    ``isin`` literal would not): the corpus never shuffles, each scan task
+    probes the broadcast hash set."""
+    bl = spark.createDataFrame(
+        [(b,) for b in _BLOCKED_DOMAINS], ["domain"]
+    )
+    d = _docs_with_domain(spark, sf_dir)
+    return (
+        d.join(F.broadcast(bl), "domain", "left_anti")
+        .select("doc_id", "domain", "lang")
+    )

@@ -1187,3 +1187,29 @@ def test_trained_pq_beats_fixed_codebooks(spark, sf_oracle):
 
     r_fixed, r_trained = recall(fixed), recall(trained)
     assert r_trained >= r_fixed, (r_trained, r_fixed)
+
+
+def test_doc_pii_scan_planted_payloads(spark, sf_oracle):
+    """Docs at doc_id%7==0 must report exactly one email, %5==0 one phone,
+    %11==0 one long-digit id; clean docs report zero and has_pii=0."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = {r["doc_id"]: r for r in REGISTRY["doc_pii_scan"].spark(spark, sf_oracle).collect()}
+    assert rows, "no rows"
+    for i, r in rows.items():
+        assert r["n_emails"] == (1 if i % 7 == 0 else 0), i
+        assert r["n_phones"] == (1 if i % 5 == 0 else 0), i
+        assert r["n_long_digits"] == (1 if i % 11 == 0 else 0), i
+        assert r["has_pii"] == (1 if (i % 7 == 0 or i % 5 == 0 or i % 11 == 0) else 0), i
+
+
+def test_domain_blocklist_filter_drops_blocked(spark, sf_oracle):
+    """Every blocked domain vanishes, every other domain survives intact,
+    and the plan is a broadcast LEFT ANTI join (not isin / not a shuffle)."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    df = REGISTRY["domain_blocklist_filter"].spark(spark, sf_oracle)
+    doms = {r["domain"] for r in df.select("domain").distinct().collect()}
+    assert doms and not doms & {"src3.com", "src7.net", "src11.org", "src15.com"}
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]

@@ -57,6 +57,7 @@ def test_registry_contract():
         "embedding_ivf_topk",                 # iterative k-means training
         "approx_percentile_prices",           # GK quantile sketch: engine-specific
         "zone_compaction_invariant",          # filesystem effect (part-file count)
+        "embedding_pq_trained_rerank",        # iterative Lloyd training (r8)
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name

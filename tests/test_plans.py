@@ -432,3 +432,29 @@ def test_late_r7_queries_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_r8_queries_have_scale_safe_plans(spark, sf_smoke):
+    """Round-8 additions: the plan properties their docstrings claim."""
+    for name, pred in {
+        # substring dedup: span-hash equi-joins only, per-doc window for
+        # islands — never a cartesian/BNLJ pairing of documents
+        "substring_dedup_docs": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Window" in p,
+        # domain quota: URL parse is pure projection; one window, no join
+        "domain_quota_selection": lambda p: "Join" not in p and "Window" in p,
+        # domain stats: one hash agg (Expand for the count-distincts), no
+        # join, no window
+        "domain_corpus_stats": lambda p: "Join" not in p
+        and "HashAggregate" in p
+        and "Window" not in p,
+        # linear classifier: explode -> literal lookup -> partial+final
+        # hash agg; no join, no window, no UDF in the plan
+        "quality_classifier_scores": lambda p: "Join" not in p
+        and "Window" not in p
+        and "HashAggregate" in p
+        and "BatchEvalPython" not in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
