@@ -139,6 +139,8 @@ HEADLINE = [
     "domain_corpus_stats",
     "quality_classifier_scores",
     "embedding_pq_trained_rerank",
+    "doc_pii_scan",
+    "domain_blocklist_filter",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
