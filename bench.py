@@ -141,6 +141,8 @@ HEADLINE = [
     "embedding_pq_trained_rerank",
     "doc_pii_scan",
     "domain_blocklist_filter",
+    "semantic_dedup_cells",
+    "domain_psl_extraction",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

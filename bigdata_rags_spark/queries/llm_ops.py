@@ -4001,3 +4001,192 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(bl), "domain", "left_anti")
         .select("doc_id", "domain", "lang")
     )
+
+
+def _semantic_dedup_oracle(
+    threshold: float = 0.4, n_cells: int = 16, dim: int = 64
+) -> str:
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+
+    cents = fixed_centroids(dim, n_cells)
+    sims = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for c in cents
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+s AS (
+  SELECT vec_id, v, label,
+         CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
+         unnest([{sims}]) AS sim
+  FROM e
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell DESC) AS r
+  FROM s
+),
+asg AS (SELECT vec_id, v, label, cell FROM ranked WHERE r = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
+              / sqrt(list_dot_product(b.v, b.v)), 6) >= {threshold}
+)
+SELECT g.vec_id, g.cell, g.label
+FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+@_llm("semantic_dedup_cells", _semantic_dedup_oracle())
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster embeddings with a coarse quantizer, compare pairs ONLY within
+    a cluster, and drop every item with a higher-priority near-duplicate
+    (here: any lower-vec_id neighbor with rounded cosine >= 0.4 in its
+    cell — the deterministic greedy-by-id variant of the paper's
+    keep-one-representative rule).  The fixed md5 codebook (the
+    ``embedding_ivf_probe_fixed`` serving contract) makes the WHOLE
+    pipeline — assignment, in-cell pairing, survival — oracle-replayable;
+    swapping in trained centroids changes one literal.
+
+    Scale shape: this is what makes semantic dedup feasible at 100 TB —
+    the pair join is an equi-join keyed by cell (candidate volume is
+    sum-over-cells |cell|^2 instead of N^2; cells are capacity-bounded by
+    the quantizer), the drop set ships bare ids, and survival is one
+    anti-join.  Compare ``embedding_fuzzy_dedup_vectors`` (LSH candidates
+    + connected components): SemDeDup trades CC's transitive closure for
+    cluster-local comparisons — no iterative stage at all."""
+    from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
+    from bigdata_rags_spark.similarity.ivf import _nearest_cells, fixed_centroids
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    cents = fixed_centroids(64, 16)
+    asg = e.select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("v"),
+        "label",
+    ).withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0])
+    a = asg.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = asg.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / norm(F.col("va"))
+                / norm(F.col("vb")),
+                6,
+            )
+            >= 0.4
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return asg.join(dropped, "vec_id", "left_anti").select("vec_id", "cell", "label")
+
+
+# Host synthesis for the PSL query — includes MULTI-LABEL public suffixes
+# (co.uk, co.jp) so the naive-2-label rule is measurably wrong on a
+# deterministic subset of docs.
+_SQL_PSL_HOST = (
+    "(CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.'"
+    " ELSE '' END)"
+    " || source || '.'"
+    " || (CASE WHEN doc_id % 5 = 0 THEN 'com' WHEN doc_id % 5 = 1 THEN 'co.uk'"
+    " WHEN doc_id % 5 = 2 THEN 'org' WHEN doc_id % 5 = 3 THEN 'co.jp'"
+    " ELSE 'net' END)"
+)
+
+
+def _psl_oracle() -> str:
+    from bigdata_rags_spark.functions.urls import PSL_MINI
+
+    suf_values = ", ".join(f"('{s}')" for s in PSL_MINI)
+    return f"""
+WITH h AS (SELECT doc_id, {_SQL_PSL_HOST} AS host FROM documents),
+lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM h),
+cand AS (
+  SELECT doc_id, host, labels, i,
+         array_to_string(labels[i:len(labels)], '.') AS suf,
+         CASE WHEN i > 1 THEN labels[i - 1] END AS prev
+  FROM lab, unnest(generate_series(1, len(labels))) AS g(i)
+),
+hit AS (
+  SELECT c.* FROM cand c JOIN (VALUES {suf_values}) s(suf) ON c.suf = s.suf
+),
+best AS (
+  SELECT doc_id, suf AS psl_suffix,
+         CASE WHEN prev IS NOT NULL THEN prev || '.' || suf ELSE suf END AS domain
+  FROM hit
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) = 1
+),
+r AS (
+  SELECT l.doc_id, l.host,
+         COALESCE(b.psl_suffix, l.labels[-1]) AS psl_suffix,
+         COALESCE(b.domain,
+                  CASE WHEN len(l.labels) >= 2
+                       THEN l.labels[-2] || '.' || l.labels[-1]
+                       ELSE l.labels[-1] END) AS domain,
+         CASE WHEN len(l.labels) >= 2
+              THEN l.labels[-2] || '.' || l.labels[-1]
+              ELSE l.host END AS naive_domain
+  FROM lab l LEFT JOIN best b ON l.doc_id = b.doc_id
+)
+SELECT doc_id, host, psl_suffix, domain, naive_domain,
+       CAST(CASE WHEN domain != naive_domain THEN 1 ELSE 0 END AS BIGINT)
+         AS naive_wrong
+FROM r
+"""
+
+
+@_llm("domain_psl_extraction", _psl_oracle())
+def domain_psl_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-aware eTLD+1 extraction (closes the naive-2-label
+    caveat documented in functions/urls.py): every dot-suffix of the host
+    equi-joins a BROADCAST suffix table and the longest hit wins
+    (``psl_registrable_domain``) — "www.src3.co.uk" resolves to
+    "src3.co.uk" where the naive rule says "co.uk".  Hosts here are
+    synthesized with multi-label suffixes on a deterministic subset so
+    ``naive_wrong`` is provably non-vacuous (2 of 5 tld classes).
+
+    Scale shape: candidate fan-out bounded by label count, suffix table
+    broadcast, one min-struct agg keyed by doc — the corpus never
+    shuffles by suffix."""
+    from bigdata_rags_spark.functions.urls import (
+        psl_registrable_domain,
+        registrable_domain,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("co.uk"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("org"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("co.jp"))
+        .otherwise(F.lit("net"))
+    )
+    h = docs.select(
+        "doc_id", F.concat(sub, F.col("source"), F.lit("."), tld).alias("host")
+    )
+    psl = psl_registrable_domain(h, spark, id_col="doc_id", host_col="host")
+    out = h.join(psl, "doc_id").withColumn(
+        "naive_domain", registrable_domain(F.col("host"))
+    )
+    return out.select(
+        "doc_id", "host", "psl_suffix", "domain", "naive_domain",
+        F.when(F.col("domain") != F.col("naive_domain"), F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("naive_wrong"),
+    )

@@ -1213,3 +1213,71 @@ def test_domain_blocklist_filter_drops_blocked(spark, sf_oracle):
     assert doms and not doms & {"src3.com", "src7.net", "src11.org", "src15.com"}
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+
+
+def test_psl_registrable_domain_multilabel_suffixes(spark):
+    """PSL longest-match must beat the naive 2-label rule on co.uk-style
+    suffixes, fall back to the '*' rule for unknown TLDs, and handle a
+    host that IS a public suffix."""
+    from bigdata_rags_spark.functions.urls import psl_registrable_domain
+
+    rows = [
+        (1, "www.news.bbc.co.uk"),
+        (2, "example.com"),
+        (3, "localhost"),
+        (4, "a.ac.uk"),
+        (5, "co.uk"),
+        (6, "x.y.unknowntld"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host"])
+    out = {r["doc_id"]: r for r in psl_registrable_domain(df, spark).collect()}
+    assert (out[1]["psl_suffix"], out[1]["domain"]) == ("co.uk", "bbc.co.uk")
+    assert (out[2]["psl_suffix"], out[2]["domain"]) == ("com", "example.com")
+    assert (out[3]["psl_suffix"], out[3]["domain"]) == ("localhost", "localhost")
+    assert (out[4]["psl_suffix"], out[4]["domain"]) == ("ac.uk", "a.ac.uk")
+    assert (out[5]["psl_suffix"], out[5]["domain"]) == ("co.uk", "co.uk")
+    # unknown TLD: '*' fallback — last label is the suffix
+    assert (out[6]["psl_suffix"], out[6]["domain"]) == ("unknowntld", "y.unknowntld")
+
+
+def test_semantic_dedup_cells_matches_numpy_reference(spark, sf_oracle):
+    """The SemDeDup survival set must equal a from-scratch numpy replay:
+    assign each vector to its best fixed cell (sim desc, cell desc —
+    _nearest_cells' tie rule), then drop any vector with a lower-id
+    in-cell neighbor at rounded cosine >= 0.4."""
+    import numpy as np
+
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    data = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64)) for r in e.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in data])
+    vecs = np.array([t[1] for t in data])
+    cents = np.array(fixed_centroids(64, 16))
+    sims = vecs @ cents.T
+    cells = (cents.shape[0] - 1) - sims[:, ::-1].argmax(axis=1)
+
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    dropped = set()
+    for c in set(cells.tolist()):
+        idx = np.where(cells == c)[0]
+        for bi in idx:
+            for ai in idx:
+                if ids[ai] >= ids[bi]:
+                    continue
+                cos = vecs[ai] @ vecs[bi] / norms[ai] / norms[bi]
+                if np.round(cos, 6) >= 0.4:
+                    dropped.add(int(ids[bi]))
+                    break
+    expected = {int(i) for i in ids} - dropped
+
+    got = {
+        r["vec_id"]
+        for r in REGISTRY["semantic_dedup_cells"].spark(spark, sf_oracle).collect()
+    }
+    assert got == expected

@@ -455,6 +455,15 @@ def test_r8_queries_have_scale_safe_plans(spark, sf_smoke):
         and "Window" not in p
         and "HashAggregate" in p
         and "BatchEvalPython" not in p,
+        # PII scan: pure regex projection — no join, no window, no agg
+        "doc_pii_scan": lambda p: "Join" not in p and "Window" not in p,
+        # SemDeDup: in-cell equi-join pairing + anti-join survival, never
+        # a cartesian over the corpus
+        "semantic_dedup_cells": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # PSL: suffix table must come in as a BROADCAST join
+        "domain_psl_extraction": lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p,
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
