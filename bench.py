@@ -143,6 +143,7 @@ HEADLINE = [
     "domain_blocklist_filter",
     "semantic_dedup_cells",
     "domain_psl_extraction",
+    "intra_doc_repeated_spans",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

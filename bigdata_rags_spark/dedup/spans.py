@@ -135,3 +135,78 @@ def substring_dedup(
             F.coalesce("surviving_md5", F.md5(F.lit(""))).alias("surviving_md5"),
         )
     )
+
+
+def intra_doc_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repeated-span report — the INTRA-doc complement of
+    ``substring_dedup`` (which marks cross-doc repeats): a k-token span
+    occurring 2+ times in the SAME document is template/loop content (the
+    span-level generalization of Gopher's duplicate-n-gram-fraction
+    rules).  Returns ``(id_col, n_spans, n_repeated_spans,
+    max_span_occurrences, repeated_token_frac_micro)`` where the fraction
+    counts token positions covered by any repeated span, in integer micro.
+
+    Scale shape: the count aggregation is keyed by (doc_id, md5) — all
+    work stays doc-local through the shuffle (no corpus-wide key), then a
+    bounded k-per-span coverage explode and one doc agg.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("t")
+    )
+    base = toks.withColumn("n_tokens", F.size("t").cast("bigint"))
+    starts = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        "doc_id", "t", F.explode(starts).alias("start_pos")
+    ).select(
+        "doc_id",
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.md5(F.array_join(F.slice(F.col("t"), F.col("start_pos"), k), " ")).alias("h"),
+    )
+    per_span = spans.groupBy("doc_id", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    stats = per_span.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0)).cast("bigint").alias(
+            "n_repeated_spans"
+        ),
+        F.max("occ").cast("bigint").alias("max_span_occurrences"),
+    )
+    rep_keys = per_span.filter(F.col("occ") >= 2).select("doc_id", "h")
+    covered = (
+        spans.join(rep_keys, ["doc_id", "h"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start_pos"), F.col("start_pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rep_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(stats, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+            F.coalesce("n_repeated_spans", F.lit(0).cast("bigint")).alias(
+                "n_repeated_spans"
+            ),
+            F.coalesce("max_span_occurrences", F.lit(0).cast("bigint")).alias(
+                "max_span_occurrences"
+            ),
+            F.expr(
+                "coalesce(rep_tokens, 0) * 1000000 div n_tokens"
+            ).cast("bigint").alias("repeated_token_frac_micro"),
+        )
+    )

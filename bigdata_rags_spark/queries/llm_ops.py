@@ -4190,3 +4190,59 @@ def domain_psl_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("domain") != F.col("naive_domain"), F.lit(1))
         .otherwise(F.lit(0)).cast("bigint").alias("naive_wrong"),
     )
+
+
+_INTRA_K = 3  # the fixture's synthetic text has low natural repetition:
+# k=3 is the smallest span with measurable intra-doc signal (29 repeated
+# spans / 27 docs at sf0.01); the planted test exercises larger k.
+
+
+@_llm(
+    "intra_doc_repeated_spans",
+    f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+spans AS (
+  SELECT doc_id, s AS start_pos,
+         md5(array_to_string(t[s:s+{_INTRA_K - 1}], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - {_INTRA_K - 1})) AS u(s)
+  WHERE len(t) >= {_INTRA_K}
+),
+per_span AS (
+  SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS occ FROM spans GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeated_spans,
+         CAST(MAX(occ) AS BIGINT) AS max_span_occurrences
+  FROM per_span GROUP BY doc_id
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, s.start_pos + o AS pos
+  FROM spans s
+  JOIN per_span p ON s.doc_id = p.doc_id AND s.h = p.h AND p.occ >= 2,
+       unnest(generate_series(0, {_INTRA_K - 1})) AS v(o)
+),
+ct AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rep_tokens FROM covered GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(st.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       COALESCE(st.n_repeated_spans, CAST(0 AS BIGINT)) AS n_repeated_spans,
+       COALESCE(st.max_span_occurrences, CAST(0 AS BIGINT)) AS max_span_occurrences,
+       CAST(COALESCE(ct.rep_tokens, 0) * 1000000 // len(t.t) AS BIGINT)
+         AS repeated_token_frac_micro
+FROM toks t
+LEFT JOIN stats st ON t.doc_id = st.doc_id
+LEFT JOIN ct ON t.doc_id = ct.doc_id
+""",
+)
+def intra_doc_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span audit (`dedup/spans.py:
+    intra_doc_repeated_spans`) — template/loop-content detection, the
+    span-level generalization of the Gopher duplicate-n-gram rules and
+    the intra-doc complement of ``substring_dedup_docs``.  All counting
+    is keyed by (doc_id, md5): work stays doc-local through every
+    shuffle."""
+    from bigdata_rags_spark.dedup.spans import intra_doc_repeated_spans
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return intra_doc_repeated_spans(docs, k=_INTRA_K)

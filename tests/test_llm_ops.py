@@ -1222,7 +1222,7 @@ def test_psl_registrable_domain_multilabel_suffixes(spark):
     from bigdata_rags_spark.functions.urls import psl_registrable_domain
 
     rows = [
-        (1, "www.news.bbc.co.uk"),
+        (1, "www.news.mysite.co.uk"),
         (2, "example.com"),
         (3, "localhost"),
         (4, "a.ac.uk"),
@@ -1231,7 +1231,7 @@ def test_psl_registrable_domain_multilabel_suffixes(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "host"])
     out = {r["doc_id"]: r for r in psl_registrable_domain(df, spark).collect()}
-    assert (out[1]["psl_suffix"], out[1]["domain"]) == ("co.uk", "bbc.co.uk")
+    assert (out[1]["psl_suffix"], out[1]["domain"]) == ("co.uk", "mysite.co.uk")
     assert (out[2]["psl_suffix"], out[2]["domain"]) == ("com", "example.com")
     assert (out[3]["psl_suffix"], out[3]["domain"]) == ("localhost", "localhost")
     assert (out[4]["psl_suffix"], out[4]["domain"]) == ("ac.uk", "a.ac.uk")
@@ -1281,3 +1281,32 @@ def test_semantic_dedup_cells_matches_numpy_reference(spark, sf_oracle):
         for r in REGISTRY["semantic_dedup_cells"].spark(spark, sf_oracle).collect()
     }
     assert got == expected
+
+
+def test_intra_doc_repeated_spans_planted(spark):
+    """A doc that repeats a k-token template twice must report the repeat
+    with exact coverage; a no-repeat doc reports zeros."""
+    from bigdata_rags_spark.dedup.spans import intra_doc_repeated_spans
+
+    tpl = "alpha beta gamma delta"  # k=4 template
+    rows = [
+        (1, f"{tpl} filler1 filler2 {tpl} tail"),   # template twice
+        (2, "one two three four five six seven"),   # no repeats
+        (3, " ".join(["loop word"] * 6)),           # heavy loop content
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in intra_doc_repeated_spans(docs, k=4).collect()}
+
+    d1 = out[1]
+    # 11 tokens -> 8 span positions, 7 distinct hashes; one repeats (occ=2)
+    assert (d1["n_spans"], d1["n_repeated_spans"], d1["max_span_occurrences"]) == (7, 1, 2)
+    # covered positions: 1-4 and 7-10 -> 8 of 11 tokens
+    assert d1["repeated_token_frac_micro"] == 8 * 1_000_000 // 11
+
+    d2 = out[2]
+    assert (d2["n_repeated_spans"], d2["max_span_occurrences"]) == (0, 1)
+    assert d2["repeated_token_frac_micro"] == 0
+
+    d3 = out[3]  # "loop word" x6 = 12 tokens, every 4-gram repeated
+    assert d3["n_repeated_spans"] >= 1 and d3["max_span_occurrences"] >= 4
+    assert d3["repeated_token_frac_micro"] == 1_000_000
