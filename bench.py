@@ -144,6 +144,7 @@ HEADLINE = [
     "semantic_dedup_cells",
     "domain_psl_extraction",
     "intra_doc_repeated_spans",
+    "near_dup_pagerank",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -113,3 +113,51 @@ def connected_components(
         return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
+
+
+def pagerank_undirected(
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Integer-micro PageRank over an undirected edge list (damping 0.85,
+    ``n_iter`` UNROLLED power iterations — no driver actions): rank
+    centrality for near-dup graphs, where high-rank nodes are the
+    duplication hubs/templates.  Exact-integer op order (contribution =
+    R(u) div deg(u); update = 150000 + 850000*sum div 1e6, all operands
+    non-negative) makes the result engine-exact — see the
+    ``near_dup_pagerank`` oracle.  Returns ``(node, rank_micro, degree)``.
+
+    Scale: per iteration one (node, bigint) equi-join against the
+    degree-attached edge list + one partial+final sum keyed by
+    destination; only 16-byte pairs shuffle.  For n_iter beyond ~10 add
+    localCheckpoint every few rounds (the connected_components lineage
+    rule); at the default 3 the unrolled plan is fine.
+    """
+    from pyspark.sql import functions as F
+
+    und = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).unionAll(
+        edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    und_deg = und.join(deg, "u")
+    ranks = deg.select(
+        F.col("u").alias("node"), F.lit(1_000_000).cast("bigint").alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            und_deg.join(ranks, und_deg["u"] == ranks["node"])
+            .select("v", F.expr("r div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = deg.join(contrib, deg["u"] == contrib["v"], "left").select(
+            F.col("u").alias("node"),
+            (
+                F.lit(150_000) + F.expr("850000 * coalesce(s, 0) div 1000000")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.join(deg, ranks["node"] == deg["u"]).select(
+        "node", F.col("r").alias("rank_micro"), F.col("d").alias("degree")
+    )

@@ -4246,3 +4246,67 @@ def intra_doc_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
     return intra_doc_repeated_spans(docs, k=_INTRA_K)
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Chained-CTE replay of the unrolled integer-micro PageRank: every
+    iteration is one contribution join + agg, mechanically generated
+    (the ``_fps_oracle`` recursion-free pattern)."""
+    parts = [
+        _phash_edges_sql(),
+        """und AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION ALL
+  SELECT doc_b, doc_a FROM edges
+)""",
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u)",
+        "r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.v AS node, CAST(SUM(r.r // d.d) AS BIGINT) AS s
+  FROM und e
+  JOIN r{i - 1} r ON e.u = r.node
+  JOIN deg d ON e.u = d.u
+  GROUP BY e.v
+)""")
+        parts.append(f"""r{i} AS (
+  SELECT d.u AS node,
+         CAST(150000 + (850000 * COALESCE(c.s, 0)) // 1000000 AS BIGINT) AS r
+  FROM deg d LEFT JOIN c{i} c ON d.u = c.node
+)""")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT r.node AS doc_id, r.r AS rank_micro, d.d AS degree
+FROM r{n_iter} r JOIN deg d ON r.node = d.u
+"""
+
+
+@_llm("near_dup_pagerank", _pagerank_oracle())
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the image-aHash near-dup graph (3 unrolled power
+    iterations, damping 0.85) — centrality tells a dedup pipeline which
+    documents are duplication HUBS (high-rank nodes are the templates
+    everything else copies; keep-the-hub vs keep-min-id is a real survival
+    policy choice).  All arithmetic is integer micro with truncating
+    division in a fixed op order (contribution = R(u) div deg(u), update
+    = 150000 + 850000 * sum div 1e6) — every operand non-negative, so
+    Spark ``div`` and DuckDB ``//`` agree and the whole iteration is
+    value-hash exact; the oracle replays it as generated CTEs (the FPS
+    pattern).
+
+    Scale shape: the classic Pregel-free formulation — per iteration ONE
+    equi-join of (node, rank) pairs against the degree-attached edge list
+    and one partial+final sum keyed by destination; only (id, bigint)
+    pairs ever shuffle, and iterations are UNROLLED into the plan (no
+    driver actions, no checkpoint needed at 3 rounds).  Undirected graph
+    => no dangling-mass term (every node has deg >= 1)."""
+    from bigdata_rags_spark.dedup.clusters import pagerank_undirected
+
+    edges = (
+        image_phash_near_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    return pagerank_undirected(edges, n_iter=3).select(
+        F.col("node").alias("doc_id"), "rank_micro", "degree"
+    )

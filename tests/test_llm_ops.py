@@ -1310,3 +1310,25 @@ def test_intra_doc_repeated_spans_planted(spark):
     d3 = out[3]  # "loop word" x6 = 12 tokens, every 4-gram repeated
     assert d3["n_repeated_spans"] >= 1 and d3["max_span_occurrences"] >= 4
     assert d3["repeated_token_frac_micro"] == 1_000_000
+
+
+def test_pagerank_star_graph_hub_dominates(spark):
+    """On a star graph the hub must outrank every leaf; leaves tie; and
+    the query reproduces the exact integer recurrence computed by hand."""
+    from bigdata_rags_spark.dedup.clusters import pagerank_undirected
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["doc_a", "doc_b"]
+    )
+    out = {r["node"]: r for r in pagerank_undirected(edges, n_iter=3).collect()}
+    hub, leaves = out[0], [out[i] for i in range(1, 6)]
+    assert hub["degree"] == 5 and all(l["degree"] == 1 for l in leaves)
+    assert all(hub["rank_micro"] > l["rank_micro"] for l in leaves)
+    assert len({l["rank_micro"] for l in leaves}) == 1
+    # hand replay of the integer recurrence
+    rh, rl = 1_000_000, 1_000_000
+    for _ in range(3):
+        rh_new = 150_000 + 850_000 * (5 * (rl // 1)) // 1_000_000
+        rl_new = 150_000 + 850_000 * (rh // 5) // 1_000_000
+        rh, rl = rh_new, rl_new
+    assert hub["rank_micro"] == rh and leaves[0]["rank_micro"] == rl
