@@ -22,6 +22,14 @@ compute averages with integer micro-unit floor division
 (``cents * 10^4 div n``: see events_tumbling_hourly) instead of
 ROUND(AVG(..), 6).
 
+INTEGER-DIVISION hazard (round 8): Spark's ``div`` truncates toward zero
+while DuckDB's ``//`` floors — they agree ONLY when the numerator is
+non-negative.  Every integer-exact formula must keep operands non-negative
+(offset-before-divide for means: ``(raw + 500000*n) div n - 500000``; fold
+``|z| + z`` into the numerator for signed squashes — see
+quality_classifier_scores and near_dup_pagerank).  This is what makes
+iterative algorithms (PageRank) and learned scorers value-hash checkable.
+
 DOT-PRODUCT-FOLD dependency (ADVICE r5): the LSH/IVF oracles assume DuckDB's
 ``list_dot_product`` accumulates left-to-right in float64 exactly like
 Spark's ``aggregate(zip_with(..), 0.0, acc+x)`` fold — true of the pinned
