@@ -145,6 +145,7 @@ HEADLINE = [
     "domain_psl_extraction",
     "intra_doc_repeated_spans",
     "near_dup_pagerank",
+    "embedding_ivfpq_rerank_topk",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

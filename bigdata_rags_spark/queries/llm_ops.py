@@ -4310,3 +4310,128 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_undirected(edges, n_iter=3).select(
         F.col("node").alias("doc_id"), "rank_micro", "degree"
     )
+
+
+def _ivfpq_oracle(
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    dim: int = 64,
+) -> str:
+    """Oracle for IVFPQ serving: the `_ivf_probe_fixed_oracle` cell CTEs
+    restrict WHICH corpus codes are scored, the `_pq_adc_oracle` encode /
+    LUT CTEs price HOW — same literals as both Spark-side codebooks."""
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+    from bigdata_rags_spark.similarity.pq import SUB_DIM, pq_codebooks
+
+    cents = fixed_centroids(dim, n_cells)
+    cell_sims = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for c in cents
+    )
+    books = pq_codebooks()
+    enc_ctes = []
+    for j, book in enumerate(books):
+        lo, hi = j * SUB_DIM + 1, j * SUB_DIM + SUB_DIM
+        scores = ", ".join(
+            f"list_dot_product(v[{lo}:{hi}], ["
+            + ", ".join(repr(x) for x in c)
+            + f"]::DOUBLE[]) - {sum(x * x for x in c) / 2.0!r}"
+            for c in book
+        )
+        enc_ctes.append(
+            f"""enc{j} AS (
+  SELECT vec_id, {j} AS m, code FROM (
+    SELECT vec_id, CAST(unnest(range(0, {len(book)})) AS INT) AS code,
+           unnest([{scores}]) AS score
+    FROM e
+  ) s QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, code DESC) = 1
+)"""
+        )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, m, code FROM enc{j}" for j in range(len(books))
+    )
+    m_vals, code_vals, dot_exprs = [], [], []
+    for j, book in enumerate(books):
+        lo, hi = j * SUB_DIM + 1, j * SUB_DIM + SUB_DIM
+        for code, c in enumerate(book):
+            m_vals.append(str(j))
+            code_vals.append(str(code))
+            dot_exprs.append(
+                f"CAST(ROUND(list_dot_product(v[{lo}:{hi}], ["
+                + ", ".join(repr(x) for x in c)
+                + "]::DOUBLE[]) * 1000000) AS BIGINT)"
+            )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cs AS (
+  SELECT vec_id, v,
+         CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
+         unnest([{cell_sims}]) AS sim
+  FROM e
+),
+cranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell DESC) AS r
+  FROM cs
+),
+asg AS (SELECT vec_id, cell FROM cranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cell
+           FROM cranked WHERE vec_id < {n_queries} AND r <= {n_probe}),
+{", ".join(enc_ctes)},
+codes AS ({codes_union}),
+lut AS (
+  SELECT vec_id AS query_id,
+         CAST(unnest([{", ".join(m_vals)}]) AS INT) AS m,
+         CAST(unnest([{", ".join(code_vals)}]) AS INT) AS code,
+         unnest([{", ".join(dot_exprs)}]) AS dot_micro
+  FROM e WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(l.dot_micro) AS BIGINT) AS approx_sim_micro
+  FROM codes c
+  JOIN asg a ON a.vec_id = c.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN lut l ON c.m = l.m AND c.code = l.code AND l.query_id = p.query_id
+  WHERE c.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_sim_micro DESC, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id, ROUND({_SQL_COSINE}, 6) AS similarity
+  FROM short s
+  JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = s.query_id
+  JOIN (SELECT vec_id, v AS cv FROM e) c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, similarity, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS INT) AS rank
+  FROM rr
+) WHERE rank <= {k}
+"""
+
+
+@_llm("embedding_ivfpq_rerank_topk", _ivfpq_oracle())
+def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFPQ serving (`similarity/pq.py:ivfpq_search_rerank`):
+    the coarse quantizer prunes candidates to the query's 4 probed cells,
+    PQ ADC scores the survivors on bytes, exact cosine reranks the top-50
+    shortlist — the composition every production vector store runs when
+    neither full vectors nor full scans fit.  Both component codebooks
+    are the fixed literals already value-hash checked standalone
+    (``embedding_ivf_probe_fixed``, ``embedding_pq_rerank_topk``), so the
+    combined plan stays oracle-exact end to end."""
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_search_rerank(q, e, k=5, n_probe=4, shortlist=50)

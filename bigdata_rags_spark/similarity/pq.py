@@ -343,3 +343,85 @@ def train_pq_codebooks(
             new_books.append(book)
         books = new_books
     return books
+
+
+def ivfpq_search_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF+PQ combined serving — FAISS's production IVFPQ shape (Jégou et
+    al. 2011 §V): the coarse quantizer prunes WHICH corpus vectors are
+    scored (only codes whose cell is among the query's ``n_probe`` probed
+    cells), PQ ADC prices HOW each surviving candidate is scored (M table
+    lookups on bytes), and the exact-cosine rerank of the shortlist
+    restores ranking fidelity.  Composes the two already-oracle-checked
+    parts (``similarity/ivf.py`` cell assignment, ``pq_adc_topk``
+    scoring), so the full pipeline stays value-hash exact with fixed
+    codebooks.
+
+    100 TB shape: corpus is read once to (cell, m, code) rows — the index
+    build; serving shuffles NOTHING corpus-sized (probes and the LUT
+    broadcast; candidate volume is |Q| * n_probe/n_cells * N * M code
+    rows before the partial+final sum); full vectors are fetched only for
+    the |Q| x shortlist rerank join.
+    """
+    from bigdata_rags_spark.functions.vectors import cosine
+    from bigdata_rags_spark.similarity.ivf import _nearest_cells, fixed_centroids
+
+    cents = centroids if centroids is not None else fixed_centroids(64, n_cells)
+    books = codebooks if codebooks is not None else pq_codebooks()
+
+    cvec = corpus.select(
+        F.col("vec_id").alias("cid"), as_double_array(F.col("embedding")).alias("cv")
+    )
+    asg = cvec.select(
+        "cid", _nearest_cells(F.col("cv"), cents, 1)[0].alias("cell")
+    )
+    qvec = queries.select(
+        F.col("vec_id").alias("query_id"), as_double_array(F.col("embedding")).alias("qv")
+    )
+    probes = qvec.select(
+        "query_id",
+        F.explode(_nearest_cells(F.col("qv"), cents, n_probe)).alias("cell"),
+    )
+
+    codes = pq_encode(corpus, books).join(
+        asg.select(F.col("cid").alias("id"), "cell"), "id"
+    )
+    lut = pq_lut(queries, books)
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("dot_micro").cast("bigint").alias("approx_sim_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim_micro"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    rr = (
+        short.join(F.broadcast(qvec), "query_id")
+        .join(cvec.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("similarity"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )

@@ -1332,3 +1332,25 @@ def test_pagerank_star_graph_hub_dominates(spark):
         rl_new = 150_000 + 850_000 * (rh // 5) // 1_000_000
         rh, rl = rh_new, rl_new
     assert hub["rank_micro"] == rh and leaves[0]["rank_micro"] == rl
+
+
+def test_ivfpq_recall_on_real_embeddings(spark, sf_oracle):
+    """IVFPQ (4/16 cells probed + ADC shortlist + exact rerank) must keep
+    useful recall@5 vs brute force on the adversarial near-random fixture,
+    and can never exceed the cell-probe ceiling (a neighbor outside every
+    probed cell is unreachable by construction)."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(q, e, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in ivfpq_search_rerank(q, e, k=5, n_probe=4, shortlist=50).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(truth[i] & got.get(i, set())) for i in truth) / (5 * len(truth))
+    assert recall >= 0.3, recall  # floor measured on the fixture; real
+    # clustered corpora sit far higher — 4/16 probes bounds recall by the
+    # cell-coverage probability on near-random data
