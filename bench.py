@@ -146,6 +146,7 @@ HEADLINE = [
     "intra_doc_repeated_spans",
     "near_dup_pagerank",
     "embedding_ivfpq_rerank_topk",
+    "source_token_drift",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

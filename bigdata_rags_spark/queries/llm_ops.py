@@ -4435,3 +4435,102 @@ def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     q = e.filter(F.col("vec_id") < 5)
     return ivfpq_search_rerank(q, e, k=5, n_probe=4, shortlist=50)
+
+
+@_llm(
+    "source_token_drift",
+    f"""
+WITH toks AS (SELECT source, unnest({_SQL_TOKS}) AS token FROM documents),
+gt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS gn FROM toks GROUP BY token),
+topv AS (SELECT token, gn FROM gt ORDER BY gn DESC, token LIMIT 50),
+gtot AS (SELECT CAST(SUM(gn) AS BIGINT) AS g FROM topv),
+st AS (
+  SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) AS sn
+  FROM toks t JOIN topv v ON t.token = v.token
+  GROUP BY 1, 2
+),
+stot AS (SELECT source, CAST(SUM(sn) AS BIGINT) AS s FROM st GROUP BY source),
+grid AS (
+  SELECT s.source, v.token,
+         COALESCE(st.sn, 0) * 1000000 // NULLIF(s.s, 0) AS p_src,
+         v.gn * 1000000 // NULLIF(g.g, 0) AS p_all
+  FROM stot s CROSS JOIN topv v CROSS JOIN gtot g
+  LEFT JOIN st ON st.source = s.source AND st.token = v.token
+),
+d AS (SELECT source, token, abs(p_src - p_all) AS delta FROM grid),
+agg AS (
+  SELECT source, CAST(SUM(delta) AS BIGINT) AS tv_micro FROM d GROUP BY source
+),
+top AS (
+  SELECT source, token AS top_drift_token, CAST(delta AS BIGINT) AS top_drift_delta_micro
+  FROM d QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY delta DESC, token) = 1
+)
+SELECT a.source, s.s AS n_topv_tokens, a.tv_micro,
+       t.top_drift_token, t.top_drift_delta_micro
+FROM agg a JOIN stot s ON a.source = s.source
+JOIN top t ON a.source = t.source
+""",
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift — corpus snapshot monitoring
+    (the ingest-time twin of ``snapshot_drift_report``): over the global
+    top-50 vocabulary, total-variation distance between each source's
+    token distribution and the corpus-wide one, plus the single most
+    drifted token.  All integer micro (p = count*1e6 div total — the
+    non-negative-div discipline), so the drift score is value-hash exact;
+    a source whose crawler broke or whose template changed shows up as a
+    tv_micro outlier before it pollutes training.
+
+    Scale shape: two (token)-keyed hash aggs with map-side partials, a
+    50-row broadcast vocabulary, and a |sources| x 50 grid — the corpus
+    text never shuffles; output is one row per source."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    toks = docs.select("source", F.explode(ws_tokens(F.col("text"))).alias("token"))
+    gt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("gn"))
+    topv = gt.orderBy(F.col("gn").desc(), F.col("token")).limit(50)
+    gtot = topv.agg(F.sum("gn").cast("bigint").alias("g"))
+    st = (
+        toks.join(F.broadcast(topv.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sn"))
+    )
+    stot = st.groupBy("source").agg(F.sum("sn").cast("bigint").alias("s"))
+    grid = (
+        stot.crossJoin(F.broadcast(topv))
+        .crossJoin(F.broadcast(gtot))
+        .join(st, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            F.expr("coalesce(sn, 0) * 1000000 div nullif(s, 0)").alias("p_src"),
+            F.expr("gn * 1000000 div nullif(g, 0)").alias("p_all"),
+        )
+    )
+    d = grid.select(
+        "source", "token", F.abs(F.col("p_src") - F.col("p_all")).alias("delta")
+    )
+    agg = d.groupBy("source").agg(F.sum("delta").cast("bigint").alias("tv_micro"))
+    w = Window.partitionBy("source").orderBy(F.col("delta").desc(), F.col("token"))
+    top = (
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "source",
+            F.col("token").alias("top_drift_token"),
+            F.col("delta").cast("bigint").alias("top_drift_delta_micro"),
+        )
+    )
+    return (
+        agg.join(stot, "source")
+        .join(top, "source")
+        .select(
+            "source",
+            F.col("s").alias("n_topv_tokens"),
+            "tv_micro",
+            "top_drift_token",
+            "top_drift_delta_micro",
+        )
+    )

@@ -1354,3 +1354,30 @@ def test_ivfpq_recall_on_real_embeddings(spark, sf_oracle):
     assert recall >= 0.3, recall  # floor measured on the fixture; real
     # clustered corpora sit far higher — 4/16 probes bounds recall by the
     # cell-coverage probability on near-random data
+
+
+def test_source_token_drift_flags_skewed_source(spark):
+    """A source whose token distribution collapses onto one token must
+    report far higher total-variation drift than balanced sources, and
+    that token must surface as its top drifted token."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+    import os
+    import tempfile
+
+    balanced = " ".join(f"w{i % 10}" for i in range(50))
+    rows = (
+        [(i, balanced, "en", "balanced_a", 100) for i in range(5)]
+        + [(10 + i, balanced, "en", "balanced_b", 100) for i in range(5)]
+        + [(20, " ".join(["spam"] * 50), "en", "skewed", 100)]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in REGISTRY["source_token_drift"].spark(spark, tmp).collect()
+        }
+    assert out["skewed"]["top_drift_token"] == "spam"
+    assert out["skewed"]["tv_micro"] > 3 * out["balanced_a"]["tv_micro"]
+    assert out["balanced_a"]["tv_micro"] == out["balanced_b"]["tv_micro"]
