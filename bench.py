@@ -147,6 +147,7 @@ HEADLINE = [
     "near_dup_pagerank",
     "embedding_ivfpq_rerank_topk",
     "source_token_drift",
+    "query_likelihood_search",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

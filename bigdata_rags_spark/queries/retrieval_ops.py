@@ -200,3 +200,50 @@ def rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_rags_spark.retrieval.bm25 import rrf_search
 
     return rrf_search(docs, e, QUERY_TERMS, query_vec_id=0, k=10, list_len=50)
+
+
+@query(
+    "query_likelihood_search",
+    f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctot FROM toks),
+cf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+  FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY token
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY doc_id, token
+),
+grid AS (
+  SELECT dl.doc_id,
+         ln((COALESCE(tf.tf, 0) + 2000.0 * cf.cf / ctot.ctot)
+            / (dl.dl + 2000.0)) AS s,
+         CASE WHEN tf.tf IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM dl CROSS JOIN cf CROSS JOIN ctot
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.token = cf.token
+),
+scored AS (
+  SELECT doc_id, ROUND(SUM(s), 6) AS ql_score,
+         CAST(SUM(hit) AS BIGINT) AS matched_terms
+  FROM grid GROUP BY doc_id
+)
+SELECT doc_id, ql_score, matched_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY ql_score DESC, doc_id) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= 10
+""",
+    tier=TIER_LLM,
+)
+def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood LM ranking with Dirichlet smoothing (Zhai &
+    Lafferty 2001; `retrieval/bm25.py:query_likelihood_scores`) — the
+    language-modeling retrieval family completing BM25 / TF-IDF / hybrid
+    / RRF.  Every query term scores every doc (zero-tf terms pull toward
+    the collection model), so ranking differs from BM25 on partial
+    matches."""
+    from bigdata_rags_spark.retrieval.bm25 import query_likelihood_scores
+
+    docs = _docs_parallel(spark, sf_dir)
+    return query_likelihood_scores(docs, QUERY_TERMS, k=10)

@@ -241,3 +241,66 @@ def rrf_search(
     return _ranked_topk(
         fused, [F.desc("rrf_micro"), F.asc("doc_id")], k
     ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's standard default)
+
+
+def query_likelihood_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    mu: float = MU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
+    2001) — the language-modeling IR family next to BM25's probabilistic
+    one:
+
+        score(D, Q) = sum_t ln( (tf(t,D) + mu * p_c(t)) / (|D| + mu) )
+
+    where p_c(t) is the collection unigram probability.  Unlike BM25,
+    EVERY query term contributes to every document (tf = 0 terms pull the
+    score toward the collection model), so the grid is |docs| x |terms| —
+    built as dl CROSS JOIN the tiny broadcast term stats, LEFT JOIN tf.
+    Terms absent from the whole collection are dropped (p_c = 0 would be
+    ln(0); the standard convention).
+
+    Same scale discipline as ``bm25_all_scores``: one tokenization
+    shuffle, 1-row aggregates broadcast into the plan (no driver
+    actions), ``orderBy().limit(k)`` -> TakeOrderedAndProject.  Float op
+    order is fixed (mu * cf / ctot, one ln, ROUND at the output) per the
+    catalog parity discipline.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(ws_tokens(F.col(text_col))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    ctot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("ctot"))
+    term_df = toks.filter(F.col("token").isin(terms))
+    cf = term_df.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    tf = term_df.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    grid = (
+        dl.crossJoin(F.broadcast(cf))  # cf only has collection-present terms
+        .crossJoin(F.broadcast(ctot))
+        .join(tf, ["doc_id", "token"], "left")
+        .select(
+            "doc_id",
+            "dl",
+            F.log(
+                (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(mu) * F.col("cf") / F.col("ctot"))
+                / (F.col("dl") + F.lit(mu))
+            ).alias("s"),
+            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+    )
+    scored = grid.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("ql_score"),
+        F.sum("hit").cast("bigint").alias("matched_terms"),
+    )
+    return _ranked_topk(
+        scored, [F.col("ql_score").desc(), F.col("doc_id")], k
+    ).select("doc_id", "ql_score", "matched_terms", F.col("rnk").cast("int").alias("rnk"))

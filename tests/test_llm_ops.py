@@ -1381,3 +1381,27 @@ def test_source_token_drift_flags_skewed_source(spark):
     assert out["skewed"]["top_drift_token"] == "spam"
     assert out["skewed"]["tv_micro"] > 3 * out["balanced_a"]["tv_micro"]
     assert out["balanced_a"]["tv_micro"] == out["balanced_b"]["tv_micro"]
+
+
+def test_query_likelihood_ranking_properties(spark):
+    """QL with Dirichlet smoothing must rank full-match > partial-match >
+    no-match at equal length, and every doc must receive a score (zero-tf
+    terms smooth toward the collection model instead of dropping docs)."""
+    from bigdata_rags_spark.retrieval.bm25 import query_likelihood_scores
+
+    filler = "x1 x2 x3 x4 x5 x6 x7"
+    rows = [
+        (1, f"alpha beta gamma {filler}"),
+        (2, f"alpha b1 b2 {filler}"),
+        (3, f"n1 n2 n3 {filler}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in query_likelihood_scores(docs, ["alpha", "beta", "gamma"], k=10).collect()
+    }
+    assert set(out) == {1, 2, 3}          # no-match docs still scored
+    assert out[1]["matched_terms"] == 3 and out[2]["matched_terms"] == 1
+    assert out[3]["matched_terms"] == 0
+    assert out[1]["ql_score"] > out[2]["ql_score"] > out[3]["ql_score"]
+    assert (out[1]["rnk"], out[2]["rnk"], out[3]["rnk"]) == (1, 2, 3)
