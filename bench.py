@@ -148,6 +148,7 @@ HEADLINE = [
     "embedding_ivfpq_rerank_topk",
     "source_token_drift",
     "query_likelihood_search",
+    "contrastive_negatives_sample",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -4534,3 +4534,90 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_drift_delta_micro",
         )
     )
+
+
+@_llm(
+    "contrastive_negatives_sample",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qv, e.v) / sqrt(list_dot_product(q.qv, q.qv))
+               / sqrt(list_dot_product(e.v, e.v)), 6) AS similarity,
+         md5(CAST(q.query_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)) AS h
+  FROM q JOIN e ON e.vec_id != q.query_id
+),
+pos AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY similarity DESC, cand_id) AS r
+    FROM scored
+  ) WHERE r <= 5
+),
+neg AS (
+  SELECT s.query_id, s.cand_id, s.similarity, s.h
+  FROM scored s LEFT JOIN pos p
+    ON s.query_id = p.query_id AND s.cand_id = p.cand_id
+  WHERE p.cand_id IS NULL
+)
+SELECT query_id, cand_id AS negative_id, similarity,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY h, cand_id) AS rnk
+  FROM neg
+) WHERE rnk <= 5
+""",
+)
+def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive embedding training: for each
+    query, 5 deterministic pseudo-random negatives drawn from the corpus
+    EXCLUDING its exact top-5 neighbors (false negatives poison InfoNCE —
+    the standard in-batch-negatives hygiene).  Sampling order is
+    md5(query_id:cand_id), so the draw is reproducible across runs and
+    engines — no RNG state, same discipline as ``train_test_split``.
+
+    Scale shape: the query side is tiny and BROADCAST; the corpus is
+    scanned once and scored per query (|Q| x N bounded by the broadcast
+    query count); per-query windows see only that query's partition.  At
+    training scale |Q| grows — then the same plan runs per query-shard,
+    or the md5 rank becomes a pre-filter (rank < threshold) pushed into
+    the scan."""
+    from bigdata_rags_spark.functions.vectors import as_double_array, cosine
+    from pyspark.sql import Window
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    base = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        base.join(F.broadcast(q), base["vec_id"] != q["query_id"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("similarity"),
+            F.md5(
+                F.concat(
+                    F.col("query_id").cast("string"), F.lit(":"),
+                    F.col("vec_id").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    wpos = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("cand_id")
+    )
+    pos = (
+        scored.withColumn("r", F.row_number().over(wpos))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "cand_id")
+    )
+    neg = scored.join(pos, ["query_id", "cand_id"], "left_anti")
+    wneg = Window.partitionBy("query_id").orderBy("h", "cand_id")
+    return (
+        neg.withColumn("rnk", F.row_number().over(wneg).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("cand_id").alias("negative_id"), "similarity", "rnk")
+    )

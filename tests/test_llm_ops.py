@@ -1405,3 +1405,28 @@ def test_query_likelihood_ranking_properties(spark):
     assert out[3]["matched_terms"] == 0
     assert out[1]["ql_score"] > out[2]["ql_score"] > out[3]["ql_score"]
     assert (out[1]["rnk"], out[2]["rnk"], out[3]["rnk"]) == (1, 2, 3)
+
+
+def test_contrastive_negatives_exclude_positives(spark, sf_oracle):
+    """Sampled negatives must never collide with the query's exact top-5
+    neighbors, give exactly 5 per query, and be draw-stable across runs."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(q, e, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    run1 = REGISTRY["contrastive_negatives_sample"].spark(spark, sf_oracle).collect()
+    per_q: dict[int, set[int]] = {}
+    for r in run1:
+        per_q.setdefault(r["query_id"], set()).add(r["negative_id"])
+    assert set(per_q) == set(truth)
+    for qid, negs in per_q.items():
+        assert len(negs) == 5
+        assert not negs & truth[qid], (qid, negs & truth[qid])
+        assert qid not in negs
+    run2 = REGISTRY["contrastive_negatives_sample"].spark(spark, sf_oracle).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
