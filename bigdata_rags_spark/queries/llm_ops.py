@@ -4060,15 +4060,24 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     + connected components): SemDeDup trades CC's transitive closure for
     cluster-local comparisons — no iterative stage at all."""
     from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
-    from bigdata_rags_spark.similarity.ivf import _nearest_cells, fixed_centroids
+    from bigdata_rags_spark.similarity.ivf import (
+        assign_cells,
+        auto_n_cells,
+        fixed_centroids,
+    )
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    cents = fixed_centroids(64, 16)
-    asg = e.select(
-        "vec_id",
-        as_double_array(F.col("embedding")).alias("v"),
-        "label",
-    ).withColumn("cell", _nearest_cells(F.col("v"), cents, 1)[0])
+    base = e.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v"), "label"
+    )
+    # cell count self-scales with the corpus (auto_n_cells): 16 on the
+    # driver fixtures — the width the oracle pins — and wider at scale so
+    # in-cell pair volume stays O(N * occupancy), not N^2/16 (the fixed-
+    # width saturation the LSH probe measured for planes)
+    cents = fixed_centroids(64, auto_n_cells(base.count()))
+    asg = base.join(
+        assign_cells(e, cents).withColumnRenamed("id", "vec_id"), "vec_id"
+    )
     a = asg.select(
         F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )

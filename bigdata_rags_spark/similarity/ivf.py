@@ -152,3 +152,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def auto_n_cells(
+    n_rows: int,
+    target_occupancy: int = 128,
+    floor: int = 16,
+    cap: int = 256,
+) -> int:
+    """Self-scaling coarse-quantizer width (the ``auto_n_planes`` rule for
+    cells): n_cells = 2^ceil(log2(N / occupancy)) clamped to [floor, cap].
+
+    Any FIXED cell count makes within-cell work quadratic in occupancy
+    (pairs ~ sum |cell|^2 = N^2 / n_cells for balanced cells) — the same
+    saturation failure the round-7 probe measured for fixed LSH planes.
+    Pinning expected occupancy keeps in-cell pair volume at
+    O(N * occupancy).  target_occupancy=128 resolves to the historical 16
+    cells on the driver fixtures (N=500 -> 16, N=2000 -> 16, so every
+    16-cell oracle is unchanged) and to 256 at the 10x probe corpus
+    (N=20000).  Powers of two keep the md5 centroid family prefix-stable
+    in spirit (each width is its own deterministic literal set)."""
+    from math import ceil, log2
+
+    if n_rows <= 0:
+        return floor
+    need = 2 ** ceil(log2(max(1.0, n_rows / target_occupancy)))
+    return max(floor, min(cap, need))
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment that picks its execution
+    strategy by codebook width.  Up to 32 centroids the codegen'd
+    ``_nearest_cells`` expression wins (and is what the 16-cell oracles
+    replay); past that the literal-matrix projection approaches the
+    Janino wide-projection wall (the PQ lesson, CLAUDE.md), so assignment
+    switches to an Arrow numpy pass with the SAME explicit left-fold
+    float64 accumulation and tie-to-higher-cell rule — bit-identical
+    scores, engine-exact either way."""
+    if len(centroids) <= 32:
+        return df.select(
+            F.col(id_col).alias("id"),
+            _nearest_cells(as_double_array(F.col(vec_col)), centroids, 1)[0].alias("cell"),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    cents = [list(c) for c in centroids]
+    k = len(cents)
+    dim = len(cents[0])
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]], dtype=np.float64
+            )
+            sims = np.empty((n, k), dtype=np.float64)
+            for ci, c in enumerate(cents):
+                s = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    s = s + vecs[:, i] * c[i]
+                sims[:, ci] = s
+            cells = (k - 1) - sims[:, ::-1].argmax(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "cell": cells.astype(np.int32)})
+
+    prepped = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    return prepped.mapInPandas(assign, schema="id long, cell int")

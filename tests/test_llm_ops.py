@@ -1430,3 +1430,51 @@ def test_contrastive_negatives_exclude_positives(spark, sf_oracle):
         assert qid not in negs
     run2 = REGISTRY["contrastive_negatives_sample"].spark(spark, sf_oracle).collect()
     assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_auto_n_cells_calibration():
+    """auto_n_cells must keep the driver fixtures at the oracle-pinned 16
+    cells and widen at scale (the LSH auto_n_planes discipline; the r8
+    probe measured fixed-16 semantic dedup at 45.8x wall for 10x data,
+    auto at 2.3x)."""
+    from bigdata_rags_spark.similarity.ivf import auto_n_cells
+
+    assert auto_n_cells(500) == 16
+    assert auto_n_cells(2000) == 16
+    assert auto_n_cells(2048) == 16
+    assert auto_n_cells(2049) == 32
+    assert auto_n_cells(20_000) == 256
+    assert auto_n_cells(10**9) == 256  # capped
+    assert auto_n_cells(0) == 16
+    prev = 0
+    for n in (1, 100, 3000, 10_000, 50_000, 10**6):
+        cur = auto_n_cells(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_assign_cells_numpy_path_matches_expression_path(spark, sf_oracle):
+    """Past 32 centroids assignment switches to the Arrow numpy pass; both
+    strategies must agree cell-for-cell on the same codebook (the left
+    fold is bit-identical to the codegen'd expression)."""
+    from bigdata_rags_spark.functions.vectors import as_double_array
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.ivf import (
+        _nearest_cells,
+        assign_cells,
+        fixed_centroids,
+    )
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    cents = fixed_centroids(64, 64)  # > 32 -> numpy path in assign_cells
+    got = {
+        r["id"]: r["cell"] for r in assign_cells(e, cents).collect()
+    }
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in e.select(
+            "vec_id",
+            _nearest_cells(as_double_array(F.col("embedding")), cents, 1)[0].alias("cell"),
+        ).collect()
+    }
+    assert got == expr

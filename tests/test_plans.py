@@ -464,6 +464,20 @@ def test_r8_queries_have_scale_safe_plans(spark, sf_smoke):
         # PSL: suffix table must come in as a BROADCAST join
         "domain_psl_extraction": lambda p: "BroadcastHashJoin" in p
         and "CartesianProduct" not in p,
+        # PageRank: (node, bigint) equi-joins per unrolled iteration, never
+        # a cartesian
+        "near_dup_pagerank": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # IVFPQ: probes + LUT broadcast into equi-joins
+        "embedding_ivfpq_rerank_topk": lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # QL retrieval: top-k must plan as TakeOrderedAndProject, not a
+        # global-window corpus funnel
+        "query_likelihood_search": lambda p: "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p,
+        # drift monitor: grid built from broadcast tiny frames only
+        "source_token_drift": lambda p: "CartesianProduct" not in p,
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
