@@ -2934,8 +2934,11 @@ def near_dup_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two small degree-attach joins, one self-join on the
     apex, one closing equi-join on (b, c) endpoints, degree agg for
     wedges, three 1-row broadcast combines."""
+    # localCheckpoint, not cache — see near_dup_pagerank (the triangle
+    # plan references edges in 6 branches; lazy cache recomputes the
+    # phash pipeline per branch)
     edges = (
-        image_phash_near_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
+        image_phash_near_dups(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     )
     und = edges.select(F.col("doc_a").alias("u")).unionAll(
         edges.select(F.col("doc_b").alias("u"))
@@ -4313,8 +4316,12 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     => no dangling-mass term (every node has deg >= 1)."""
     from bigdata_rags_spark.dedup.clusters import pagerank_undirected
 
+    # localCheckpoint, not cache: the rank recurrence references the edge
+    # list in 7+ plan branches, and a lazy cache still recomputes the
+    # whole phash pipeline per branch inside the single job (measured
+    # 11-19 s -> 2.4-3.0 s warm at sf0.1).  Same rule as the CC loop.
     edges = (
-        image_phash_near_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
+        image_phash_near_dups(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     )
     return pagerank_undirected(edges, n_iter=3).select(
         F.col("node").alias("doc_id"), "rank_micro", "degree"
