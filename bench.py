@@ -149,6 +149,7 @@ HEADLINE = [
     "source_token_drift",
     "query_likelihood_search",
     "contrastive_negatives_sample",
+    "events_sliding_topk_types",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -1416,3 +1416,49 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+@_s(
+    "events_sliding_topk_types",
+    """
+WITH expanded AS (
+  SELECT (epoch_ns(ts) // 1000000000) // 1800 * 1800 - k.k * 1800 AS window_start_sec,
+         event_type, value
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+),
+agg AS (
+  SELECT window_start_sec, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2)     AS total_value
+  FROM expanded GROUP BY 1, 2
+)
+SELECT window_start_sec, event_type, n_events, total_value, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_sec
+            ORDER BY n_events DESC, event_type) AS rnk
+  FROM agg
+) WHERE rnk <= 3
+""",
+)
+def events_sliding_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items report: top-3 event types per 1h/30min sliding window
+    (deterministic order: count desc, type asc) — the classic streaming
+    top-k dashboard shape, layered on the SAME ``sliding_agg`` transform
+    the watermark stream tests already exercise, so the batch oracle here
+    certifies exactly what the stream emits.  The rank window partitions
+    by window_start (bounded rows per partition = |event types|), never a
+    global funnel."""
+    from pyspark.sql import Window, functions as F
+
+    from bigdata_rags_spark.streaming.events import read_events_batch, sliding_agg
+
+    agg = sliding_agg(read_events_batch(spark, sf_dir), "1 hour", "30 minutes")
+    w = Window.partitionBy("window_start_sec").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start_sec", "event_type", "n_events", "total_value", "rnk")
+    )
