@@ -125,9 +125,10 @@ def pagerank_undirected(
     ``n_iter`` UNROLLED power iterations — no driver actions): rank
     centrality for near-dup graphs, where high-rank nodes are the
     duplication hubs/templates.  Exact-integer op order (contribution =
-    R(u) div deg(u); update = 150000 + 850000*sum div 1e6, all operands
-    non-negative) makes the result engine-exact — see the
-    ``near_dup_pagerank`` oracle.  Returns ``(node, rank_micro, degree)``.
+    R(u) div deg(u); update = 150000 + 17*sum div 20, i.e. the 0.85
+    damping as the reduced rational, all operands non-negative) makes the
+    result engine-exact — see the ``near_dup_pagerank`` oracle.  Returns
+    ``(node, rank_micro, degree)``.
 
     Scale: per iteration one (node, bigint) equi-join against the
     degree-attached edge list + one partial+final sum keyed by
@@ -154,8 +155,13 @@ def pagerank_undirected(
         )
         ranks = deg.join(contrib, deg["u"] == contrib["v"], "left").select(
             F.col("u").alias("node"),
+            # 17*s div 20 == 850000*s div 1000000 exactly (gcd 50000), but the
+            # small multiplier keeps 17*s under 2^63 up to ~5e17 total micro
+            # rank mass (~5e11 nodes) instead of ~1e13 (~1e7 nodes) — hub
+            # concentration on very large graphs can push s toward the total
+            # mass, and with ANSI off Spark would wrap silently (ADVICE r8).
             (
-                F.lit(150_000) + F.expr("850000 * coalesce(s, 0) div 1000000")
+                F.lit(150_000) + F.expr("17 * coalesce(s, 0) div 20")
             ).cast("bigint").alias("r"),
         )
     return ranks.join(deg, ranks["node"] == deg["u"]).select(

@@ -247,6 +247,9 @@ _PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
     # rows-only filesystem invariant by design (VERDICT r6 #5); its driver row
     # (err: no_oracle) landed in CORRECTNESS_r07 — never re-greenable
     "zone_compaction_invariant",
+    # rows-only by construction (float-drifty k-means training, VERDICT r7 #4 /
+    # r8 #1); its driver row (err: no_oracle) landed in CORRECTNESS_r08
+    "embedding_pq_trained_rerank",
 })
 
 # Every query's LAST driver CORRECTNESS row (name -> round), rebuilt each
@@ -262,40 +265,10 @@ _DRIVER_CHECKED: dict[str, int] = {
     "approx_percentile_prices": 2,
     # --- last driver row: round 4 ---
     "bm25_keyword_search": 4,
-    "corpus_health_by_lang": 4,
-    "corpus_top_tokens": 4,
-    "doc_fingerprint_minshingle": 4,
     "document_chunking": 4,
-    "embedding_int8_quantization": 4,
     "embedding_ivf_topk": 4,
-    "embedding_label_centroids": 4,
-    "embedding_norm_stats": 4,
-    "embedding_random_projection": 4,
-    "exact_dup_clusters": 4,
     "gopher_quality_filters": 4,
     "hybrid_rag_search": 4,
-    "langid_stopword_heuristic": 4,
-    "length_weighted_sample_docs": 4,
-    "map_functions_status_scores": 4,
-    "multimodal_video_framesample": 4,
-    "sequence_packing_bins": 4,
-    "simhash64_fingerprints": 4,
-    "simhash_near_dup_pairs": 4,
-    "stratified_sample_docs": 4,
-    "text_quality_scores": 4,
-    "tfidf_top_terms": 4,
-    "token_count_stats": 4,
-    "tpch_q10_returned_items": 4,
-    "tpch_q11_important_parts": 4,
-    "tpch_q14_promo_effect": 4,
-    "tpch_q16_supplier_part_counts": 4,
-    "tpch_q18_large_volume_customers": 4,
-    "tpch_q5_local_supplier_volume": 4,
-    "tpch_q6_forecast_revenue": 4,
-    "tpch_q7_volume_shipping": 4,
-    "train_test_split_assignment": 4,
-    "training_mixture_plan": 4,
-    "unigram_lm_doc_scores": 4,
     # --- last driver row: round 5 ---
     "agg_suite_by_segment": 5,
     "anti_join_customers_no_orders": 5,
@@ -306,7 +279,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "defense_shape_metrics": 5,
     "discipline_shape_metrics": 5,
     "distinct_nation_segments": 5,
-    "embedding_near_dup_pairs_lsh": 5,
     "events_click_attribution": 5,
     "events_cohort_retention": 5,
     "events_conversion_funnel": 5,
@@ -358,7 +330,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "edit_distance_near_dups": 6,
     "embedding_cosine_topk": 6,
     "embedding_ivf_probe_fixed": 6,
-    "embedding_lsh_topk": 6,
     "events_attribution_first_vs_last": 6,
     "events_dedup_replayed": 6,
     "events_hourly_anomaly": 6,
@@ -403,7 +374,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "doc_boilerplate_ngram_coverage": 7,
     "dup_cluster_assignment": 7,
     "embedding_diversity_fps": 7,
-    "embedding_fuzzy_dedup_vectors": 7,
     "embedding_pq_adc_topk": 7,
     "embedding_pq_rerank_topk": 7,
     "events_ab_experiment_lift": 7,
@@ -423,7 +393,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "image_phash_near_dups": 7,
     "lsh_tuning_planner": 7,
     "near_dup_candidate_eval": 7,
-    "near_dup_graph_clustering": 7,
     "ngram_containment_pairs": 7,
     "pandas_udaf_geometric_mean": 7,
     "pandas_udf_harmonic_price": 7,
@@ -443,18 +412,71 @@ _DRIVER_CHECKED: dict[str, int] = {
     "window_ntile_lead_firstvalue": 7,
     "zone_compaction_invariant": 7,
     "zorder_file_skipping_stats": 7,
+    # --- last driver row: round 8 ---
+    "contrastive_negatives_sample": 8,
+    "corpus_health_by_lang": 8,
+    "corpus_top_tokens": 8,
+    "doc_fingerprint_minshingle": 8,
+    "doc_pii_scan": 8,
+    "domain_blocklist_filter": 8,
+    "domain_corpus_stats": 8,
+    "domain_psl_extraction": 8,
+    "domain_quota_selection": 8,
+    "embedding_fuzzy_dedup_vectors": 8,
+    "embedding_int8_quantization": 8,
+    "embedding_ivfpq_rerank_topk": 8,
+    "embedding_label_centroids": 8,
+    "embedding_lsh_topk": 8,
+    "embedding_near_dup_pairs_lsh": 8,
+    "embedding_norm_stats": 8,
+    "embedding_pq_trained_rerank": 8,
+    "embedding_random_projection": 8,
+    "events_sliding_topk_types": 8,
+    "exact_dup_clusters": 8,
+    "intra_doc_repeated_spans": 8,
+    "langid_stopword_heuristic": 8,
+    "length_weighted_sample_docs": 8,
+    "map_functions_status_scores": 8,
+    "multimodal_video_framesample": 8,
+    "near_dup_graph_clustering": 8,
+    "near_dup_pagerank": 8,
+    "quality_classifier_scores": 8,
+    "query_likelihood_search": 8,
+    "semantic_dedup_cells": 8,
+    "sequence_packing_bins": 8,
+    "simhash64_fingerprints": 8,
+    "simhash_near_dup_pairs": 8,
+    "source_token_drift": 8,
+    "stratified_sample_docs": 8,
+    "substring_dedup_docs": 8,
+    "text_quality_scores": 8,
+    "tfidf_top_terms": 8,
+    "token_count_stats": 8,
+    "tpch_q10_returned_items": 8,
+    "tpch_q11_important_parts": 8,
+    "tpch_q14_promo_effect": 8,
+    "tpch_q16_supplier_part_counts": 8,
+    "tpch_q18_large_volume_customers": 8,
+    "tpch_q5_local_supplier_volume": 8,
+    "tpch_q6_forecast_revenue": 8,
+    "tpch_q7_volume_shipping": 8,
+    "train_test_split_assignment": 8,
+    "training_mixture_plan": 8,
+    "unigram_lm_doc_scores": 8,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 8: lsh n_planes now self-scales with corpus count (resolves to
-    # the historical 8 on the driver fixtures, but the code path changed)
-    "embedding_near_dup_pairs_lsh",
-    "embedding_fuzzy_dedup_vectors",
-    "embedding_lsh_topk",
-    # round 8: triangle counting re-oriented by (degree, id) — same count,
-    # new join shape
-    "near_dup_graph_clustering",
+    # round 9: MinHash num_hashes/rows_per_band now self-scale with corpus
+    # count (resolve to the historical 12/2 on the driver fixtures, but the
+    # code path changed)
+    "minhash_lsh_candidates",
+    "minhash_jaccard_estimates",
+    "near_dup_candidate_eval",
+    "lsh_tuning_planner",
+    # round 9: damping multiplier reduced 850000/1e6 -> 17/20 (identical
+    # floor-div values, ~50000x higher bigint overflow headroom)
+    "near_dup_pagerank",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
