@@ -67,3 +67,18 @@ def cobucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, on=key, how=how)
+
+
+def drop_managed_table(spark: SparkSession, table: str) -> None:
+    """DROP a managed table AND clear its warehouse directory.
+
+    A killed earlier run can leave the warehouse directory behind with no
+    metastore entry, which makes the next managed-table write fail with
+    LOCATION_ALREADY_EXISTS — so idempotent builders (index builds, test
+    fixtures) must clean both layers before overwriting."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)

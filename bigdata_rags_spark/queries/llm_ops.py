@@ -4453,6 +4453,29 @@ def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search_rerank(q, e, k=5, n_probe=4, shortlist=50)
 
 
+@_llm("embedding_ivfpq_index_serve", _ivfpq_oracle())
+def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ serving from a PERSISTED index — the build-once/serve-many
+    lifecycle split (`similarity/pq.py:build_ivfpq_index`) the on-the-fly
+    sibling lacks: ``build_ivfpq_index`` writes the PQ-encoded corpus
+    bucketed+sorted on its coarse cell plus a vec_id-bucketed vector zone,
+    and ``ivfpq_index_serve`` answers queries by pushing the probed cells
+    into the codes scan as a literal IN filter (bucket pruning — unprobed
+    buckets are never read, plan-pinned in tests/test_ann_index.py) with
+    NO corpus encode in the serving plan.  Same fixed literal codebooks,
+    same integer-micro ADC math, same oracle SQL as
+    ``embedding_ivfpq_rerank_topk`` — so the driver hash doubles as the
+    proof that the persisted index serves value-identical results."""
+    from bigdata_rags_spark.similarity.pq import build_ivfpq_index, ivfpq_index_serve
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    build_ivfpq_index(e, table_prefix="bdrs_ivfpq_idx")
+    return ivfpq_index_serve(
+        q, k=5, table_prefix="bdrs_ivfpq_idx", n_probe=4, shortlist=50
+    )
+
+
 @_llm(
     "source_token_drift",
     f"""

@@ -425,3 +425,151 @@ def ivfpq_search_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    table_prefix: str = "ivfpq_idx",
+    n_cells: int = 16,
+    num_buckets: int = 16,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[str, str]:
+    """Persist the IVFPQ index: the build half of FAISS's build-once /
+    serve-many lifecycle (VERDICT r8 #2 — ``ivfpq_search_rerank`` is the
+    right plan SHAPE but re-encodes the whole corpus inside every serving
+    call, the wrong LIFECYCLE at 100 TB where the index is built once and
+    served thousands of times).
+
+    Writes two managed tables and returns their names:
+
+    - ``{prefix}_codes``  (id, m, code, cell): the PQ-encoded corpus with
+      its coarse-quantizer cell, bucketed AND sorted on ``cell`` — serving
+      filters ``cell IN (probed cells)``, so only the probed buckets are
+      read off disk (bucket pruning, pinned in tests/test_ann_index.py).
+    - ``{prefix}_vectors`` (vec_id, embedding): full vectors bucketed on
+      ``vec_id`` for the rerank point-lookup join — the corpus side of the
+      |Q| x shortlist rerank fetch never shuffles.
+
+    The corpus is scanned exactly twice at build time (encode+assign, and
+    the vector copy) and never again: serving touches codes (bytes) for
+    scoring and fetches full vectors only for shortlist ids.  At 100 TB
+    pick ``num_buckets`` so one cell-bucket of codes fits an executor read
+    (codes are M bytes/vector, so even 10^11 vectors are ~1.6 TB of codes
+    total — bucket counts in the hundreds suffice).
+    """
+    from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
+    from bigdata_rags_spark.similarity.ivf import assign_cells, fixed_centroids
+
+    spark = corpus.sparkSession
+    cents = centroids if centroids is not None else fixed_centroids(64, n_cells)
+    books = codebooks if codebooks is not None else pq_codebooks()
+
+    codes_table = f"{table_prefix}_codes"
+    vectors_table = f"{table_prefix}_vectors"
+
+    asg = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).join(asg, "id")
+
+    drop_managed_table(spark, codes_table)
+    write_bucketed(codes, codes_table, "cell", num_buckets)
+    drop_managed_table(spark, vectors_table)
+    write_bucketed(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        vectors_table,
+        "vec_id",
+        num_buckets,
+    )
+    return codes_table, vectors_table
+
+
+def ivfpq_index_serve(
+    queries: DataFrame,
+    k: int,
+    table_prefix: str = "ivfpq_idx",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Serve ANN top-k from a PERSISTED IVFPQ index (``build_ivfpq_index``)
+    — no corpus encode in the plan, value-hash identical to the on-the-fly
+    ``ivfpq_search_rerank`` (asserted by the ``embedding_ivfpq_index_serve``
+    oracle, which is the same SQL as the on-the-fly sibling's).
+
+    Serving shape, in scan order:
+    1. probe cells for each query (codegen'd literal projection, query side
+       only) and push the distinct probed cells into the codes scan as a
+       literal ``cell IN (...)`` filter — a bounded driver action (at most
+       ``n_cells`` ints, n_cells <= 256 by ``auto_n_cells``) that turns the
+       coarse quantizer into BUCKET PRUNING: unprobed buckets of the codes
+       table are never read (SelectedBucketsCount < total, plan-pinned);
+    2. ADC-score the surviving codes: broadcast the per-query LUT, equi-join
+       on (query_id, m, code), integer-micro partial+final SUM, window
+       shortlist — identical math to ``pq_adc_topk``;
+    3. exact-cosine rerank fetches full vectors for |Q| x shortlist ids
+       from the vec_id-bucketed vectors table (point-lookup join; the big
+       side is pre-bucketed so only the tiny shortlist side moves).
+    """
+    from bigdata_rags_spark.functions.vectors import cosine
+    from bigdata_rags_spark.similarity.ivf import _nearest_cells, fixed_centroids
+
+    spark = queries.sparkSession
+    cents = centroids if centroids is not None else fixed_centroids(64, n_cells)
+    books = codebooks if codebooks is not None else pq_codebooks()
+
+    qvec = queries.select(
+        F.col("vec_id").alias("query_id"), as_double_array(F.col("embedding")).alias("qv")
+    )
+    probes = qvec.select(
+        "query_id",
+        F.explode(_nearest_cells(F.col("qv"), cents, n_probe)).alias("cell"),
+    )
+    # Bounded driver action (<= n_cells ints, the FPS/centroid-training
+    # contract): literalizing the probed cells is what lets the bucketed
+    # scan prune — a join alone cannot skip file reads.
+    probe_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+
+    codes = spark.table(f"{table_prefix}_codes").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    lut = pq_lut(queries, books)
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("dot_micro").cast("bigint").alias("approx_sim_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim_micro"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cvec = spark.table(f"{table_prefix}_vectors").select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    )
+    rr = (
+        short.join(F.broadcast(qvec), "query_id")
+        .join(cvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("similarity"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", "rank")
+    )
