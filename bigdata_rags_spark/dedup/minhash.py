@@ -29,15 +29,81 @@ Broder 1997 / MMDS ch.3, expressed Spark-first):
 
 Scale: |docs| x num_hashes intermediate rows, all narrow; the band join's
 fan-out is bounded by true near-duplicate cluster sizes.  No UDFs anywhere —
-everything is codegen'd string/array expressions.
+everything is codegen'd string/array expressions.  Banding SELF-SCALES with
+corpus count (``auto_minhash_params``): rows_per_band grows with log2(N) so
+noise-pair collision probability shrinks as the corpus grows (fixed banding
+makes false-candidate volume quadratic in N — the saturation class the 10x
+scale probes measured for fixed planes/cells), while the band count tracks
+the historical ~0.41 similarity threshold.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+
+def auto_minhash_params(
+    n_docs: int,
+    target_occupancy: int = 8,
+    bits_per_row: int = 5,
+    r_floor: int = 2,
+    r_cap: int = 8,
+    b_cap: int = 64,
+) -> tuple[int, int]:
+    """Self-scaling banding: ``(num_hashes, rows_per_band)`` from corpus
+    count — the ``auto_n_planes`` / ``auto_n_cells`` rule applied to the
+    last fixed-width banded family (VERDICT r8 #3).
+
+    Why bands must scale: a band key discriminates a random (noise) pair
+    with probability ~J_noise^r, so expected false candidates are
+    ~C(N,2) * b * J_noise^r — QUADRATIC in N for any FIXED r (the exact
+    saturation class the 10x probes measured for fixed planes and fixed
+    cells, SCALE.md findings #1/#3).  Treating each extra row as
+    ``bits_per_row`` bits of discrimination (J_noise ~ 2^-5 on shingled
+    text), growing ``r`` with log2(N) pins false-candidate volume per doc
+    at ``target_occupancy``:
+
+        r = ceil(log2(N / occupancy) / bits_per_row), clamped [2, 8].
+
+    The band count then tracks the HISTORICAL similarity threshold
+    t = (1/6)^(1/2) ~ 0.41 (from the original 12/2 layout) instead of
+    drifting with r: b = ceil(6^(r/2)) gives t = (1/b)^(1/r) ~ 0.41 at
+    every r (6, 15, 36, 89... bands), capped at ``b_cap`` so the
+    signature stays <= b_cap * r min-aggregates wide (past the cap the
+    effective threshold rises toward (1/64)^(1/r) — a documented
+    recall-for-width tradeoff at extreme N).
+
+    Calibration (pinned in tests/test_scaling_calibration.py): the driver
+    fixtures resolve to the historical (12, 2) — documents has N=500 at
+    sf0.01 and N=5000 at sf0.1, both inside the r=2 band (N <= 8192) — so
+    every MinHash-family oracle hash is unchanged; the 10x probe corpus
+    (N=20000) resolves to (45, 3).
+    """
+    if n_docs <= 0:
+        r = r_floor
+    else:
+        need = math.ceil(
+            math.log2(max(1.0, n_docs / target_occupancy)) / bits_per_row
+        )
+        r = max(r_floor, min(r_cap, need))
+    b = min(b_cap, math.ceil(6.0 ** (r / 2.0)))
+    return b * r, r
+
+
+def _rows_per_band_for_width(num_hashes: int) -> int:
+    """Invert ``auto_minhash_params`` widths back to their rows_per_band
+    (widths are distinct across r); unknown widths fall back to the
+    historical 2 so explicitly-sized signatures keep their old banding."""
+    for r in range(2, 9):
+        b = min(64, math.ceil(6.0 ** (r / 2.0)))
+        if b * r == num_hashes:
+            return r
+    return 2
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -61,7 +127,7 @@ def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 12,
+    num_hashes: int | None = None,
     shingle_k: int = 5,
 ) -> DataFrame:
     """Wide signature matrix: (doc_id, h0..h{k-1}).
@@ -70,7 +136,13 @@ def minhash_signatures(
     hash — one pass, one shuffle of |docs| x k scalars.  (The explode-by-seed
     formulation shuffles |docs| x |shingles| x k rows — measured ~5x slower
     at sf0.1.)
+
+    ``num_hashes=None`` self-scales the width from a one-scalar count job
+    (``auto_minhash_params`` — resolves to the historical 12 on the driver
+    fixtures, so oracle hashes are unchanged).
     """
+    if num_hashes is None:
+        num_hashes, _ = auto_minhash_params(df.count())
     toks = _doc_shingles(df, id_col, text_col, shingle_k)
     based = toks.withColumn(
         "base", F.conv(F.substring(F.md5(F.col("token")), 1, 7), 16, 10).cast("bigint")
@@ -81,12 +153,15 @@ def minhash_signatures(
 
 
 def lsh_bands(
-    signatures: DataFrame, rows_per_band: int = 2
+    signatures: DataFrame, rows_per_band: int | None = None
 ) -> DataFrame:
     """(doc_id, band, band_key): band key = seed-ordered concat of the band's
     minhashes, derived from the wide signature matrix with a small explode
-    (num_hashes/rows_per_band rows per doc)."""
+    (num_hashes/rows_per_band rows per doc).  ``rows_per_band=None`` infers
+    the banding that produced the signature width (historical widths -> 2)."""
     sig_cols = [c for c in signatures.columns if c.startswith("h")]
+    if rows_per_band is None:
+        rows_per_band = _rows_per_band_for_width(len(sig_cols))
     n_bands = len(sig_cols) // rows_per_band
     bands = F.array(
         *[
@@ -105,7 +180,7 @@ def lsh_bands(
 
 
 def candidate_pairs_from_signatures(
-    signatures: DataFrame, rows_per_band: int = 2
+    signatures: DataFrame, rows_per_band: int | None = None
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing >=1 band, from an
     ALREADY-COMPUTED signature matrix — callers that also need the
@@ -130,11 +205,17 @@ def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 12,
-    rows_per_band: int = 2,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >=1 band."""
+    """Distinct candidate near-dup pairs (doc_a < doc_b) sharing >=1 band.
+
+    With no overrides both banding parameters self-scale from one count job
+    (``auto_minhash_params``): (12, 2) on the driver fixtures — oracle
+    hashes unchanged — growing to (45, 3) at the 10x probe corpus."""
+    if num_hashes is None and rows_per_band is None:
+        num_hashes, rows_per_band = auto_minhash_params(df.count())
     return candidate_pairs_from_signatures(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_k), rows_per_band
     )

@@ -473,7 +473,7 @@ _RECHECK: tuple[str, ...] = (
     "minhash_lsh_candidates",
     "minhash_jaccard_estimates",
     "near_dup_candidate_eval",
-    "lsh_tuning_planner",
+    "ngram_containment_pairs",
     # round 9: damping multiplier reduced 850000/1e6 -> 17/20 (identical
     # floor-div values, ~50000x higher bigint overflow headroom)
     "near_dup_pagerank",

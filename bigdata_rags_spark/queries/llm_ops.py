@@ -330,7 +330,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle->minhash->band->bucket-join near-dup candidates; md5-derived
     minhashes make the whole pipeline oracle-checkable (dedup/minhash.py)."""
     docs = _docs_parallel(spark, sf_dir)
-    return lsh_candidate_pairs(docs, num_hashes=12, rows_per_band=2)
+    # no overrides: banding self-scales from corpus count (12/2 here,
+    # 45/3 at the 10x probe corpus — auto_minhash_params)
+    return lsh_candidate_pairs(docs)
 
 
 @_llm(
@@ -2434,18 +2436,23 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    from bigdata_rags_spark.dedup.minhash import auto_minhash_params
+
     docs = _docs_parallel(spark, sf_dir)
+    # banding self-scales from corpus count (12/2 on the fixtures, so the
+    # 12-hash oracle is unchanged); the estimator divides by the SAME width
+    nh, rpb = auto_minhash_params(docs.count())
     sh = _doc_shingles(docs, "doc_id", "text", 5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     # ONE signature pass feeds both the candidate join and the estimator
-    sig = minhash_signatures(docs, num_hashes=12, shingle_k=5)
-    cand = candidate_pairs_from_signatures(sig, rows_per_band=2)
-    sig_a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(12)])
-    sig_b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(12)])
+    sig = minhash_signatures(docs, num_hashes=nh, shingle_k=5)
+    cand = candidate_pairs_from_signatures(sig, rows_per_band=rpb)
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(nh)])
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(nh)])
     est = (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
-        .select("doc_a", "doc_b", F.expr(f"CAST({'+'.join(f'(CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END)' for s in range(12))} AS BIGINT) * 1000 div 12").alias("est_milli"))
+        .select("doc_a", "doc_b", F.expr(f"CAST({'+'.join(f'(CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END)' for s in range(nh))} AS BIGINT) * 1000 div {nh}").alias("est_milli"))
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "token")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "token")
@@ -2630,11 +2637,14 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    from bigdata_rags_spark.dedup.minhash import auto_minhash_params
+
     docs = _docs_parallel(spark, sf_dir)
+    nh, rpb = auto_minhash_params(docs.count())  # 12/2 on the fixtures
     sh = _doc_shingles(docs, "doc_id", "text", 5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
-    sig = minhash_signatures(docs, num_hashes=12, shingle_k=5)
-    cand = candidate_pairs_from_signatures(sig, rows_per_band=2)
+    sig = minhash_signatures(docs, num_hashes=nh, shingle_k=5)
+    cand = candidate_pairs_from_signatures(sig, rows_per_band=rpb)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "token")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "token")
     inter = (

@@ -69,7 +69,19 @@ REGISTRY_QUERIES = [
     "semantic_dedup_cells",
     "near_dup_pagerank",
     "embedding_ivfpq_rerank_topk",
+    # r9 additions: graph clustering (re-probe post localCheckpoint fix),
+    # index-backed IVFPQ serving (build+serve per call at probe scale)
+    "near_dup_graph_clustering",
+    "embedding_ivfpq_index_serve",
 ]
+
+# comma-separated subset filter so a round can re-probe just what changed
+# without re-paying the full suite (e.g. SPARK_GRAFT_PROBE_ONLY=
+# "minhash_lsh_candidates,near_dup_pagerank")
+_ONLY = os.environ.get("SPARK_GRAFT_PROBE_ONLY", "")
+if _ONLY:
+    keep = {q.strip() for q in _ONLY.split(",") if q.strip()}
+    REGISTRY_QUERIES = [q for q in REGISTRY_QUERIES if q in keep]
 OTHER_TABLES = "region nation customer supplier part orders lineitem events".split()
 
 
@@ -186,6 +198,8 @@ def main() -> None:
         ("lsh_verified_pairs (auto planes)", emb_lsh_pairs),
         ("embedding_fuzzy_dedup (auto planes)", emb_fuzzy),
     ):
+        if _ONLY:  # subset runs re-probe registry queries only
+            continue
         t1 = timed(spark, lambda: fn(spark, BASE))
         t10 = timed(spark, lambda: fn(spark, WORK))
         rows.append((label, t1, t10))
