@@ -237,14 +237,27 @@ def main() -> None:
     # overflow it — every BENCH_r{N}.json through r7 recorded parsed: null
     # (VERDICT r7 #8).  Full detail goes to a file; the PRINTED line stays
     # compact (summary + shared-13 stats) so the driver can parse it.
-    round_no = 1 + max(
-        (
-            int(f[len("BENCH_r"):-len(".json")])
-            for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r"):-len(".json")].isdigit()
-        ),
-        default=0,
+    # Round resolution (ADVICE r8): explicit SPARK_GRAFT_ROUND wins; else the
+    # driver writes CORRECTNESS_r{N} BEFORE bench, so a newer correctness file
+    # than any bench file names the in-flight round; else next-after-max-bench.
+    # (A rerun after the driver wrote BOTH r{N} files still needs the env var.)
+    def _max_round(prefix: str) -> int:
+        return max(
+            (
+                int(f[len(prefix):-len(".json")])
+                for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+                if f.startswith(prefix) and f.endswith(".json")
+                and f[len(prefix):-len(".json")].isdigit()
+            ),
+            default=0,
+        )
+
+    env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+    max_bench, max_corr = _max_round("BENCH_r"), _max_round("CORRECTNESS_r")
+    round_no = (
+        int(env_round)
+        if env_round.isdigit()
+        else (max_corr if max_corr > max_bench else 1 + max_bench)
     )
     summary = {
         "metric": "headline_queries_total_sec",
