@@ -264,57 +264,13 @@ _DRIVER_CHECKED: dict[str, int] = {
     "approx_count_distinct_orders": 2,
     "approx_percentile_prices": 2,
     # --- last driver row: round 4 ---
-    "bm25_keyword_search": 4,
-    "document_chunking": 4,
     "embedding_ivf_topk": 4,
-    "gopher_quality_filters": 4,
-    "hybrid_rag_search": 4,
     # --- last driver row: round 5 ---
-    "agg_suite_by_segment": 5,
-    "anti_join_customers_no_orders": 5,
-    "asof_join_events_orders": 5,
-    "attack_shape_metrics": 5,
-    "cube_returnflag_linestatus": 5,
-    "date_functions_orders": 5,
-    "defense_shape_metrics": 5,
-    "discipline_shape_metrics": 5,
-    "distinct_nation_segments": 5,
     "events_click_attribution": 5,
     "events_cohort_retention": 5,
     "events_conversion_funnel": 5,
     "events_hourly_gapfill": 5,
-    "events_json_extraction": 5,
-    "events_pii_redaction": 5,
-    "events_segment_enrichment": 5,
-    "events_sliding_halfhour": 5,
-    "events_tumbling_hourly": 5,
     "events_unattributed_clicks": 5,
-    "events_user_sessions": 5,
-    "filter_pushdown_highvalue": 5,
-    "flagship_revenue_by_nation": 5,
-    "full_outer_join_supplier_customer_nations": 5,
-    "incremental_dedup_new_docs": 5,
-    "left_join_customer_orders": 5,
-    "multimodal_wav_features": 5,
-    "projection_rename_quoted": 5,
-    "rollup_status_priority": 5,
-    "rollup_sum_by_supplier": 5,
-    "semi_join_customers_with_urgent": 5,
-    "set_ops_nation_membership": 5,
-    "string_functions_parts": 5,
-    "topk_orders_by_price": 5,
-    "tpch_q12_priority_by_returnflag": 5,
-    "tpch_q15_top_supplier": 5,
-    "tpch_q17_small_quantity_revenue": 5,
-    "tpch_q19_disjunctive_predicates": 5,
-    "tpch_q1_pricing_summary": 5,
-    "tpch_q20_concentrated_suppliers": 5,
-    "tpch_q21_sole_blamed_supplier": 5,
-    "tpch_q22_dormant_rich_customers": 5,
-    "tpch_q8_market_share": 5,
-    "window_lag_running_sum": 5,
-    "window_rank_orders_in_segment": 5,
-    "winsorized_price_stats": 5,
     # --- last driver row: round 6 ---
     "balanced_corpus_quota": 6,
     "benchmark_decontamination": 6,
@@ -343,8 +299,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "loglog_distinct_customers": 6,
     "mad_outlier_orders": 6,
     "math_functions_lineitem": 6,
-    "minhash_jaccard_estimates": 6,
-    "minhash_lsh_candidates": 6,
     "multimodal_png_features": 6,
     "multimodal_png_resize_features": 6,
     "ngram_jaccard_near_dups": 6,
@@ -392,8 +346,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "hash_functions_documents": 7,
     "image_phash_near_dups": 7,
     "lsh_tuning_planner": 7,
-    "near_dup_candidate_eval": 7,
-    "ngram_containment_pairs": 7,
     "pandas_udaf_geometric_mean": 7,
     "pandas_udf_harmonic_price": 7,
     "pareto_abc_customers": 7,
@@ -439,7 +391,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "map_functions_status_scores": 8,
     "multimodal_video_framesample": 8,
     "near_dup_graph_clustering": 8,
-    "near_dup_pagerank": 8,
     "quality_classifier_scores": 8,
     "query_likelihood_search": 8,
     "semantic_dedup_cells": 8,
@@ -463,20 +414,62 @@ _DRIVER_CHECKED: dict[str, int] = {
     "train_test_split_assignment": 8,
     "training_mixture_plan": 8,
     "unigram_lm_doc_scores": 8,
+    # --- last driver row: round 9 ---
+    "agg_suite_by_segment": 9,
+    "anti_join_customers_no_orders": 9,
+    "asof_join_events_orders": 9,
+    "attack_shape_metrics": 9,
+    "bm25_keyword_search": 9,
+    "cube_returnflag_linestatus": 9,
+    "date_functions_orders": 9,
+    "defense_shape_metrics": 9,
+    "discipline_shape_metrics": 9,
+    "distinct_nation_segments": 9,
+    "document_chunking": 9,
+    "embedding_ivfpq_index_serve": 9,
+    "events_json_extraction": 9,
+    "events_pii_redaction": 9,
+    "events_segment_enrichment": 9,
+    "events_sliding_halfhour": 9,
+    "events_tumbling_hourly": 9,
+    "events_user_sessions": 9,
+    "filter_pushdown_highvalue": 9,
+    "flagship_revenue_by_nation": 9,
+    "full_outer_join_supplier_customer_nations": 9,
+    "gopher_quality_filters": 9,
+    "hybrid_rag_search": 9,
+    "incremental_dedup_new_docs": 9,
+    "left_join_customer_orders": 9,
+    "minhash_jaccard_estimates": 9,
+    "minhash_lsh_candidates": 9,
+    "multimodal_wav_features": 9,
+    "near_dup_candidate_eval": 9,
+    "near_dup_pagerank": 9,
+    "ngram_containment_pairs": 9,
+    "projection_rename_quoted": 9,
+    "rollup_status_priority": 9,
+    "rollup_sum_by_supplier": 9,
+    "semi_join_customers_with_urgent": 9,
+    "set_ops_nation_membership": 9,
+    "string_functions_parts": 9,
+    "topk_orders_by_price": 9,
+    "tpch_q12_priority_by_returnflag": 9,
+    "tpch_q15_top_supplier": 9,
+    "tpch_q17_small_quantity_revenue": 9,
+    "tpch_q19_disjunctive_predicates": 9,
+    "tpch_q1_pricing_summary": 9,
+    "tpch_q20_concentrated_suppliers": 9,
+    "tpch_q21_sole_blamed_supplier": 9,
+    "tpch_q22_dormant_rich_customers": 9,
+    "tpch_q8_market_share": 9,
+    "window_lag_running_sum": 9,
+    "window_rank_orders_in_segment": 9,
+    "winsorized_price_stats": 9,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 9: MinHash num_hashes/rows_per_band now self-scale with corpus
-    # count (resolve to the historical 12/2 on the driver fixtures, but the
-    # code path changed)
-    "minhash_lsh_candidates",
-    "minhash_jaccard_estimates",
-    "near_dup_candidate_eval",
-    "ngram_containment_pairs",
-    # round 9: damping multiplier reduced 850000/1e6 -> 17/20 (identical
-    # floor-div values, ~50000x higher bigint overflow headroom)
-    "near_dup_pagerank",
+    # round 10: (filled as this round's changes land)
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
