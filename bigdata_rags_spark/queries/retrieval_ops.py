@@ -247,3 +247,141 @@ def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_parallel(spark, sf_dir)
     return query_likelihood_scores(docs, QUERY_TERMS, k=10)
+
+
+_REL_SQL = " + ".join(
+    f"(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)" for t in QUERY_TERMS
+)
+
+_SQL_RRF_RUN = f"""
+lex AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+  FROM (SELECT * FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 50)
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dsc AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_dot_product(qv.qv, e.embedding::DOUBLE[])
+               / sqrt(list_dot_product(qv.qv, qv.qv))
+               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN qv
+),
+dense AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_dense
+  FROM (SELECT * FROM dsc ORDER BY cosine DESC, doc_id LIMIT 50)
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         CAST(COALESCE(1000000000000 // (60 + r_lex), 0)
+              + COALESCE(1000000000000 // (60 + r_dense), 0) AS BIGINT) AS rrf_micro
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+),
+rrf_run AS (
+  SELECT 'rrf' AS ranker, doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+  FROM fused QUALIFY rnk <= 10
+)
+"""
+
+_SQL_QL_RUN = f"""
+ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctot FROM toks),
+cf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+  FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY token
+),
+ql_grid AS (
+  SELECT dl.doc_id,
+         ln((COALESCE(tf.tf, 0) + 2000.0 * cf.cf / ctot.ctot)
+            / (dl.dl + 2000.0)) AS s
+  FROM dl CROSS JOIN cf CROSS JOIN ctot
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.token = cf.token
+),
+ql_scored AS (SELECT doc_id, ROUND(SUM(s), 6) AS ql_score FROM ql_grid GROUP BY doc_id),
+ql_run AS (
+  SELECT 'ql' AS ranker, doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY ql_score DESC, doc_id) AS BIGINT) AS rnk
+  FROM ql_scored QUALIFY rnk <= 10
+)
+"""
+
+
+@query(
+    "retrieval_ranking_eval",
+    f"""
+WITH {_SQL_BM25_CORE},
+bm25_run AS (
+  SELECT 'bm25' AS ranker, doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+  FROM bm25 QUALIFY rnk <= 10
+),
+{_SQL_QL_RUN.strip().rstrip()},
+{_SQL_RRF_RUN.strip().rstrip()},
+runs AS (
+  SELECT * FROM bm25_run UNION ALL SELECT * FROM ql_run UNION ALL SELECT * FROM rrf_run
+),
+rel AS (
+  SELECT doc_id, CAST({_REL_SQL} AS BIGINT) AS rel
+  FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+),
+ideal AS (
+  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS r
+  FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+),
+idcg AS (SELECT CAST(SUM(rel * 1000000 // (r + 1)) AS BIGINT) AS idcg FROM ideal),
+nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel WHERE rel >= 2),
+per AS (
+  SELECT ranker,
+         CAST(SUM(rel.rel * 1000000 // (rnk + 1)) AS BIGINT) AS dcg_micro,
+         CAST(SUM(CASE WHEN rel.rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rel_retrieved
+  FROM runs JOIN rel ON runs.doc_id = rel.doc_id GROUP BY ranker
+)
+SELECT ranker, dcg_micro,
+       CAST(dcg_micro * 1000000 // NULLIF(idcg, 0) AS BIGINT) AS ndcg_micro,
+       rel_retrieved, n_relevant,
+       CAST(rel_retrieved * 1000000 // NULLIF(n_relevant, 0) AS BIGINT) AS recall_micro,
+       CAST(rel_retrieved * 1000000 // 10 AS BIGINT) AS precision_micro
+FROM per CROSS JOIN idcg CROSS JOIN nrel
+""",
+    tier=TIER_LLM,
+)
+def retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ranking-quality scorecard (`retrieval/eval.py:ranking_quality`)
+    over the three registered rankers — BM25, query-likelihood LM, RRF — on
+    the shared demo query, with graded relevance planted as the number of
+    distinct query terms the document contains (0..3, threshold 2).  Extension
+    beyond the reference (which has no retrieval surface); the eval harness a
+    user runs before trusting one ranker family at corpus scale.  Integer
+    micro-unit DCG/nDCG/recall/precision (rank-reciprocal discount — see
+    eval.py module docstring for why not log2), so Spark and DuckDB agree
+    bit-for-bit.  Scale shape: runs are three bounded top-10 lists; the only
+    corpus-sized work is tokenizing documents once for the rel grades."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from bigdata_rags_spark.retrieval.bm25 import query_likelihood_scores, rrf_search
+    from bigdata_rags_spark.retrieval.eval import ranking_quality
+
+    docs = _docs_parallel(spark, sf_dir)
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+
+    def run(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("ranker"),
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+
+    runs = (
+        run("bm25", bm25_scores(docs, QUERY_TERMS, k=10))
+        .unionByName(run("ql", query_likelihood_scores(docs, QUERY_TERMS, k=10)))
+        .unionByName(
+            run("rrf", rrf_search(docs, e, QUERY_TERMS, query_vec_id=0, k=10, list_len=50))
+        )
+    )
+    tk = ws_tokens(F.col("text"))
+    grade = sum(
+        F.array_contains(tk, t).cast("bigint") for t in QUERY_TERMS
+    )
+    rel = docs.select("doc_id", grade.alias("rel"))
+    return ranking_quality(runs, rel, k=10, rel_threshold=2)
