@@ -4115,6 +4115,90 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.join(dropped, "vec_id", "left_anti").select("vec_id", "cell", "label")
 
 
+def _incremental_semantic_oracle(
+    threshold: float = 0.4, n_cells: int = 16, dim: int = 64
+) -> str:
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+
+    cents = fixed_centroids(dim, n_cells)
+    sims = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for c in cents
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+aug AS (
+  SELECT vec_id, v, label FROM e0
+  UNION ALL
+  SELECT vec_id + 1000000000 AS vec_id, v, label FROM e0 WHERE vec_id % 7 = 0
+),
+s AS (
+  SELECT vec_id, v, label,
+         CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
+         unnest([{sims}]) AS sim
+  FROM aug
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell DESC) AS r
+  FROM s
+),
+asg AS (SELECT vec_id, v, label, cell FROM ranked WHERE r = 1),
+ex AS (SELECT * FROM asg WHERE vec_id < 1000000000 AND vec_id % 5 = 0),
+b AS (
+  SELECT * FROM asg
+  WHERE vec_id >= 1000000000 OR vec_id % 5 != 0
+),
+drop_ex AS (
+  SELECT DISTINCT b.vec_id
+  FROM b JOIN ex ON b.cell = ex.cell
+  WHERE ROUND(list_dot_product(b.v, ex.v) / sqrt(list_dot_product(b.v, b.v))
+              / sqrt(list_dot_product(ex.v, ex.v)), 6) >= {threshold}
+),
+drop_intra AS (
+  SELECT DISTINCT hi.vec_id
+  FROM b lo JOIN b hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+  WHERE ROUND(list_dot_product(lo.v, hi.v) / sqrt(list_dot_product(lo.v, lo.v))
+              / sqrt(list_dot_product(hi.v, hi.v)), 6) >= {threshold}
+)
+SELECT b.vec_id, b.cell, b.label
+FROM b
+LEFT JOIN drop_ex  ON b.vec_id = drop_ex.vec_id
+LEFT JOIN drop_intra ON b.vec_id = drop_intra.vec_id
+WHERE drop_ex.vec_id IS NULL AND drop_intra.vec_id IS NULL
+"""
+
+
+@_llm("incremental_semantic_dedup", _incremental_semantic_oracle())
+def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC ingestion dedup (`dedup/semantic.py:
+    incremental_semantic_keepers`) — the embedding twin of
+    `incremental_dedup_new_docs`: a new embedding batch is deduped (a)
+    against the stored, cell-indexed corpus (same-cell cosine >= 0.4) and
+    (b) against lower-id batch members, greedy-by-id.  Fixture roles
+    mirror the exact variant: stored corpus = vec_id % 5 == 0; new batch =
+    the rest PLUS a re-keyed (+1e9) copy of every 7th vector — planted
+    copies of stored vectors die in the vs-index pass (cosine 1.0), planted
+    copies of batch vectors die intra-batch, so both drop paths are
+    exercised non-vacuously.  Cell width comes from the STORED index size
+    (`auto_n_cells` at build time — 16 on the driver fixtures, the width
+    the oracle pins), not from the batch: the serving index's sharding is
+    immutable at ingest."""
+    from bigdata_rags_spark.dedup.semantic import incremental_semantic_keepers
+    from bigdata_rags_spark.similarity.ivf import auto_n_cells, fixed_centroids
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    rekeyed = e.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000_000)
+    )
+    existing = e.filter(F.col("vec_id") % 5 == 0)
+    batch = e.filter(F.col("vec_id") % 5 != 0).unionByName(rekeyed)
+    cents = fixed_centroids(64, auto_n_cells(existing.count()))
+    return incremental_semantic_keepers(batch, existing, cents, threshold=0.4).select(
+        "vec_id", "cell", "label"
+    )
+
+
 # Host synthesis for the PSL query — includes MULTI-LABEL public suffixes
 # (co.uk, co.jp) so the naive-2-label rule is measurably wrong on a
 # deterministic subset of docs.

@@ -1489,3 +1489,37 @@ def test_assign_cells_numpy_path_matches_expression_path(spark, sf_oracle):
         ).collect()
     }
     assert got == expr
+
+
+def test_incremental_semantic_keepers_planted_paths(spark):
+    """Both drop rules fire, exactly and only where planted: (a) near-dup of
+    a STORED vector dies vs the index, (b) intra-batch near-dup dies against
+    its lower-id sibling; novel vectors survive — including one sharing a
+    cell with a stored vector it is NOT similar to."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.semantic import incremental_semantic_keepers
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+
+    def emb(rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+
+    existing = emb([(1, [1.0, 0.0, 0.0])])                 # cell 0
+    batch = emb(
+        [
+            (10, [0.99, 0.1, 0.0]),   # cell 0, cos~0.995 vs stored -> dies (a)
+            (11, [0.0, 1.0, 0.0]),    # cell 1, novel -> survives
+            (12, [0.6, 0.8, 0.0]),    # cell 1, cos 0.8 vs 11 -> survives
+            (13, [0.61, 0.79, 0.0]),  # cell 1, cos~0.9999 vs 12 -> dies (b)
+            (14, [0.7, 0.69, 0.0]),   # cell 0 but cos~0.71 vs stored -> survives
+        ]
+    )
+    out = incremental_semantic_keepers(
+        batch, existing, cents, threshold=0.9
+    ).collect()
+    assert sorted(r["vec_id"] for r in out) == [11, 12, 14]
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    assert cells == {11: 1, 12: 1, 14: 0}
