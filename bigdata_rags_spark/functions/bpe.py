@@ -1,0 +1,127 @@
+"""BPE merge-rule training (Sennrich, Haddow, Birch, "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016 §3.2) — the real
+tokenizer-training step behind the repo's "BPE-ish" token counting
+(`token_count_stats`); extension beyond the reference, which has no text
+surface (SURVEY.md §2 extension tier; VERDICT r8 #7 / r9 gap #3).
+
+Algorithm: start from the character sequence of every distinct word (plus
+an end-of-word marker), then repeatedly (a) count adjacent symbol pairs
+across the corpus weighted by word frequency, (b) merge the single most
+frequent pair everywhere.  The merge LIST, in order, is the trained
+tokenizer.
+
+Scale shape (why this is feasible at 100 TB): training never touches the
+corpus after one initial scan — it operates on the DISTINCT-WORD frequency
+table (vocab rows, not corpus rows; Zipf makes this millions of rows for a
+petabyte of text).  Each merge round is one explode+groupBy over the vocab
+plus a 1-row TakeOrderedAndProject argmax — the bounded-driver-action
+contract shared with FPS sampling and k-means training.  The vocab table is
+localCheckpoint'ed once so rounds re-scan vocab, never the corpus.
+
+Determinism: the argmax tiebreak is (count DESC, left ASC, right ASC) and
+merge application is leftmost-first non-overlapping — both engines replay
+it exactly (see _ENC below), so the whole training run is value-hash exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+# Symbols are stored BRACKETED — \x1f sym \x1e per symbol, concatenated —
+# so the merge of pair (a, b) is one literal string replace of
+# "\x1f a \x1e \x1f b \x1e" with "\x1f ab \x1e".  The brackets share no
+# boundary character between adjacent symbols, which makes engine-native
+# replace() (non-overlapping, leftmost-first in both Spark and DuckDB)
+# EXACTLY the greedy left-to-right BPE merge: with a single separator
+# (space-joined), replacing " a a " in " a a a a " consumes the shared
+# trailing space and silently skips the second merge — the classic
+# off-by-one that bracketing eliminates.
+US = "\x1f"  # symbol start
+RS = "\x1e"  # symbol end
+EOW = "</w>"  # end-of-word marker (Sennrich §3.2)
+
+
+def encode_word(word_col) -> F.Column:
+    """word -> bracketed initial symbol string: every char a symbol, plus
+    the end-of-word marker."""
+    return F.concat(
+        F.regexp_replace(word_col, "(.)", f"{US}$1{RS}"), F.lit(f"{US}{EOW}{RS}")
+    )
+
+
+def _symbols(enc) -> F.Column:
+    """Bracketed string -> array<string> of symbols."""
+    return F.split(F.expr(f"trim(BOTH '{US}{RS}' FROM {enc})"), f"{RS}{US}")
+
+
+def train_bpe_merges(
+    word_counts: DataFrame,
+    n_merges: int = 8,
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules over a (word, count) vocabulary.
+
+    Returns a DataFrame (merge_round int, sym_left, sym_right, merged,
+    pair_count bigint) — the ordered merge table.  Each round runs one
+    vocab-sized explode+groupBy and collects exactly ONE row (the argmax
+    pair); the updated vocab encoding is a single string replace.  Words
+    containing the bracket control characters are excluded up front (they
+    would corrupt the encoding; real corpora don't contain \\x1e/\\x1f).
+    """
+    spark = word_counts.sparkSession
+    v = (
+        word_counts.filter(~F.col(word_col).rlike(f"[{US}{RS}]"))
+        .select(
+            F.col(word_col).alias("word"),
+            F.col(count_col).cast("bigint").alias("cnt"),
+            encode_word(F.col(word_col)).alias("enc"),
+        )
+        .localCheckpoint()  # materialize the vocab once; rounds never re-scan upstream
+    )
+
+    merges: list[Row] = []
+    for rnd in range(1, n_merges + 1):
+        s = _symbols("enc")
+        pairs = v.select(
+            "cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(s, 1, F.size(s) - 1).alias("l"),
+                    F.slice(s, 2, F.size(s) - 1).alias("r"),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append(
+            Row(
+                merge_round=rnd,
+                sym_left=l,
+                sym_right=r,
+                merged=l + r,
+                pair_count=c,
+            )
+        )
+        v = v.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(f"{US}{l}{RS}{US}{r}{RS}"),
+                F.lit(f"{US}{l + r}{RS}"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges,
+        schema="merge_round int, sym_left string, sym_right string, "
+        "merged string, pair_count bigint",
+    )

@@ -4115,6 +4115,71 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.join(dropped, "vec_id", "left_anti").select("vec_id", "cell", "label")
 
 
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unrolled (non-recursive) replay of BPE merge training: DuckDB cannot
+    aggregate inside a recursive CTE, but the merge count is a fixed literal,
+    so each round is one (split -> zip-pairs -> argmax -> replace) CTE block
+    chained off the previous round's vocab.  Bracketed symbol encoding and
+    the leftmost-non-overlapping replace() trick are documented in
+    `functions/bpe.py` (both engines' replace() agree exactly there)."""
+    US, RS = "\x1f", "\x1e"
+    blocks = [
+        f"""v0 AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         regexp_replace(token, '(.)', '{US}\\1{RS}', 'g') || '{US}</w>{RS}' AS enc
+  FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+  WHERE NOT regexp_matches(token, '[{US}{RS}]')
+  GROUP BY token
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        blocks.append(
+            f"""p{i} AS (
+  SELECT unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r, cnt
+  FROM (SELECT cnt, string_split(trim(enc, '{US}{RS}'), '{RS}{US}') AS s FROM v{i-1})
+),
+a{i} AS (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM p{i} GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+),
+v{i} AS (
+  SELECT word, cnt,
+         replace(enc, '{US}' || l || '{RS}{US}' || r || '{RS}',
+                 '{US}' || l || r || '{RS}') AS enc
+  FROM v{i-1} CROSS JOIN a{i}
+)"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS merge_round, l AS sym_left, r AS sym_right,"
+        f" l || r AS merged, c AS pair_count FROM a{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + rounds
+
+
+@_llm("bpe_merge_training", _bpe_oracle())
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (`functions/bpe.py:train_bpe_merges`,
+    Sennrich et al. 2016): 8 merge rounds over the corpus's distinct-word
+    frequency table — each round one vocab-sized pair count + a 1-row
+    argmax collect (the FPS/PageRank bounded-action contract), never a
+    corpus re-scan (the vocab is localCheckpoint'ed after the single
+    tokenize pass).  The returned merge table IS the trained tokenizer;
+    the oracle replays all 8 rounds as unrolled CTE blocks with identical
+    leftmost-non-overlapping merge application and (count DESC, left, right)
+    tiebreaks, so training is value-hash exact end to end."""
+    from bigdata_rags_spark.functions.bpe import train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return train_bpe_merges(words, n_merges=8)
+
+
 def _incremental_semantic_oracle(
     threshold: float = 0.4, n_cells: int = 16, dim: int = 64
 ) -> str:

@@ -1523,3 +1523,52 @@ def test_incremental_semantic_keepers_planted_paths(spark):
     assert sorted(r["vec_id"] for r in out) == [11, 12, 14]
     cells = {r["vec_id"]: r["cell"] for r in out}
     assert cells == {11: 1, 12: 1, 14: 0}
+
+
+def test_bpe_merges_match_exact_python_replay(spark):
+    """Planted Sennrich-style corpus: the distributed trainer must produce
+    the EXACT merge table of a reference python replay (greedy leftmost
+    non-overlapping merges, (count desc, left, right) tiebreak) — including
+    the overlap case ('aaaa' merges to [aa, aa], not [aa, a, a])."""
+    from bigdata_rags_spark.functions.bpe import train_bpe_merges
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4}
+
+    def replay(wc, n):
+        vocab = {w: [*w, "</w>"] for w in wc}
+        merges = []
+        for rnd in range(1, n + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + wc[w]
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rnd, l, r, l + r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    words = spark.createDataFrame(list(wc.items()), ["word", "cnt"])
+    got = [
+        (r["merge_round"], r["sym_left"], r["sym_right"], r["merged"], r["pair_count"])
+        for r in train_bpe_merges(words, n_merges=12).orderBy("merge_round").collect()
+    ]
+    expected = replay(wc, 12)
+    assert got == expected, (got, expected)
+    # sanity: the overlap-sensitive merge happened — (a, a) merged with count
+    # 3 pairs/word * 4 words = 12, and round 2+ saw the merged 'aa' symbol
+    aa_rounds = [m for m in got if m[1] == "a" and m[2] == "a"]
+    assert aa_rounds and aa_rounds[0][4] == 12
+    assert any(m[1] == "aa" or m[2] == "aa" for m in got)
