@@ -102,7 +102,13 @@ def build_zone(spark) -> None:
             F.regexp_replace("text", r"(\S+)", f"$1~{k}").alias("text"),
             "lang",
             "source",
-            "n_chars",
+            # +k so each copy's synthesized PNG has a distinct (w, h) shape
+            # (attach_png_payload keys the pixel grid on (doc_id, n_chars)):
+            # without this every copy re-renders near-identical images and
+            # the aHash graph FUSES across copies (measured r10: 105x edges,
+            # 1090x wedges at 10 copies) — probe-zone artifact, not a plan
+            # property.  +k <= 9 chars is noise for the doc-side queries.
+            (F.col("n_chars") + F.lit(k)).alias("n_chars"),
         )
         for k in range(COPIES)
     ]
