@@ -253,10 +253,15 @@ def main() -> None:
         )
 
     env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env_round and (not env_round.isdigit() or int(env_round) <= 0):
+        # a malformed override silently falling back to the file heuristic
+        # would stamp BENCH_DETAIL with the wrong round — the exact mistake
+        # the env var exists to prevent (ADVICE r9)
+        sys.exit(f"SPARK_GRAFT_ROUND must be a positive integer, got {env_round!r}")
     max_bench, max_corr = _max_round("BENCH_r"), _max_round("CORRECTNESS_r")
     round_no = (
         int(env_round)
-        if env_round.isdigit()
+        if env_round
         else (max_corr if max_corr > max_bench else 1 + max_bench)
     )
     summary = {

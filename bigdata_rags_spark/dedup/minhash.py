@@ -275,3 +275,96 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection", "jaccard")
     )
+
+
+def incremental_minhash_keepers(
+    batch: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Rows of ``batch`` that survive MinHash near-dedup against the stored
+    corpus and against lower-id batch members — the TEXT near-dup member of
+    the incremental-ingest family (`dedup/exact.py:incremental_new_keepers`
+    exact hashes, `dedup/semantic.py:incremental_semantic_keepers`
+    embeddings; this one is the Gopher/RefinedWeb recurring-crawl shape).
+
+    Drop rules (greedy-by-id, non-cascading — the family contract): a batch
+    doc dies if a banded LSH collision with (a) ANY stored doc or (b) any
+    lower-id batch doc verifies at signature-agreement Jaccard >= threshold
+    (#equal minhashes >= ceil(threshold * num_hashes) — integer-exact).
+
+    Banding width is a property of the STORED index (``auto_minhash_params``
+    on the existing-corpus count, frozen at index build — re-deriving it per
+    batch would key new bands incompatibly with the stored band table).  At
+    100 TB the existing side's signatures/bands are the persisted dedup
+    index: the batch is shingled+hashed once, the collision joins are
+    band-keyed equi-joins, and verification touches only colliding pairs'
+    signatures — the corpus text never moves.
+
+    Docs too short to shingle (< shingle_k tokens) have no signature and
+    survive by construction, matching the oracle.
+    """
+    import math
+
+    if num_hashes is None and rows_per_band is None:
+        num_hashes, rows_per_band = auto_minhash_params(existing.count())
+    assert num_hashes is not None
+    need_eq = math.ceil(threshold * num_hashes)
+
+    sig_ex = minhash_signatures(existing, id_col, text_col, num_hashes)
+    sig_b = minhash_signatures(batch, id_col, text_col, num_hashes)
+    bands_ex = lsh_bands(sig_ex, rows_per_band)
+    bands_b = lsh_bands(sig_b, rows_per_band)
+
+    sa = sig_b.select(
+        "doc_id", *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sb_ex = sig_ex.select(
+        F.col("doc_id").alias("other"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    sb_in = sig_b.select(
+        F.col("doc_id").alias("other"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    n_eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+
+    def drops(cand: DataFrame, sb: DataFrame) -> DataFrame:
+        return (
+            cand.join(sa, "doc_id")
+            .join(sb, "other")
+            .filter(n_eq >= need_eq)
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+        )
+
+    a, e = bands_b.alias("a"), bands_ex.alias("e")
+    cand_ex = (
+        a.join(
+            e,
+            (F.col("a.band") == F.col("e.band"))
+            & (F.col("a.band_key") == F.col("e.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("e.doc_id").alias("other"))
+        .distinct()
+    )
+    hi, lo = bands_b.alias("hi"), bands_b.alias("lo")
+    cand_in = (
+        hi.join(
+            lo,
+            (F.col("hi.band") == F.col("lo.band"))
+            & (F.col("hi.band_key") == F.col("lo.band_key"))
+            & (F.col("lo.doc_id") < F.col("hi.doc_id")),
+        )
+        .select(F.col("hi.doc_id").alias("doc_id"), F.col("lo.doc_id").alias("other"))
+        .distinct()
+    )
+    return batch.join(drops(cand_ex, sb_ex), id_col, "left_anti").join(
+        drops(cand_in, sb_in), id_col, "left_anti"
+    )

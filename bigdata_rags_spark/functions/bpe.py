@@ -125,3 +125,33 @@ def train_bpe_merges(
         schema="merge_round int, sym_left string, sym_right string, "
         "merged string, pair_count bigint",
     )
+
+
+def apply_bpe_merges(
+    word_counts: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Segment a (word, count) vocabulary with an ORDERED merge list — the
+    serving half of BPE (train once with ``train_bpe_merges``, apply the
+    frozen rules everywhere; Sennrich §3.2 applies merges "in the order
+    they were learned").
+
+    Returns (word, cnt, subwords array<string>).  Application is the same
+    bracketed-replace per rule as training — one chained string expression,
+    no per-round job, no UDF: applying a 32k-rule tokenizer to 100 TB of
+    vocab is a single scan with a deep-but-codegen-friendly replace chain
+    (each replace is a literal substring scan).
+    """
+    enc = encode_word(F.col(word_col))
+    for l, r in merges:
+        enc = F.replace(
+            enc, F.lit(f"{US}{l}{RS}{US}{r}{RS}"), F.lit(f"{US}{l + r}{RS}")
+        )
+    base = word_counts.filter(~F.col(word_col).rlike(f"[{US}{RS}]")).select(
+        F.col(word_col).alias("word"),
+        F.col(count_col).cast("bigint").alias("cnt"),
+        enc.alias("__enc"),
+    )
+    return base.select("word", "cnt", _symbols("__enc").alias("subwords"))

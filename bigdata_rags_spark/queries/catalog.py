@@ -473,7 +473,10 @@ _DRIVER_CHECKED: dict[str, int] = {
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 10: (filled as this round's changes land)
+    # round 10: serving now reloads the persisted quantizers from
+    # {prefix}_meta instead of defaulting to the fixed literals (same
+    # values on this index, but the code path changed)
+    "embedding_ivfpq_index_serve",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

@@ -181,6 +181,109 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_minhash_oracle() -> str:
+    # mirrors dedup/minhash.py's affine family / 12-2 banding (the width
+    # auto_minhash_params pins for the stored-index size at sf<=0.1)
+    min_exprs = ",\n         ".join(
+        f"MIN(({(s * 2 + 1) * 2654435761 % 2147483648} * base + {s * 40503})"
+        f" % 2147483647) AS h{s}"
+        for s in range(12)
+    )
+    band_keys = ", ".join(
+        f"CAST(h{2 * i} AS VARCHAR) || '_' || CAST(h{2 * i + 1} AS VARCHAR)"
+        for i in range(6)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(12)
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS token
+  FROM aug
+),
+based AS (
+  SELECT doc_id, token, ('0x' || substr(md5(token), 1, 7))::BIGINT AS base FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {min_exprs}
+  FROM based GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([0, 1, 2, 3, 4, 5]) AS band,
+         unnest([{band_keys}]) AS band_key
+  FROM sig
+),
+ex AS (SELECT * FROM bands WHERE doc_id < 1000000000 AND doc_id % 5 = 0),
+bb AS (SELECT * FROM bands WHERE doc_id >= 1000000000 OR doc_id % 5 != 0),
+cand_ex AS (
+  SELECT DISTINCT b.doc_id AS doc_id, e.doc_id AS other
+  FROM bb b JOIN ex e ON b.band = e.band AND b.band_key = e.band_key
+),
+drop_ex AS (
+  SELECT DISTINCT c.doc_id
+  FROM cand_ex c JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.other
+  WHERE {eq_sum} >= 6
+),
+cand_in AS (
+  SELECT DISTINCT hi.doc_id AS doc_id, lo.doc_id AS other
+  FROM bb hi JOIN bb lo ON hi.band = lo.band AND hi.band_key = lo.band_key
+   AND lo.doc_id < hi.doc_id
+),
+drop_in AS (
+  SELECT DISTINCT c.doc_id
+  FROM cand_in c JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.other
+  WHERE {eq_sum} >= 6
+)
+SELECT a.doc_id, a.lang, a.source, a.n_chars
+FROM aug a
+LEFT JOIN drop_ex ON a.doc_id = drop_ex.doc_id
+LEFT JOIN drop_in ON a.doc_id = drop_in.doc_id
+WHERE (a.doc_id >= 1000000000 OR a.doc_id % 5 != 0)
+  AND drop_ex.doc_id IS NULL AND drop_in.doc_id IS NULL
+"""
+
+
+@_llm("incremental_minhash_dedup", _incremental_minhash_oracle())
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion dedup (`dedup/minhash.py:
+    incremental_minhash_keepers`) — the MinHash member of the incremental
+    family (exact hashes: `incremental_dedup_new_docs`; embeddings:
+    `incremental_semantic_dedup`): a new crawl batch is shingled, minhashed
+    with the STORED index's banding width, band-joined against the stored
+    corpus band table and against lower-id batch members, and every
+    collision verifying at signature-agreement Jaccard >= 0.5 drops the
+    batch doc.  Fixture roles mirror the family: stored corpus = doc_id %
+    5 == 0; batch = the rest plus re-keyed (+1e9) copies of every 7th doc,
+    whose identical signatures exercise both drop paths non-vacuously
+    (copies of stored docs die vs the index, copies of batch docs die
+    intra-batch)."""
+    from bigdata_rags_spark.dedup.minhash import incremental_minhash_keepers
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    rekeyed = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0).unionByName(rekeyed)
+    return incremental_minhash_keepers(batch, existing, threshold=0.5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @_llm(
     "prefix_dup_docs",
     f"""
@@ -4115,13 +4218,15 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.join(dropped, "vec_id", "left_anti").select("vec_id", "cell", "label")
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_blocks(n_merges: int = 8) -> str:
     """Unrolled (non-recursive) replay of BPE merge training: DuckDB cannot
     aggregate inside a recursive CTE, but the merge count is a fixed literal,
     so each round is one (split -> zip-pairs -> argmax -> replace) CTE block
     chained off the previous round's vocab.  Bracketed symbol encoding and
     the leftmost-non-overlapping replace() trick are documented in
-    `functions/bpe.py` (both engines' replace() agree exactly there)."""
+    `functions/bpe.py` (both engines' replace() agree exactly there).
+    Returns the WITH body: a{i} holds round i's merge, v{n_merges} the
+    fully-merged vocab encoding."""
     US, RS = "\x1f", "\x1e"
     blocks = [
         f"""v0 AS (
@@ -4149,12 +4254,29 @@ v{i} AS (
   FROM v{i-1} CROSS JOIN a{i}
 )"""
         )
+    return ",\n".join(blocks)
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
     rounds = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS merge_round, l AS sym_left, r AS sym_right,"
         f" l || r AS merged, c AS pair_count FROM a{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(blocks) + "\n" + rounds
+    return "WITH " + _bpe_blocks(n_merges) + "\n" + rounds
+
+
+def _bpe_subword_oracle(n_merges: int = 8) -> str:
+    US, RS = "\x1f", "\x1e"
+    return f"""WITH {_bpe_blocks(n_merges)},
+seg AS (
+  SELECT word, cnt,
+         unnest(string_split(trim(enc, '{US}{RS}'), '{RS}{US}')) AS subword
+  FROM v{n_merges}
+)
+SELECT subword, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS total_count
+FROM seg GROUP BY subword"""
 
 
 @_llm("bpe_merge_training", _bpe_oracle())
@@ -4178,6 +4300,40 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return train_bpe_merges(words, n_merges=8)
+
+
+@_llm("bpe_subword_stats", _bpe_subword_oracle())
+def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION — the serving half of the tokenizer lifecycle
+    (`functions/bpe.py:apply_bpe_merges`): train 8 merge rules, freeze
+    them, segment the corpus vocabulary with the frozen ordered rules
+    (one chained literal-replace expression — no per-round job, no UDF),
+    and report the resulting subword inventory (subword, n_words
+    containing it, total corpus occurrences).  This is the table a
+    tokenizer-budget decision reads (which subwords earn their vocab
+    slot).  The merge collect is 8 bounded rows; application is a single
+    vocab scan — at 100 TB the corpus is touched once to build the word
+    frequency table and never again."""
+    from bigdata_rags_spark.functions.bpe import apply_bpe_merges, train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=8).orderBy("merge_round").collect()
+    ]
+    seg = apply_bpe_merges(words, rules)
+    return seg.select("word", "cnt", F.explode("subwords").alias("subword")).groupBy(
+        "subword"
+    ).agg(
+        F.countDistinct("word").cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("total_count"),
+    )
 
 
 def _incremental_semantic_oracle(

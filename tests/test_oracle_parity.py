@@ -58,6 +58,7 @@ def test_registry_contract():
         "approx_percentile_prices",           # GK quantile sketch: engine-specific
         "zone_compaction_invariant",          # filesystem effect (part-file count)
         "embedding_pq_trained_rerank",        # iterative Lloyd training (r8)
+        "embedding_ivfpq_trained_serve",      # trained persisted index (r10)
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name
