@@ -4650,10 +4650,13 @@ def _ivfpq_oracle(
     n_probe: int = 4,
     shortlist: int = 50,
     dim: int = 64,
+    corpus_pred: str = "TRUE",
 ) -> str:
     """Oracle for IVFPQ serving: the `_ivf_probe_fixed_oracle` cell CTEs
     restrict WHICH corpus codes are scored, the `_pq_adc_oracle` encode /
-    LUT CTEs price HOW — same literals as both Spark-side codebooks."""
+    LUT CTEs price HOW — same literals as both Spark-side codebooks.
+    ``corpus_pred`` restricts the INDEXED corpus (codes + cell assignment)
+    without touching the query side — the delete-lifecycle oracle."""
     from bigdata_rags_spark.similarity.ivf import fixed_centroids
     from bigdata_rags_spark.similarity.pq import SUB_DIM, pq_codebooks
 
@@ -4677,7 +4680,7 @@ def _ivfpq_oracle(
   SELECT vec_id, {j} AS m, code FROM (
     SELECT vec_id, CAST(unnest(range(0, {len(book)})) AS INT) AS code,
            unnest([{scores}]) AS score
-    FROM e
+    FROM e WHERE {corpus_pred}
   ) s QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, code DESC) = 1
 )"""
         )
@@ -4708,7 +4711,7 @@ cranked AS (
             ORDER BY sim DESC, cell DESC) AS r
   FROM cs
 ),
-asg AS (SELECT vec_id, cell FROM cranked WHERE r = 1),
+asg AS (SELECT vec_id, cell FROM cranked WHERE r = 1 AND ({corpus_pred})),
 probes AS (SELECT vec_id AS query_id, cell
            FROM cranked WHERE vec_id < {n_queries} AND r <= {n_probe}),
 {", ".join(enc_ctes)},
@@ -4813,6 +4816,35 @@ def embedding_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ivfpq_index(e.filter(F.col("vec_id") % 3 == 0), table_prefix="bdrs_ivfpq_app")
     return ivfpq_index_serve(
         q, k=5, table_prefix="bdrs_ivfpq_app", n_probe=4, shortlist=50
+    )
+
+
+@_llm("embedding_ivfpq_index_delete", _ivfpq_oracle(corpus_pred="vec_id % 3 != 0"))
+def embedding_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index DELETE (`similarity/pq.py:delete_from_ivfpq_index`):
+    build the persisted index over the full corpus, tombstone every third
+    vector, serve — the oracle replays serving over the REMAINING corpus
+    only, so the driver hash proves tombstoned ids are invisible end to end
+    (never scored, never reranked) while queries may still BE deleted
+    vectors (query vectors arrive by value, not by index lookup).  A delete
+    appends bare ids; nothing index-sized is rewritten until
+    ``compact_ivfpq_index`` (the LSM reclaim contract, tested in
+    tests/test_ann_index.py)."""
+    from bigdata_rags_spark.similarity.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_serve,
+    )
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    build_ivfpq_index(e, table_prefix="bdrs_ivfpq_del")
+    delete_from_ivfpq_index(
+        e.filter(F.col("vec_id") % 3 == 0).select("vec_id"),
+        table_prefix="bdrs_ivfpq_del",
+    )
+    return ivfpq_index_serve(
+        q, k=5, table_prefix="bdrs_ivfpq_del", n_probe=4, shortlist=50
     )
 
 

@@ -560,6 +560,11 @@ def build_ivfpq_index(
     codes_table = f"{table_prefix}_codes"
     vectors_table = f"{table_prefix}_vectors"
     _write_index_meta(spark, f"{table_prefix}_meta", cents, books, num_buckets)
+    # a rebuild starts clean: stale tombstones from a prior index under the
+    # same prefix must not mask freshly-indexed vectors
+    from bigdata_rags_spark.io.bucketing import drop_managed_table as _drop
+
+    _drop(spark, f"{table_prefix}_tombstones")
 
     asg = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).join(asg, "id")
@@ -634,6 +639,18 @@ def ivfpq_index_serve(
     codes = spark.table(f"{table_prefix}_codes").filter(
         F.col("cell").isin(probe_cells)
     )
+    tomb_table = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_table):
+        # logical deletes (delete_from_ivfpq_index): broadcast anti-join on
+        # the tombstone set — a deleted id can then never reach the rerank,
+        # so only the codes side needs filtering
+        codes = codes.join(
+            F.broadcast(
+                spark.table(tomb_table).select(F.col("vec_id").alias("id"))
+            ),
+            "id",
+            "left_anti",
+        )
     lut = pq_lut(queries, books)
     scored = (
         codes.join(F.broadcast(probes), "cell")
@@ -715,3 +732,58 @@ def append_ivfpq_index(
         mode="append",
     )
     return codes_table, vectors_table
+
+
+def delete_from_ivfpq_index(
+    ids: DataFrame,
+    table_prefix: str = "ivfpq_idx",
+    id_col: str = "vec_id",
+) -> str:
+    """Logically delete vectors from a persisted IVFPQ index: append their
+    ids to ``{prefix}_tombstones``; serving anti-joins the (broadcast)
+    tombstone set.  This is the LSM/FAISS `remove_ids`-with-selector shape:
+    a delete never rewrites the bucketed codes/vectors tables — at 100 TB a
+    physical per-delete rewrite would re-shuffle the whole index for a
+    handful of ids.  Reclaim space with ``compact_ivfpq_index`` once the
+    tombstone fraction justifies one rebuild-sized write."""
+    spark = ids.sparkSession
+    table = f"{table_prefix}_tombstones"
+    out = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+    mode = "append" if spark.catalog.tableExists(table) else "overwrite"
+    out.write.mode(mode).format("parquet").saveAsTable(table)
+    return table
+
+
+def compact_ivfpq_index(
+    spark,
+    table_prefix: str = "ivfpq_idx",
+) -> tuple[int, int]:
+    """Physically apply accumulated tombstones: rewrite ``{prefix}_codes``
+    and ``{prefix}_vectors`` without the deleted ids (same bucket spec, so
+    every serving plan property — cell pruning, vec_id point lookups —
+    survives the rewrite) and clear the tombstone table.  Returns
+    (codes_rows_removed, vectors_rows_removed).  One index-sized write,
+    paid when the operator chooses, not per delete."""
+    from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
+
+    tomb_table = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(tomb_table):
+        return (0, 0)
+    _, _, num_buckets = _read_index_meta(spark, f"{table_prefix}_meta")
+    tombs = spark.table(tomb_table).select("vec_id").distinct().localCheckpoint()
+
+    removed = []
+    for table, key, bucket_col in (
+        (f"{table_prefix}_codes", "id", "cell"),
+        (f"{table_prefix}_vectors", "vec_id", "vec_id"),
+    ):
+        cur = spark.table(table)
+        before = cur.count()
+        keep = cur.join(
+            F.broadcast(tombs.withColumnRenamed("vec_id", key)), key, "left_anti"
+        ).localCheckpoint()  # materialize BEFORE dropping the table it reads
+        drop_managed_table(spark, table)
+        write_bucketed(keep, table, bucket_col, num_buckets)
+        removed.append(before - spark.table(table).count())
+    drop_managed_table(spark, tomb_table)
+    return (removed[0], removed[1])

@@ -80,7 +80,7 @@ def _drop_tables(spark):
     created: list[str] = []
     yield created
     for prefix in created:
-        for suffix in ("_codes", "_vectors", "_meta"):
+        for suffix in ("_codes", "_vectors", "_meta", "_tombstones"):
             drop_managed_table(spark, f"{prefix}{suffix}")
 
 
@@ -149,3 +149,44 @@ def test_trained_index_serves_its_own_quantizers(spark, sf_smoke, _drop_tables):
 
     fixed_served = ivfpq_search_rerank(q, e, k=5, n_probe=4, shortlist=50).collect()
     assert recall(served) >= recall(fixed_served)
+
+
+def test_delete_then_compact_lifecycle(spark, sf_smoke, _drop_tables):
+    """Tombstoned ids vanish from serving immediately (logical delete);
+    compaction physically removes them, clears the tombstone table, and
+    serving is value-identical before/after compaction and to a rebuild
+    over the surviving corpus.  The serving plan keeps its no-encode and
+    bucket-pruning properties through the whole lifecycle."""
+    from bigdata_rags_spark.similarity.pq import (
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    _drop_tables.extend(["t_ann_del", "t_ann_ref"])
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    build_ivfpq_index(e, table_prefix="t_ann_del")
+    delete_from_ivfpq_index(
+        e.filter(F.col("vec_id") % 3 == 0).select("vec_id"), table_prefix="t_ann_del"
+    )
+    deleted = sorted(ivfpq_index_serve(q, k=5, table_prefix="t_ann_del").collect(), key=key)
+    # reference: rebuild over only the surviving corpus
+    build_ivfpq_index(e.filter(F.col("vec_id") % 3 != 0), table_prefix="t_ann_ref")
+    rebuilt = sorted(ivfpq_index_serve(q, k=5, table_prefix="t_ann_ref").collect(), key=key)
+    assert deleted == rebuilt and len(deleted) == 25
+    assert not any(r["neighbor_id"] % 3 == 0 for r in deleted)
+
+    codes_before = spark.table("t_ann_del_codes").count()
+    removed_codes, removed_vecs = compact_ivfpq_index(spark, table_prefix="t_ann_del")
+    assert removed_codes > 0 and removed_vecs > 0
+    assert spark.table("t_ann_del_codes").count() == codes_before - removed_codes
+    assert not spark.catalog.tableExists("t_ann_del_tombstones")
+    compacted = sorted(ivfpq_index_serve(q, k=5, table_prefix="t_ann_del").collect(), key=key)
+    assert compacted == deleted
+    # plan properties survive compaction
+    plan = _plan(ivfpq_index_serve(e.filter(F.col("vec_id") == 1), k=5, table_prefix="t_ann_del"))
+    assert _n_arrow_stages(plan) == 1
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan[:3000]
