@@ -122,3 +122,53 @@ def priority_sample(
             F.greatest(F.col("weight"), F.col("tau")).alias("est_weight"),
         )
     )
+
+
+def epoch_shuffle_plan(
+    df: DataFrame,
+    key: Column,
+    n_epochs: int,
+    n_shards: int,
+    salt: str = "ep",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard layout — the data-
+    ordering primitive of a training run (each epoch must visit every row
+    exactly once, in an order that is pseudo-random, DIFFERENT per epoch,
+    and bit-reproducible for restarts/replays; RNG shuffles are none of
+    these under repartitioning).
+
+    Every (row, epoch) gets a sort key ``md5(salt:epoch:key)``; the shard is
+    a uniform hash bucket of that key and the position is the rank within
+    (epoch, shard) ordered by (sort_key, key).  Returns the input columns
+    plus (epoch, shard, pos).
+
+    100 TB shape: shard assignment is row-local (no shuffle); the only
+    exchange is the per-(epoch, shard) window sort — exactly the per-shard
+    sort the data-loader shards need anyway, never a single global
+    total-order.  Writing the result partitioned by (epoch, shard) and
+    sorted by pos IS the epoch's input layout.
+    """
+    from pyspark.sql import Window
+
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(n_epochs)])
+    ).alias("epoch")
+    with_epoch = df.select("*", epochs)
+    sk = F.md5(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            key.cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(sk, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy(F.col("__sk"), key)
+    return (
+        with_epoch.withColumn("__sk", sk)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__sk")
+    )

@@ -1279,6 +1279,46 @@ def train_test_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "epoch_shuffle_assignment",
+    """
+WITH g AS (
+  SELECT doc_id, CAST(unnest([0, 1]) AS INT) AS epoch FROM documents
+),
+h AS (
+  SELECT doc_id, epoch,
+         md5('ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS sk
+  FROM g
+),
+s AS (
+  SELECT doc_id, epoch,
+         CAST(('0x' || substr(sk, 1, 8))::BIGINT % 4 AS INT) AS shard, sk
+  FROM h
+)
+SELECT doc_id, epoch, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY sk, doc_id)
+            AS BIGINT) AS pos
+FROM s
+""",
+)
+def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard layout
+    (`operators/sampling.py:epoch_shuffle_plan`): every doc gets a
+    per-epoch md5 sort key, a row-local shard bucket, and a within-shard
+    rank — the reproducible data-ordering plan a trainer replays on
+    restart.  Two epochs x four shards here; epochs produce DIFFERENT
+    permutations (same md5 family, different salt prefix), and the only
+    exchange is the per-(epoch, shard) window sort — never a global
+    total-order sort (the layout a sharded data loader consumes is
+    per-shard anyway)."""
+    from bigdata_rags_spark.operators.sampling import epoch_shuffle_plan
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return epoch_shuffle_plan(
+        docs.select("doc_id"), F.col("doc_id"), n_epochs=2, n_shards=4
+    ).select("doc_id", "epoch", "shard", "pos")
+
+
+@_llm(
     "stratified_sample_docs",
     """
 WITH h AS (

@@ -1638,3 +1638,38 @@ def test_incremental_minhash_keepers_planted_paths(spark):
         batch, existing, num_hashes=12, rows_per_band=2, threshold=0.5
     ).collect()
     assert sorted(r["doc_id"] for r in out) == [11, 13]
+
+
+def test_epoch_shuffle_plan_properties(spark):
+    """Each epoch is a complete permutation (every row exactly once),
+    epochs order rows DIFFERENTLY, positions are dense 1..n per shard, and
+    the whole plan is bit-stable under repartitioning."""
+    from bigdata_rags_spark.operators.sampling import epoch_shuffle_plan
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle_plan(df, F.col("doc_id"), n_epochs=2, n_shards=4).collect()
+    by_epoch: dict[int, list] = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert sorted(by_epoch) == [0, 1]
+    for e, rows in by_epoch.items():
+        assert sorted(r["doc_id"] for r in rows) == list(range(200))
+        shards: dict[int, list[int]] = {}
+        for r in rows:
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        assert set(shards) <= set(range(4)) and len(shards) == 4
+        for poss in shards.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # different epochs -> different orderings (same keys, different salt)
+    order = lambda e: [  # noqa: E731
+        r["doc_id"]
+        for r in sorted(by_epoch[e], key=lambda r: (r["shard"], r["pos"]))
+    ]
+    assert order(0) != order(1)
+    # partitioning-independence
+    again = epoch_shuffle_plan(
+        df.repartition(13), F.col("doc_id"), n_epochs=2, n_shards=4
+    ).collect()
+    key = lambda r: (r["epoch"], r["shard"], r["pos"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, again)) == sorted(map(key, out))
