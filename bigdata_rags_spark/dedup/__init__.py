@@ -8,10 +8,12 @@ from bigdata_rags_spark.dedup.exact import (
     with_content_hash,
 )
 from bigdata_rags_spark.dedup.minhash import (
+    incremental_minhash_keepers,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
 )
+from bigdata_rags_spark.dedup.semantic import incremental_semantic_keepers
 from bigdata_rags_spark.dedup.segments import segment_dedup
 from bigdata_rags_spark.dedup.simhash import simhash16, simhash_near_pairs
 from bigdata_rags_spark.dedup.spans import substring_dedup
@@ -21,6 +23,8 @@ __all__ = [
     "exact_dedup",
     "incremental_new_keepers",
     "with_content_hash",
+    "incremental_minhash_keepers",
+    "incremental_semantic_keepers",
     "lsh_candidate_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",

@@ -39,43 +39,54 @@ def incremental_semantic_keepers(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    intra_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` that survive semantic dedup against ``existing``
     and against lower-id batch members, with their assigned ``cell``.
 
     Drop rules (deterministic, non-cascading greedy — the
     ``semantic_dedup_cells`` survival contract):
-      (a) a batch vector dies if ANY stored vector in its cell has rounded
-          cosine >= threshold;
+      (a) a batch vector dies if ANY stored vector in its INDEX cell has
+          rounded cosine >= threshold;
       (b) a batch vector dies if ANY lower-id batch vector in its cell has
           rounded cosine >= threshold (whether or not that neighbor itself
           survives rule (a) — greedy-by-id, not transitive closure).
 
-    Both joins are cell-keyed equi-joins; the drop sets ship bare ids and
+    ``centroids`` is the stored index's quantizer and governs rule (a) —
+    frozen at index build, it keys the batch into the SAME cells the stored
+    band table uses.  Rule (b) is index-free (batch vs itself), so it may
+    use ``intra_centroids`` sized for the BATCH: when an ingest batch is
+    larger than the stored index (backfills, first loads), reusing the
+    index's narrow width makes intra-batch pair volume quadratic in batch
+    occupancy (measured r10: 18x wall at the 10x probe, where the fixture
+    batch is ~4.5x the index).  Defaults to ``centroids`` when not given.
+
+    All joins are cell-keyed equi-joins; the drop sets ship bare ids and
     survival is two anti-joins (the `incremental_new_keepers` shape).
     """
 
-    def prep(df: DataFrame) -> DataFrame:
-        asg = assign_cells(df, centroids, id_col, vec_col).withColumnRenamed(
+    def prep(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+        asg = assign_cells(df, cents, id_col, vec_col).withColumnRenamed(
             "id", id_col
         )
         return df.select(
             id_col, as_double_array(F.col(vec_col)).alias("__v")
         ).join(asg, id_col)
 
-    b = prep(batch)
-    ex = prep(existing).select("cell", F.col("__v").alias("__vex"))
+    b = prep(batch, centroids)
+    ex = prep(existing, centroids).select("cell", F.col("__v").alias("__vex"))
     drop_ex = (
         b.join(ex, "cell")
         .filter(_cos6(F.col("__v"), F.col("__vex")) >= threshold)
         .select(id_col)
         .distinct()
     )
-    lo = b.select(
+    bi = b if intra_centroids is None else prep(batch, intra_centroids)
+    lo = bi.select(
         "cell", F.col(id_col).alias("__lo_id"), F.col("__v").alias("__vlo")
     )
     drop_intra = (
-        b.join(lo, "cell")
+        bi.join(lo, "cell")
         .filter(F.col("__lo_id") < F.col(id_col))
         .filter(_cos6(F.col("__v"), F.col("__vlo")) >= threshold)
         .select(id_col)

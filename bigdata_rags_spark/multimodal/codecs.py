@@ -590,3 +590,39 @@ def wav_integer_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(extract, wav_int_feature_schema(id_col))
+
+
+def audio_fingerprint31(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 32
+) -> DataFrame:
+    """(id, fp): 31-bit audio fingerprint — the audio twin of
+    ``image_ahash64`` (sign-of-energy-difference across fixed time frames,
+    the Haitsma-Kalker 2002 robust-hash family): decode the WAV, slice the
+    PCM into ``n_frames`` balanced frames (frame of sample i = i*F div n,
+    integer-exact in any engine), sum |pcm| per frame, and set bit f iff
+    energy[f] > energy[f+1].  Transition SIGNS survive gain changes and
+    mild noise — the fingerprint property; energies themselves would not.
+
+    Integer-exact end to end (abs-sums of int16 samples, integer frame
+    mapping), so a SQL oracle replays it bit-for-bit from the synthesized
+    PCM formula.  Scale shape: one Arrow decode pass; downstream near-dup
+    banding ships 1 bigint per clip."""
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for row in pdf.itertuples(index=False):
+                x = decode_audio(bytes(row.payload), row.meta["codec"])
+                pcm = np.rint(x * 32768.0).astype(np.int64)
+                n = int(pcm.size)
+                a = np.abs(pcm)
+                f = (np.arange(n, dtype=np.int64) * n_frames) // n
+                e = np.zeros(n_frames, dtype=np.int64)
+                np.add.at(e, f, a)
+                bits = (e[:-1] > e[1:]).astype(object)
+                fp = int(sum(int(b) << i for i, b in enumerate(bits)))
+                ids.append(getattr(row, id_col))
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.mapInPandas(fp_batch, f"{id_col} long, fp long")

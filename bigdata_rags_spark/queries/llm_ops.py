@@ -1278,6 +1278,105 @@ def train_test_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FP_BAND_KEYS = ", ".join(f"(fp >> {4 * k}) & 15" for k in range(8))
+
+
+@_llm(
+    "audio_fingerprint_near_dups",
+    f"""
+WITH d AS (SELECT doc_id, GREATEST(LEAST(n_chars, 256), 1) AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+p AS (SELECT doc_id, CAST(i * 32 // n AS INT) AS f,
+             abs((doc_id * 31 + i * 25173) % 65536 - 32768) AS a
+      FROM s),
+en AS (SELECT doc_id, f, CAST(SUM(a) AS BIGINT) AS e FROM p GROUP BY 1, 2),
+grid AS (
+  SELECT d.doc_id, CAST(g.f AS INT) AS f, COALESCE(en.e, 0) AS e
+  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS f) g
+  LEFT JOIN en ON en.doc_id = d.doc_id AND en.f = g.f
+),
+bits AS (
+  SELECT lo.doc_id, lo.f, CASE WHEN lo.e > hi.e THEN 1 ELSE 0 END AS b
+  FROM grid lo JOIN grid hi ON hi.doc_id = lo.doc_id AND hi.f = lo.f + 1
+  WHERE lo.f < 31
+),
+fps AS (
+  SELECT doc_id, CAST(SUM(b * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band,
+         unnest([{_FP_BAND_KEYS}]) AS key
+  FROM fps
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.doc_a
+JOIN fps fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= 7
+""",
+)
+def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality near-dup detection — the WAV twin of
+    `image_phash_near_dups`: real RIFF/WAVE decode -> 31-bit frame-energy-
+    transition fingerprint (`multimodal/codecs.audio_fingerprint31`,
+    Haitsma-Kalker family) -> banded Hamming self-join.  EXACT by
+    pigeonhole: 8 bands of <=4 bits with threshold hamming <= 7 guarantee
+    every qualifying pair collides in at least one untouched band, so the
+    banded equi-join + exact bit_count verify equals the all-pairs
+    predicate the oracle states.  Scale shape: clips reduce to 1 bigint
+    after one Arrow decode pass; the band explode ships 8 small keys per
+    clip; widen the fingerprint (more frames) as the corpus grows — the
+    same knob as every banded sketch here."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_wav_payload,
+        audio_fingerprint31,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    h = audio_fingerprint31(attach_wav_payload(docs))
+    bands = h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(f"shiftright(fp, {4 * k}) & 15").alias("key"),
+                    )
+                    for k in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = h.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = h.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(hamming <= 7)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
 @_llm(
     "epoch_shuffle_assignment",
     """
@@ -4454,10 +4553,16 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     existing = e.filter(F.col("vec_id") % 5 == 0)
     batch = e.filter(F.col("vec_id") % 5 != 0).unionByName(rekeyed)
+    # rule (a) keys the batch into the STORED index's cells (width frozen
+    # at build from the stored-corpus size); rule (b) is index-free, so its
+    # quantizer self-scales with the BATCH (both resolve to 16 cells on the
+    # driver fixtures — one shared oracle assignment — but a backfill-sized
+    # batch stays O(batch * occupancy) instead of quadratic, SCALE.md r10)
     cents = fixed_centroids(64, auto_n_cells(existing.count()))
-    return incremental_semantic_keepers(batch, existing, cents, threshold=0.4).select(
-        "vec_id", "cell", "label"
-    )
+    intra = fixed_centroids(64, auto_n_cells(batch.count()))
+    return incremental_semantic_keepers(
+        batch, existing, cents, threshold=0.4, intra_centroids=intra
+    ).select("vec_id", "cell", "label")
 
 
 # Host synthesis for the PSL query — includes MULTI-LABEL public suffixes

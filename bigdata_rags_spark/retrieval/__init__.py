@@ -1,5 +1,6 @@
 """Retrieval operators: BM25 lexical ranking and hybrid lexical+vector search."""
 
 from bigdata_rags_spark.retrieval.bm25 import bm25_scores, hybrid_search
+from bigdata_rags_spark.retrieval.eval import ranking_quality
 
-__all__ = ["bm25_scores", "hybrid_search"]
+__all__ = ["bm25_scores", "hybrid_search", "ranking_quality"]

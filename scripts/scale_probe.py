@@ -73,6 +73,13 @@ REGISTRY_QUERIES = [
     # index-backed IVFPQ serving (build+serve per call at probe scale)
     "near_dup_graph_clustering",
     "embedding_ivfpq_index_serve",
+    # r10 additions: index lifecycle (append/delete re-serve), the
+    # incremental dedup family, BPE training (vocab-bounded rounds)
+    "embedding_ivfpq_index_append",
+    "embedding_ivfpq_index_delete",
+    "incremental_minhash_dedup",
+    "incremental_semantic_dedup",
+    "bpe_merge_training",
 ]
 
 # comma-separated subset filter so a round can re-probe just what changed

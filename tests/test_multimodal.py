@@ -267,3 +267,36 @@ def test_png_payloads_are_real_png_and_features_exact(spark, sf_smoke):
         assert f["n_h_edges"] == int((np.abs(np.diff(img, axis=1)) >= 64).sum())
         assert f["n_v_edges"] == int((np.abs(np.diff(img, axis=0)) >= 64).sum())
         assert f["n_h_edges"] > 0 and f["n_v_edges"] > 0  # non-vacuous edges
+
+
+def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
+    """The fingerprint keys on energy-transition SIGNS: a half-gain copy of
+    a clip fingerprints identically (hamming 0), while a clip with reversed
+    frame-energy ramps differs in most bits."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.multimodal.codecs import (
+        audio_fingerprint31,
+        encode_wav,
+    )
+
+    rng = np.arange(256, dtype=np.int64)
+    ramp_up = ((rng * 111) % 8000 + rng * 60 - 16000)      # rising energy
+    ramp_dn = ramp_up[::-1].copy()                          # falling energy
+    rows = [
+        (1, encode_wav(ramp_up / 32768.0)),
+        (2, encode_wav((ramp_up // 2) / 32768.0)),          # half gain
+        (3, encode_wav(ramp_dn / 32768.0)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.expr(
+            "named_struct('sample_rate', 16000, 'channels', 1,"
+            " 'codec', 'audio/wav')"
+        ).alias("meta"),
+    )
+    fp = {r["doc_id"]: r["fp"] for r in audio_fingerprint31(df).collect()}
+    assert fp[1] == fp[2]                       # gain-invariant
+    assert bin(fp[1] ^ fp[3]).count("1") > 7    # reversed ramp: not a near-dup
