@@ -4993,6 +4993,69 @@ def embedding_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_stats_oracle(n_cells: int = 16, dim: int = 64) -> str:
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+
+    cents = fixed_centroids(dim, n_cells)
+    sims = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for c in cents
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id,
+         CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
+         unnest([{sims}]) AS sim
+  FROM e
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell DESC) AS r
+  FROM s
+),
+asg AS (SELECT vec_id, cell,
+               CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS dead
+        FROM ranked WHERE r = 1),
+per AS (
+  SELECT cell,
+         CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(1 - dead) AS BIGINT) AS n_live,
+         CAST(SUM(dead) AS BIGINT) AS n_tombstoned
+  FROM asg GROUP BY cell
+),
+t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS t FROM per)
+SELECT cell, n_vectors, n_live, n_tombstoned,
+       CAST(n_vectors * 1000000 // NULLIF(t.t, 0) AS BIGINT) AS occupancy_micro
+FROM per CROSS JOIN t
+"""
+
+
+@_llm("embedding_ivfpq_index_stats", _ivfpq_stats_oracle())
+def embedding_ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health report (`similarity/pq.py:ivfpq_index_stats`): per-cell
+    occupancy and the live/tombstoned split of a persisted IVFPQ index
+    after a delete pass — the dashboard an operator reads to decide when a
+    cell is skewed (slow for every query probing it) or the tombstone
+    fraction justifies `compact_ivfpq_index`.  One m=0-restricted scan of
+    the codes table (exactly one row per vector, 1/M of the codes) plus a
+    broadcast tombstone join; the oracle replays cell assignment and the
+    % 3 delete pattern directly from the embeddings."""
+    from bigdata_rags_spark.similarity.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_stats,
+    )
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    build_ivfpq_index(e, table_prefix="bdrs_ivfpq_st")
+    delete_from_ivfpq_index(
+        e.filter(F.col("vec_id") % 3 == 0).select("vec_id"),
+        table_prefix="bdrs_ivfpq_st",
+    )
+    return ivfpq_index_stats(spark, table_prefix="bdrs_ivfpq_st")
+
+
 @_llm("embedding_ivfpq_trained_serve", None)
 def embedding_ivfpq_trained_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVFPQ index with TRAINED quantizers (VERDICT r9 gap #4):

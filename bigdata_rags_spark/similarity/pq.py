@@ -787,3 +787,46 @@ def compact_ivfpq_index(
         removed.append(before - spark.table(table).count())
     drop_managed_table(spark, tomb_table)
     return (removed[0], removed[1])
+
+
+def ivfpq_index_stats(spark, table_prefix: str = "ivfpq_idx") -> DataFrame:
+    """Index-health report over a persisted IVFPQ index: per-cell vector
+    counts plus occupancy share and the live/tombstoned split — what an
+    operator reads before trusting probe latency (a skewed cell serves
+    slowly for every query that probes it; a high tombstone fraction says
+    run ``compact_ivfpq_index``).
+
+    One scan of the codes table restricted to m = 0 (exactly one code row
+    per vector per subspace, so m = 0 is a 1/M-cost proxy for the vector
+    set), one broadcast anti/semi pair against the tombstones.  Returns
+    (cell, n_vectors, n_live, n_tombstoned, occupancy_micro) where
+    occupancy_micro is the cell's integer-micro share of all vectors.
+    """
+    codes = spark.table(f"{table_prefix}_codes").filter(F.col("m") == 0)
+    tomb_table = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_table):
+        tombs = spark.table(tomb_table).select(F.col("vec_id").alias("id"))
+        dead = F.broadcast(tombs)
+        flagged = codes.join(
+            dead.withColumn("__dead", F.lit(1)), "id", "left"
+        ).withColumn("__dead", F.coalesce(F.col("__dead"), F.lit(0)))
+    else:
+        flagged = codes.withColumn("__dead", F.lit(0))
+    per_cell = flagged.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(1 - F.col("__dead")).cast("bigint").alias("n_live"),
+        F.sum("__dead").cast("bigint").alias("n_tombstoned"),
+    )
+    total = per_cell.agg(F.sum("n_vectors").cast("bigint").alias("__t"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            "n_live",
+            "n_tombstoned",
+            F.expr("n_vectors * 1000000 div nullif(__t, 0)")
+            .cast("bigint")
+            .alias("occupancy_micro"),
+        )
+    )
