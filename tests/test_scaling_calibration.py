@@ -69,3 +69,30 @@ def test_driver_fixtures_inside_calibration_bands(sf_smoke, sf_oracle, table, ba
             "regenerate those oracles (or re-calibrate the rule) before the "
             "driver runs, or every query in that family goes red at once."
         )
+
+
+def test_incremental_family_widths_pinned_on_fixture_roles(sf_smoke, sf_oracle):
+    """The incremental dedup family sizes TWO widths (SCALE.md finding #5):
+    the vs-index rule from the STORED corpus count, the intra-batch rule
+    from the BATCH count.  Both must resolve to the pinned oracle constants
+    on the driver fixtures' role splits (stored = id % 5 == 0; batch = rest
+    + every-7th rekeyed) — and genuinely diverge at probe scale, or the
+    two-widths design is dead code."""
+    import pyarrow.parquet as pqt
+
+    for sf_dir in (sf_smoke, sf_oracle):
+        ids = pqt.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])[
+            "vec_id"
+        ].to_pylist()
+        existing = sum(1 for i in ids if i % 5 == 0)
+        batch = len(ids) - existing + sum(1 for i in ids if i % 7 == 0)
+        assert auto_n_cells(existing) == 16, (sf_dir, existing)
+        assert auto_n_cells(batch) == 16, (sf_dir, batch)
+        dids = pqt.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        d_existing = sum(1 for i in dids if i % 5 == 0)
+        assert auto_minhash_params(d_existing) == (12, 2), (sf_dir, d_existing)
+    # at the 10x probe corpus the index and batch widths diverge — the
+    # batch-scaled intra quantizer is what cut the probe ratio 18x -> 5.7x
+    assert auto_n_cells(10_000) < auto_n_cells(45_600)
