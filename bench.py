@@ -150,6 +150,22 @@ HEADLINE = [
     "query_likelihood_search",
     "contrastive_negatives_sample",
     "events_sliding_topk_types",
+    # r10 additions: retrieval eval, the incremental dedup family, BPE
+    # train/apply, the persisted-index lifecycle (serve/append/delete/stats
+    # — trained-serve is excluded: two k-means trainings per bench pass
+    # measure training cost already covered by embedding_pq_trained_rerank),
+    # audio fingerprint near-dup, epoch shuffle
+    "retrieval_ranking_eval",
+    "incremental_minhash_dedup",
+    "incremental_semantic_dedup",
+    "bpe_merge_training",
+    "bpe_subword_stats",
+    "embedding_ivfpq_index_serve",
+    "embedding_ivfpq_index_append",
+    "embedding_ivfpq_index_delete",
+    "embedding_ivfpq_index_stats",
+    "audio_fingerprint_near_dups",
+    "epoch_shuffle_assignment",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
@@ -158,6 +174,14 @@ SHARED_R1 = HEADLINE[:13]
 
 
 def main() -> None:
+    # validate the round override BEFORE the 10+-minute run, not after
+    env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env_round and (not env_round.isdigit() or int(env_round) <= 0):
+        # a malformed override silently falling back to the file heuristic
+        # would stamp BENCH_DETAIL with the wrong round — the exact mistake
+        # the env var exists to prevent (ADVICE r9)
+        sys.exit(f"SPARK_GRAFT_ROUND must be a positive integer, got {env_round!r}")
+
     from bigdata_rags_spark.queries.catalog import REGISTRY
     from bigdata_rags_spark.session import get_session
 
@@ -252,12 +276,6 @@ def main() -> None:
             default=0,
         )
 
-    env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
-    if env_round and (not env_round.isdigit() or int(env_round) <= 0):
-        # a malformed override silently falling back to the file heuristic
-        # would stamp BENCH_DETAIL with the wrong round — the exact mistake
-        # the env var exists to prevent (ADVICE r9)
-        sys.exit(f"SPARK_GRAFT_ROUND must be a positive integer, got {env_round!r}")
     max_bench, max_corr = _max_round("BENCH_r"), _max_round("CORRECTNESS_r")
     round_no = (
         int(env_round)

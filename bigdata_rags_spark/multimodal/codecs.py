@@ -592,16 +592,21 @@ def wav_integer_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(extract, wav_int_feature_schema(id_col))
 
 
-def audio_fingerprint31(
-    df: DataFrame, id_col: str = "doc_id", n_frames: int = 32
+def audio_fingerprint63(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 64
 ) -> DataFrame:
-    """(id, fp): 31-bit audio fingerprint — the audio twin of
+    """(id, fp): 63-bit audio fingerprint — the audio twin of
     ``image_ahash64`` (sign-of-energy-difference across fixed time frames,
     the Haitsma-Kalker 2002 robust-hash family): decode the WAV, slice the
     PCM into ``n_frames`` balanced frames (frame of sample i = i*F div n,
     integer-exact in any engine), sum |pcm| per frame, and set bit f iff
     energy[f] > energy[f+1].  Transition SIGNS survive gain changes and
     mild noise — the fingerprint property; energies themselves would not.
+    63 bits (not 64) keeps the fingerprint inside a signed bigint shift in
+    BOTH engines, while still banding into 8 keys of <= 8 bits — the
+    256-value band space that keeps candidate volume at N^2/256, the
+    ``image_ahash64`` parity shape (a 31-bit/16-value variant measured 16x
+    the candidate volume for identical semantics).
 
     Integer-exact end to end (abs-sums of int16 samples, integer frame
     mapping), so a SQL oracle replays it bit-for-bit from the synthesized

@@ -1278,7 +1278,7 @@ def train_test_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FP_BAND_KEYS = ", ".join(f"(fp >> {4 * k}) & 15" for k in range(8))
+_FP_BAND_KEYS = ", ".join(f"(fp >> {8 * k}) & 255" for k in range(8))
 
 
 @_llm(
@@ -1286,19 +1286,19 @@ _FP_BAND_KEYS = ", ".join(f"(fp >> {4 * k}) & 15" for k in range(8))
     f"""
 WITH d AS (SELECT doc_id, GREATEST(LEAST(n_chars, 256), 1) AS n FROM documents),
 s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
-p AS (SELECT doc_id, CAST(i * 32 // n AS INT) AS f,
+p AS (SELECT doc_id, CAST(i * 64 // n AS INT) AS f,
              abs((doc_id * 31 + i * 25173) % 65536 - 32768) AS a
       FROM s),
 en AS (SELECT doc_id, f, CAST(SUM(a) AS BIGINT) AS e FROM p GROUP BY 1, 2),
 grid AS (
   SELECT d.doc_id, CAST(g.f AS INT) AS f, COALESCE(en.e, 0) AS e
-  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS f) g
+  FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS f) g
   LEFT JOIN en ON en.doc_id = d.doc_id AND en.f = g.f
 ),
 bits AS (
   SELECT lo.doc_id, lo.f, CASE WHEN lo.e > hi.e THEN 1 ELSE 0 END AS b
   FROM grid lo JOIN grid hi ON hi.doc_id = lo.doc_id AND hi.f = lo.f + 1
-  WHERE lo.f < 31
+  WHERE lo.f < 63
 ),
 fps AS (
   SELECT doc_id, CAST(SUM(b * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS fp
@@ -1325,7 +1325,7 @@ WHERE bit_count(xor(fa.fp, fb.fp)) <= 7
 def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality near-dup detection — the WAV twin of
     `image_phash_near_dups`: real RIFF/WAVE decode -> 31-bit frame-energy-
-    transition fingerprint (`multimodal/codecs.audio_fingerprint31`,
+    transition fingerprint (`multimodal/codecs.audio_fingerprint63`,
     Haitsma-Kalker family) -> banded Hamming self-join.  EXACT by
     pigeonhole: 8 bands of <=4 bits with threshold hamming <= 7 guarantee
     every qualifying pair collides in at least one untouched band, so the
@@ -1336,11 +1336,11 @@ def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     same knob as every banded sketch here."""
     from bigdata_rags_spark.multimodal.codecs import (
         attach_wav_payload,
-        audio_fingerprint31,
+        audio_fingerprint63,
     )
 
     docs = _docs_parallel(spark, sf_dir)
-    h = audio_fingerprint31(attach_wav_payload(docs))
+    h = audio_fingerprint63(attach_wav_payload(docs))
     bands = h.select(
         "doc_id",
         F.explode(
@@ -1348,7 +1348,7 @@ def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.expr(f"shiftright(fp, {4 * k}) & 15").alias("key"),
+                        F.expr(f"shiftright(fp, {8 * k}) & 255").alias("key"),
                     )
                     for k in range(8)
                 ]

@@ -277,7 +277,7 @@ def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
     from pyspark.sql import functions as F
 
     from bigdata_rags_spark.multimodal.codecs import (
-        audio_fingerprint31,
+        audio_fingerprint63,
         encode_wav,
     )
 
@@ -297,6 +297,6 @@ def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
             " 'codec', 'audio/wav')"
         ).alias("meta"),
     )
-    fp = {r["doc_id"]: r["fp"] for r in audio_fingerprint31(df).collect()}
+    fp = {r["doc_id"]: r["fp"] for r in audio_fingerprint63(df).collect()}
     assert fp[1] == fp[2]                       # gain-invariant
     assert bin(fp[1] ^ fp[3]).count("1") > 7    # reversed ramp: not a near-dup
