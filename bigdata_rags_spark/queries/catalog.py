@@ -269,58 +269,18 @@ _DRIVER_CHECKED: dict[str, int] = {
     "approx_percentile_prices": 2,
     # --- last driver row: round 4 ---
     "embedding_ivf_topk": 4,
-    # --- last driver row: round 5 ---
-    "events_click_attribution": 5,
-    "events_cohort_retention": 5,
-    "events_conversion_funnel": 5,
-    "events_hourly_gapfill": 5,
-    "events_unattributed_clicks": 5,
     # --- last driver row: round 6 ---
     "balanced_corpus_quota": 6,
-    "benchmark_decontamination": 6,
     "bigram_lm_doc_scores": 6,
-    "conditional_agg_priority_matrix": 6,
     "corpus_training_selection": 6,
-    "correlation_price_quantity": 6,
-    "data_quality_report": 6,
-    "decimal_exact_revenue": 6,
-    "dedup_surviving_docs": 6,
-    "dup_bigram_fraction_docs": 6,
     "dup_cluster_size_histogram": 6,
     "edit_distance_near_dups": 6,
-    "embedding_cosine_topk": 6,
-    "embedding_ivf_probe_fixed": 6,
     "events_attribution_first_vs_last": 6,
     "events_dedup_replayed": 6,
     "events_hourly_anomaly": 6,
     "events_hourly_unique_users_sketch": 6,
     "events_time_weighted_value": 6,
-    "exact_dedup_docs": 6,
-    "explode_embedding_dim_stats": 6,
-    "histogram_order_prices": 6,
-    "histogram_quantile_prices": 6,
-    "join_key_skew_report": 6,
-    "loglog_distinct_customers": 6,
-    "mad_outlier_orders": 6,
-    "math_functions_lineitem": 6,
-    "multimodal_png_features": 6,
     "multimodal_png_resize_features": 6,
-    "ngram_jaccard_near_dups": 6,
-    "null_safe_join_semantics": 6,
-    "percentiles_by_priority": 6,
-    "pivot_returnflag_by_status": 6,
-    "prefix_dup_docs": 6,
-    "range_join_shipments_in_window": 6,
-    "scd2_current_rows": 6,
-    "segment_dedup_docs": 6,
-    "simhash_fingerprints": 6,
-    "tpch_q2_cheapest_supplier": 6,
-    "tpch_q3_shipping_priority": 6,
-    "tpch_q9_profit_by_nation_year": 6,
-    "unpivot_lineitem_measures": 6,
-    "upsert_current_rows": 6,
-    "window_trailing_7d_range_frame": 6,
-    "zone_snapshot_diff": 6,
     # --- last driver row: round 7 ---
     "basket_affinity_lift": 7,
     "bigram_collocation_lift": 7,
@@ -430,7 +390,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "discipline_shape_metrics": 9,
     "distinct_nation_segments": 9,
     "document_chunking": 9,
-    "embedding_ivfpq_index_serve": 9,
     "events_json_extraction": 9,
     "events_pii_redaction": 9,
     "events_segment_enrichment": 9,
@@ -469,14 +428,71 @@ _DRIVER_CHECKED: dict[str, int] = {
     "window_lag_running_sum": 9,
     "window_rank_orders_in_segment": 9,
     "winsorized_price_stats": 9,
+    # --- last driver row: round 10 ---
+    "audio_fingerprint_near_dups": 10,
+    "benchmark_decontamination": 10,
+    "bpe_merge_training": 10,
+    "bpe_subword_stats": 10,
+    "conditional_agg_priority_matrix": 10,
+    "correlation_price_quantity": 10,
+    "data_quality_report": 10,
+    "decimal_exact_revenue": 10,
+    "dedup_surviving_docs": 10,
+    "dup_bigram_fraction_docs": 10,
+    "embedding_cosine_topk": 10,
+    "embedding_ivf_probe_fixed": 10,
+    "embedding_ivfpq_index_append": 10,
+    "embedding_ivfpq_index_delete": 10,
+    "embedding_ivfpq_index_serve": 10,
+    "embedding_ivfpq_index_stats": 10,
+    "epoch_shuffle_assignment": 10,
+    "events_click_attribution": 10,
+    "events_cohort_retention": 10,
+    "events_conversion_funnel": 10,
+    "events_hourly_gapfill": 10,
+    "events_unattributed_clicks": 10,
+    "exact_dedup_docs": 10,
+    "explode_embedding_dim_stats": 10,
+    "histogram_order_prices": 10,
+    "histogram_quantile_prices": 10,
+    "incremental_minhash_dedup": 10,
+    "incremental_semantic_dedup": 10,
+    "join_key_skew_report": 10,
+    "loglog_distinct_customers": 10,
+    "mad_outlier_orders": 10,
+    "math_functions_lineitem": 10,
+    "multimodal_png_features": 10,
+    "ngram_jaccard_near_dups": 10,
+    "null_safe_join_semantics": 10,
+    "percentiles_by_priority": 10,
+    "pivot_returnflag_by_status": 10,
+    "prefix_dup_docs": 10,
+    "range_join_shipments_in_window": 10,
+    "retrieval_ranking_eval": 10,
+    "scd2_current_rows": 10,
+    "segment_dedup_docs": 10,
+    "simhash_fingerprints": 10,
+    "tpch_q2_cheapest_supplier": 10,
+    "tpch_q3_shipping_priority": 10,
+    "tpch_q9_profit_by_nation_year": 10,
+    "unpivot_lineitem_measures": 10,
+    "upsert_current_rows": 10,
+    "window_trailing_7d_range_frame": 10,
+    "zone_snapshot_diff": 10,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 10: serving now reloads the persisted quantizers from
-    # {prefix}_meta instead of defaulting to the fixed literals (same
-    # values on this index, but the code path changed)
-    "embedding_ivfpq_index_serve",
+    # round 11: the Hamming near-dup family moved from 63/64-bit fingerprints
+    # with 8-bit band keys to 126/128-bit fingerprints with ~16-bit band keys
+    # (VERDICT r10 #2 — candidate volume N²/256 -> N²/65536)
+    "audio_fingerprint_near_dups",
+    "image_phash_near_dups",
+    "simhash_near_dup_pairs",
+    # round 11: registered in r10 AFTER that round's driver pass, so it has
+    # no CORRECTNESS history at all (VERDICT r10 #3).  Rows-only by the
+    # trained-float rule; one window slot earns its first spark_rows>0 row.
+    "embedding_ivfpq_trained_serve",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
