@@ -288,6 +288,44 @@ def image_ahash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(hash_batch, schema)
 
 
+def image_ahash128(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """128-bit average-hash over a 16x8 greyscale grid — the scale-path
+    widening of ``image_ahash64`` (VERDICT r10 #2): doubling the bit width
+    is what lets the downstream near-dup join band into 8 keys of 16 bits
+    (65,536 values) instead of 8 bits (256 values), cutting banded
+    candidate volume from N^2/256 to N^2/65536 while the pigeonhole
+    exactness argument (8 bands, hamming <= 7) is unchanged.
+
+    Same integer-exact rule at the wider width: bit i (row-major over the
+    16-wide, 8-high grid) is ``pixel_i * 128 >= sum(pixels)``.  The 128
+    bits are emitted as four 32-bit words ``w0..w3`` (word j holds bits
+    [32j, 32j+32)) so no shift ever reaches a sign bit in any engine.
+    Feed it ``resize_images(..., out_w=16, out_h=8)`` frames."""
+    schema = f"{id_col} long, w0 long, w1 long, w2 long, w3 long"
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                img = decode_payload(
+                    bytes(row.payload), meta["width"], meta["height"], meta["format"]
+                ).astype(np.int64)
+                flat = img.reshape(-1)
+                if flat.size != 128:
+                    raise ValueError(f"128-bit aHash expects a 16x8 grid, got {img.shape}")
+                total = int(flat.sum())
+                bits = flat * 128 >= total
+                words = [
+                    int(sum(1 << i for i in range(32) if bits[32 * j + i]))
+                    for j in range(4)
+                ]
+                out.append((getattr(row, id_col), *words))
+            yield pd.DataFrame(out, columns=[id_col, "w0", "w1", "w2", "w3"])
+
+    return df.mapInPandas(hash_batch, schema)
+
+
 def frame_sample(
     df: DataFrame, every_k: int = 4, frame_bytes: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -631,3 +669,38 @@ def audio_fingerprint63(
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
     return df.mapInPandas(fp_batch, f"{id_col} long, fp long")
+
+
+def audio_fingerprint126(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 127
+) -> DataFrame:
+    """(id, fp_lo, fp_hi): 126-bit audio fingerprint — the scale-path
+    widening of ``audio_fingerprint63`` (VERDICT r10 #2).  Identical
+    Haitsma-Kalker construction (balanced integer frames, bit f iff
+    energy[f] > energy[f+1]) at 127 frames, so 126 transition bits split
+    as ``fp_lo`` = bits 0..62 and ``fp_hi`` = bits 63..125 — each half
+    stays below 2^63, signed-shift-safe in every engine.  The doubling is
+    what buys the near-dup join 8 pigeonhole bands of 15-16 bits
+    (32,768-65,536 values) instead of 8-bit bands: banded candidate
+    volume drops from N^2/256 to ~N^2/49152 at unchanged hamming <= 7
+    exactness (measured 4.3x fewer candidates at sf0.1 even on the
+    near-dup-dense fixture — SCALE.md round 11)."""
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                x = decode_audio(bytes(row.payload), row.meta["codec"])
+                pcm = np.rint(x * 32768.0).astype(np.int64)
+                n = int(pcm.size)
+                a = np.abs(pcm)
+                f = (np.arange(n, dtype=np.int64) * n_frames) // n
+                e = np.zeros(n_frames, dtype=np.int64)
+                np.add.at(e, f, a)
+                bits = e[:-1] > e[1:]
+                lo = int(sum(1 << i for i in range(63) if bits[i]))
+                hi = int(sum(1 << i for i in range(63) if bits[63 + i]))
+                out.append((getattr(row, id_col), lo, hi))
+            yield pd.DataFrame(out, columns=[id_col, "fp_lo", "fp_hi"])
+
+    return df.mapInPandas(fp_batch, f"{id_col} long, fp_lo long, fp_hi long")

@@ -488,6 +488,13 @@ _RECHECK: tuple[str, ...] = (
     # (VERDICT r10 #2 — candidate volume N²/256 -> N²/65536)
     "audio_fingerprint_near_dups",
     "image_phash_near_dups",
+    # consume the widened phash edges (Spark side via image_phash_near_dups,
+    # oracle side via _phash_edges_sql), so their results changed too
+    "near_dup_graph_clustering",
+    "near_dup_pagerank",
+    # unchanged code, but VERDICT r10 #2 named it in the Hamming-band family:
+    # re-confirm green alongside the widened siblings (its bands were already
+    # 16-bit — see SCALE.md round 11)
     "simhash_near_dup_pairs",
     # round 11: registered in r10 AFTER that round's driver pass, so it has
     # no CORRECTNESS history at all (VERDICT r10 #3).  Rows-only by the

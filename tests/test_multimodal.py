@@ -300,3 +300,60 @@ def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
     fp = {r["doc_id"]: r["fp"] for r in audio_fingerprint63(df).collect()}
     assert fp[1] == fp[2]                       # gain-invariant
     assert bin(fp[1] ^ fp[3]).count("1") > 7    # reversed ramp: not a near-dup
+
+def test_audio_fingerprint126_gain_invariance_and_width(spark):
+    """The 126-bit widening keeps the Haitsma-Kalker sign property (half
+    gain => identical fingerprint) and each half stays below 2^63 so band
+    shifts never touch a sign bit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.multimodal.codecs import (
+        audio_fingerprint126,
+        encode_wav,
+    )
+
+    rng = np.arange(256, dtype=np.int64)
+    ramp_up = (rng * 111) % 8000 + rng * 60 - 16000
+    ramp_dn = ramp_up[::-1].copy()
+    rows = [
+        (1, encode_wav(ramp_up / 32768.0)),
+        (2, encode_wav((ramp_up // 2) / 32768.0)),
+        (3, encode_wav(ramp_dn / 32768.0)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.expr(
+            "named_struct('sample_rate', 16000, 'channels', 1,"
+            " 'codec', 'audio/wav')"
+        ).alias("meta"),
+    )
+    fp = {r["doc_id"]: (r["fp_lo"], r["fp_hi"]) for r in audio_fingerprint126(df).collect()}
+    assert fp[1] == fp[2]                       # gain-invariant
+    assert all(0 <= half < 2**63 for pair in fp.values() for half in pair)
+    dist = bin(fp[1][0] ^ fp[3][0]).count("1") + bin(fp[1][1] ^ fp[3][1]).count("1")
+    assert dist > 7                             # reversed ramp: not a near-dup
+
+
+def test_image_ahash128_replays_integer_rule(spark):
+    """image_ahash128 over a resized 16x8 grid equals the numpy replay of
+    the exact ``pix * 128 >= sum`` rule, word-packed bits [32j, 32j+32)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.multimodal.codecs import image_ahash128
+
+    d, n = 7, 128
+    grid = ((d * 31 + np.arange(n, dtype=np.int64) * 97) % 256).astype(np.uint8)
+    df = spark.createDataFrame([(d, bytes(grid.tobytes()))], "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.expr(
+            "named_struct('width', 16, 'height', 8, 'channels', 1, 'format', 'fake/raw')"
+        ).alias("meta"),
+    )
+    row = image_ahash128(df).collect()[0]
+    bits = grid.astype(np.int64) * 128 >= int(grid.sum())
+    for j in range(4):
+        expect = sum(1 << i for i in range(32) if bits[32 * j + i])
+        assert row[f"w{j}"] == expect
