@@ -310,9 +310,16 @@ def incremental_minhash_keepers(
     """
     import math
 
-    if num_hashes is None and rows_per_band is None:
+    # the two parameters are a unit (the stored index's frozen banding):
+    # half-specifying them would silently key batch bands incompatibly
+    # with the stored band table, so it is an explicit error (ADVICE r10 #4)
+    if (num_hashes is None) != (rows_per_band is None):
+        raise ValueError(
+            "pass BOTH num_hashes and rows_per_band (the stored index's frozen "
+            "parameters) or NEITHER to auto-derive them from the stored corpus count"
+        )
+    if num_hashes is None:
         num_hashes, rows_per_band = auto_minhash_params(existing.count())
-    assert num_hashes is not None
     need_eq = math.ceil(threshold * num_hashes)
 
     sig_ex = minhash_signatures(existing, id_col, text_col, num_hashes)

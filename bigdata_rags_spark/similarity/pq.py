@@ -731,6 +731,19 @@ def append_ivfpq_index(
         num_buckets,
         mode="append",
     )
+    # Re-appending a previously deleted id REVIVES it (ADVICE r10 #1):
+    # clear the batch's ids from the tombstone set, otherwise the stale
+    # tombstone keeps masking the fresh rows at serve time and the next
+    # compact would physically drop them — silently losing the re-ingest.
+    tomb_table = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_table):
+        batch_ids = (
+            batch.select(F.col(id_col).cast("long").alias("vec_id")).distinct().localCheckpoint()
+        )
+        tombs = spark.table(tomb_table)
+        live = tombs.join(F.broadcast(batch_ids), "vec_id", "left_anti").localCheckpoint()
+        if live.count() < tombs.count():
+            live.write.mode("overwrite").format("parquet").saveAsTable(tomb_table)
     return codes_table, vectors_table
 
 
@@ -781,10 +794,19 @@ def compact_ivfpq_index(
         before = cur.count()
         keep = cur.join(
             F.broadcast(tombs.withColumnRenamed("vec_id", key)), key, "left_anti"
-        ).localCheckpoint()  # materialize BEFORE dropping the table it reads
+        )
+        # write-then-swap (ADVICE r10 #2): survivors land in a staging table
+        # FIRST, so a crash at any point leaves a servable index — either the
+        # old table (failure before the drop) or the fully-written staging
+        # table (failure between drop and rename, recoverable by re-running
+        # compact which re-stages from whichever table exists).
+        staging = f"{table}__compacting"
+        drop_managed_table(spark, staging)  # stale leftover from a prior crash
+        write_bucketed(keep, staging, bucket_col, num_buckets)
+        after = spark.table(staging).count()
         drop_managed_table(spark, table)
-        write_bucketed(keep, table, bucket_col, num_buckets)
-        removed.append(before - spark.table(table).count())
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        removed.append(before - after)
     drop_managed_table(spark, tomb_table)
     return (removed[0], removed[1])
 

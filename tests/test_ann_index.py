@@ -190,3 +190,105 @@ def test_delete_then_compact_lifecycle(spark, sf_smoke, _drop_tables):
     assert _n_arrow_stages(plan) == 1
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2)), plan[:3000]
+
+def test_reappend_revives_deleted_id(spark, sf_smoke, _drop_tables):
+    """Appending a previously deleted id clears its tombstone (ADVICE r10
+    #1): the vector is visible at serve time again, and a later compact
+    keeps its rows instead of silently dropping the re-ingest."""
+    from bigdata_rags_spark.similarity.pq import (
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_serve,
+    )
+
+    _drop_tables.append("t_ann_rev")
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    build_ivfpq_index(e, table_prefix="t_ann_rev")
+    victim = e.filter(F.col("vec_id") == 7)
+    # probe with a CLONE of the victim's embedding under a fresh id: serving
+    # excludes self-matches (neighbor_id != query_id), but the clone's exact
+    # cosine with the live victim is 1.0 -> rank 1 whenever 7 is visible
+    clone = victim.select(F.lit(99999).cast("long").alias("vec_id"), "embedding")
+
+    def neighbors(prefix: str) -> set[int]:
+        return {
+            r["neighbor_id"]
+            for r in ivfpq_index_serve(clone, k=5, table_prefix=prefix).collect()
+        }
+
+    assert 7 in neighbors("t_ann_rev")  # live before the delete
+    delete_from_ivfpq_index(victim.select("vec_id"), table_prefix="t_ann_rev")
+    assert 7 not in neighbors("t_ann_rev")  # tombstone masks the id
+    # re-ingest: dedupe the physical rows is NOT needed — the tombstone
+    # clear is.  Delete-then-compact first so the stale rows are gone,
+    # mirroring the documented re-ingest flow.
+    compact_ivfpq_index(spark, table_prefix="t_ann_rev")
+    append_ivfpq_index(victim, table_prefix="t_ann_rev")
+    assert 7 in neighbors("t_ann_rev")  # revived
+    # tombstone table is gone or no longer lists 7
+    if spark.catalog.tableExists("t_ann_rev_tombstones"):
+        assert (
+            spark.table("t_ann_rev_tombstones").filter(F.col("vec_id") == 7).count() == 0
+        )
+    # compacting after the re-ingest must keep the revived rows
+    compact_ivfpq_index(spark, table_prefix="t_ann_rev")
+    assert spark.table("t_ann_rev_vectors").filter(F.col("vec_id") == 7).count() == 1
+    assert 7 in neighbors("t_ann_rev")
+
+
+def test_reappend_without_compact_clears_tombstone(spark, sf_smoke, _drop_tables):
+    """Append directly over a live tombstone (no compact in between): the
+    batch's ids leave the tombstone set, others stay masked."""
+    from bigdata_rags_spark.similarity.pq import (
+        append_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    _drop_tables.append("t_ann_rev2")
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    build_ivfpq_index(e.filter(F.col("vec_id") >= 10), table_prefix="t_ann_rev2")
+    delete_from_ivfpq_index(
+        e.filter(F.col("vec_id").isin(11, 12)).select("vec_id"), table_prefix="t_ann_rev2"
+    )
+    append_ivfpq_index(e.filter(F.col("vec_id") == 11), table_prefix="t_ann_rev2")
+    left = {r["vec_id"] for r in spark.table("t_ann_rev2_tombstones").collect()}
+    assert left == {12}  # 11 revived, 12 still masked
+
+
+def test_compact_preserves_bucket_spec(spark, sf_smoke, _drop_tables):
+    """The write-then-swap compact (ADVICE r10 #2) must leave the renamed
+    tables with their bucket metadata: serving still prunes unprobed cell
+    buckets, and no staging leftovers remain."""
+    from bigdata_rags_spark.similarity.pq import (
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_serve,
+    )
+
+    _drop_tables.append("t_ann_cb")
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    build_ivfpq_index(e, table_prefix="t_ann_cb")
+    delete_from_ivfpq_index(
+        e.filter(F.col("vec_id") % 5 == 0).select("vec_id"), table_prefix="t_ann_cb"
+    )
+    compact_ivfpq_index(spark, table_prefix="t_ann_cb")
+    assert not spark.catalog.tableExists("t_ann_cb_codes__compacting")
+    assert not spark.catalog.tableExists("t_ann_cb_vectors__compacting")
+    plan = _plan(
+        ivfpq_index_serve(e.filter(F.col("vec_id") == 1), k=5, table_prefix="t_ann_cb")
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan[:3000]
+
+
+def test_incremental_minhash_half_params_raise(spark, sf_smoke):
+    """Half-specifying the frozen banding parameters is an explicit error
+    (ADVICE r10 #4), not a bare assert."""
+    from bigdata_rags_spark.dedup.minhash import incremental_minhash_keepers
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(10)
+    with pytest.raises(ValueError, match="BOTH num_hashes and rows_per_band"):
+        incremental_minhash_keepers(docs, docs, rows_per_band=2)
+    with pytest.raises(ValueError, match="BOTH num_hashes and rows_per_band"):
+        incremental_minhash_keepers(docs, docs, num_hashes=8)
