@@ -500,6 +500,11 @@ _RECHECK: tuple[str, ...] = (
     # no CORRECTNESS history at all (VERDICT r10 #3).  Rows-only by the
     # trained-float rule; one window slot earns its first spark_rows>0 row.
     "embedding_ivfpq_trained_serve",
+    # round 11: connected_components grew the local-contraction + bounded
+    # driver-solve base case (VERDICT r10 #4) — same labels, new plan
+    "dup_cluster_assignment",
+    "fuzzy_dedup_surviving_docs",
+    "embedding_fuzzy_dedup_vectors",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

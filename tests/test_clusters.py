@@ -39,7 +39,7 @@ def test_nonconvergence_raises_instead_of_returning_wrong_labels(spark):
 
     df = spark.createDataFrame([(i, i + 1) for i in range(8)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, local_contract=False)
 
 def test_zero_max_iter_raises_convergence_error_not_nameerror(spark):
     """ADVICE r3 (pinned per VERDICT r4 #4): max_iter=0 on a non-empty edge
@@ -51,4 +51,38 @@ def test_zero_max_iter_raises_convergence_error_not_nameerror(spark):
 
     pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge in 0 rounds"):
-        connected_components(pairs, max_iter=0)
+        connected_components(pairs, max_iter=0, local_contract=False)
+
+
+def test_local_solve_matches_distributed_loop(spark):
+    """The contracted-graph driver solve (round 11) and the doubled
+    min-label loop must label identically on every topology."""
+    import bigdata_rags_spark.dedup.clusters as cl
+
+    pairs = [(i, i + 1) for i in range(20, 32)] + [(5, 1), (5, 2), (100, 101)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    fast = sorted(map(tuple, cl.connected_components(df).collect()))
+    assert cl.LAST_ROUNDS == 0  # took the driver base case
+    slow = sorted(map(tuple, cl.connected_components(df, local_contract=False).collect()))
+    assert cl.LAST_ROUNDS > 0  # took the loop
+    assert fast == slow
+
+
+def test_local_solve_fallback_threshold(spark):
+    """An over-threshold contracted graph must fall through to the
+    distributed loop (the 100-TB path), with identical labels."""
+    import bigdata_rags_spark.dedup.clusters as cl
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"])
+    out = sorted(
+        map(tuple, cl.connected_components(df, local_solve_max_edges=0).collect())
+    )
+    assert cl.LAST_ROUNDS > 0
+    assert out == [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)]
+
+
+def test_empty_pairs_empty_result(spark):
+    from bigdata_rags_spark.dedup.clusters import connected_components
+
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0
