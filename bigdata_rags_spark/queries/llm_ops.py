@@ -4420,6 +4420,139 @@ SELECT subword, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
 FROM seg GROUP BY subword"""
 
 
+def _unigram_seg_blocks(tag: str, piece_cte: str, n_steps: int = 16) -> str:
+    """Unrolled greedy longest-prefix segmentation of the vocab CTE ``v``
+    against piece CTE ``piece_cte``: step CTEs ``c{tag}_{i}`` (candidate
+    matches, longest first) and ``s{tag}_{i}`` (advanced positions);
+    emissions are the rn=1 rows of every ``c`` block.  ``n_steps`` must be
+    >= the vocab word-length cap (single-char coverage guarantees >= 1
+    char of progress per step)."""
+    blocks = [f"s{tag}_0 AS (SELECT word, cnt, 1 AS pos FROM v)"]
+    for i in range(1, n_steps + 1):
+        # MATERIALIZED: each c block is referenced twice (the s advance and
+        # the emissions union) — letting DuckDB inline them doubles the
+        # plan per step, exponential over 16 steps (measured: fd exhaustion
+        # re-opening the parquet scan)
+        blocks.append(f"""c{tag}_{i} AS MATERIALIZED (
+  SELECT s.word, s.cnt, s.pos, p.piece,
+         ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY len(p.piece) DESC) AS rn
+  FROM s{tag}_{i - 1} s JOIN {piece_cte} p
+    ON p.piece = substring(s.word, s.pos, len(p.piece))
+  WHERE s.pos <= len(s.word)
+),
+s{tag}_{i} AS (SELECT word, cnt, pos + len(piece) AS pos FROM c{tag}_{i} WHERE rn = 1)""")
+    return ",\n".join(blocks)
+
+
+def _unigram_emit_union(tag: str, n_steps: int = 16) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT piece, cnt, word FROM c{tag}_{i} WHERE rn = 1"
+        for i in range(1, n_steps + 1)
+    )
+
+
+def _unigram_oracle(
+    n_prune_rounds: int = 2,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    prune_denom: int = 4,
+    max_word_len: int = 16,
+    n_steps: int = 16,
+) -> str:
+    """Unrolled replay of `functions/unigram.py:train_unigram_pieces`: the
+    seed inventory, each prune round's greedy segmentation + usage ranking,
+    and the final-inventory segmentation — every intermediate integer with
+    total (usage ASC, piece ASC) order, so training is value-hash exact
+    (the `_bpe_oracle` pattern for the prune-based tokenizer branch)."""
+    parts = [
+        f"""v AS MATERIALIZED (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+  WHERE len(token) BETWEEN 1 AND {max_word_len}
+  GROUP BY token
+)""",
+        "sp AS (SELECT word, cnt, CAST(unnest(range(1, len(word) + 1)) AS INT) AS pos FROM v)",
+        f"""sl AS (
+  SELECT word, cnt, pos,
+         CAST(unnest(range(1, least({max_piece_len}, len(word) - pos + 1) + 1)) AS INT) AS plen
+  FROM sp
+)""",
+        """seeds AS (
+  SELECT substring(word, pos, plen) AS piece, CAST(SUM(cnt) AS BIGINT) AS seed_count
+  FROM sl GROUP BY 1
+)""",
+        f"p0 AS MATERIALIZED (SELECT piece FROM seeds WHERE len(piece) = 1 OR seed_count >= {min_count})",
+    ]
+    for r in range(n_prune_rounds):
+        parts.append(_unigram_seg_blocks(f"r{r}", f"p{r}", n_steps))
+        parts.append(
+            f"""u{r} AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage
+  FROM ({_unigram_emit_union(f"r{r}", n_steps)}) GROUP BY 1
+)""",
+        )
+        parts.append(
+            f"""rk{r} AS (
+  SELECT p.piece, ROW_NUMBER() OVER (ORDER BY COALESCE(u.usage, 0), p.piece) AS rn
+  FROM p{r} p LEFT JOIN u{r} u USING (piece) WHERE len(p.piece) > 1
+)""",
+        )
+        parts.append(f"k{r} AS (SELECT COUNT(*) // {prune_denom} AS k FROM rk{r})")
+        parts.append(
+            f"""p{r + 1} AS MATERIALIZED (
+  SELECT piece FROM p{r} WHERE len(piece) = 1
+  UNION ALL
+  SELECT rk.piece FROM rk{r} rk, k{r} WHERE rk.rn > k{r}.k
+)""",
+        )
+    fin = n_prune_rounds
+    parts.append(_unigram_seg_blocks("f", f"p{fin}", n_steps))
+    parts.append(
+        f"""uf AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+  FROM ({_unigram_emit_union("f", n_steps)}) GROUP BY 1
+)""",
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT p.piece, CAST(len(p.piece) AS INT) AS piece_len,
+       CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage,
+       CAST(COALESCE(u.n_words, 0) AS BIGINT) AS n_words
+FROM p{fin} p LEFT JOIN uf u USING (piece)
+"""
+    )
+
+
+@_llm("unigram_piece_training", _unigram_oracle())
+def unigram_piece_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (`functions/unigram.py:train_unigram_pieces`, Kudo 2018 hard-EM
+    variant; VERDICT r10 #5) — the PRUNE-based branch of the tokenizer
+    family next to `bpe_merge_training`'s merge-based branch: seed every
+    1-4-char substring of the distinct-word vocabulary, then twice
+    (greedy-segment the vocab -> count piece usage -> prune the
+    lowest-usage quarter of multi-char pieces), and report the surviving
+    inventory with final-segmentation usage.  One corpus scan builds the
+    vocab; every later pass is vocab-sized, and the piece inventory rides
+    driver/closure like a broadcast codebook (the SentencePiece in-RAM
+    contract — raise min_count to thin petabyte seed sets).  The oracle
+    replays seed, both prune rounds, and the final decode as unrolled
+    integer CTEs."""
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from bigdata_rags_spark.functions.unigram import train_unigram_pieces
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return train_unigram_pieces(words, n_prune_rounds=2)
+
+
 @_llm("bpe_merge_training", _bpe_oracle())
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (`functions/bpe.py:train_bpe_merges`,

@@ -1673,3 +1673,65 @@ def test_epoch_shuffle_plan_properties(spark):
     ).collect()
     key = lambda r: (r["epoch"], r["shard"], r["pos"], r["doc_id"])  # noqa: E731
     assert sorted(map(key, again)) == sorted(map(key, out))
+
+def test_unigram_pieces_match_exact_python_replay(spark):
+    """Planted corpus: the distributed unigram trainer (seed -> 2 x
+    greedy-segment/usage/prune -> final decode) must produce the EXACT
+    surviving inventory of a reference python replay, including the
+    (usage ASC, piece ASC) prune order and the never-prune-alphabet rule."""
+    from bigdata_rags_spark.functions.unigram import train_unigram_pieces
+
+    wc = {"banana": 6, "bandana": 3, "ban": 5, "anna": 4, "nab": 2, "a": 7}
+
+    def replay(wc, n_rounds=2, L=4, min_count=2, denom=4):
+        seeds: dict[str, int] = {}
+        for w, c in wc.items():
+            for i in range(len(w)):
+                for l in range(1, min(L, len(w) - i) + 1):
+                    p = w[i : i + l]
+                    seeds[p] = seeds.get(p, 0) + c
+        pieces = sorted(p for p, s in seeds.items() if len(p) == 1 or s >= min_count)
+
+        def usage_of(pieces_set):
+            usage: dict[str, int] = {}
+            nw: dict[str, set] = {}
+            for w, c in wc.items():
+                pos = 0
+                while pos < len(w):
+                    for l in range(min(L, len(w) - pos), 0, -1):
+                        cand = w[pos : pos + l]
+                        if cand in pieces_set:
+                            usage[cand] = usage.get(cand, 0) + c
+                            nw.setdefault(cand, set()).add(w)
+                            pos += l
+                            break
+                return_guard = True  # greedy always advances (alphabet coverage)
+                assert return_guard
+            return usage, nw
+
+        for _ in range(n_rounds):
+            usage, _ = usage_of(set(pieces))
+            multi = [p for p in pieces if len(p) > 1]
+            k = len(multi) // denom
+            drop = set(sorted(multi, key=lambda p: (usage.get(p, 0), p))[:k])
+            pieces = [p for p in pieces if p not in drop]
+        usage, nw = usage_of(set(pieces))
+        return sorted(
+            (p, len(p), usage.get(p, 0), len(nw.get(p, set()))) for p in pieces
+        )
+
+    words = spark.createDataFrame(list(wc.items()), ["word", "cnt"])
+    got = sorted(
+        (r["piece"], r["piece_len"], r["usage"], r["n_words"])
+        for r in train_unigram_pieces(words, n_prune_rounds=2).collect()
+    )
+    expected = replay(wc)
+    assert got == expected, (got, expected)
+    # non-vacuous: pruning actually removed multi-char pieces, survivors
+    # include multi-char pieces with usage, and the alphabet survived intact
+    assert any(pl > 1 and u > 0 for _, pl, u, _ in got)
+    assert {p for p, pl, _, _ in got if pl == 1} == set("bandn") | {"a"}
+    n_seed_multi = len({p for p, s in (lambda d: d.items())({
+        w[i:i+l]: 1 for w in wc for i in range(len(w))
+        for l in range(2, min(4, len(w) - i) + 1)}) })
+    assert len([p for p, pl, _, _ in got if pl > 1]) < n_seed_multi
