@@ -852,3 +852,111 @@ def ivfpq_index_stats(spark, table_prefix: str = "ivfpq_idx") -> DataFrame:
             .alias("occupancy_micro"),
         )
     )
+
+
+def ivfpq_tuning_report(
+    queries: DataFrame,
+    k: int = 5,
+    table_prefix: str = "ivfpq_idx",
+    probe_grid: tuple[int, ...] = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Recall/cost planner for a persisted IVFPQ index — answers "what
+    ``n_probe`` do I serve with" the way `lsh_tuning_planner` answers "how
+    many hyperplanes" (VERDICT r10 #6): for every ``n_probe`` in the grid,
+    the CELL-COVERAGE recall@k against the exact brute-force answer and the
+    codes-scanned cost, all from ONE pass over the index.
+
+    Cell ranking is prefix-nested (the top-p cells are a prefix of the full
+    ``_nearest_cells`` ranking), so one ranked explode per query serves
+    every grid point — no candidate join, no repeated serving runs.
+    Cell-coverage recall (is the true neighbor's cell probed?) is the
+    standard IVF recall decomposition: it upper-bounds end-to-end serving
+    recall, isolates the coarse-quantizer knob from the ADC ``shortlist``
+    knob, and is integer-exact (a Viterbi-free membership count), so the
+    whole report is oracle-checkable.
+
+    Returns one row per grid point: (n_probe, truth_hits, recall_micro,
+    scanned_codes) — recall_micro = truth_hits * 1e6 div (k * |Q|);
+    scanned_codes = total live m=0 code rows the probed cells would scan
+    across all queries (the latency proxy).  Monotone non-decreasing in
+    n_probe by construction; recall_micro = 1e6 at n_probe = n_cells.
+
+    Scale shape: ground truth is |Q| x N exact cosine with the bounded
+    query set broadcast (the `embedding_cosine_topk` contract — the
+    planner is an offline calibration run, not a serving path); everything
+    else is cell-keyed aggregation over (id, cell) pairs."""
+    from pyspark.sql import Window
+
+    from bigdata_rags_spark.functions.vectors import cosine
+    from bigdata_rags_spark.similarity.ivf import _nearest_cells
+
+    spark = queries.sparkSession
+    cents, _books, _ = _read_index_meta(spark, f"{table_prefix}_meta")
+    n_cells = len(cents)
+
+    qvec = queries.select(
+        F.col("vec_id").alias("query_id"), as_double_array(F.col("embedding")).alias("qv")
+    )
+    n_q = qvec.count()  # bounded: queries are the small side by contract
+    ranked = qvec.select(
+        "query_id",
+        F.posexplode(_nearest_cells(F.col("qv"), cents, n_cells)).alias("pos", "cell"),
+    ).select("query_id", (F.col("pos") + 1).cast("int").alias("cell_rank"), "cell")
+
+    codes = spark.table(f"{table_prefix}_codes").filter(F.col("m") == 0)
+    vecs = spark.table(f"{table_prefix}_vectors")
+    tomb_table = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(tomb_table):
+        tombs = F.broadcast(spark.table(tomb_table).select("vec_id"))
+        codes = codes.join(tombs.withColumnRenamed("vec_id", "id"), "id", "left_anti")
+        vecs = vecs.join(tombs, "vec_id", "left_anti")
+
+    # exact brute-force truth: per query the k nearest live vectors
+    cvec = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), as_double_array(F.col("embedding")).alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+    truth = (
+        F.broadcast(qvec).crossJoin(cvec)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("similarity", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    grid = F.explode(F.array(*[F.lit(int(p)) for p in probe_grid])).alias("n_probe")
+
+    # which cell-rank would recall each true neighbor
+    hit_rank = (
+        truth.join(codes.select(F.col("id").alias("neighbor_id"), "cell"), "neighbor_id")
+        .join(ranked, ["query_id", "cell"])
+        .select("query_id", "neighbor_id", "cell_rank")
+    )
+    hits = (
+        hit_rank.select("cell_rank").crossJoin(F.broadcast(hit_rank.sparkSession.range(1).select(grid)))
+        .filter(F.col("cell_rank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("truth_hits"))
+    )
+    # scanned live codes per grid point (latency proxy)
+    occ = codes.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    scanned = (
+        ranked.join(occ, "cell")
+        .crossJoin(F.broadcast(spark.range(1).select(grid)))
+        .filter(F.col("cell_rank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.sum("occ").cast("bigint").alias("scanned_codes"))
+    )
+    base = spark.createDataFrame([(int(p),) for p in probe_grid], "n_probe int")
+    return (
+        base.join(hits, "n_probe", "left")
+        .join(scanned, "n_probe", "left")
+        .select(
+            "n_probe",
+            F.coalesce(F.col("truth_hits"), F.lit(0)).cast("bigint").alias("truth_hits"),
+            F.expr(f"coalesce(truth_hits, 0) * 1000000 div {int(k) * max(int(n_q), 1)}")
+            .cast("bigint")
+            .alias("recall_micro"),
+            F.coalesce(F.col("scanned_codes"), F.lit(0)).cast("bigint").alias("scanned_codes"),
+        )
+    )

@@ -292,3 +292,25 @@ def test_incremental_minhash_half_params_raise(spark, sf_smoke):
         incremental_minhash_keepers(docs, docs, rows_per_band=2)
     with pytest.raises(ValueError, match="BOTH num_hashes and rows_per_band"):
         incremental_minhash_keepers(docs, docs, num_hashes=8)
+
+def test_tuning_report_monotone_and_complete(spark, sf_smoke, _drop_tables):
+    """ivfpq_tuning_report: recall and scanned cost are non-decreasing in
+    n_probe, and probing every cell reaches exactly recall 1e6 (cell
+    coverage is total)."""
+    from bigdata_rags_spark.similarity.pq import build_ivfpq_index, ivfpq_tuning_report
+
+    _drop_tables.append("t_ann_tune")
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    build_ivfpq_index(e, table_prefix="t_ann_tune")
+    rows = (
+        ivfpq_tuning_report(e.filter(F.col("vec_id") < 5), k=5, table_prefix="t_ann_tune")
+        .orderBy("n_probe")
+        .collect()
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8, 16]
+    recalls = [r["recall_micro"] for r in rows]
+    scanned = [r["scanned_codes"] for r in rows]
+    assert recalls == sorted(recalls) and scanned == sorted(scanned)
+    assert recalls[-1] == 1_000_000
+    assert scanned[-1] == 5 * e.count()  # every query scans the whole corpus
+    assert 0 < recalls[0] < 1_000_000    # partial probing is genuinely partial
