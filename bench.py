@@ -166,6 +166,10 @@ HEADLINE = [
     "embedding_ivfpq_index_stats",
     "audio_fingerprint_near_dups",
     "epoch_shuffle_assignment",
+    # r11 additions: the prune-based tokenizer trainer and the IVFPQ
+    # n_probe planner (VERDICT r10 #5/#6)
+    "unigram_piece_training",
+    "embedding_ivfpq_tuning_planner",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
@@ -244,6 +248,19 @@ def main() -> None:
     times.update(run_pass(rest))
     warm.update(run_pass(rest))
 
+    # Per-query warm MEDIANS (VERDICT r10 #7): single warm samples made the
+    # heavy tail's round-over-round comparison unreadable under the ±35%
+    # host-noise band (SCALE.md).  The shared-13 medians come free from the
+    # 3 warm passes above; the 10 heaviest remaining queries earn 2 extra
+    # passes each.  Comparison rule (SCALE.md "Bench measurement variance"):
+    # compare rounds per-query ONLY through queries_warm_med; everything
+    # else is subtotal-level.
+    warm_med = {n: sorted(p[n] for p in warm_passes)[1] for n in SHARED_R1}
+    heavy = sorted(rest, key=lambda n: warm[n], reverse=True)[:10]
+    extra_passes = [run_pass(heavy) for _ in range(2)]
+    for n in heavy:
+        warm_med[n] = sorted([warm[n], extra_passes[0][n], extra_passes[1][n]])[1]
+
     def tier_totals(ts: dict[str, float]) -> dict[str, float]:
         by: dict[str, float] = {}
         for name, t in ts.items():
@@ -301,7 +318,17 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), f"BENCH_DETAIL_r{round_no}.json"
     )
     with open(detail_path, "w") as fh:
-        json.dump({**summary, "queries": times, "queries_warm": warm}, fh, indent=1)
+        json.dump(
+            {
+                **summary,
+                "queries": times,
+                "queries_warm": warm,
+                "queries_warm_med": warm_med,
+                "heavy_top10": heavy,
+            },
+            fh,
+            indent=1,
+        )
     summary["detail_file"] = os.path.basename(detail_path)
     print(json.dumps(summary))
 
