@@ -166,10 +166,12 @@ HEADLINE = [
     "embedding_ivfpq_index_stats",
     "audio_fingerprint_near_dups",
     "epoch_shuffle_assignment",
-    # r11 additions: the prune-based tokenizer trainer and the IVFPQ
-    # n_probe planner (VERDICT r10 #5/#6)
+    # r11 additions: the prune-based tokenizer trainer, the IVFPQ n_probe
+    # planner (VERDICT r10 #5/#6), and the skew-resistant idf SimHash
     "unigram_piece_training",
     "embedding_ivfpq_tuning_planner",
+    "simhash_idf_near_dup_pairs",
+    "winnowed_plagiarism_pairs",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -111,6 +111,114 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return fp.withColumn("simhash_hex", hex_col)
 
 
+def rarity_weight(df_col) -> F.Column:
+    """Integer idf surrogate: w = max(1, 16 - floor(log2(df))), df = doc
+    frequency.  floor(log2) is computed EXACTLY as length(bin(df)) - 1 —
+    float log2 differs by 1 ulp between engines at powers of two (Spark
+    evaluates log(x)/log(2)), which would flip the floor, so no float ever
+    enters the weight.  Range [1, 16]: hapax tokens weigh 16, tokens in
+    >= 2^15 docs weigh 1."""
+    return F.greatest(F.lit(1), F.lit(16) - (F.length(F.bin(df_col)) - F.lit(1)))
+
+
+def simhash64_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash with RARITY-WEIGHTED votes — the band-skew mitigation
+    of SCALE.md round-11 finding #6: unweighted SimHash lets ubiquitous
+    tokens dominate every document's majority votes, concentrating
+    fingerprints into a few band buckets (largest bucket 1,639 of 5,000
+    docs at sf0.1) and making the banded self-join hot-partition-bound at
+    scale.  Weighting each distinct token's +/-1 vote by the integer idf
+    surrogate ``rarity_weight`` (Charikar 2002 §4 allows arbitrary
+    non-negative token weights; idf is the standard choice) decorrelates
+    the bits: rare tokens — the ones that actually distinguish near-dups —
+    decide them.  On the sf0.1 fixture the largest band bucket barely moves
+    (1,639 -> 1,627) because that skew is TRUE duplication (a 249-doc group
+    with identical distinct-token sets, which any correct fingerprint must
+    collide); the planted test shows the mechanism — docs sharing only a
+    ubiquitous backbone conflate unweighted and separate weighted.
+
+    Same banding/output shape as ``simhash64`` (four 16-bit bands + hex);
+    one extra vocab-keyed join to attach document frequencies, everything
+    else identical.  All weights are integers, so the majority votes stay
+    engine-exact."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    md = F.md5(F.col("token"))
+    th = toks.join(dfreq, "token").select(
+        "doc_id",
+        rarity_weight(F.col("df")).cast("int").alias("w"),
+        *[
+            F.conv(F.substring(md, 1 + 4 * k, 4), 16, 10).cast("int").alias(f"h{k}")
+            for k in range(BANDS)
+        ],
+    )
+    bits = th.select(
+        "doc_id",
+        "w",
+        *[f"h{k}" for k in range(BANDS)],
+        F.explode(F.sequence(F.lit(0), F.lit(BAND_BITS - 1))).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(h{k}, bit) & 1) = 1 THEN w ELSE -w END")
+            ).alias(f"v{k}")
+            for k in range(BANDS)
+        ]
+    )
+    fp = votes.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN v{k} > 0 THEN shiftleft(1, bit) ELSE 0 END"))
+            .cast("int")
+            .alias(f"band{k}")
+            for k in range(BANDS)
+        ]
+    )
+    hex_col = F.concat(
+        *[
+            F.lpad(F.lower(F.conv(F.col(f"band{k}").cast("string"), 10, 16)), 4, "0")
+            for k in range(BANDS)
+        ]
+    )
+    return fp.withColumn("simhash_hex", hex_col)
+
+
+def simhash_idf_near_pairs64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """``simhash_near_pairs64`` over the rarity-weighted fingerprint: same
+    4x16-bit banded candidate join (pigeonhole-exact for hamming <= 3),
+    skew-resistant band keys."""
+    fp = simhash64_idf(df, id_col, text_col)
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"band{k}").alias(f"a{k}") for k in range(BANDS)]
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"band{k}").alias(f"b{k}") for k in range(BANDS)]
+    )
+    cand = None
+    for k in range(BANDS):
+        pairs_k = a.join(
+            b, (F.col(f"a{k}") == F.col(f"b{k}")) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        cand = pairs_k if cand is None else cand.unionByName(pairs_k)
+    cand = cand.distinct()
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(BANDS)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_near_pairs64(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,123 @@
+"""Winnowing document fingerprints — Schleimer/Wilkerson/Aiken, SIGMOD 2003
+(the MOSS local fingerprinting algorithm).
+
+Extension-tier operator (no counterpart in the reference's 868-line ETL
+core): robust substring fingerprinting for plagiarism/clone detection over
+a training corpus.  Guarantees (paper §3): any shared token run of length
+>= w + k - 1 between two documents shares at least one SELECTED
+fingerprint, while the expected selected density is only 2/(w+1) of the
+gram stream — so matching is exact above the threshold but the index is a
+small fraction of the corpus.
+
+Spark-first shape: one `posexplode` of k-gram hashes (partitioned by doc),
+one partition-local window-min — no shuffle beyond the per-doc hash
+partitioning, because the window is `partitionBy(doc)` and the grams of a
+doc are co-located by construction.  The window-min carries BOTH the hash
+and the paper's "rightmost minimal hash" tie rule in a single bigint key
+``h * 2^24 + (2^24 - 1 - pos)``: equal hashes at later positions get
+strictly smaller keys, so `min(key)` over the w-row window IS the paper's
+selection rule — one expression, engine-exact (all md5-derived integers,
+no floats anywhere).
+
+At 100 TB the pair-matching stage joins docs on selected-hash buckets with
+a document-frequency cap (`max_df`) dropping boilerplate fingerprints —
+the same ubiquitous-key guard the MinHash/SimHash families use — so the
+join is bucketed and never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+# position field width: 2^24 positions per doc; with 32-bit gram hashes the
+# packed key tops out below 2^56, comfortably inside a signed bigint.
+POS_M = 1 << 24
+
+
+def gram_hashes(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, h): 1-based k-gram positions with 32-bit md5-derived
+    gram hashes (md5 so the DuckDB oracle recomputes them bit-exactly)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(ws_tokens(F.col(text_col)), k)).alias("pos0", "gram"),
+    )
+    return toks.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sel_pos, sel_hash): the winnowed fingerprint set.
+
+    Every full window of w consecutive gram hashes selects its minimum
+    (rightmost occurrence on ties — the paper's rule, encoded in the packed
+    key, see module docstring); duplicate selections collapse.  A document
+    with fewer than w grams keeps the minimum of what it has (its single
+    truncated window at pos 1), so every doc with >= k tokens gets >= 1
+    fingerprint.
+    """
+    g = gram_hashes(df, k, id_col, text_col)
+    key = (F.col("h") * F.lit(POS_M) + (F.lit(POS_M - 1) - F.col("pos"))).alias("key")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    cnt = Window.partitionBy("doc_id")
+    sel = (
+        g.select("doc_id", "pos", key, F.count(F.lit(1)).over(cnt).alias("n_grams"))
+        .withColumn("wkey", F.min("key").over(win))
+        # only window STARTS where the full w-row window fits (pos 1 always
+        # qualifies so short docs keep their truncated single window)
+        .filter(F.col("pos") <= F.greatest(F.lit(1), F.col("n_grams") - F.lit(w - 1)))
+        .select("doc_id", "wkey")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(POS_M - 1) - F.col("wkey") % F.lit(POS_M)).cast("bigint").alias("sel_pos"),
+        F.expr(f"wkey DIV {POS_M}").cast("bigint").alias("sel_hash"),
+    )
+
+
+def winnowed_shared_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing >= min_shared
+    distinct selected fingerprint hashes, after dropping hashes selected by
+    more than max_df documents (boilerplate guard — the bucketed join's
+    candidate volume is sum(df_h^2) over surviving hashes, bounded by
+    max_df * |fingerprints|, never N^2)."""
+    sel = (
+        winnow_fingerprints(df, k, w, id_col, text_col)
+        .select("doc_id", "sel_hash")
+        .distinct()
+    )
+    dfreq = sel.groupBy("sel_hash").agg(F.count(F.lit(1)).alias("dfh"))
+    kept = sel.join(dfreq.filter(F.col("dfh") <= max_df), "sel_hash").select(
+        "doc_id", "sel_hash"
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "sel_hash")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "sel_hash")
+    return (
+        a.join(b, "sel_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -675,6 +675,66 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs64(docs, max_hamming=3)
 
 
+_SQL_SIMHASH64_IDF_FP = f"""
+toks AS (SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS token FROM documents),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfc FROM toks GROUP BY token),
+th AS (SELECT t.doc_id,
+  CAST(greatest(1, 16 - (length(bin(d.dfc)) - 1)) AS INTEGER) AS w,
+  ('0x' || substr(md5(t.token), 1, 4))::INTEGER AS h0,
+  ('0x' || substr(md5(t.token), 5, 4))::INTEGER AS h1,
+  ('0x' || substr(md5(t.token), 9, 4))::INTEGER AS h2,
+  ('0x' || substr(md5(t.token), 13, 4))::INTEGER AS h3
+ FROM toks t JOIN dfreq d USING (token)),
+bits AS (SELECT doc_id, w, h0, h1, h2, h3, unnest(range(0, 16)) AS bit FROM th),
+votes AS (SELECT doc_id, bit,
+  SUM(CASE WHEN (h0 >> bit) & 1 = 1 THEN w ELSE -w END) AS v0,
+  SUM(CASE WHEN (h1 >> bit) & 1 = 1 THEN w ELSE -w END) AS v1,
+  SUM(CASE WHEN (h2 >> bit) & 1 = 1 THEN w ELSE -w END) AS v2,
+  SUM(CASE WHEN (h3 >> bit) & 1 = 1 THEN w ELSE -w END) AS v3
+ FROM bits GROUP BY doc_id, bit),
+fp AS (SELECT doc_id,
+  CAST(SUM(CASE WHEN v0 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band0,
+  CAST(SUM(CASE WHEN v1 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band1,
+  CAST(SUM(CASE WHEN v2 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band2,
+  CAST(SUM(CASE WHEN v3 > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS band3
+ FROM votes GROUP BY doc_id)
+"""
+
+
+@_llm(
+    "simhash_idf_near_dup_pairs",
+    f"""
+WITH {_SQL_SIMHASH64_IDF_FP},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+            + bit_count(xor(a.band2, b.band2)) + bit_count(xor(a.band3, b.band3))
+              AS INTEGER) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR
+        a.band2 = b.band2 OR a.band3 = b.band3))
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+""",
+)
+def simhash_idf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted SimHash near-dup pairs
+    (`dedup/simhash.simhash_idf_near_pairs64`) — the band-skew mitigation
+    SCALE.md round-11 finding #6 calls for: the unweighted fingerprint
+    lets ubiquitous tokens decide majority votes, hot-spotting the banded
+    self-join on boilerplate-heavy corpora.  Weighting votes by the INTEGER
+    idf surrogate max(1, 16 - floor(log2(doc_freq))) — floor(log2) as
+    length(bin(df))-1, never a float log — hands the bits to the rare
+    tokens that actually distinguish documents.  Same 4x16-bit pigeonhole
+    banding (exact for hamming <= 3), one extra vocab-keyed join.  Honest
+    fixture note (SCALE.md r11): sf0.1's largest band bucket is true
+    duplication (249 identical token sets), which weighting must NOT
+    spread — the decorrelation shows on planted shared-backbone docs."""
+    from bigdata_rags_spark.dedup.simhash import simhash_idf_near_pairs64
+
+    docs = _docs_parallel(spark, sf_dir)
+    return simhash_idf_near_pairs64(docs, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1942,6 +2002,83 @@ def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", content_hash(F.col("text")).alias("content_hash"))
         .join(fp, "doc_id")
         .select("doc_id", "content_hash", "shingle_fingerprint", "n_shingles")
+    )
+
+
+# Winnowing selection (Schleimer 2003), k=4 / w=5, shared by the
+# fingerprint and pair queries.  The packed key h*2^24 + (2^24-1-pos)
+# carries the paper's rightmost-min tie rule inside a single window MIN —
+# see dedup/winnow.py module docstring.  All md5-derived integers.
+_SQL_WINNOW_SEL = f"""
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g0 AS (SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= 4 THEN range(1, len(toks) - 2) ELSE [] END) AS pos
+       FROM t),
+g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        ('0x' || substr(md5(array_to_string(toks[pos:pos+3], ' ')), 1, 8))::BIGINT AS h
+      FROM g0),
+wm AS (SELECT doc_id, pos,
+         MIN(h * 16777216 + (16777215 - pos)) OVER
+           (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wkey,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+       FROM g),
+winnow_sel AS (SELECT DISTINCT doc_id, wkey FROM wm
+               WHERE pos <= greatest(1, n_grams - 4))
+"""
+
+
+@_llm(
+    "winnowed_fingerprints",
+    f"""
+WITH {_SQL_WINNOW_SEL}
+SELECT doc_id,
+       CAST(16777215 - (wkey % 16777216) AS BIGINT) AS sel_pos,
+       CAST(wkey // 16777216 AS BIGINT) AS sel_hash
+FROM winnow_sel
+""",
+)
+def winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (`dedup/winnow.winnow_fingerprints`,
+    Schleimer/Wilkerson/Aiken SIGMOD 2003 / MOSS): every full window of
+    w=5 consecutive 4-gram hashes keeps its minimum (rightmost on ties),
+    guaranteeing any shared run of >= w+k-1 = 8 tokens between two docs
+    shares a selected hash while keeping only ~2/(w+1) = 1/3 of grams.
+
+    100 TB shape: posexplode partitions grams by doc; the window-min is
+    partition-local (one shuffle on doc_id, then no data movement); output
+    is a small fraction of the gram stream by the density guarantee."""
+    from bigdata_rags_spark.dedup.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs_parallel(spark, sf_dir), k=4, w=5)
+
+
+@_llm(
+    "winnowed_plagiarism_pairs",
+    f"""
+WITH {_SQL_WINNOW_SEL},
+selh AS (SELECT DISTINCT doc_id, wkey // 16777216 AS sel_hash FROM winnow_sel),
+dfh AS (SELECT sel_hash, COUNT(*) AS dfc FROM selh GROUP BY 1),
+kept AS (SELECT s.doc_id, s.sel_hash FROM selh s JOIN dfh USING (sel_hash)
+         WHERE dfc <= 64)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.sel_hash = b.sel_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+""",
+)
+def winnowed_plagiarism_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone/plagiarism candidate pairs over the winnowed index
+    (`dedup/winnow.winnowed_shared_pairs`): docs sharing >= 2 distinct
+    selected hashes, after dropping hashes selected by > 64 docs (the
+    boilerplate guard every banded family here uses).  Candidate volume is
+    bounded by max_df * |fingerprints| — bucketed join, never N^2; the
+    min-shared threshold then needs only a per-pair count, no text
+    re-reads."""
+    from bigdata_rags_spark.dedup.winnow import winnowed_shared_pairs
+
+    return winnowed_shared_pairs(
+        _docs_parallel(spark, sf_dir), k=4, w=5, min_shared=2, max_df=64
     )
 
 

@@ -1735,3 +1735,102 @@ def test_unigram_pieces_match_exact_python_replay(spark):
         w[i:i+l]: 1 for w in wc for i in range(len(w))
         for l in range(2, min(4, len(w) - i) + 1)}) })
     assert len([p for p, pl, _, _ in got if pl > 1]) < n_seed_multi
+
+def test_simhash_idf_weights_and_skew_mitigation(spark):
+    """rarity_weight is integer-exact (planted values), and the weighted
+    fingerprint separates docs that share only ubiquitous tokens while the
+    unweighted one conflates them (the band-skew failure mode)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.simhash import (
+        rarity_weight,
+        simhash64,
+        simhash64_idf,
+    )
+
+    got = (
+        spark.range(1)
+        .select(
+            *[
+                rarity_weight(F.lit(v)).alias(f"w{v}")
+                for v in (1, 2, 3, 500, 40000, 70000)
+            ]
+        )
+        .collect()[0]
+    )
+    assert (got["w1"], got["w2"], got["w3"], got["w500"], got["w40000"], got["w70000"]) == (
+        16, 15, 15, 8, 1, 1,
+    )
+
+    # 10 filler docs make 'the quick brown fox' ubiquitous (df=12 each);
+    # docs 1/2 share ONLY that stopword backbone plus distinct rare tails
+    stop = "the quick brown fox"
+    rows = [(i, stop) for i in range(10, 20)]
+    rows += [(1, stop + " alpha beta gamma delta"), (2, stop + " omega sigma kappa zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def hamming(fp):
+        r = {x["doc_id"]: [x[f"band{k}"] for k in range(4)] for x in fp.collect()}
+        return sum(bin(a ^ b).count("1") for a, b in zip(r[1], r[2]))
+
+    plain = hamming(simhash64(docs))
+    weighted = hamming(simhash64_idf(docs))
+    # unweighted: the df=12 backbone dominates all majorities -> near-equal
+    # fingerprints; weighted: the rare tails (w=16 vs backbone w=13) decide
+    assert weighted > plain
+    assert weighted > 3  # not a near-dup under the weighted fingerprint
+
+
+def test_winnowing_matches_exact_python_replay(spark):
+    """The Spark winnowed fingerprint set equals a pure-python replay of
+    the paper's algorithm (window min, rightmost on ties) on varied docs,
+    and two docs sharing a >= w+k-1 token run share a selected hash (the
+    winnowing guarantee)."""
+    import hashlib
+    import random
+
+    from bigdata_rags_spark.dedup.winnow import POS_M, winnow_fingerprints
+
+    def replay(text, k=4, w=5):
+        toks = text.strip().lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        n = len(hs)
+        sel = set()
+        if n == 0:
+            return sel
+        for s in range(1, max(1, n - w + 1) + 1):
+            key = min(
+                hs[p - 1] * POS_M + (POS_M - 1 - p)
+                for p in range(s, min(s + w, n + 1))
+            )
+            sel.add((POS_M - 1 - key % POS_M, key // POS_M))
+        return sel
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(30)]  # small vocab => hash ties occur
+    shared_run = "zeta eta theta iota kappa lam mu nu"  # w+k-1 = 8 tokens
+    rows = [
+        (0, " ".join(rng.choice(vocab) for _ in range(60)) + " " + shared_run),
+        (1, shared_run + " " + " ".join(rng.choice(vocab) for _ in range(40))),
+        (2, "only three tokens"),  # < k => no grams, no fingerprints
+        (3, "alpha beta gamma delta epsilon"),  # n_grams=2 < w => 1 window
+        (4, " ".join(rng.choice(vocab[:5]) for _ in range(80))),  # tie-heavy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        d: {(r["sel_pos"], r["sel_hash"]) for r in rs}
+        for d, rs in __import__("itertools").groupby(
+            sorted(winnow_fingerprints(docs).collect(), key=lambda r: r["doc_id"]),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == replay(text), f"doc {doc_id}"
+    # guarantee: the shared 8-token run forces a shared selected hash
+    h0 = {h for _, h in got[0]}
+    h1 = {h for _, h in got[1]}
+    assert h0 & h1
+    # density: selection keeps well under half the gram stream on doc 0
+    n_grams0 = len(rows[0][1].split()) - 3
+    assert len(got[0]) <= n_grams0 // 2
