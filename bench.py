@@ -169,6 +169,7 @@ HEADLINE = [
     # r11 additions: the prune-based tokenizer trainer, the IVFPQ n_probe
     # planner (VERDICT r10 #5/#6), and the skew-resistant idf SimHash
     "unigram_piece_training",
+    "wordpiece_merge_training",
     "embedding_ivfpq_tuning_planner",
     "simhash_idf_near_dup_pairs",
     "winnowed_plagiarism_pairs",

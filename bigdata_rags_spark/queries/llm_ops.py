@@ -4557,6 +4557,58 @@ SELECT subword, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
 FROM seg GROUP BY subword"""
 
 
+def _wordpiece_oracle(n_merges: int = 8, scale: int = 1_000_000_000) -> str:
+    """Unrolled replay of `functions/wordpiece.py:train_wordpiece_merges`:
+    the `_bpe_blocks` round structure with the WordPiece likelihood argmax —
+    per round a symbol-count CTE u{i}, the pair counts, and the quantized
+    score ``(c_pair * scale) // (c_l * c_r)`` (floor division on positive
+    bigints agrees exactly between Spark DIV and DuckDB //), tiebreak
+    (score_q DESC, c DESC, l, r)."""
+    US, RS = "\x1f", "\x1e"
+    blocks = [
+        f"""v0 AS MATERIALIZED (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         regexp_replace(token, '(.)', '{US}\\1{RS}', 'g') || '{US}</w>{RS}' AS enc
+  FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+  WHERE NOT regexp_matches(token, '[{US}{RS}]')
+  GROUP BY token
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        blocks.append(
+            f"""u{i} AS MATERIALIZED (
+  SELECT sym, CAST(SUM(cnt) AS BIGINT) AS sc
+  FROM (SELECT cnt, unnest(string_split(trim(enc, '{US}{RS}'), '{RS}{US}')) AS sym
+        FROM v{i-1})
+  GROUP BY sym
+),
+p{i} AS (
+  SELECT unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r, cnt
+  FROM (SELECT cnt, string_split(trim(enc, '{US}{RS}'), '{RS}{US}') AS s FROM v{i-1})
+),
+a{i} AS MATERIALIZED (
+  SELECT pc.l, pc.r, pc.c,
+         CAST((pc.c * {scale}) // (ul.sc * ur.sc) AS BIGINT) AS score_q
+  FROM (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM p{i} GROUP BY l, r) pc
+  JOIN u{i} ul ON ul.sym = pc.l
+  JOIN u{i} ur ON ur.sym = pc.r
+  ORDER BY score_q DESC, pc.c DESC, pc.l, pc.r LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(enc, '{US}' || l || '{RS}{US}' || r || '{RS}',
+                 '{US}' || l || r || '{RS}') AS enc
+  FROM v{i-1} CROSS JOIN a{i}
+)"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS merge_round, l AS sym_left, r AS sym_right,"
+        f" l || r AS merged, c AS pair_count, score_q FROM a{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + rounds
+
+
 def _unigram_seg_blocks(tag: str, piece_cte: str, n_steps: int = 16) -> str:
     """Unrolled greedy longest-prefix segmentation of the vocab CTE ``v``
     against piece CTE ``piece_cte``: step CTEs ``c{tag}_{i}`` (candidate
@@ -4711,6 +4763,31 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return train_bpe_merges(words, n_merges=8)
+
+
+@_llm("wordpiece_merge_training", _wordpiece_oracle())
+def wordpiece_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (`functions/wordpiece.py:
+    train_wordpiece_merges`, Schuster & Nakajima 2012 — the BERT
+    tokenizer's rule): the BPE loop with the likelihood-gain argmax
+    ``count(ab) / (count(a) * count(b))`` instead of raw pair frequency,
+    quantized to a bigint score ``(c*10^9) DIV (cl*cr)`` so both engines
+    order merges identically (floats never enter the selection).  Same
+    bounded-action shape as `bpe_merge_training`: vocab-sized aggregates +
+    a 1-row argmax collect per round, corpus scanned exactly once.  The
+    three trainer families (BPE frequency-merge, WordPiece likelihood-
+    merge, unigram-LM prune) now cover every mainstream subword
+    tokenizer."""
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from bigdata_rags_spark.functions.wordpiece import train_wordpiece_merges
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return train_wordpiece_merges(words, n_merges=8)
 
 
 @_llm("bpe_subword_stats", _bpe_subword_oracle())

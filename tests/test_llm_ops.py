@@ -1834,3 +1834,86 @@ def test_winnowing_matches_exact_python_replay(spark):
     # density: selection keeps well under half the gram stream on doc 0
     n_grams0 = len(rows[0][1].split()) - 3
     assert len(got[0]) <= n_grams0 // 2
+
+
+def test_wordpiece_merges_match_exact_python_replay(spark):
+    """Planted corpus where the WordPiece likelihood argmax and the BPE
+    frequency argmax DISAGREE: 'th' is the most frequent pair but its parts
+    are ubiquitous; 'qz' is rarer but perfectly predictive (its parts occur
+    ONLY together), so count(qz)/(count(q)*count(z)) wins.  The distributed
+    trainer must match an exact python replay of the quantized-score rule."""
+    from bigdata_rags_spark.functions.wordpiece import SCORE_SCALE, train_wordpiece_merges
+
+    # 'the'/'that'/'tath' spread t/h widely; 'qz' appears as a standalone
+    # word so q and z have no other contexts
+    wc = {"the": 20, "that": 15, "tath": 5, "qz": 3, "hat": 10}
+
+    def replay(wc, n, scale=SCORE_SCALE):
+        vocab = {w: [*w, "</w>"] for w in wc}
+        merges = []
+        for rnd in range(1, n + 1):
+            pair_c: dict[tuple[str, str], int] = {}
+            sym_c: dict[str, int] = {}
+            for w, syms in vocab.items():
+                for s in syms:
+                    sym_c[s] = sym_c.get(s, 0) + wc[w]
+                for a, b in zip(syms, syms[1:]):
+                    pair_c[(a, b)] = pair_c.get((a, b), 0) + wc[w]
+            if not pair_c:
+                break
+            scored = {
+                (l, r): (c * scale) // (sym_c[l] * sym_c[r])
+                for (l, r), c in pair_c.items()
+            }
+            (l, r), sq = min(
+                scored.items(),
+                key=lambda kv: (-kv[1], -pair_c[kv[0]], kv[0][0], kv[0][1]),
+            )
+            merges.append((rnd, l, r, l + r, pair_c[(l, r)], sq))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    words = spark.createDataFrame(list(wc.items()), ["word", "cnt"])
+    got = [
+        (
+            r["merge_round"],
+            r["sym_left"],
+            r["sym_right"],
+            r["merged"],
+            r["pair_count"],
+            r["score_q"],
+        )
+        for r in train_wordpiece_merges(words, n_merges=8)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    expected = replay(wc, 8)
+    assert got == expected, (got, expected)
+    # the likelihood rule picked the predictive pair first, NOT the most
+    # frequent one (BPE would have merged a t/h-family pair first)
+    assert (got[0][1], got[0][2]) == ("q", "z")
+    freq_first = max(
+        {(l, r): c for (_, l, r, _, c, _) in [got[0]]}.values()
+    )  # qz count is 3 — far from the corpus-max pair count
+    assert freq_first == 3
+
+
+def test_wordpiece_overflow_guard_raises(spark):
+    """The quantized-score overflow contract fails loudly (ValueError with
+    guidance), never mid-round under ANSI."""
+    import pytest
+
+    from bigdata_rags_spark.functions.wordpiece import train_wordpiece_merges
+
+    words = spark.createDataFrame([("aaaa", 1 << 40)], ["word", "cnt"])
+    with pytest.raises(ValueError, match="overflow"):
+        train_wordpiece_merges(words, n_merges=1, scale=1 << 40)
