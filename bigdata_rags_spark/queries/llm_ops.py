@@ -794,6 +794,46 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
+@_llm(
+    "embedding_hard_negatives",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id, ROUND({_SQL_COSINE}, 6) AS similarity
+  FROM q CROSS JOIN c WHERE neighbor_id != query_id
+),
+pos AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_positives
+  FROM sims WHERE similarity >= 0.9 GROUP BY 1
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS INT) AS neg_rank
+  FROM sims WHERE similarity < 0.9
+)
+SELECT r.query_id, r.neighbor_id, r.similarity, r.neg_rank,
+       COALESCE(pos.n_positives, 0) AS n_positives
+FROM r LEFT JOIN pos USING (query_id) WHERE r.neg_rank <= 5
+""",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training
+    (`similarity/knn.hard_negative_topk`, DPR/ANCE style): per anchor
+    (vec_id<5), the 5 highest-cosine candidates BELOW the 0.9 positive
+    band, plus the excluded positive count — the (anchor, positive-count,
+    hard-negative) table a dual-encoder training job consumes.  Exact
+    brute-force band here (the oracle-checkable baseline); at scale the
+    candidate source swaps to the LSH/IVFPQ index with the band-filter +
+    per-anchor top-k stages unchanged."""
+    from bigdata_rags_spark.similarity.knn import hard_negative_topk
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return hard_negative_topk(e.filter(F.col("vec_id") < 5), e, k=5, pos_ceiling=0.9)
+
+
 def _lsh_topk_oracle(
     k: int = 5, n_planes: int = 8, n_tables: int = 2, probe_bits: int = 2, dim: int = 64
 ) -> str:

@@ -72,6 +72,58 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pos_ceiling: float = 0.9,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training (the DPR /
+    ANCE training-data op): per anchor, the k highest-cosine candidates
+    BELOW the positive band — ``similarity < pos_ceiling`` excludes
+    near-dups/positives, the top-k-by-similarity keeps only the negatives
+    hard enough to carry gradient.  Also reports ``n_positives`` (the
+    excluded above-band count) per anchor so the training pipeline can see
+    the positive/negative split it mined from.
+
+    Returns (query_id, neighbor_id, similarity, neg_rank, n_positives).
+    Same exact-math conventions as ``brute_force_topk`` (rounded
+    similarity as the ranking key, neighbor-id tiebreak); same broadcast-
+    queries scan shape — one corpus pass, per-anchor window top-k, no
+    corpus shuffle.  At 100 TB swap the candidate source for the LSH /
+    IVFPQ index (mine negatives among probed candidates only) — the
+    band-filter + top-k stages are unchanged.
+    """
+    from pyspark.sql import Window
+
+    scored = _scored(queries, corpus, id_col, vec_col)
+    pos = (
+        scored.filter(F.col("similarity") >= pos_ceiling)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_positives"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("similarity") < pos_ceiling)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .join(pos, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "similarity",
+            "neg_rank",
+            F.coalesce(F.col("n_positives"), F.lit(0).cast("bigint")).alias(
+                "n_positives"
+            ),
+        )
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1917,3 +1917,34 @@ def test_wordpiece_overflow_guard_raises(spark):
     words = spark.createDataFrame([("aaaa", 1 << 40)], ["word", "cnt"])
     with pytest.raises(ValueError, match="overflow"):
         train_wordpiece_merges(words, n_merges=1, scale=1 << 40)
+
+
+def test_hard_negative_mining_band_exclusion(spark):
+    """Planted vectors: near-dups (cos >= 0.9) are EXCLUDED and counted as
+    positives; the returned negatives are the hardest (highest-cos) below
+    the band, ranked; an anchor with no positives reports 0."""
+    from bigdata_rags_spark.similarity.knn import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # anchor
+        (1, [0.99, 0.05, 0.0, 0.0]), # positive (cos ~0.998)
+        (2, [0.95, 0.2, 0.0, 0.0]),  # positive (cos ~0.978)
+        (3, [0.8, 0.6, 0.0, 0.0]),   # hard negative (cos 0.8)
+        (4, [0.6, 0.8, 0.0, 0.0]),   # negative (cos 0.6)
+        (5, [0.0, 1.0, 0.0, 0.0]),   # easy negative (cos 0.0)
+        (6, [0.0, 0.0, 1.0, 0.0]),   # second anchor, no positives at all
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["query_id"], r["neg_rank"]): r
+        for r in hard_negative_topk(
+            e.filter("vec_id IN (0, 6)"), e, k=2, pos_ceiling=0.9
+        ).collect()
+    }
+    # anchor 0: positives 1,2 excluded (n_positives=2); hardest negatives 3 then 4
+    assert got[(0, 1)]["neighbor_id"] == 3 and got[(0, 1)]["n_positives"] == 2
+    assert got[(0, 2)]["neighbor_id"] == 4
+    assert abs(got[(0, 1)]["similarity"] - 0.8) < 1e-9
+    # anchor 6: everything is a negative, n_positives = 0
+    assert got[(6, 1)]["n_positives"] == 0
+    assert all(r["similarity"] < 0.9 for r in got.values())
