@@ -172,3 +172,99 @@ def epoch_shuffle_plan(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("__sk")
     )
+
+
+def soft_dedup_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "softdedup",
+) -> DataFrame:
+    """Cluster-mass-preserving probabilistic dedup ("soft dedup"): instead
+    of keeping exactly one document per exact-dup cluster, keep each member
+    INDEPENDENTLY with probability ~1/cluster_size, so the expected kept
+    mass per cluster is one document but popular content still appears with
+    diverse ids/provenance — the sampling-based middle ground between hard
+    dedup and no dedup studied in the data-mixing literature (e.g. the
+    duplication-aware reweighting ablations of the C4/FineWeb reports).
+
+    Deterministic: the per-doc uniform is a 32-bit md5 bucket (same idiom
+    as ``hash_bucket``); keep iff ``u32 * cluster_size < 2^32``, i.e.
+    P(keep) = ceil(2^32 / size) / 2^32 — exact integer comparison, no
+    floats, replayable by any engine and invariant under partitioning.
+
+    Returns (doc_id, cluster_size, kept int).  Scale shape: one hash
+    groupBy for sizes (32-byte keys, partial agg) + one join back on the
+    hash; the keep decision is row-local.
+    """
+    from bigdata_rags_spark.dedup.exact import with_content_hash
+
+    hashed = with_content_hash(df, text_col).select(id_col, "content_hash")
+    sizes = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        hashed.join(sizes, "content_hash")
+        .select(
+            id_col,
+            "cluster_size",
+            F.when(u32 * F.col("cluster_size") < F.lit(2**32), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def temperature_mixing_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Temperature-balanced domain mixing plan (the UniMax / T5 multilingual
+    sampling family, temperature tau=2): allocate a corpus budget of
+    ``total * budget_num // budget_den`` documents across domains
+    proportionally to sqrt(domain size), capped at each domain's actual
+    size — big domains get down-weighted, small domains up-weighted, and
+    no domain is oversampled past one epoch (the UniMax cap).
+
+    Engine-exact by construction: the tau=2 weight is floor(sqrt(n)) —
+    IEEE sqrt is correctly rounded, so floor(sqrt(bigint<2^53)) is
+    bit-identical in every engine — and all allocation arithmetic is
+    integer floor division.  No float ever crosses an aggregate.
+
+    Returns (domain, n_docs, weight, alloc, rate_micro) where rate_micro =
+    alloc * 1e6 // n_docs is the per-domain sampling rate in micro-units.
+    Scale shape: one groupBy on the domain key + a broadcast 1-row totals
+    join; the plan is domain-cardinality-sized, never corpus-sized.
+    """
+    d = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    d = d.withColumn("weight", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint"))
+    t = d.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.sum("weight").cast("bigint").alias("w_total"),
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "alloc",
+            F.least(
+                F.col("n_docs"),
+                F.expr(
+                    f"(total * {budget_num} DIV {budget_den}) * weight DIV w_total"
+                ),
+            ).cast("bigint"),
+        )
+        .withColumn("rate_micro", F.expr("alloc * 1000000 DIV n_docs").cast("bigint"))
+        .select("domain", "n_docs", "weight", "alloc", "rate_micro")
+    )

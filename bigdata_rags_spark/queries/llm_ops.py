@@ -1557,6 +1557,68 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "soft_dedup_sampling",
+    f"""
+WITH h AS (SELECT doc_id, md5({_SQL_NORM}) AS content_hash FROM documents),
+s AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM h GROUP BY 1)
+SELECT h.doc_id, s.cluster_size,
+       CAST(CASE WHEN ('0x' || substr(md5('softdedup:' || CAST(h.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      * s.cluster_size < 4294967296
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM h JOIN s USING (content_hash)
+""",
+)
+def soft_dedup_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft (probabilistic) dedup (`operators/sampling.soft_dedup_sample`):
+    keep each exact-dup cluster member independently with probability
+    ~1/cluster_size via an integer md5-uniform comparison (u32 * size <
+    2^32) — expected kept mass per cluster is ONE document, but popular
+    content keeps diverse ids/provenance, the middle ground between hard
+    dedup (`dedup_surviving_docs`, keeper=min id) and no dedup that the
+    duplication-reweighting ablations study.  Fully deterministic and
+    partitioning-invariant; unique docs (size 1) are always kept."""
+    from bigdata_rags_spark.operators.sampling import soft_dedup_sample
+
+    return soft_dedup_sample(_docs_parallel(spark, sf_dir))
+
+
+@_llm(
+    "domain_temperature_mixing",
+    """
+WITH d AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+w AS (SELECT domain, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight FROM d),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(SUM(weight) AS BIGINT) AS w_total FROM w),
+a AS (
+  SELECT domain, n_docs, weight,
+         least(n_docs, ((t.total * 1 // 2) * weight) // t.w_total) AS alloc
+  FROM w CROSS JOIN t
+)
+SELECT domain, n_docs, weight, alloc,
+       CAST((alloc * 1000000) // n_docs AS BIGINT) AS rate_micro
+FROM a
+""",
+)
+def domain_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced domain mixing plan (`operators/sampling.
+    temperature_mixing_plan`, the UniMax/T5 multilingual-sampling family,
+    tau=2): allocate half the corpus budget across sources proportionally
+    to floor(sqrt(n_docs)) — IEEE sqrt is correctly rounded so the tau=2
+    weight is bit-identical in every engine — capped at each domain's own
+    size (never oversample past one epoch).  The DERIVED-weights sibling
+    of `training_mixture_plan` (which takes externally-specified target
+    shares); all allocation arithmetic is integer floor division, so the
+    plan is value-hash exact.  Domain-cardinality-sized output: one
+    groupBy + a broadcast 1-row totals join."""
+    from bigdata_rags_spark.operators.sampling import temperature_mixing_plan
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return temperature_mixing_plan(docs, domain_col="source")
+
+
+@_llm(
     "training_mixture_plan",
     f"""
 WITH tok AS (

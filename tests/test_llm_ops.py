@@ -1948,3 +1948,56 @@ def test_hard_negative_mining_band_exclusion(spark):
     # anchor 6: everything is a negative, n_positives = 0
     assert got[(6, 1)]["n_positives"] == 0
     assert all(r["similarity"] < 0.9 for r in got.values())
+
+
+def test_soft_dedup_exact_replay_and_mass(spark):
+    """Soft dedup decisions replay exactly in python (same md5 uniforms),
+    size-1 clusters are always kept, and the kept mass of a big planted
+    cluster is near its expectation of 1."""
+    import hashlib
+
+    from bigdata_rags_spark.operators.sampling import soft_dedup_sample
+
+    rows = [(i, "common shared duplicate text") for i in range(200)]
+    rows += [(1000 + i, f"unique text number {i}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in soft_dedup_sample(docs).collect()}
+
+    def u32(doc_id):
+        return int(hashlib.md5(f"softdedup:{doc_id}".encode()).hexdigest()[:8], 16)
+
+    for doc_id, _ in rows:
+        size = 200 if doc_id < 1000 else 1
+        assert got[doc_id]["cluster_size"] == size
+        assert got[doc_id]["kept"] == int(u32(doc_id) * size < 2**32), doc_id
+    assert all(got[1000 + i]["kept"] == 1 for i in range(50))  # uniques always kept
+    kept_mass = sum(got[i]["kept"] for i in range(200))
+    assert kept_mass <= 6  # E=1; generous deterministic bound for this seed
+
+
+def test_temperature_mixing_rebalances_and_caps(spark):
+    """tau=2 mixing: the big domain is down-weighted (rate < 1), small
+    domains hit the UniMax one-epoch cap (alloc == n_docs), and the exact
+    integer allocations match hand computation."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.operators.sampling import temperature_mixing_plan
+
+    df = (
+        spark.range(10101)
+        .withColumn(
+            "source",
+            F.when(F.col("id") < 10000, "big")
+            .when(F.col("id") < 10100, "mid")
+            .otherwise("tiny"),
+        )
+    )
+    got = {r["domain"]: r for r in temperature_mixing_plan(df).collect()}
+    # weights: floor(sqrt(10000))=100, floor(sqrt(100))=10, floor(sqrt(1))=1
+    # B = 10101 // 2 = 5050, W = 111
+    assert got["big"]["alloc"] == min(10000, 5050 * 100 // 111)  # 4549
+    assert got["mid"]["alloc"] == 100  # capped at n_docs (5050*10//111=454 > 100)
+    assert got["tiny"]["alloc"] == 1  # capped
+    assert got["big"]["rate_micro"] == 4549 * 1000000 // 10000
+    assert got["mid"]["rate_micro"] == 1000000 and got["tiny"]["rate_micro"] == 1000000
+    assert got["big"]["rate_micro"] < 500000  # big domain sampled BELOW the flat rate
