@@ -794,6 +794,58 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
+def _matryoshka_oracle(dims: tuple[int, ...] = (8, 16, 32, 64), k: int = 5) -> str:
+    """Per prefix dim: cosine over the first d components (DuckDB list
+    slice is cast-then-slice like Spark's slice-then-cast — same values),
+    exact top-k, overlap vs the max-dim truth."""
+    full = max(dims)
+    blocks = [
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qf"
+        " FROM embeddings WHERE vec_id < 5)",
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cf FROM embeddings)",
+    ]
+    for d in dims:
+        blocks.append(
+            f"""t{d} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ROUND(list_dot_product(qf[1:{d}], cf[1:{d}])
+                      / sqrt(list_dot_product(qf[1:{d}], qf[1:{d}]))
+                      / sqrt(list_dot_product(cf[1:{d}], cf[1:{d}])), 6) DESC,
+             neighbor_id) AS rn
+    FROM q CROSS JOIN c WHERE neighbor_id != query_id)
+  WHERE rn <= {k}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS INT) AS dim, a.query_id,
+       CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST((SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // {k} AS BIGINT) AS recall_milli
+FROM t{d} a LEFT JOIN t{full} b
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY a.query_id"""
+        for d in dims
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + unions
+
+
+@_llm("embedding_matryoshka_recall", _matryoshka_oracle())
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension serving planner
+    (`similarity/knn.matryoshka_recall`, Kusupati et al. 2022): recall@5
+    of cosine ranking over the first 8/16/32/64 embedding components vs
+    the full-dimension exact top-5, per anchor (vec_id<5) — the report
+    that answers "how far can I truncate stored vectors before recall
+    drops", the storage-side twin of the IVFPQ n_probe planner.  Exact
+    brute-force per dim over the bounded anchor set; scale notes in the
+    library docstring."""
+    from bigdata_rags_spark.similarity.knn import matryoshka_recall
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return matryoshka_recall(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
 @_llm(
     "embedding_hard_negatives",
     f"""

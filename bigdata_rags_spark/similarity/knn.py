@@ -72,6 +72,61 @@ def brute_force_topk(
     )
 
 
+def matryoshka_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka prefix-dimension recall report (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): for each prefix dimension d,
+    rank neighbors by cosine over the FIRST d components only and measure
+    recall@k against the full-dimension exact top-k — the "what dimension
+    do I serve" planner, sibling of the IVFPQ n_probe tuning report.
+
+    Returns (dim int, query_id, n_overlap bigint, recall_milli bigint);
+    the max(dims) rows are the trivial 1000-recall sanity band.  Exact
+    brute-force at every dim (the oracle-checkable baseline): each dim is
+    one broadcast-queries corpus pass.  A fused single-pass variant would
+    compute all prefix dots from one zip_with product array (prefix sums
+    at the cut points); at the bounded query sets this report serves, the
+    per-dim passes are scan-bound and the fusion is not worth the
+    expression complexity.
+    """
+    full = max(dims)
+    truth = brute_force_topk(
+        queries.select(id_col, F.slice(F.col(vec_col), 1, full).alias(vec_col)),
+        corpus.select(id_col, F.slice(F.col(vec_col), 1, full).alias(vec_col)),
+        id_col,
+        vec_col,
+        k,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    out = None
+    for d in dims:
+        topk_d = brute_force_topk(
+            queries.select(id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)),
+            corpus.select(id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col)),
+            id_col,
+            vec_col,
+            k,
+        )
+        rep = (
+            topk_d.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_overlap"))
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "query_id",
+                "n_overlap",
+                F.expr(f"n_overlap * 1000 DIV {k}").cast("bigint").alias("recall_milli"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
 def hard_negative_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -2001,3 +2001,38 @@ def test_temperature_mixing_rebalances_and_caps(spark):
     assert got["big"]["rate_micro"] == 4549 * 1000000 // 10000
     assert got["mid"]["rate_micro"] == 1000000 and got["tiny"]["rate_micro"] == 1000000
     assert got["big"]["rate_micro"] < 500000  # big domain sampled BELOW the flat rate
+
+
+def test_matryoshka_recall_signal_placement(spark):
+    """Planted embeddings: when all ranking signal lives in the first 8
+    components, every prefix dim achieves full recall; when the signal
+    lives only in the tail, the dim-8 prefix is blind (its cosine sees
+    identical prefixes) while the full dim recovers truth."""
+    import math
+
+    from bigdata_rags_spark.similarity.knn import matryoshka_recall
+
+    def head_vec(theta):  # signal in dims 0-1, zeros after
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 14
+
+    def tail_vec(theta):  # constant head, signal in dims 14-15
+        return [1.0] + [0.0] * 13 + [math.cos(theta), math.sin(theta)]
+
+    for maker, expect_d8_full in [(head_vec, True), (tail_vec, False)]:
+        # scramble theta vs id so the id tiebreak does NOT coincide with
+        # angular nearest-neighbor truth
+        rows = [(i, maker(0.1 * ((i * 5) % 12))) for i in range(12)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["dim"], r["query_id"]): r["recall_milli"]
+            for r in matryoshka_recall(
+                e.filter("vec_id < 2"), e, dims=(8, 16), k=3
+            ).collect()
+        }
+        assert got[(16, 0)] == 1000 and got[(16, 1)] == 1000  # truth band
+        if expect_d8_full:
+            assert got[(8, 0)] == 1000 and got[(8, 1)] == 1000
+        else:
+            # prefix-8 cosine is constant across candidates -> ranking falls
+            # back to the id tiebreak and misses most of the true top-3
+            assert got[(8, 0)] < 1000 or got[(8, 1)] < 1000
