@@ -268,3 +268,67 @@ def temperature_mixing_plan(
         .withColumn("rate_micro", F.expr("alloc * 1000000 DIV n_docs").cast("bigint"))
         .select("domain", "n_docs", "weight", "alloc", "rate_micro")
     )
+
+
+def sequence_packing_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    n_shards: int = 4,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing plan (concatenate-then-chunk): documents
+    are concatenated in a deterministic pseudo-random order (one EOS token
+    between docs), and the stream is cut into fixed ``seq_len``-token
+    training sequences — each doc's tokens land at a computable (shard,
+    start_seq, seq_offset), docs straddle chunk boundaries exactly as the
+    standard causal-LM packer does.  This is the layout step AFTER
+    ``epoch_shuffle_plan``: the (shard, start_seq, seq_offset) triple tells
+    the tokenizing writer where every document's bytes belong without any
+    global coordination.
+
+    Determinism (same contract as the rest of this module): shard and
+    order come from md5(salt:id) — reproducible on any engine, any
+    partitioning.  Token counts are whitespace tokens + 1 (the EOS
+    separator).
+
+    Returns input ids plus (n_tokens, shard, start_seq, seq_offset), where
+    ``start_seq = floor(tokens_before / seq_len)`` and ``seq_offset =
+    tokens_before % seq_len`` with tokens_before the shard-stream prefix
+    sum.  100 TB shape: shard assignment is row-local; the only exchange
+    is the per-shard window prefix-sum — the per-shard sort the packing
+    writer needs anyway, never a global total order.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    sk = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    base = df.select(
+        id_col,
+        (F.size(ws_tokens(F.col(text_col))) + 1).cast("bigint").alias("n_tokens"),
+        sk.alias("__sk"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("__sk", 1, 8), 16, 10).cast("bigint") % n_shards).cast(
+            "int"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__sk"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("__prefix", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            F.expr(f"(__prefix - n_tokens) DIV {seq_len}").cast("bigint").alias("start_seq"),
+            ((F.col("__prefix") - F.col("n_tokens")) % seq_len)
+            .cast("bigint")
+            .alias("seq_offset"),
+        )
+    )

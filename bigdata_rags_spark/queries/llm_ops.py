@@ -1579,6 +1579,40 @@ def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "sequence_packing_plan",
+    f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) + 1 AS BIGINT) AS n_tokens,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents
+),
+s AS (SELECT *, CAST(('0x' || substr(sk, 1, 8))::BIGINT % 4 AS INT) AS shard FROM d),
+p AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY sk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM s
+)
+SELECT doc_id, n_tokens, shard,
+       CAST((prefix - n_tokens) // 512 AS BIGINT) AS start_seq,
+       CAST((prefix - n_tokens) % 512 AS BIGINT) AS seq_offset
+FROM p
+""",
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-then-chunk packing plan
+    (`operators/sampling.sequence_packing_plan`): deterministic md5 order
+    per shard, shard-stream token prefix sums cut into 512-token training
+    sequences — every doc gets its (shard, start_seq, seq_offset) with
+    boundary-straddling exactly like the standard causal-LM packer.  The
+    layout step after `epoch_shuffle_assignment`; the only exchange is the
+    per-shard window prefix sum."""
+    from bigdata_rags_spark.operators.sampling import sequence_packing_plan as plan
+
+    return plan(_docs_parallel(spark, sf_dir), seq_len=512, n_shards=4)
+
+
+@_llm(
     "stratified_sample_docs",
     """
 WITH h AS (

@@ -2036,3 +2036,37 @@ def test_matryoshka_recall_signal_placement(spark):
             # prefix-8 cosine is constant across candidates -> ranking falls
             # back to the id tiebreak and misses most of the true top-3
             assert got[(8, 0)] < 1000 or got[(8, 1)] < 1000
+
+
+def test_sequence_packing_exact_replay(spark):
+    """Packing plan equals a python replay of the concatenate-then-chunk
+    layout (md5 order per shard, prefix-sum cuts), and the derived
+    invariants hold: offsets < seq_len and each shard's stream is gapless
+    (start_seq*L + seq_offset == exact tokens before the doc)."""
+    import hashlib
+
+    from bigdata_rags_spark.operators.sampling import sequence_packing_plan
+
+    rows = [(i, " ".join(["tok"] * (3 + (i * 7) % 40))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L, S = 16, 3
+    got = {
+        r["doc_id"]: r
+        for r in sequence_packing_plan(docs, seq_len=L, n_shards=S).collect()
+    }
+
+    def sk(i):
+        return hashlib.md5(f"pack:{i}".encode()).hexdigest()
+
+    per_shard: dict[int, list[tuple[str, int, int]]] = {}
+    for i, text in rows:
+        shard = int(sk(i)[:8], 16) % S
+        per_shard.setdefault(shard, []).append((sk(i), i, len(text.split()) + 1))
+    for shard, docs_s in per_shard.items():
+        before = 0
+        for _, i, n in sorted(docs_s):
+            r = got[i]
+            assert (r["shard"], r["n_tokens"]) == (shard, n)
+            assert r["start_seq"] == before // L and r["seq_offset"] == before % L
+            assert 0 <= r["seq_offset"] < L
+            before += n

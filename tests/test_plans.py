@@ -486,3 +486,35 @@ def test_r8_queries_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_r11_queries_have_scale_safe_plans(spark, sf_smoke):
+    """Round-11 additions: the plan properties their docstrings claim."""
+    for name, pred in {
+        # idf SimHash pairs: banded equi-join + one vocab-keyed df join —
+        # never a cartesian/BNLJ pairing of documents
+        "simhash_idf_near_dup_pairs": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # winnowing selection: one per-doc window, no join at all
+        "winnowed_fingerprints": lambda p: "Join" not in p and "Window" in p,
+        # winnowed pairs: shared-hash equi-join (df-capped), never all-pairs
+        "winnowed_plagiarism_pairs": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # hard negatives: the broadcast-queries one-pass scan (BNLJ over the
+        # broadcast anchor set is the intended plan; cartesian is not)
+        "embedding_hard_negatives": lambda p: "CartesianProduct" not in p,
+        # soft dedup: hash-keyed size join, no window, no corpus pairing
+        "soft_dedup_sampling": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "Window" not in p,
+        # mixing plan: domain-sized aggregate + a broadcast 1-row totals
+        # join; must never expand to a corpus-sized pairing
+        "domain_temperature_mixing": lambda p: "CartesianProduct" not in p
+        and "HashAggregate" in p,
+        # matryoshka report: per-dim broadcast scans, no cartesian
+        "embedding_matryoshka_recall": lambda p: "CartesianProduct" not in p,
+        # packing plan: per-shard window prefix sum, no join
+        "sequence_packing_plan": lambda p: "Join" not in p and "Window" in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
