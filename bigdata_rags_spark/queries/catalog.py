@@ -40,6 +40,22 @@ a projection sits within ulps of the decision boundary.
 guards this: on the driver fixture every plane projection is bounded away
 from 0 and every IVF cell ranking has a real gap, so ANY summation order
 reaching float64-faithful accuracy produces the same buckets/probes.
+
+ROUND-11 parity techniques (reusable):
+- RATIONAL ARGMAX (wordpiece_merge_training): ordering by a float ratio
+  a/(b*c) is 1-ulp-fragile; quantize to ``(a * SCALE) DIV (b * c)`` on
+  bigints (SCALE = 10^9) — floor division agrees exactly between engines
+  on non-negative operands, ties fall to integer tiebreaks, and an
+  up-front guard raises before ``a * SCALE`` can overflow under ANSI.
+- EXACT floor(log2) / floor(sqrt) WITHOUT float logs: ``length(bin(x))-1``
+  is floor(log2(x)) exactly (simhash idf weights); ``floor(sqrt(bigint))``
+  IS cross-engine exact because IEEE sqrt is correctly rounded for
+  x < 2^53 (domain_temperature_mixing) — but log/log2 are NOT correctly
+  rounded, never use them.
+- PACKED-KEY WINDOW ARGMIN (winnowed_fingerprints): to select "min value,
+  rightmost position on ties" with ONE window MIN in both engines, pack
+  ``val * 2^24 + (2^24 - 1 - pos)`` into a bigint; decode with DIV/%.
+  Works for any argmin-with-deterministic-tiebreak over a window.
 """
 
 from __future__ import annotations
