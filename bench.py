@@ -173,6 +173,12 @@ HEADLINE = [
     "embedding_ivfpq_tuning_planner",
     "simhash_idf_near_dup_pairs",
     "winnowed_plagiarism_pairs",
+    "incremental_winnow_dedup",
+    "embedding_hard_negatives",
+    "embedding_matryoshka_recall",
+    "soft_dedup_sampling",
+    "domain_temperature_mixing",
+    "sequence_packing_plan",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

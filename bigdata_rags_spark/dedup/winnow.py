@@ -121,3 +121,83 @@ def winnowed_shared_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_winnow_keepers(
+    batch: DataFrame,
+    existing: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``batch`` that survive winnowing-fingerprint dedup against
+    the stored corpus and against lower-id batch members — the winnowing
+    member of the incremental-ingest family (`dedup/exact.py:
+    incremental_new_keepers` exact hashes, `dedup/minhash.py:
+    incremental_minhash_keepers` MinHash, `dedup/semantic.py` embeddings).
+
+    Drop rules (greedy-by-id, non-cascading — the family contract): a
+    batch doc dies if it shares >= min_shared distinct SELECTED hashes
+    with (a) ANY single stored doc or (b) any single lower-id batch doc.
+
+    Boilerplate caps follow the two-widths rule (SCALE.md finding #5
+    applied to df caps): the vs-index join caps hashes by their document
+    frequency IN THE INDEX (a frozen property of the stored fingerprint
+    table); the intra-batch join caps by frequency IN THE BATCH (self-
+    scaling with what this ingest actually contains).  Both joins are
+    hash-bucketed with fan-out bounded by max_df — never all-pairs.
+
+    At 100 TB the existing side is the PERSISTED winnow index (doc_id,
+    sel_hash — the output of ``winnow_fingerprints`` written at corpus
+    build); it is recomputed here only because the testdata has no stored
+    index.  Docs with < k tokens have no fingerprints and survive by
+    construction.
+    """
+    fpe = (
+        winnow_fingerprints(existing, k, w, id_col, text_col)
+        .select("doc_id", "sel_hash")
+        .distinct()
+    )
+    fpb = (
+        winnow_fingerprints(batch, k, w, id_col, text_col)
+        .select("doc_id", "sel_hash")
+        .distinct()
+    )
+
+    def capped(fp: DataFrame) -> DataFrame:
+        dfreq = fp.groupBy("sel_hash").agg(F.count(F.lit(1)).alias("dfh"))
+        return fp.join(dfreq.filter(F.col("dfh") <= max_df), "sel_hash").select(
+            "doc_id", "sel_hash"
+        )
+
+    ke, kb = capped(fpe), capped(fpb)
+
+    def drops(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.groupBy("doc_id", "other")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select("doc_id")
+            .distinct()
+        )
+
+    vs_index = (
+        kb.alias("b")
+        .join(ke.alias("e"), "sel_hash")
+        .select(F.col("b.doc_id").alias("doc_id"), F.col("e.doc_id").alias("other"))
+    )
+    intra = (
+        kb.alias("hi")
+        .join(
+            kb.alias("lo"),
+            (F.col("hi.sel_hash") == F.col("lo.sel_hash"))
+            & (F.col("lo.doc_id") < F.col("hi.doc_id")),
+        )
+        .select(F.col("hi.doc_id").alias("doc_id"), F.col("lo.doc_id").alias("other"))
+    )
+    return batch.join(drops(vs_index), id_col, "left_anti").join(
+        drops(intra), id_col, "left_anti"
+    )

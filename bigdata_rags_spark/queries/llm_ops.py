@@ -2216,6 +2216,93 @@ winnow_sel AS (SELECT DISTINCT doc_id, wkey FROM wm
 """
 
 
+def _sql_winnow_selh(tag: str, rel: str) -> str:
+    """Parameterized winnow selection over relation ``rel`` (must provide
+    doc_id, text): CTEs suffixed _{tag}, ending in selh_{tag} = the
+    DISTINCT (doc_id, sel_hash) fingerprint set.  Same k=4/w=5/packed-key
+    math as `_SQL_WINNOW_SEL`."""
+    return f"""
+t_{tag} AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM {rel}),
+g0_{tag} AS (SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= 4 THEN range(1, len(toks) - 2) ELSE [] END) AS pos
+       FROM t_{tag}),
+g_{tag} AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        ('0x' || substr(md5(array_to_string(toks[pos:pos+3], ' ')), 1, 8))::BIGINT AS h
+      FROM g0_{tag}),
+wm_{tag} AS (SELECT doc_id, pos,
+         MIN(h * 16777216 + (16777215 - pos)) OVER
+           (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wkey,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+       FROM g_{tag}),
+selh_{tag} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, wkey // 16777216 AS sel_hash
+  FROM wm_{tag} WHERE pos <= greatest(1, n_grams - 4))
+"""
+
+
+_WINNOW_EX_REL = "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)"
+_WINNOW_B_REL = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0"
+    " UNION ALL"
+    " SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)"
+)
+_WINNOW_B_FULL = (
+    "(SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 5 != 0"
+    " UNION ALL"
+    " SELECT doc_id + 1000000000 AS doc_id, text, lang, source, n_chars"
+    " FROM documents WHERE doc_id % 7 = 0)"
+)
+
+
+@_llm(
+    "incremental_winnow_dedup",
+    f"""
+WITH {_sql_winnow_selh("ex", _WINNOW_EX_REL)},
+{_sql_winnow_selh("b", _WINNOW_B_REL)},
+dfh_ex AS (SELECT sel_hash, COUNT(*) AS dfc FROM selh_ex GROUP BY 1),
+kept_ex AS MATERIALIZED (
+  SELECT s.doc_id, s.sel_hash FROM selh_ex s JOIN dfh_ex USING (sel_hash)
+  WHERE dfc <= 64),
+dfh_b AS (SELECT sel_hash, COUNT(*) AS dfc FROM selh_b GROUP BY 1),
+kept_b AS MATERIALIZED (
+  SELECT s.doc_id, s.sel_hash FROM selh_b s JOIN dfh_b USING (sel_hash)
+  WHERE dfc <= 64),
+drop_ex AS (
+  SELECT DISTINCT b.doc_id FROM kept_b b JOIN kept_ex e USING (sel_hash)
+  GROUP BY b.doc_id, e.doc_id HAVING COUNT(*) >= 2),
+drop_in AS (
+  SELECT DISTINCT hi.doc_id FROM kept_b hi JOIN kept_b lo
+    ON hi.sel_hash = lo.sel_hash AND lo.doc_id < hi.doc_id
+  GROUP BY hi.doc_id, lo.doc_id HAVING COUNT(*) >= 2)
+SELECT b.* FROM {_WINNOW_B_FULL} b
+WHERE b.doc_id NOT IN (SELECT doc_id FROM drop_ex)
+  AND b.doc_id NOT IN (SELECT doc_id FROM drop_in)
+""",
+)
+def incremental_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing-fingerprint dedup
+    (`dedup/winnow.incremental_winnow_keepers`) — the winnowing member of
+    the incremental-ingest family (exact: `incremental_dedup_new_docs`,
+    MinHash: `incremental_minhash_dedup`, embeddings:
+    `incremental_semantic_dedup`): a new crawl batch's winnow fingerprints
+    are joined against the stored corpus fingerprint index and lower-id
+    batch members; sharing >= 2 surviving hashes with any single doc drops
+    the batch doc.  Two-widths df caps (vs-index by INDEX frequency,
+    intra-batch by BATCH frequency — SCALE.md finding #5).  Fixture roles
+    mirror the family: stored = doc_id % 5 == 0; batch = the rest plus
+    re-keyed (+1e9) copies of every 7th doc exercising both drop paths."""
+    from bigdata_rags_spark.dedup.winnow import incremental_winnow_keepers
+
+    docs = _docs_parallel(spark, sf_dir)
+    rekeyed = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0).unionByName(rekeyed)
+    return incremental_winnow_keepers(batch, existing)
+
+
 @_llm(
     "winnowed_fingerprints",
     f"""

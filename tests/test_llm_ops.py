@@ -2070,3 +2070,30 @@ def test_sequence_packing_exact_replay(spark):
             assert r["start_seq"] == before // L and r["seq_offset"] == before % L
             assert 0 <= r["seq_offset"] < L
             before += n
+
+
+def test_incremental_winnow_family_contract(spark):
+    """Incremental winnowing obeys the family drop rules: batch copies of
+    stored docs die vs the index, intra-batch dup pairs keep the lower id
+    (non-cascading), uniques and sub-k-token docs survive."""
+    from bigdata_rags_spark.dedup.winnow import incremental_winnow_keepers
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    other = ("one two three four five six seven eight nine ten eleven twelve "
+             "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty")
+    existing = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (10, base),            # copy of stored doc 0 -> dies vs index
+            (11, "totally unrelated words describing nothing in particular at all"),
+            (12, other),           # intra-batch dup pair: 12 is the lower id
+            (13, other),           # -> 13 dies, 12 survives
+            (14, "tiny doc"),      # < k tokens: no fingerprints, survives
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in incremental_winnow_keepers(batch, existing).collect()
+    )
+    assert got == [11, 12, 14], got

@@ -515,6 +515,10 @@ def test_r11_queries_have_scale_safe_plans(spark, sf_smoke):
         "embedding_matryoshka_recall": lambda p: "CartesianProduct" not in p,
         # packing plan: per-shard window prefix sum, no join
         "sequence_packing_plan": lambda p: "Join" not in p and "Window" in p,
+        # incremental winnow: hash-bucketed fingerprint joins + anti-joins,
+        # never an all-pairs doc pairing
+        "incremental_winnow_dedup": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
