@@ -96,9 +96,10 @@ def _contract_local_stars(fwd: DataFrame) -> DataFrame:
 
 
 #: base-case bound for the contracted-graph driver solve: 5M (u, root)
-#: pairs is ~80 MB on the driver — the same order as a broadcast-join
-#: threshold, and explicit (the collect is bounded by construction:
-#: limit(max+1) short-circuits the fetch when the graph is bigger).
+#: pairs is ~80 MB on the driver AS ARROW COLUMNS — the same order as a
+#: broadcast-join threshold.  The fetch is gated by a row-free size probe
+#: (limit(max+1).count()), so an over-threshold graph costs one bounded
+#: count, never a discarded GB-scale collect.
 LOCAL_SOLVE_MAX_EDGES = 5_000_000
 
 
@@ -131,9 +132,19 @@ def connected_components(
     global LAST_ROUNDS
     fwd = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     if local_contract:
-        fwd = _contract_local_stars(fwd)
-        probe = fwd.limit(local_solve_max_edges + 1).collect()
-        if len(probe) <= local_solve_max_edges:
+        # materialize the contraction once (round-8 lesson: lazy cache does
+        # not protect multi-branch reuse) so the size probe and whichever
+        # tier runs next never recompute it
+        fwd = _contract_local_stars(fwd).localCheckpoint()
+        # size probe WITHOUT shipping rows: limit(N+1).count() scans at
+        # most N+1 rows JVM-side and returns one number — collecting the
+        # rows first would ship up to ~5M python Row objects (GB-scale on
+        # the driver, ~10x the 80 MB estimate) and waste the entire fetch
+        # whenever the graph is over threshold (the 100-TB path)
+        if fwd.limit(local_solve_max_edges + 1).count() <= local_solve_max_edges:
+            # Arrow transfer: two int64 columns are the documented ~80 MB
+            # at the 5M bound (python Row objects would be ~10x that)
+            edges_pdf = fwd.toPandas()
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:
@@ -144,8 +155,7 @@ def connected_components(
                     parent[x], x = r, parent[x]
                 return r
 
-            for row in probe:
-                u, v = row["u"], row["v"]
+            for u, v in zip(edges_pdf["u"].tolist(), edges_pdf["v"].tolist()):
                 parent.setdefault(u, u)
                 parent.setdefault(v, v)
                 ru, rv = find(u), find(v)

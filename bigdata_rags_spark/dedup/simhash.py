@@ -186,16 +186,14 @@ def simhash64_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return fp.withColumn("simhash_hex", hex_col)
 
 
-def simhash_idf_near_pairs64(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """``simhash_near_pairs64`` over the rarity-weighted fingerprint: same
-    4x16-bit banded candidate join (pigeonhole-exact for hamming <= 3),
-    skew-resistant band keys."""
-    fp = simhash64_idf(df, id_col, text_col)
+def _banded_hamming_pairs(fp: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared banded candidate join + exact verify over a fingerprint frame
+    (doc_id, band0..band3): one HASH join per band (an OR-of-equalities
+    condition would push Catalyst to a nested-loop join — the all-pairs
+    scan banding exists to avoid), union + distinct to dedup multi-band
+    collisions, then the exact bit_count filter.  Both pair variants
+    (plain and idf-weighted) route here so banded-join fixes (e.g. the
+    AQE skew mitigation SCALE.md r11 names) apply once."""
     a = fp.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"band{k}").alias(f"a{k}") for k in range(BANDS)]
     )
@@ -217,6 +215,18 @@ def simhash_idf_near_pairs64(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_idf_near_pairs64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """``simhash_near_pairs64`` over the rarity-weighted fingerprint: same
+    4x16-bit banded candidate join (pigeonhole-exact for hamming <= 3),
+    skew-resistant band keys."""
+    return _banded_hamming_pairs(simhash64_idf(df, id_col, text_col), max_hamming)
 
 
 def simhash_near_pairs64(
@@ -234,31 +244,7 @@ def simhash_near_pairs64(
     the oracle check apply the SAME candidate generation, so parity tests
     the whole pipeline, not just the filter.
     """
-    fp = simhash64(df, id_col, text_col)
-    a = fp.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"band{k}").alias(f"a{k}") for k in range(BANDS)]
-    )
-    b = fp.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"band{k}").alias(f"b{k}") for k in range(BANDS)]
-    )
-    # one HASH join per band (an OR-of-equalities condition would push
-    # Catalyst to a nested-loop join — the all-pairs scan banding exists to
-    # avoid); union + distinct dedups pairs that collide on several bands
-    cand = None
-    for k in range(BANDS):
-        pairs_k = a.join(
-            b, (F.col(f"a{k}") == F.col(f"b{k}")) & (F.col("doc_a") < F.col("doc_b"))
-        )
-        cand = pairs_k if cand is None else cand.unionByName(pairs_k)
-    cand = cand.distinct()
-    hamming = sum(
-        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}"))) for k in range(BANDS)
-    )
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return _banded_hamming_pairs(simhash64(df, id_col, text_col), max_hamming)
 
 
 def simhash_near_pairs(

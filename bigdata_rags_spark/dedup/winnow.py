@@ -70,7 +70,24 @@ def winnow_fingerprints(
     fingerprint.
     """
     g = gram_hashes(df, k, id_col, text_col)
-    key = (F.col("h") * F.lit(POS_M) + (F.lit(POS_M - 1) - F.col("pos"))).alias("key")
+    # loud width guard IN the key expression (a separate dropped assert
+    # column would be pruned by Catalyst): a doc with >= 2^24 grams would
+    # borrow the position field into the hash field and silently corrupt
+    # every selection for that doc (wrong min order, off-by-one sel_hash,
+    # wrapped sel_pos) — raise on the first violating row instead (the
+    # repo's loud-failure convention; same class as the minhash
+    # half-params ValueError).  One comparison per gram.
+    key = F.when(
+        F.col("pos") < F.lit(POS_M),
+        F.col("h") * F.lit(POS_M) + (F.lit(POS_M - 1) - F.col("pos")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"winnowing position >= 2^24 ({POS_M}) would corrupt the packed "
+                "window-min key; split documents over ~16.7M grams before fingerprinting"
+            )
+        ).cast("bigint")
+    ).alias("key")
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
     cnt = Window.partitionBy("doc_id")
     sel = (
@@ -143,12 +160,19 @@ def incremental_winnow_keepers(
     batch doc dies if it shares >= min_shared distinct SELECTED hashes
     with (a) ANY single stored doc or (b) any single lower-id batch doc.
 
-    Boilerplate caps follow the two-widths rule (SCALE.md finding #5
-    applied to df caps): the vs-index join caps hashes by their document
-    frequency IN THE INDEX (a frozen property of the stored fingerprint
-    table); the intra-batch join caps by frequency IN THE BATCH (self-
-    scaling with what this ingest actually contains).  Both joins are
-    hash-bucketed with fan-out bounded by max_df — never all-pairs.
+    Boilerplate caps are DUAL on the vs-index join: the index side drops
+    hashes selected by > max_df stored docs (frozen property of the
+    stored fingerprint table) AND the batch side drops hashes selected by
+    > max_df batch docs — the per-hash join fan-out is df_batch x
+    df_index, so capping only one side would let a batch-internal
+    template hash (huge df_batch, tiny df_index) blow the join up anyway.
+    Per-hash candidate volume is therefore bounded by max_df^2 on the
+    vs-index join and C(max_df, 2) intra-batch.  Each side's cap is
+    computed on its OWN population (the two-widths spirit of SCALE.md
+    finding #5: index properties frozen, batch properties self-scaling);
+    note a hash ubiquitous in the batch is excluded from BOTH joins —
+    boilerplate is evidence of template reuse, not of being the same
+    document, which is the same judgement the banded families make.
 
     At 100 TB the existing side is the PERSISTED winnow index (doc_id,
     sel_hash — the output of ``winnow_fingerprints`` written at corpus

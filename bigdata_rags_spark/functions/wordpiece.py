@@ -63,15 +63,22 @@ def train_wordpiece_merges(
         )
         .localCheckpoint()
     )
-    # overflow guard: every pair count is bounded by the corpus symbol
-    # total; c_pair * scale must stay inside a signed bigint
+    # overflow guard: every pair count AND every symbol count is bounded by
+    # the corpus symbol total, so the score arithmetic stays inside a
+    # signed bigint iff BOTH c_pair * scale <= 2^63-1 (numerator) and
+    # total^2 <= 2^63-1 (the cl * cr denominator — isqrt(2^63-1) =
+    # 3,037,000,499).  Checking only the numerator would admit corpora
+    # where two ubiquitous symbols' counts multiply past 2^63 and throw
+    # mid-round under ANSI.
     total = v.select(
         F.sum(F.col("cnt") * F.size(_symbols("enc"))).cast("bigint").alias("t")
     ).collect()[0]["t"]
-    if total is not None and total > (2**63 - 1) // scale:
+    limit = min((2**63 - 1) // scale, 3_037_000_499)
+    if total is not None and total > limit:
         raise ValueError(
-            f"corpus symbol total {total} * scale {scale} would overflow "
-            "bigint score quantization; pass a smaller scale="
+            f"corpus symbol total {total} exceeds the bigint-safe bound "
+            f"{limit} for scale {scale} (numerator c*scale and denominator "
+            "cl*cr must both fit int64); shard the vocab or pass a smaller scale="
         )
 
     merges: list[Row] = []

@@ -2288,8 +2288,9 @@ def incremental_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `incremental_semantic_dedup`): a new crawl batch's winnow fingerprints
     are joined against the stored corpus fingerprint index and lower-id
     batch members; sharing >= 2 surviving hashes with any single doc drops
-    the batch doc.  Two-widths df caps (vs-index by INDEX frequency,
-    intra-batch by BATCH frequency — SCALE.md finding #5).  Fixture roles
+    the batch doc.  Dual boilerplate caps: each side of each join drops
+    hashes with df > 64 in its OWN population, bounding per-hash fan-out
+    at max_df^2 (see the library docstring).  Fixture roles
     mirror the family: stored = doc_id % 5 == 0; batch = the rest plus
     re-keyed (+1e9) copies of every 7th doc exercising both drop paths."""
     from bigdata_rags_spark.dedup.winnow import incremental_winnow_keepers

@@ -790,18 +790,28 @@ def compact_ivfpq_index(
         (f"{table_prefix}_codes", "id", "cell"),
         (f"{table_prefix}_vectors", "vec_id", "vec_id"),
     ):
+        # write-then-swap (ADVICE r10 #2): survivors land in a staging table
+        # FIRST, so the data always exists in full somewhere — the old table
+        # (any failure before the drop) or the fully-written staging table
+        # (failure between drop and rename).  The drop->rename window needs
+        # EXPLICIT recovery here: a rerun must finish the rename BEFORE the
+        # stale-staging cleanup below, or it would destroy the only copy.
+        # Staging is complete whenever the serving table is missing, because
+        # the drop only ever runs after write_bucketed returned.
+        staging = f"{table}__compacting"
+        if not spark.catalog.tableExists(table):
+            if not spark.catalog.tableExists(staging):
+                raise RuntimeError(
+                    f"IVFPQ compact: neither {table} nor its staging table "
+                    "exists — the index was never built or was dropped externally"
+                )
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        drop_managed_table(spark, staging)  # stale partial from a prior crash
         cur = spark.table(table)
         before = cur.count()
         keep = cur.join(
             F.broadcast(tombs.withColumnRenamed("vec_id", key)), key, "left_anti"
         )
-        # write-then-swap (ADVICE r10 #2): survivors land in a staging table
-        # FIRST, so a crash at any point leaves a servable index — either the
-        # old table (failure before the drop) or the fully-written staging
-        # table (failure between drop and rename, recoverable by re-running
-        # compact which re-stages from whichever table exists).
-        staging = f"{table}__compacting"
-        drop_managed_table(spark, staging)  # stale leftover from a prior crash
         write_bucketed(keep, staging, bucket_col, num_buckets)
         after = spark.table(staging).count()
         drop_managed_table(spark, table)

@@ -314,3 +314,51 @@ def test_tuning_report_monotone_and_complete(spark, sf_smoke, _drop_tables):
     assert recalls[-1] == 1_000_000
     assert scanned[-1] == 5 * e.count()  # every query scans the whole corpus
     assert 0 < recalls[0] < 1_000_000    # partial probing is genuinely partial
+
+
+def test_compact_recovers_from_drop_rename_crash_window(spark, sf_smoke, _drop_tables):
+    """Simulate a crash between compact's drop and rename (codes table
+    gone, fully-written staging left behind): a compact rerun must finish
+    the rename FIRST — not destroy the staging as 'stale' — and serving
+    afterwards equals the uninterrupted-compact result."""
+    from bigdata_rags_spark.io.bucketing import drop_managed_table
+    from bigdata_rags_spark.similarity.pq import (
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    _drop_tables.extend(["t_ann_crash"])
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    build_ivfpq_index(e, table_prefix="t_ann_crash")
+    delete_from_ivfpq_index(
+        e.filter(F.col("vec_id") % 4 == 0).select("vec_id"), table_prefix="t_ann_crash"
+    )
+    expected = sorted(
+        ivfpq_index_serve(q, k=5, table_prefix="t_ann_crash").collect(), key=key
+    )
+
+    # reproduce the exact crash window: survivors staged, old table dropped,
+    # rename never ran
+    tombs = spark.table("t_ann_crash_tombstones").select("vec_id").distinct()
+    staged = spark.table("t_ann_crash_codes").join(
+        tombs.withColumnRenamed("vec_id", "id"), "id", "left_anti"
+    )
+    staged.write.saveAsTable("t_ann_crash_codes__compacting")
+    drop_managed_table(spark, "t_ann_crash_codes")
+    try:
+        removed_codes, _ = compact_ivfpq_index(spark, table_prefix="t_ann_crash")
+        # the recovered table had the tombstoned rows already removed, so
+        # the rerun's own anti-join removes nothing more from codes
+        assert removed_codes == 0
+        assert spark.catalog.tableExists("t_ann_crash_codes")
+        assert not spark.catalog.tableExists("t_ann_crash_codes__compacting")
+        assert not spark.catalog.tableExists("t_ann_crash_tombstones")
+        got = sorted(
+            ivfpq_index_serve(q, k=5, table_prefix="t_ann_crash").collect(), key=key
+        )
+        assert got == expected
+    finally:
+        drop_managed_table(spark, "t_ann_crash_codes__compacting")

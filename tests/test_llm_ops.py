@@ -1915,7 +1915,7 @@ def test_wordpiece_overflow_guard_raises(spark):
     from bigdata_rags_spark.functions.wordpiece import train_wordpiece_merges
 
     words = spark.createDataFrame([("aaaa", 1 << 40)], ["word", "cnt"])
-    with pytest.raises(ValueError, match="overflow"):
+    with pytest.raises(ValueError, match="bigint-safe"):
         train_wordpiece_merges(words, n_merges=1, scale=1 << 40)
 
 
