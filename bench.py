@@ -179,6 +179,7 @@ HEADLINE = [
     "soft_dedup_sampling",
     "domain_temperature_mixing",
     "sequence_packing_plan",
+    "split_leakage_audit",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -1430,6 +1430,72 @@ def train_test_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm(
+    "split_leakage_audit",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0
+),
+h AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS content_hash,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+  FROM corpus
+),
+s AS (
+  SELECT doc_id, content_hash,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+FROM s GROUP BY content_hash HAVING COUNT(DISTINCT split) > 1
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: exact-dup clusters whose members land in MORE
+    THAN ONE of the train/val/test splits under the id-hash assignment of
+    `train_test_split_assignment` — the eval-contamination failure mode
+    (a test doc whose duplicate sits in train) that id-level random
+    splitting cannot see.  Returns the leaking clusters with member count
+    and the sorted split set; the fix in practice is to split by
+    content_hash (or dup-cluster id) instead of doc_id, and this audit is
+    the check that says whether you must.  One hash groupBy over (32-byte
+    key, split) — corpus text never shuffles.  The fixture has no exact
+    dups, so the audit corpus plants re-keyed (+2e9) copies of every 9th
+    doc (the incremental-family idiom): duplicate pairs whose members draw
+    independent split buckets, making both the straddling and same-split
+    branches fire non-vacuously."""
+    base = _docs_parallel(spark, sf_dir)
+    docs = base.select("doc_id", "text").unionByName(
+        base.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"), "text"
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    s = docs.select(
+        content_hash(F.col("text")).alias("content_hash"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return (
+        s.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 # 8 pigeonhole bands over the 126-bit (fp_lo, fp_hi) fingerprint: three
 # 16-bit keys + one 15-bit key per 63-bit half.  32k-65k values per band
 # keeps banded candidate volume ~N^2/49152 (VERDICT r10 #2 — the 8-bit

@@ -2097,3 +2097,37 @@ def test_incremental_winnow_family_contract(spark):
         r["doc_id"] for r in incremental_winnow_keepers(batch, existing).collect()
     )
     assert got == [11, 12, 14], got
+
+
+def test_split_leakage_audit_planted(spark):
+    """Planted dup cluster straddling splits is reported with the right
+    member count and sorted split list; single-split clusters are not."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.queries.llm_ops import split_leakage_audit
+
+    # find ids landing in different splits under the md5 bucket rule
+    import hashlib
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    # avoid ids divisible by 9: the audit corpus plants re-keyed copies of
+    # those, which would add leaks beyond the planted one
+    train_ids = [i for i in range(300) if split_of(i) == "train" and i % 9]
+    test_ids = [i for i in range(300) if split_of(i) == "test" and i % 9]
+    rows = [(train_ids[0], "leaky duplicate text"), (test_ids[0], "leaky duplicate text")]
+    rows += [(train_ids[1], "safe duplicate"), (train_ids[2], "safe duplicate")]
+    rows += [(train_ids[3], "unique text")]
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = split_leakage_audit(spark, d).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2 and got[0]["n_splits"] == 2
+    assert got[0]["splits"] == "test,train"
