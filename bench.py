@@ -180,6 +180,7 @@ HEADLINE = [
     "domain_temperature_mixing",
     "sequence_packing_plan",
     "split_leakage_audit",
+    "events_debounce_dedup",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -920,6 +920,37 @@ def events_cep_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_s(
+    "events_debounce_dedup",
+    """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ns,
+         LAG(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_ns(ts), event_id) AS prev_ns
+  FROM events
+)
+SELECT event_id, user_id, event_type, CAST(ns AS BIGINT) AS ts_ns
+FROM e
+WHERE prev_ns IS NULL OR ns - prev_ns > 60000000000
+""",
+)
+def events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle dedup per (user_id, event_type), batch form of
+    `streaming/stateful.debounce_events`: an event survives only if MORE
+    than 60s passed since the previous same-key event, and every event —
+    kept or suppressed — refreshes the window (a burst emits only its
+    first event).  The retry-storm dedup sibling of
+    `events_dedup_replayed` (which needs byte-identical payloads); here
+    the key repeating inside the gap IS the duplicate signal.  One LAG
+    window per key, integer epoch-ns math, (ts, event_id) tiebreak —
+    deterministic under any partitioning; the streaming twin holds one
+    bigint of state per key (stream==batch pinned in
+    tests/test_stateful_streaming.py)."""
+    from bigdata_rags_spark.streaming.stateful import debounce_events_batch
+
+    return debounce_events_batch(read_events_batch(spark, sf_dir), gap_sec=60)
+
+
+@_s(
     "events_running_user_totals",
     """
 WITH e AS (

@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -208,4 +209,90 @@ def detect_sequences_batch(
         F.col("la_ns").alias("first_ts_ns"),
         F.col("ts_ns").alias("then_ts_ns"),
         (F.col("ts_ns") - F.col("la_ns")).alias("gap_ns"),
+    )
+
+
+DEBOUNCE_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts_ns", LongType()),
+    ]
+)
+
+DEBOUNCE_STATE = StructType([StructField("last_ts_ns", LongType())])
+
+
+def _debounce_update(gap_ns: int):
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts_ns", "event_id"])
+        last = state.get[0] if state.exists else None
+        keep = []
+        for eid, ns in zip(pdf["event_id"].tolist(), pdf["ts_ns"].tolist()):
+            if last is None or ns - last > gap_ns:
+                keep.append(eid)
+            last = int(ns)  # every event refreshes the suppression window
+        state.update((last,))
+        out = pdf[pdf["event_id"].isin(keep)]
+        yield pd.DataFrame(
+            {
+                "event_id": out["event_id"].tolist(),
+                "user_id": [key[0]] * len(out),
+                "event_type": [key[1]] * len(out),
+                "ts_ns": out["ts_ns"].tolist(),
+            }
+        )
+
+    return update
+
+
+def debounce_events(events: DataFrame, gap_sec: int = 60) -> DataFrame:
+    """Stateful debounce/throttle dedup per (user_id, event_type): an event
+    is emitted only if MORE than ``gap_sec`` passed since the previous
+    event of the same key — and every event (kept or suppressed) refreshes
+    the suppression window, the classic debounce contract (a burst emits
+    only its first event, no matter how long it lasts).  The dedup sibling
+    of ``dropDuplicatesWithinWatermark`` for the rapid-fire/retry-storm
+    shape where payloads differ but the key repeating inside the gap IS
+    the duplicate signal.
+
+    O(1) state per key (one bigint timestamp) surviving across
+    micro-batches; within a batch rows fold in (ts_ns, event_id) order so
+    output is deterministic.  Output mode: append (kept events only).
+    ``transformWithStateInPandas`` would express the same processor with
+    native state TTL on Spark 4.1+, but its python worker needs protobuf,
+    which this environment lacks — ``applyInPandasWithState`` carries the
+    identical semantics.
+    """
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_update(gap_sec * 1_000_000_000),
+        outputStructType=DEBOUNCE_OUTPUT,
+        stateStructType=DEBOUNCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def debounce_events_batch(events: DataFrame, gap_sec: int = 60) -> DataFrame:
+    """Batch form of ``debounce_events`` (the oracle-checkable twin): one
+    LAG window per (user_id, event_type) ordered by (ts_ns, event_id) —
+    kept iff first in key or the gap from the PREVIOUS event (kept or not)
+    exceeds gap_sec.  Same rows as the streamed form's union of batches."""
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    prev = F.lag("ts_ns").over(w)
+    return (
+        events.withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col("ts_ns") - F.col("__prev") > gap_sec * 1_000_000_000)
+        )
+        .select("event_id", "user_id", "event_type", "ts_ns")
     )

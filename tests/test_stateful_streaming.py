@@ -227,3 +227,46 @@ def test_running_totals_batch_final_rows_equal_stream_state(spark, tmp_path):
         assert b["max_cents"] == round(s["max_value"] * 100)
     assert last[7]["total_cents"] == 1075 and last[7]["max_cents"] == 500
     assert last[8]["total_cents"] == 875 and last[8]["max_cents"] == 1000
+
+
+def test_debounce_stream_equals_batch_and_refreshes_window(spark, tmp_path):
+    """Debounce semantics across micro-batches: suppressed events still
+    refresh the window (a burst spanning batches emits only its first
+    event), independent keys don't interact, and the streamed output
+    equals the batch LAG form over the full event set."""
+    from bigdata_rags_spark.streaming.stateful import (
+        debounce_events,
+        debounce_events_batch,
+    )
+
+    path = str(tmp_path / "deb_stream")
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    # user 7 'click': burst at 0/30/59s then 130s (gap from 59s is 71s > 60)
+    b1 = [
+        (1, 0 * NS, 7, "click", 1.0, ""),
+        (2, 30 * NS, 7, "click", 1.0, ""),   # suppressed, refreshes window
+        (3, 10 * NS, 7, "view", 1.0, ""),    # different key: kept
+        (4, 0 * NS, 8, "click", 1.0, ""),    # different user: kept
+    ]
+    b2 = [
+        (5, 59 * NS, 7, "click", 1.0, ""),   # 29s after event 2: suppressed
+        (6, 130 * NS, 7, "click", 1.0, ""),  # 71s after event 5: kept
+        (7, 61 * NS, 8, "click", 1.0, ""),   # 61s after event 4: kept
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    out = debounce_events(read_events_stream(spark, path), gap_sec=60)
+    q = (
+        out.writeStream.format("memory").queryName("t_deb")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        streamed = sorted(r["event_id"] for r in spark.table("t_deb").collect())
+    finally:
+        q.stop()
+    assert streamed == [1, 3, 4, 6, 7], streamed
+    full = spark.createDataFrame(b1 + b2, schema)
+    batch = sorted(r["event_id"] for r in debounce_events_batch(full, 60).collect())
+    assert batch == streamed
