@@ -521,6 +521,9 @@ _RECHECK: tuple[str, ...] = (
     "dup_cluster_assignment",
     "fuzzy_dedup_surviving_docs",
     "embedding_fuzzy_dedup_vectors",
+    # round 11: split rule factored into the shared _SQL_SPLIT_* fragments
+    # consumed by the new split_leakage_audit — same results, new oracle text
+    "train_test_split_assignment",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

@@ -1397,19 +1397,37 @@ def embedding_ivf_probe_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, k=5, n_cells=16, n_probe=4, centroids=fixed_centroids(64, 16))
 
 
+# ONE split rule shared by the assignment query and the leakage audit (the
+# audit's claim is "under the id-hash assignment of
+# train_test_split_assignment" — four drifting copies would silently audit
+# a split no longer in use).
+_SQL_SPLIT_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100"
+_SQL_SPLIT_CASE = (
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_bucket() -> F.Column:
+    """The Spark twin of _SQL_SPLIT_BUCKET."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+
+
+def _split_of(bucket: F.Column) -> F.Column:
+    """The Spark twin of _SQL_SPLIT_CASE (80/10/10)."""
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+
 @_llm(
     "train_test_split_assignment",
-    """
+    f"""
 WITH h AS (
-  SELECT doc_id, lang,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+  SELECT doc_id, lang, {_SQL_SPLIT_BUCKET} AS bucket
   FROM documents
 )
-SELECT doc_id, lang,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val'
-            ELSE 'test' END AS split,
-       bucket
+SELECT doc_id, lang, {_SQL_SPLIT_CASE} AS split, bucket
 FROM h
 """,
 )
@@ -1418,14 +1436,11 @@ def train_test_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs/engines (md5, not RNG), stable under data reordering, and
     join-free to apply at any scale."""
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
-        % 100
-    )
+    bucket = _split_bucket()
     return docs.select(
         "doc_id",
         "lang",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        _split_of(bucket).alias("split"),
         bucket.alias("bucket"),
     )
 
@@ -1439,15 +1454,11 @@ WITH corpus AS (
   SELECT doc_id + 2000000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0
 ),
 h AS (
-  SELECT doc_id, md5({_SQL_NORM}) AS content_hash,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 AS bucket
+  SELECT doc_id, md5({_SQL_NORM}) AS content_hash, {_SQL_SPLIT_BUCKET} AS bucket
   FROM corpus
 ),
 s AS (
-  SELECT doc_id, content_hash,
-         CASE WHEN bucket < 80 THEN 'train'
-              WHEN bucket < 90 THEN 'val'
-              ELSE 'test' END AS split
+  SELECT doc_id, content_hash, {_SQL_SPLIT_CASE} AS split
   FROM h
 )
 SELECT content_hash,
@@ -1477,13 +1488,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"), "text"
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
-        % 100
-    )
     s = docs.select(
         content_hash(F.col("text")).alias("content_hash"),
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        _split_of(_split_bucket()).alias("split"),
     )
     return (
         s.groupBy("content_hash")

@@ -235,7 +235,10 @@ def _debounce_update(gap_ns: int):
         for eid, ns in zip(pdf["event_id"].tolist(), pdf["ts_ns"].tolist()):
             if last is None or ns - last > gap_ns:
                 keep.append(eid)
-            last = int(ns)  # every event refreshes the suppression window
+            # every event refreshes the suppression window — but MONOTONE:
+            # a late-arriving OLDER event must not rewind the window edge
+            # and re-open suppression (the detect_sequences late-A guard)
+            last = max(last, int(ns)) if last is not None else int(ns)
         state.update((last,))
         out = pdf[pdf["event_id"].isin(keep)]
         yield pd.DataFrame(
@@ -263,6 +266,12 @@ def debounce_events(events: DataFrame, gap_sec: int = 60) -> DataFrame:
     O(1) state per key (one bigint timestamp) surviving across
     micro-batches; within a batch rows fold in (ts_ns, event_id) order so
     output is deterministic.  Output mode: append (kept events only).
+    Equivalence with the batch LAG twin holds when arrival order respects
+    event time across micro-batches (the replay/file-stream case); under
+    LATE data the stream keeps the guarantee that matters operationally —
+    the window edge is monotone (a late older event never re-opens
+    suppression; it can only be suppressed itself) — while the batch form
+    retroactively re-sorts, which no online operator can replay exactly.
     ``transformWithStateInPandas`` would express the same processor with
     native state TTL on Spark 4.1+, but its python worker needs protobuf,
     which this environment lacks — ``applyInPandasWithState`` carries the

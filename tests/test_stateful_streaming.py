@@ -270,3 +270,33 @@ def test_debounce_stream_equals_batch_and_refreshes_window(spark, tmp_path):
     full = spark.createDataFrame(b1 + b2, schema)
     batch = sorted(r["event_id"] for r in debounce_events_batch(full, 60).collect())
     assert batch == streamed
+
+
+def test_debounce_late_event_does_not_reopen_window(spark, tmp_path):
+    """A late-arriving OLDER event must not rewind the suppression window:
+    it is suppressed itself and subsequent in-gap events stay suppressed
+    (without the monotone guard, state would regress to the late ts and
+    re-emit the in-gap event)."""
+    from bigdata_rags_spark.streaming.stateful import debounce_events
+
+    path = str(tmp_path / "deb_late")
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    b1 = [(1, 1000 * NS, 7, "click", 1.0, "")]
+    b2 = [
+        (2, 0 * NS, 7, "click", 1.0, ""),     # LATE: suppressed, must not rewind
+        (3, 1005 * NS, 7, "click", 1.0, ""),  # 5s after event 1: stays suppressed
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(path)
+    out = debounce_events(read_events_stream(spark, path), gap_sec=60)
+    q = (
+        out.writeStream.format("memory").queryName("t_deb_late")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        got = sorted(r["event_id"] for r in spark.table("t_deb_late").collect())
+    finally:
+        q.stop()
+    assert got == [1], got
