@@ -181,6 +181,7 @@ HEADLINE = [
     "sequence_packing_plan",
     "split_leakage_audit",
     "events_debounce_dedup",
+    "corpus_health_report",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

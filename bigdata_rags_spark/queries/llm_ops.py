@@ -1397,6 +1397,78 @@ def embedding_ivf_probe_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, e, k=5, n_cells=16, n_probe=4, centroids=fixed_centroids(64, 16))
 
 
+@_llm(
+    "corpus_health_report",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, source, md5({_SQL_NORM}) AS ch,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks
+  FROM documents
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS dup_docs
+  FROM (SELECT ch, COUNT(*) AS cnt FROM t GROUP BY ch HAVING COUNT(*) > 1)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct_texts,
+       (SELECT dup_docs FROM dup) AS dup_docs,
+       CAST(((SELECT dup_docs FROM dup) * 1000000) // COUNT(*) AS BIGINT) AS dup_rate_micro,
+       CAST(SUM(CASE WHEN n_toks < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+       CAST(SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_doc_tokens
+FROM t
+""",
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health summary — the first thing a data engineer runs
+    on a new crawl before any pipeline decision: doc/token volume, language
+    and source cardinality, exact-dup mass (docs whose normalized text is
+    shared) with an integer-micro dup rate, short-doc count (< 50 ws
+    tokens), and integer mean tokens/doc.  Everything integer-exact (floor
+    division, never a float mean).  One scan + one 32-byte-key hash agg;
+    the count-distincts ride the same aggregation (Expand), so the report
+    costs a single pass at any corpus size."""
+    docs = _docs_parallel(spark, sf_dir)
+    t = docs.select(
+        "lang",
+        "source",
+        content_hash(F.col("text")).alias("ch"),
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    dup = (
+        t.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("dup_docs"))
+    )
+    return (
+        t.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("ch").cast("bigint").alias("n_distinct_texts"),
+            F.sum(F.when(F.col("n_toks") < 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("short_docs"),
+        )
+        .crossJoin(F.broadcast(dup))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            "n_distinct_texts",
+            "dup_docs",
+            F.expr("dup_docs * 1000000 DIV n_docs").cast("bigint").alias("dup_rate_micro"),
+            "short_docs",
+            F.expr("n_tokens DIV n_docs").cast("bigint").alias("mean_doc_tokens"),
+        )
+    )
+
+
 # ONE split rule shared by the assignment query and the leakage audit (the
 # audit's claim is "under the id-hash assignment of
 # train_test_split_assignment" — four drifting copies would silently audit

@@ -2131,3 +2131,29 @@ def test_split_leakage_audit_planted(spark):
     assert len(got) == 1
     assert got[0]["n_docs"] == 2 and got[0]["n_splits"] == 2
     assert got[0]["splits"] == "test,train"
+
+
+def test_corpus_health_report_planted(spark):
+    """Hand-computable planted corpus: dup mass, short docs, integer mean
+    and micro rate all exact."""
+    import os, tempfile
+
+    from bigdata_rags_spark.queries.llm_ops import corpus_health_report
+
+    long = " ".join(["w"] * 60)
+    rows = [
+        (0, long, "en", "a"), (1, long, "en", "b"),      # dup pair: 2 dup docs
+        (2, "short doc", "es", "a"),                      # short (<50 toks)
+        (3, " ".join(["x"] * 50), "en", "c"),             # exactly 50: not short
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, l, s, len(t)) for i, t, l, s in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = corpus_health_report(spark, d).collect()[0]
+    assert (r["n_docs"], r["n_tokens"], r["n_langs"], r["n_sources"]) == (4, 172, 2, 3)
+    assert (r["n_distinct_texts"], r["dup_docs"]) == (3, 2)
+    assert r["dup_rate_micro"] == 2 * 1000000 // 4
+    assert r["short_docs"] == 1
+    assert r["mean_doc_tokens"] == 172 // 4
