@@ -286,27 +286,12 @@ _DRIVER_CHECKED: dict[str, int] = {
     # --- last driver row: round 4 ---
     "embedding_ivf_topk": 4,
     # --- last driver row: round 6 ---
-    "balanced_corpus_quota": 6,
-    "bigram_lm_doc_scores": 6,
-    "corpus_training_selection": 6,
-    "dup_cluster_size_histogram": 6,
-    "edit_distance_near_dups": 6,
-    "events_attribution_first_vs_last": 6,
-    "events_dedup_replayed": 6,
-    "events_hourly_anomaly": 6,
-    "events_hourly_unique_users_sketch": 6,
-    "events_time_weighted_value": 6,
-    "multimodal_png_resize_features": 6,
     # --- last driver row: round 7 ---
     "basket_affinity_lift": 7,
     "bigram_collocation_lift": 7,
     "bloom_prefilter_incremental_dedup": 7,
     "cdc_apply_log_compaction": 7,
-    "collect_sorted_lists": 7,
-    "correlated_scalar_above_avg": 7,
-    "date_arithmetic_orders": 7,
     "doc_boilerplate_ngram_coverage": 7,
-    "dup_cluster_assignment": 7,
     "embedding_diversity_fps": 7,
     "embedding_pq_adc_topk": 7,
     "embedding_pq_rerank_topk": 7,
@@ -321,29 +306,16 @@ _DRIVER_CHECKED: dict[str, int] = {
     "events_running_user_totals": 7,
     "events_seasonal_baseline_error": 7,
     "events_transition_matrix": 7,
-    "fuzzy_dedup_surviving_docs": 7,
     "gini_revenue_concentration": 7,
-    "hash_functions_documents": 7,
-    "image_phash_near_dups": 7,
     "lsh_tuning_planner": 7,
-    "pandas_udaf_geometric_mean": 7,
-    "pandas_udf_harmonic_price": 7,
     "pareto_abc_customers": 7,
     "priority_sample_docs": 7,
     "rfm_customer_segmentation": 7,
     "rrf_fusion_search": 7,
-    "salted_join_revenue_by_priority": 7,
-    "scd2_point_in_time_lookup": 7,
     "snapshot_drift_report": 7,
     "source_pair_overlap_kmv": 7,
-    "sql_grouping_sets": 7,
-    "string_functions_extended": 7,
-    "tpch_q13_customer_distribution": 7,
-    "tpch_q4_order_priority": 7,
     "vocab_coverage_curve": 7,
-    "window_ntile_lead_firstvalue": 7,
     "zone_compaction_invariant": 7,
-    "zorder_file_skipping_stats": 7,
     # --- last driver row: round 8 ---
     "contrastive_negatives_sample": 8,
     "corpus_health_by_lang": 8,
@@ -354,7 +326,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "domain_corpus_stats": 8,
     "domain_psl_extraction": 8,
     "domain_quota_selection": 8,
-    "embedding_fuzzy_dedup_vectors": 8,
     "embedding_int8_quantization": 8,
     "embedding_ivfpq_rerank_topk": 8,
     "embedding_label_centroids": 8,
@@ -370,13 +341,11 @@ _DRIVER_CHECKED: dict[str, int] = {
     "length_weighted_sample_docs": 8,
     "map_functions_status_scores": 8,
     "multimodal_video_framesample": 8,
-    "near_dup_graph_clustering": 8,
     "quality_classifier_scores": 8,
     "query_likelihood_search": 8,
     "semantic_dedup_cells": 8,
     "sequence_packing_bins": 8,
     "simhash64_fingerprints": 8,
-    "simhash_near_dup_pairs": 8,
     "source_token_drift": 8,
     "stratified_sample_docs": 8,
     "substring_dedup_docs": 8,
@@ -391,7 +360,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "tpch_q5_local_supplier_volume": 8,
     "tpch_q6_forecast_revenue": 8,
     "tpch_q7_volume_shipping": 8,
-    "train_test_split_assignment": 8,
     "training_mixture_plan": 8,
     "unigram_lm_doc_scores": 8,
     # --- last driver row: round 9 ---
@@ -423,7 +391,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "minhash_lsh_candidates": 9,
     "multimodal_wav_features": 9,
     "near_dup_candidate_eval": 9,
-    "near_dup_pagerank": 9,
     "ngram_containment_pairs": 9,
     "projection_rename_quoted": 9,
     "rollup_status_priority": 9,
@@ -445,7 +412,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "window_rank_orders_in_segment": 9,
     "winsorized_price_stats": 9,
     # --- last driver row: round 10 ---
-    "audio_fingerprint_near_dups": 10,
     "benchmark_decontamination": 10,
     "bpe_merge_training": 10,
     "bpe_subword_stats": 10,
@@ -495,35 +461,67 @@ _DRIVER_CHECKED: dict[str, int] = {
     "upsert_current_rows": 10,
     "window_trailing_7d_range_frame": 10,
     "zone_snapshot_diff": 10,
+    # --- last driver row: round 11 ---
+    "audio_fingerprint_near_dups": 11,
+    "balanced_corpus_quota": 11,
+    "bigram_lm_doc_scores": 11,
+    "collect_sorted_lists": 11,
+    "corpus_health_report": 11,
+    "corpus_training_selection": 11,
+    "correlated_scalar_above_avg": 11,
+    "date_arithmetic_orders": 11,
+    "domain_temperature_mixing": 11,
+    "dup_cluster_assignment": 11,
+    "dup_cluster_size_histogram": 11,
+    "edit_distance_near_dups": 11,
+    "embedding_fuzzy_dedup_vectors": 11,
+    "embedding_hard_negatives": 11,
+    "embedding_ivfpq_trained_serve": 11,
+    "embedding_ivfpq_tuning_planner": 11,
+    "embedding_matryoshka_recall": 11,
+    "events_attribution_first_vs_last": 11,
+    "events_debounce_dedup": 11,
+    "events_dedup_replayed": 11,
+    "events_hourly_anomaly": 11,
+    "events_hourly_unique_users_sketch": 11,
+    "events_time_weighted_value": 11,
+    "fuzzy_dedup_surviving_docs": 11,
+    "hash_functions_documents": 11,
+    "image_phash_near_dups": 11,
+    "incremental_winnow_dedup": 11,
+    "multimodal_png_resize_features": 11,
+    "near_dup_graph_clustering": 11,
+    "near_dup_pagerank": 11,
+    "pandas_udaf_geometric_mean": 11,
+    "pandas_udf_harmonic_price": 11,
+    "salted_join_revenue_by_priority": 11,
+    "scd2_point_in_time_lookup": 11,
+    "sequence_packing_plan": 11,
+    "simhash_idf_near_dup_pairs": 11,
+    "simhash_near_dup_pairs": 11,
+    "soft_dedup_sampling": 11,
+    "split_leakage_audit": 11,
+    "sql_grouping_sets": 11,
+    "string_functions_extended": 11,
+    "tpch_q13_customer_distribution": 11,
+    "tpch_q4_order_priority": 11,
+    "train_test_split_assignment": 11,
+    "unigram_piece_training": 11,
+    "window_ntile_lead_firstvalue": 11,
+    "winnowed_fingerprints": 11,
+    "winnowed_plagiarism_pairs": 11,
+    "wordpiece_merge_training": 11,
+    "zorder_file_skipping_stats": 11,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 11: the Hamming near-dup family moved from 63/64-bit fingerprints
-    # with 8-bit band keys to 126/128-bit fingerprints with ~16-bit band keys
-    # (VERDICT r10 #2 — candidate volume N²/256 -> N²/65536)
-    "audio_fingerprint_near_dups",
-    "image_phash_near_dups",
-    # consume the widened phash edges (Spark side via image_phash_near_dups,
-    # oracle side via _phash_edges_sql), so their results changed too
-    "near_dup_graph_clustering",
-    "near_dup_pagerank",
-    # unchanged code, but VERDICT r10 #2 named it in the Hamming-band family:
-    # re-confirm green alongside the widened siblings (its bands were already
-    # 16-bit — see SCALE.md round 11)
-    "simhash_near_dup_pairs",
-    # round 11: registered in r10 AFTER that round's driver pass, so it has
-    # no CORRECTNESS history at all (VERDICT r10 #3).  Rows-only by the
-    # trained-float rule; one window slot earns its first spark_rows>0 row.
-    "embedding_ivfpq_trained_serve",
-    # round 11: connected_components grew the local-contraction + bounded
-    # driver-solve base case (VERDICT r10 #4) — same labels, new plan
-    "dup_cluster_assignment",
-    "fuzzy_dedup_surviving_docs",
-    "embedding_fuzzy_dedup_vectors",
-    # round 11: split rule factored into the shared _SQL_SPLIT_* fragments
-    # consumed by the new split_leakage_audit — same results, new oracle text
-    "train_test_split_assignment",
+    # round 12: append_ivfpq_index gained the physical purge of
+    # batch∩tombstone ids before the bucketed insert (ADVICE r11 high —
+    # re-appended ids previously unmasked BOTH old and new code rows, so
+    # serving returned a duplicated neighbor at two ranks).  Same results on
+    # the non-reappend fixture path, new plan — re-confirm green.
+    "embedding_ivfpq_index_append",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
