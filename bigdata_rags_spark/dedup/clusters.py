@@ -166,8 +166,17 @@ def connected_components(
                         parent[ru] = rv
             LAST_ROUNDS = 0
             spark = pairs.sparkSession
-            out = [(n, find(n)) for n in parent]
-            return spark.createDataFrame(out, "doc_id long, cluster_id long")
+            # return trip stays on the Arrow path too (ADVICE r11 low): a
+            # plain list of ~5M tuples would take the Row-object path the
+            # fetch above avoids — pandas in, pandas out
+            import pandas as pd
+
+            nodes = list(parent)
+            out_pdf = pd.DataFrame(
+                {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]},
+                dtype="int64",
+            )
+            return spark.createDataFrame(out_pdf, "doc_id long, cluster_id long")
     edges = (
         fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

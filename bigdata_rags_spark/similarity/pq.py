@@ -721,6 +721,33 @@ def append_ivfpq_index(
     codes_table = f"{table_prefix}_codes"
     vectors_table = f"{table_prefix}_vectors"
 
+    # Re-appending a previously deleted id REVIVES it (ADVICE r10 #1), and
+    # the delete was LOGICAL — the old physical rows for a revived id are
+    # still sitting in {prefix}_codes/_vectors.  Clearing the tombstone
+    # alone would unmask BOTH the stale rows and the fresh batch rows
+    # (ADVICE r11 high): serving then double-counts the ADC score and emits
+    # the neighbor at two ranks, displacing a real top-k hit — and a later
+    # compact keeps the duplicates forever (the tombstone is gone).  So
+    # BEFORE the bucketed insert, physically purge batch∩tombstone ids via
+    # the same staging-swap machinery as compact.  The rewrite is bounded
+    # (it only fires when the batch actually intersects a live tombstone),
+    # and purge-before-insert makes a crashed-then-retried append
+    # idempotent: the retry's purge removes the prior attempt's batch rows
+    # (same ids, still tombstone-masked) before re-inserting them.
+    tomb_table = f"{table_prefix}_tombstones"
+    batch_ids = None
+    if spark.catalog.tableExists(tomb_table):
+        batch_ids = (
+            batch.select(F.col(id_col).cast("long").alias("vec_id")).distinct().localCheckpoint()
+        )
+        revived = (
+            spark.table(tomb_table)
+            .join(F.broadcast(batch_ids), "vec_id", "semi")
+            .localCheckpoint()
+        )
+        if revived.count() > 0:
+            _purge_ids(spark, table_prefix, revived, num_buckets)
+
     asg = assign_cells(batch, cents, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col).join(asg, "id")
     write_bucketed(codes, codes_table, "cell", num_buckets, mode="append")
@@ -731,15 +758,10 @@ def append_ivfpq_index(
         num_buckets,
         mode="append",
     )
-    # Re-appending a previously deleted id REVIVES it (ADVICE r10 #1):
-    # clear the batch's ids from the tombstone set, otherwise the stale
-    # tombstone keeps masking the fresh rows at serve time and the next
-    # compact would physically drop them — silently losing the re-ingest.
-    tomb_table = f"{table_prefix}_tombstones"
-    if spark.catalog.tableExists(tomb_table):
-        batch_ids = (
-            batch.select(F.col(id_col).cast("long").alias("vec_id")).distinct().localCheckpoint()
-        )
+    # Only after the fresh rows are durably in place does the batch leave
+    # the tombstone set — a crash between purge/insert and this clear keeps
+    # the ids masked (correct: serving never sees a partial revive).
+    if batch_ids is not None:
         tombs = spark.table(tomb_table)
         live = tombs.join(F.broadcast(batch_ids), "vec_id", "left_anti").localCheckpoint()
         if live.count() < tombs.count():
@@ -767,37 +789,37 @@ def delete_from_ivfpq_index(
     return table
 
 
-def compact_ivfpq_index(
+def _purge_ids(
     spark,
-    table_prefix: str = "ivfpq_idx",
+    table_prefix: str,
+    ids: DataFrame,
+    num_buckets: int,
 ) -> tuple[int, int]:
-    """Physically apply accumulated tombstones: rewrite ``{prefix}_codes``
-    and ``{prefix}_vectors`` without the deleted ids (same bucket spec, so
-    every serving plan property — cell pruning, vec_id point lookups —
-    survives the rewrite) and clear the tombstone table.  Returns
-    (codes_rows_removed, vectors_rows_removed).  One index-sized write,
-    paid when the operator chooses, not per delete."""
-    from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
+    """Physically rewrite ``{prefix}_codes`` and ``{prefix}_vectors`` without
+    the given ``vec_id`` rows, preserving the bucket spec (so cell pruning
+    and vec_id point lookups survive).  Shared by ``compact_ivfpq_index``
+    (full tombstone set) and ``append_ivfpq_index`` (the batch∩tombstone
+    revive purge, ADVICE r11 high).  Returns rows removed per table.
 
-    tomb_table = f"{table_prefix}_tombstones"
-    if not spark.catalog.tableExists(tomb_table):
-        return (0, 0)
-    _, _, num_buckets = _read_index_meta(spark, f"{table_prefix}_meta")
-    tombs = spark.table(tomb_table).select("vec_id").distinct().localCheckpoint()
+    Crash-safety: write-then-swap (ADVICE r10 #2) — survivors land in a
+    staging table FIRST, so the data always exists in full somewhere: the
+    old table (any failure before the drop) or the fully-written staging
+    table (failure between drop and rename).  The drop->rename window gets
+    EXPLICIT recovery: a rerun finishes the rename BEFORE the stale-staging
+    cleanup, or it would destroy the only copy.  Staging is complete
+    whenever the serving table is missing, because the drop only ever runs
+    after write_bucketed returned.  NOTE (ADVICE r11 low): on that recovery
+    path ``before`` is counted on the already-filtered staging contents, so
+    the removed counts for the recovered run understate the true delta —
+    counts reset after crash recovery; labels/content are always correct.
+    """
+    from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
 
     removed = []
     for table, key, bucket_col in (
         (f"{table_prefix}_codes", "id", "cell"),
         (f"{table_prefix}_vectors", "vec_id", "vec_id"),
     ):
-        # write-then-swap (ADVICE r10 #2): survivors land in a staging table
-        # FIRST, so the data always exists in full somewhere — the old table
-        # (any failure before the drop) or the fully-written staging table
-        # (failure between drop and rename).  The drop->rename window needs
-        # EXPLICIT recovery here: a rerun must finish the rename BEFORE the
-        # stale-staging cleanup below, or it would destroy the only copy.
-        # Staging is complete whenever the serving table is missing, because
-        # the drop only ever runs after write_bucketed returned.
         staging = f"{table}__compacting"
         if not spark.catalog.tableExists(table):
             if not spark.catalog.tableExists(staging):
@@ -810,15 +832,37 @@ def compact_ivfpq_index(
         cur = spark.table(table)
         before = cur.count()
         keep = cur.join(
-            F.broadcast(tombs.withColumnRenamed("vec_id", key)), key, "left_anti"
+            F.broadcast(ids.select(F.col("vec_id").alias(key))), key, "left_anti"
         )
         write_bucketed(keep, staging, bucket_col, num_buckets)
         after = spark.table(staging).count()
         drop_managed_table(spark, table)
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
         removed.append(before - after)
-    drop_managed_table(spark, tomb_table)
     return (removed[0], removed[1])
+
+
+def compact_ivfpq_index(
+    spark,
+    table_prefix: str = "ivfpq_idx",
+) -> tuple[int, int]:
+    """Physically apply accumulated tombstones: rewrite ``{prefix}_codes``
+    and ``{prefix}_vectors`` without the deleted ids (same bucket spec, so
+    every serving plan property — cell pruning, vec_id point lookups —
+    survives the rewrite) and clear the tombstone table.  Returns
+    (codes_rows_removed, vectors_rows_removed); after a mid-compact crash
+    the recovered run's counts reset (see ``_purge_ids``).  One index-sized
+    write, paid when the operator chooses, not per delete."""
+    from bigdata_rags_spark.io.bucketing import drop_managed_table
+
+    tomb_table = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(tomb_table):
+        return (0, 0)
+    _, _, num_buckets = _read_index_meta(spark, f"{table_prefix}_meta")
+    tombs = spark.table(tomb_table).select("vec_id").distinct().localCheckpoint()
+    removed = _purge_ids(spark, table_prefix, tombs, num_buckets)
+    drop_managed_table(spark, tomb_table)
+    return removed
 
 
 def ivfpq_index_stats(spark, table_prefix: str = "ivfpq_idx") -> DataFrame:

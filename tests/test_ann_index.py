@@ -239,7 +239,11 @@ def test_reappend_revives_deleted_id(spark, sf_smoke, _drop_tables):
 
 def test_reappend_without_compact_clears_tombstone(spark, sf_smoke, _drop_tables):
     """Append directly over a live tombstone (no compact in between): the
-    batch's ids leave the tombstone set, others stay masked."""
+    batch's ids leave the tombstone set, others stay masked — AND the
+    revived id exists physically exactly once (ADVICE r11 high: the logical
+    delete left the old code/vector rows in place, so the append must purge
+    them before inserting, or serving double-counts the ADC score and emits
+    the revived neighbor at two ranks)."""
     from bigdata_rags_spark.similarity.pq import (
         append_ivfpq_index,
         delete_from_ivfpq_index,
@@ -254,6 +258,28 @@ def test_reappend_without_compact_clears_tombstone(spark, sf_smoke, _drop_tables
     append_ivfpq_index(e.filter(F.col("vec_id") == 11), table_prefix="t_ann_rev2")
     left = {r["vec_id"] for r in spark.table("t_ann_rev2_tombstones").collect()}
     assert left == {12}  # 11 revived, 12 still masked
+    # physical uniqueness: the stale pre-delete rows for 11 were purged —
+    # exactly one code row per subquantizer (same as a never-deleted id)
+    codes = spark.table("t_ann_rev2_codes")
+    per_sub = codes.filter(F.col("id") == 13).count()  # never deleted
+    assert codes.filter(F.col("id") == 11).count() == per_sub
+    assert spark.table("t_ann_rev2_vectors").filter(F.col("vec_id") == 11).count() == 1
+    # serving returns each neighbor at most once per query (the ADVICE r11
+    # repro: without the purge, the duplicated vectors row made the rerank
+    # join emit the revived neighbor at two ranks).  Self-matches are
+    # excluded by design, so probe with OTHER vectors as queries.
+    served = ivfpq_index_serve(
+        e.filter(F.col("vec_id").between(13, 20)), k=5, table_prefix="t_ann_rev2"
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in served]
+    assert len(pairs) == len(set(pairs)), pairs
+    # and a later compact (tombstone for 12 still live) keeps 11 unique
+    from bigdata_rags_spark.similarity.pq import compact_ivfpq_index
+
+    compact_ivfpq_index(spark, table_prefix="t_ann_rev2")
+    codes2 = spark.table("t_ann_rev2_codes")
+    assert codes2.filter(F.col("id") == 11).count() == per_sub
+    assert codes2.filter(F.col("id") == 12).count() == 0
 
 
 def test_compact_preserves_bucket_spec(spark, sf_smoke, _drop_tables):
