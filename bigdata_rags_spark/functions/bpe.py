@@ -155,3 +155,90 @@ def apply_bpe_merges(
         enc.alias("__enc"),
     )
     return base.select("word", "cnt", _symbols("__enc").alias("subwords"))
+
+
+def bpe_encode_documents(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-scale tokenizer ENCODE — apply a FROZEN ordered merge list to
+    every document, producing per-doc token-id sequences (the missing
+    middle link of train -> ENCODE -> pack; VERDICT r11 next #2).
+
+    Returns (doc_id, n_words bigint, n_tokens bigint, token_ids string —
+    comma-joined ids in document order).  Ids are comma-joined because the
+    driver's pandas array-cell encoding differs between engines (the
+    ``collect_sorted_lists`` convention).
+
+    Token ids: the vocab is the corpus's own subword inventory under the
+    frozen rules, ranked by subword string (dense, deterministic, replayable
+    in ANSI SQL).  A production tokenizer would ship its frozen id table
+    instead — the plumbing is identical (swap the ``vocab`` frame for the
+    shipped one); what matters here is that ids are stable across engines
+    and partitionings.
+
+    100-TB shape: the corpus is scanned ONCE to split words
+    (``posexplode``, row-local).  Everything merge-related happens on the
+    DISTINCT-WORD table (Zipf: millions of rows for a petabyte of text):
+    one chained-replace segmentation pass, one vocab ranking (single
+    window over the SUBWORD inventory — vocab-bounded by construction,
+    same contract as the trainer's argmax collects).  The word -> ids
+    dictionary is then broadcast back onto the corpus word stream (a
+    dictionary-encode join: the corpus side never shuffles), and per-doc
+    sequences reassemble with one groupBy(doc_id) whose arrays are
+    doc-length-bounded.  No UDFs anywhere — the whole encode is
+    codegen-friendly built-ins.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("wpos", "word"),
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    seg = apply_bpe_merges(words, merges)
+    word_sub = seg.select("word", F.posexplode("subwords").alias("spos", "subword"))
+    # vocab ranking: one unpartitioned window over the DISTINCT subword
+    # inventory — vocab-bounded (never corpus-bounded), the documented
+    # single-partition exception shared with the tokenizer trainers
+    vocab = (
+        word_sub.select("subword")
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy("subword")).cast("bigint"),
+        )
+    )
+    wid = (
+        word_sub.join(F.broadcast(vocab), "subword")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("ids")
+        )
+    )
+    return (
+        toks.join(F.broadcast(wid), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("__ids"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.size("__ids").cast("bigint").alias("n_tokens"),
+            F.array_join("__ids", ",").alias("token_ids"),
+        )
+    )

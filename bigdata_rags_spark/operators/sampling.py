@@ -277,6 +277,7 @@ def sequence_packing_plan(
     seq_len: int = 512,
     n_shards: int = 4,
     salt: str = "pack",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence packing plan (concatenate-then-chunk): documents
     are concatenated in a deterministic pseudo-random order (one EOS token
@@ -291,7 +292,10 @@ def sequence_packing_plan(
     Determinism (same contract as the rest of this module): shard and
     order come from md5(salt:id) — reproducible on any engine, any
     partitioning.  Token counts are whitespace tokens + 1 (the EOS
-    separator).
+    separator) by default; pass ``tokens_col`` naming a precomputed
+    per-doc REAL token count (e.g. ``bpe_encode_documents``'s n_tokens)
+    to pack on actual tokenizer output instead — the +1 EOS is still
+    added here, so callers supply raw counts either way.
 
     Returns input ids plus (n_tokens, shard, start_seq, seq_offset), where
     ``start_seq = floor(tokens_before / seq_len)`` and ``seq_offset =
@@ -305,9 +309,14 @@ def sequence_packing_plan(
     from bigdata_rags_spark.functions.text import ws_tokens
 
     sk = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    raw_tokens = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(ws_tokens(F.col(text_col)))
+    )
     base = df.select(
         id_col,
-        (F.size(ws_tokens(F.col(text_col))) + 1).cast("bigint").alias("n_tokens"),
+        (raw_tokens + 1).cast("bigint").alias("n_tokens"),
         sk.alias("__sk"),
     ).withColumn(
         "shard",

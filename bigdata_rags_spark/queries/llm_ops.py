@@ -5245,6 +5245,138 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """Unrolled replay of `functions/bpe.py:bpe_encode_documents`: the
+    `_bpe_blocks` training rounds, the frozen-rule segmentation, the
+    sorted-subword vocab ranking, the word -> ordered-id dictionary, and
+    the per-doc reassembly in (word position, subword position) order —
+    every id an integer, the final sequence comma-joined (the
+    `collect_sorted_lists` array-cell convention)."""
+    US, RS = "\x1f", "\x1e"
+    return f"""WITH {_bpe_blocks(n_merges)},
+segw AS (
+  SELECT word, string_split(trim(enc, '{US}{RS}'), '{RS}{US}') AS subs FROM v{n_merges}
+),
+wsub AS (
+  SELECT word, unnest(subs) AS subword, generate_subscripts(subs, 1) AS spos FROM segw
+),
+vocab AS (
+  SELECT subword, CAST(ROW_NUMBER() OVER (ORDER BY subword) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT subword FROM wsub)
+),
+wid AS (
+  SELECT w.word, list(v.token_id ORDER BY w.spos) AS ids
+  FROM wsub w JOIN vocab v USING (subword) GROUP BY w.word
+),
+dw AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS wpos
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+),
+de AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         flatten(list(w.ids ORDER BY d.wpos)) AS ids
+  FROM dw d JOIN wid w USING (word) GROUP BY d.doc_id
+)
+SELECT doc_id, n_words, CAST(len(ids) AS BIGINT) AS n_tokens,
+       array_to_string(ids, ',') AS token_ids
+FROM de"""
+
+
+@_llm("bpe_encode_docs", _bpe_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale tokenizer ENCODE (`functions/bpe.py:
+    bpe_encode_documents`; VERDICT r11 next #2 — the missing middle link of
+    train -> ENCODE -> pack): train 8 merge rules, freeze them, and turn
+    every DOCUMENT into its token-id sequence.  The corpus is scanned once
+    to split words; segmentation, vocab ranking, and the word -> ids
+    dictionary are all DISTINCT-WORD/vocab-sized, and the dictionary
+    broadcasts back onto the corpus word stream (dictionary-encode join —
+    the corpus side never shuffles on word).  Ids are the frozen rules'
+    subword inventory ranked by string, so both engines replay them
+    exactly; sequences ship comma-joined per the array-cell convention."""
+    from bigdata_rags_spark.functions.bpe import bpe_encode_documents, train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=8).orderBy("merge_round").collect()
+    ]
+    return bpe_encode_documents(docs, rules)
+
+
+def _bpe_packing_oracle(n_merges: int = 8, seq_len: int = 512, n_shards: int = 4) -> str:
+    US, RS = "\x1f", "\x1e"
+    return f"""WITH {_bpe_blocks(n_merges)},
+segn AS (
+  SELECT word,
+         CAST(len(string_split(trim(enc, '{US}{RS}'), '{RS}{US}')) AS BIGINT) AS n_sub
+  FROM v{n_merges}
+),
+dw AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+dc AS (
+  SELECT d.doc_id, CAST(SUM(s.n_sub) + 1 AS BIGINT) AS n_tokens
+  FROM dw d JOIN segn s USING (word) GROUP BY d.doc_id
+),
+k AS (
+  SELECT doc_id, n_tokens, md5('packbpe:' || CAST(doc_id AS VARCHAR)) AS sk FROM dc
+),
+s AS (SELECT *, CAST(('0x' || substr(sk, 1, 8))::BIGINT % {n_shards} AS INT) AS shard FROM k),
+p AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY sk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM s
+)
+SELECT doc_id, n_tokens, shard,
+       CAST((prefix - n_tokens) // {seq_len} AS BIGINT) AS start_seq,
+       CAST((prefix - n_tokens) % {seq_len} AS BIGINT) AS seq_offset
+FROM p"""
+
+
+@_llm("bpe_sequence_packing", _bpe_packing_oracle())
+def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL tokenizer output (VERDICT r11 next #2,
+    second half): per-doc token counts come from the frozen BPE rules'
+    segmentation (subwords per word, summed over the doc-word stream via
+    the broadcast dictionary join) instead of `sequence_packing_plan`'s
+    whitespace+1 placeholder, then the same md5-shard window prefix-sum
+    cuts the stream into 512-token training sequences.  This completes the
+    train -> encode -> pack chain as an actual pipeline: the packing plan
+    now reflects what the tokenizer would really emit."""
+    from bigdata_rags_spark.functions.bpe import apply_bpe_merges, train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from bigdata_rags_spark.operators.sampling import sequence_packing_plan as plan
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=8).orderBy("merge_round").collect()
+    ]
+    nsub = apply_bpe_merges(words, rules).select(
+        "word", F.size("subwords").cast("bigint").alias("n_sub")
+    )
+    counts = (
+        docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .join(F.broadcast(nsub), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").cast("bigint").alias("bpe_tokens"))
+    )
+    return plan(counts, tokens_col="bpe_tokens", seq_len=512, n_shards=4, salt="packbpe")
+
+
 def _incremental_semantic_oracle(
     threshold: float = 0.4, n_cells: int = 16, dim: int = 64
 ) -> str:

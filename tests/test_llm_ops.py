@@ -1616,6 +1616,81 @@ def test_apply_bpe_merges_matches_replay_segmentation(spark):
     assert any(len(s) < len(w) + 1 for w, (s, _) in got.items())
 
 
+def test_bpe_encode_documents_matches_replay(spark):
+    """Corpus-scale ENCODE (VERDICT r11 next #2): per-doc token-id
+    sequences must equal a full python replay — greedy merge application
+    per word, sorted-subword vocab ranks as ids, reassembly in document
+    word order — and be invariant to input partitioning."""
+    from bigdata_rags_spark.functions.bpe import bpe_encode_documents, train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    texts = {
+        10: "low lower lowest new newest",
+        11: "the newest low is the widest low",
+        12: "aaaa aaaa wider new",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=6).orderBy("merge_round").collect()
+    ]
+
+    def segment(word):
+        syms = [*word, "</w>"]
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    all_words = sorted({w for t in texts.values() for w in t.lower().split()})
+    vocab = sorted({s for w in all_words for s in segment(w)})
+    tid = {s: i + 1 for i, s in enumerate(vocab)}
+    expected = {}
+    for d, t in texts.items():
+        ids = [tid[s] for w in t.lower().split() for s in segment(w)]
+        expected[d] = (len(t.split()), len(ids), ",".join(map(str, ids)))
+
+    for n_parts in (1, 7):
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"], r["token_ids"])
+            for r in bpe_encode_documents(docs.repartition(n_parts), rules).collect()
+        }
+        assert got == expected, (n_parts, got, expected)
+    # the ids are non-trivial: some doc has fewer tokens than characters
+    # (a merge fired) and more tokens than words (subword splits exist)
+    assert all(nt > nw for nw, nt, _ in expected.values())
+
+
+def test_sequence_packing_tokens_col(spark):
+    """`sequence_packing_plan(tokens_col=...)` must pack on the supplied
+    real counts (+1 EOS), not the whitespace placeholder."""
+    from bigdata_rags_spark.operators.sampling import sequence_packing_plan
+
+    rows = [(1, "a b c", 100), (2, "d e", 7), (3, "f", 200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "real_tokens"])
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in sequence_packing_plan(df, tokens_col="real_tokens").collect()
+    }
+    assert got == {1: 101, 2: 8, 3: 201}
+    ws = {
+        r["doc_id"]: r["n_tokens"] for r in sequence_packing_plan(df).collect()
+    }
+    assert ws == {1: 4, 2: 3, 3: 2}  # default path unchanged
+
+
 def test_incremental_minhash_keepers_planted_paths(spark):
     """Both drop rules fire exactly where planted: an exact copy of a
     STORED doc dies vs the index, an intra-batch copy dies against its
