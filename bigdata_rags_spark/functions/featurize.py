@@ -1,0 +1,107 @@
+"""Deterministic hashed-feature document embeddings (the docs -> vectors
+bridge; VERDICT r11 next #3): feature-hash word unigrams + bigrams into a
+fixed-dim integer-weighted vector so the WHOLE similarity tier (LSH
+near-dup, semantic dedup, IVFPQ) can run end-to-end from raw text instead
+of the pre-made ``embeddings`` fixture.
+
+This is the "hashing trick" featurizer (Weinberger et al., "Feature
+Hashing for Large Scale Multitask Learning", ICML 2009): feature f lands
+in bucket ``h(f) mod dim`` with sign ``±1`` from an independent hash bit —
+the signed sum makes collisions unbiased.  Both hashes are md5-derived so
+the oracle recomputes them exactly (the repo-wide no-engine-private-hash
+rule), and weights are INTEGER counts so every downstream cosine is exact
+in float64 (integer dot products are exact up to 2^53).
+
+Scale shape: one corpus scan explodes features (row-local), one
+(doc, bucket) groupBy sums signs — output is dim-bounded per doc, never
+vocabulary-bounded.  There is no dictionary, no fit step, no broadcast:
+the hash IS the vocabulary, which is the property that makes the
+featurizer embarrassingly parallel at 100 TB.
+
+Extension beyond the reference (no text surface — SURVEY.md §2 extension
+tier; cites `dag-transform.py`'s derived-metric style of deterministic
+column math only by analogy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+
+def _bucket(feat: F.Column, salt: str, dim: int) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), feat)), 1, 8), 16, 10)
+        .cast("bigint")
+        % dim
+    ).cast("int")
+
+
+def _sign(feat: F.Column, salt: str) -> F.Column:
+    return F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), feat)), 9, 1), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+
+def hashed_doc_features(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "feat",
+) -> DataFrame:
+    """Sparse hashed features: (doc_id, bucket int, weight bigint) — the
+    signed occurrence sum of every word unigram and bigram hashing into
+    ``bucket``.  Zero-sum buckets are kept (deterministic either way; the
+    dense builder fills gaps with 0 regardless)."""
+    toks = ws_tokens(F.col(text_col))
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, word_shingles(toks, 2))).alias("feat"),
+    )
+    return (
+        feats.groupBy(
+            "doc_id",
+            _bucket(F.col("feat"), salt, dim).alias("bucket"),
+        )
+        .agg(F.sum(_sign(F.col("feat"), salt)).cast("bigint").alias("weight"))
+        .select("doc_id", "bucket", "weight")
+    )
+
+
+def hashed_doc_vectors(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "feat",
+) -> DataFrame:
+    """Dense hashed-feature vectors: (vec_id, embedding array<double>) —
+    the sparse buckets scattered into a dim-length array (map lookup over
+    ``sequence(0, dim-1)``; missing buckets are 0).  Column names match the
+    ``embeddings`` fixture so every similarity operator consumes the output
+    unchanged.  Docs with no tokens still emit the all-zero vector (the
+    left join keeps them) — downstream cosine guards handle zero norms."""
+    sparse = hashed_doc_features(docs, dim=dim, id_col=id_col, text_col=text_col, salt=salt)
+    m = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "weight"))).alias("__m")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(m, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0)).cast(
+                    "double"
+                ),
+            ).alias("embedding"),
+        )
+    )

@@ -1018,6 +1018,108 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(e, threshold=0.4, n_tables=4, probe_bits=2)
 
 
+# hashed-feature docs -> vectors bridge (VERDICT r11 next #3) -----------------
+
+# word unigrams + bigrams, mirroring functions/featurize.py (the
+# word_shingles(k=2) slice convention: DuckDB t[i:i+1] is the 2-element
+# inclusive slice, range end exclusive == Spark sequence(1, n-1) inclusive)
+_SQL_FEATS = f"""(
+  SELECT doc_id, unnest(
+    t || CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END) AS feat
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+)"""
+
+_SQL_FEAT_BUCKET = (
+    "CAST(('0x' || substr(md5('feat:' || feat), 1, 8))::BIGINT % 64 AS INT)"
+)
+_SQL_FEAT_SIGN = (
+    "CASE WHEN ('0x' || substr(md5('feat:' || feat), 9, 1))::BIGINT % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+)
+
+_SQL_SPARSE_FEATURES = f"""
+SELECT doc_id, {_SQL_FEAT_BUCKET} AS bucket,
+       CAST(SUM({_SQL_FEAT_SIGN}) AS BIGINT) AS weight
+FROM feats GROUP BY 1, 2"""
+
+
+@_llm(
+    "doc_hashed_features",
+    f"""WITH feats AS {_SQL_FEATS}
+{_SQL_SPARSE_FEATURES}""",
+)
+def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashed-feature document embeddings, sparse form
+    (`functions/featurize.py:hashed_doc_features`; Weinberger 2009 hashing
+    trick — VERDICT r11 next #3, the docs -> vectors bridge): word
+    unigrams + bigrams land in md5 buckets mod 64 with md5-parity signs,
+    summed to integer weights.  No dictionary, no fit step, no broadcast —
+    the hash IS the vocabulary, so the featurizer is one row-local explode
+    + one (doc, bucket) groupBy at any corpus size."""
+    from bigdata_rags_spark.functions.featurize import hashed_doc_features
+
+    return hashed_doc_features(_docs_parallel(spark, sf_dir), dim=64)
+
+
+def _text_lsh_oracle(
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_bits: int = 2,
+    dim: int = 64,
+) -> str:
+    """End-to-end replay: hashed featurization (sparse -> dense via the
+    range(0, dim) left join) feeding the exact `_lsh_pairs_oracle` rule —
+    same md5 plane literals, candidate = signature Hamming <= probe_bits
+    in any table, exact-cosine verify.  Integer-count vectors keep every
+    dot product exact in float64."""
+    sig_cols = _lsh_sig_sql(n_planes, n_tables, dim)
+    collide = " OR ".join(
+        f"bit_count(xor(a.sig{t}, b.sig{t})) <= {probe_bits}" for t in range(n_tables)
+    )
+    return f"""
+WITH feats AS {_SQL_FEATS},
+sw AS ({_SQL_SPARSE_FEATURES}),
+dense AS (
+  SELECT d.doc_id AS vec_id,
+         list(CAST(COALESCE(sw.weight, 0) AS DOUBLE) ORDER BY g.range) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(0, {dim}) g
+  LEFT JOIN sw ON sw.doc_id = d.doc_id AND sw.bucket = g.range
+  GROUP BY d.doc_id
+),
+s AS (SELECT vec_id, v, {", ".join(sig_cols)} FROM dense),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
+               / sqrt(list_dot_product(b.v, b.v)), 6) AS similarity
+  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({collide})
+)
+SELECT id_a, id_b, similarity FROM cand WHERE similarity >= {threshold}
+"""
+
+
+@_llm("text_hashed_near_dups", _text_lsh_oracle())
+def text_hashed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text near-dup from raw documents — featurize (hashed
+    64-dim integer vectors, `functions/featurize.py:hashed_doc_vectors`)
+    then the production LSH near-dup path (`similarity/knn.py:
+    lsh_verified_pairs`): candidates via hyperplane-signature probe
+    equi-joins, exact-cosine verify at 0.8 (measured at sf0.01: background
+    hashed-cosine mass dies below ~0.7, planted near-dups sit >= 0.9 — the
+    0.8 boundary is in the empty margin).  This closes the docs -> vectors
+    gap: the similarity tier no longer needs the pre-made embeddings
+    fixture to run."""
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    vecs = hashed_doc_vectors(_docs_parallel(spark, sf_dir), dim=64)
+    # n_planes omitted -> self-scaling default; 8 on the driver fixtures
+    return lsh_verified_pairs(vecs, threshold=0.8, n_tables=4, probe_bits=2)
+
+
 @_llm("embedding_near_dup_pairs_mm", None)
 def embedding_near_dup_pairs_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine via Arrow-batched numpy matmul — the dense

@@ -1691,6 +1691,72 @@ def test_sequence_packing_tokens_col(spark):
     assert ws == {1: 4, 2: 3, 3: 2}  # default path unchanged
 
 
+def test_hashed_doc_features_match_python_replay(spark):
+    """The hashing-trick featurizer must equal an md5 python replay
+    (bucket = first-8-hex mod dim, sign = 9th-hex parity) over unigrams +
+    bigrams, and the dense builder must scatter the same weights."""
+    import hashlib
+
+    from bigdata_rags_spark.functions.featurize import (
+        hashed_doc_features,
+        hashed_doc_vectors,
+    )
+
+    texts = {1: "the cat sat on the mat", 2: "one", 3: "a b a b"}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    dim = 16
+
+    def feats(t):
+        ws = t.lower().split()
+        return ws + [" ".join(p) for p in zip(ws, ws[1:])]
+
+    expected: dict[tuple[int, int], int] = {}
+    for d, t in texts.items():
+        for f in feats(t):
+            h = hashlib.md5(f"feat:{f}".encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            s = 1 if int(h[8], 16) % 2 == 0 else -1
+            expected[(d, b)] = expected.get((d, b), 0) + s
+
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hashed_doc_features(docs, dim=dim).collect()
+    }
+    assert got == expected
+    dense = {
+        r["vec_id"]: list(r["embedding"])
+        for r in hashed_doc_vectors(docs, dim=dim).collect()
+    }
+    for d in texts:
+        assert dense[d] == [float(expected.get((d, i), 0)) for i in range(dim)]
+
+
+def test_text_hashed_near_dups_end_to_end(spark):
+    """Raw text -> hashed vectors -> LSH near-dup: a planted near-copy pair
+    is found, unrelated docs are not, invariant to partitioning."""
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base),
+        (2, base + "lambda"),  # near-copy of 1
+        (3, "one two three four five six seven eight nine ten " * 4),
+        (4, "completely different words about spark catalyst tungsten arrow"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n_parts in (1, 5):
+        vecs = hashed_doc_vectors(docs.repartition(n_parts), dim=64)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_verified_pairs(
+                vecs, threshold=0.8, n_planes=8, n_tables=4, probe_bits=2
+            ).collect()
+        }
+        assert (1, 2) in pairs, pairs
+        assert all(p == (1, 2) for p in pairs), pairs
+
+
 def test_incremental_minhash_keepers_planted_paths(spark):
     """Both drop rules fire exactly where planted: an exact copy of a
     STORED doc dies vs the index, an intra-batch copy dies against its
