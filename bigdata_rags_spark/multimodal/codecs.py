@@ -346,6 +346,64 @@ def frame_sample(
     )
 
 
+def video_temporal_fingerprint128(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """128-bit TEMPORAL fingerprint of a video-style payload (VERDICT r11
+    next #4 — completes the image/audio/video near-dup triple): the clip is
+    uniformly resampled into 128 time segments (char j of an L-char payload
+    belongs to segment ``(j*128) DIV L`` — integer math, length-normalized
+    so clips of any duration compare), each segment's content statistic is
+    the byte-value sum (order-free within a segment, so small intra-segment
+    edits move one statistic, not the whole signature), and bit k is the
+    family's integer-exact average-hash rule ``seg_sum * 128 >= total``
+    (the ``image_ahash128`` threshold applied along TIME — a TIRI-style
+    temporal signature).  Bits pack into four 32-bit words ``w0..w3`` for
+    the shared 8x16-bit Hamming band join (pigeonhole-exact at
+    hamming <= 7, the ``image_phash_near_dups`` contract).
+
+    Payload contract matches ``frame_sample``'s fixture: ASCII bytes
+    (hex-expanded text), so char stats mirror byte stats and the DuckDB
+    oracle replays every integer symbolically.  Real video payloads swap a
+    per-frame decode stage in front (the mapInPandas codec seam) and feed
+    per-frame luma sums into the SAME segment/threshold/banding tail.
+
+    100-TB shape: one narrow explode of payload chars (row-local), one
+    (doc, segment) partial+final SUM, one per-doc 4-word pack — built-ins
+    end to end.  Deliberately NOT a 128-subexpression projection: that
+    shape defeats Janino codegen (the PQ lesson — interpreted fallback,
+    10-50x); the explode+aggregate plan stays inside whole-stage codegen.
+    """
+    s = F.col(payload_col).cast("string")
+    ch = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(s).cast("bigint").alias("L"),
+        F.posexplode(F.split(s, "(?!^)")).alias("j", "c"),
+    ).filter(F.col("c") != "")
+    vals = (
+        ch.select(
+            "doc_id",
+            F.expr("(j * 128) DIV L").cast("int").alias("k"),
+            F.ascii("c").cast("bigint").alias("a"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.sum("a").alias("v"))
+    )
+    tot = vals.groupBy("doc_id").agg(F.sum("v").alias("total"))
+    words = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN k >= {32 * j} AND k < {32 * (j + 1)} AND v * 128 >= total "
+                f"THEN CAST(1 AS BIGINT) << CAST(k - {32 * j} AS INT) ELSE CAST(0 AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias(f"w{j}")
+        for j in range(4)
+    ]
+    return vals.join(tot, "doc_id").groupBy("doc_id").agg(*words)
+
+
 def png_int_feature_schema(id_col: str = "doc_id") -> str:
     return (
         f"{id_col} long, width int, height int, n_pixels bigint, sum_pix bigint, "

@@ -3747,6 +3747,17 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = image_ahash128(
         resize_images(attach_png_payload(docs), out_w=16, out_h=8)
     ).cache()
+    return _hamming128_banded_pairs(h)
+
+
+def _hamming128_banded_pairs(h: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Shared tail of the 128-bit Hamming near-dup family (image aHash,
+    video temporal fingerprint): band the four 32-bit words ``w0..w3``
+    into 8 keys of 16 bits, equi-join on (band, key), verify candidates
+    with the exact four-word bit_count — pigeonhole-exact for
+    ``max_hamming <= 7`` with 8 bands.  Candidate volume ~N^2/65536 for
+    non-matching pairs; hashes are 4 ints/row so nothing wide ever crosses
+    an exchange."""
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -3777,9 +3788,78 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .withColumn("hamming", F.expr(dist).cast("int"))
-        .filter(F.col("hamming") <= 7)
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def _video_fp_words_sql() -> str:
+    """CTE chain computing the 128-bit temporal fingerprint words
+    ``hh(doc_id, w0..w3)`` — the symbolic replay of
+    ``multimodal/codecs.video_temporal_fingerprint128`` over the hex-text
+    video fixture (char j -> segment (j*128)//L, segment byte-value sums,
+    ``v * 128 >= total`` threshold, four 32-bit words)."""
+    words = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN k >= {32 * j} AND k < {32 * (j + 1)} AND b = 1"
+        f" THEN (CAST(1 AS BIGINT) << (k - {32 * j})) ELSE 0 END) AS BIGINT)"
+        f" AS w{j}"
+        for j in range(4)
+    )
+    return f"""p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+d AS (SELECT doc_id, hx, CAST(length(hx) AS BIGINT) AS L FROM p),
+ch AS (SELECT doc_id, L, hx, CAST(unnest(range(0, L)) AS BIGINT) AS j FROM d),
+vals AS (
+  SELECT doc_id, CAST((j * 128) // L AS INT) AS k,
+         CAST(SUM(ascii(substring(hx, j + 1, 1))) AS BIGINT) AS v
+  FROM ch GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM vals GROUP BY 1),
+bits AS (
+  SELECT vals.doc_id, vals.k,
+         CASE WHEN vals.v * 128 >= tot.total THEN 1 ELSE 0 END AS b
+  FROM vals JOIN tot USING (doc_id)
+),
+hh AS (
+  SELECT doc_id,
+         {words}
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def _video_fp_oracle(max_hamming: int = 7) -> str:
+    return f"""
+WITH {_video_fp_words_sql()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_PHASH_DIST} AS INT) AS hamming
+FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+WHERE {_PHASH_DIST} <= {max_hamming}
+"""
+
+
+@_llm("video_temporal_near_dups", _video_fp_oracle())
+def video_temporal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality near-dup detection (VERDICT r11 next #4 — completes
+    the image/audio/video perceptual-dedup triple): the hex-text video
+    fixture payload -> uniform 128-segment temporal resampling -> segment
+    byte-sum statistics -> integer-exact temporal average-hash
+    (`multimodal/codecs.video_temporal_fingerprint128`) -> the family's
+    shared 8x16-bit Hamming band join (pigeonhole-exact at hamming <= 7).
+    Length normalization comes from the (j*128) DIV L segment map, so
+    clips of different durations land on comparable signatures; segment
+    sums are order-free within a segment, so localized edits flip
+    localized bits (the shift/edit tolerance the tests pin).  Real video
+    swaps a per-frame luma decode in front of the same
+    segment/threshold/band tail.  Scale shape: explode + two aggregations
+    + the banded equi-join — candidate volume ~N^2/65536, nothing wide
+    crosses an exchange, no UDF anywhere."""
+    from bigdata_rags_spark.multimodal.codecs import video_temporal_fingerprint128
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    payload = docs.select(
+        "doc_id", F.hex(F.col("text").cast("binary")).cast("binary").alias("payload")
+    )
+    h = video_temporal_fingerprint128(payload).cache()
+    return _hamming128_banded_pairs(h)
 
 
 def _phash_edges_sql() -> str:

@@ -357,3 +357,63 @@ def test_image_ahash128_replays_integer_rule(spark):
     for j in range(4):
         expect = sum(1 << i for i in range(32) if bits[32 * j + i])
         assert row[f"w{j}"] == expect
+
+
+def test_video_temporal_fingerprint_replay_and_tolerance(spark):
+    """video_temporal_fingerprint128: (a) equals the python replay of the
+    segment-sum + v*128>=total rule, (b) identical clips hash identically,
+    (c) a localized edit flips <= 7 bits (inside the banded-join threshold),
+    (d) small shifts/truncations degrade gracefully (well below the random
+    baseline, the documented TIRI tradeoff), (e) partitioning-invariant."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.multimodal.codecs import video_temporal_fingerprint128
+
+    def hx(seed, n):
+        out, i = [], 0
+        while sum(len(x) for x in out) < n:
+            out.append(hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    A = hx("clipA", 2048)
+    clips = {
+        1: A,
+        2: A,                                # exact copy
+        3: A[:1000] + "fff" + A[1003:],      # 3-char local edit
+        4: "deadbeef" + A,                   # 8-char front shift
+        5: A[:2040],                         # tail truncation
+        6: hx("clipD", 2048),                # unrelated
+    }
+    df = spark.createDataFrame(list(clips.items()), ["doc_id", "t"]).select(
+        "doc_id", F.col("t").cast("binary").alias("payload")
+    )
+
+    def replay(s):
+        L = len(s)
+        vals = [0] * 128
+        for j, c in enumerate(s):
+            vals[(j * 128) // L] += ord(c)
+        total = sum(vals)
+        bits = [1 if v * 128 >= total else 0 for v in vals]
+        return tuple(
+            sum(b << i for i, b in enumerate(bits[32 * j : 32 * j + 32]))
+            for j in range(4)
+        )
+
+    for n_parts in (1, 5):
+        got = {
+            r["doc_id"]: (r["w0"], r["w1"], r["w2"], r["w3"])
+            for r in video_temporal_fingerprint128(df.repartition(n_parts)).collect()
+        }
+        assert got == {d: replay(s) for d, s in clips.items()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(got[a], got[b]))
+
+    assert ham(1, 2) == 0                     # exact copy
+    assert ham(1, 3) <= 7                     # local edit stays joinable
+    assert ham(1, 4) < 32 and ham(1, 5) < 32  # shifts: graceful degradation
+    assert ham(1, 6) > 45                     # unrelated: near-random distance
