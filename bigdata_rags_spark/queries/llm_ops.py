@@ -5983,6 +5983,52 @@ SELECT query_id, neighbor_id, similarity, rank FROM (
 """
 
 
+@_llm(
+    "embedding_decontamination",
+    f"""
+SELECT neighbor_id AS train_id,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors_hit,
+       MAX(similarity) AS max_similarity
+FROM ({_ivfpq_oracle(k=10, n_queries=25, corpus_pred="vec_id >= 25")}) hits
+WHERE similarity >= 0.4
+GROUP BY 1
+""",
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE benchmark decontamination (VERDICT r11 next #5 —
+    the paraphrase-robust complement to the n-gram
+    ``benchmark_decontamination``): eval anchors (vec_id < 25 stand in for
+    the benchmark set) probe the TRAINING corpus (vec_id >= 25) through
+    the IVFPQ ANN path (`similarity/pq.py:ivfpq_search_rerank` — coarse
+    cells prune, ADC scores, exact cosine reranks), and every train vector
+    within cosine 0.4 of ANY anchor is flagged with its hit count and
+    closest-anchor similarity.  This is the GPT-3-style contamination
+    sweep an n-gram check misses when eval items are paraphrased: surface
+    forms differ, embeddings stay close.
+
+    Same fixed-literal quantizers as ``embedding_ivfpq_rerank_topk``, so
+    the oracle replays the whole ANN path exactly and post-aggregates the
+    flags.  100 TB: the anchor set is benchmark-sized — |anchors| x
+    probed-cells work against the bucketed index, never a corpus scan per
+    anchor, and flags aggregate per train doc with one groupBy.  k bounds
+    flags per anchor (the standard ANN-decontamination contract: raise k
+    or threshold sweep for exhaustive audits)."""
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    anchors = e.filter(F.col("vec_id") < 25)
+    train = e.filter(F.col("vec_id") >= 25)
+    hits = ivfpq_search_rerank(anchors, train, k=10, n_probe=4, shortlist=50)
+    return (
+        hits.filter(F.col("similarity") >= 0.4)
+        .groupBy(F.col("neighbor_id").alias("train_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors_hit"),
+            F.max("similarity").alias("max_similarity"),
+        )
+    )
+
+
 @_llm("embedding_ivfpq_rerank_topk", _ivfpq_oracle())
 def embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-style IVFPQ serving (`similarity/pq.py:ivfpq_search_rerank`):

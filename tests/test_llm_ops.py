@@ -2298,3 +2298,41 @@ def test_corpus_health_report_planted(spark):
     assert r["dup_rate_micro"] == 2 * 1000000 // 4
     assert r["short_docs"] == 1
     assert r["mean_doc_tokens"] == 172 // 4
+
+
+def test_embedding_decontamination_planted_paraphrase(spark, sf_smoke):
+    """A train vector planted as a near-copy (scaled, cosine 1.0) of an
+    eval anchor MUST be flagged through the ANN path; its negation
+    (cosine -1) must not.  This is the paraphrase case the n-gram
+    decontamination misses: same meaning-space position, any surface."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    anchors = e.filter(F.col("vec_id") < 25)
+    anchor3 = e.filter(F.col("vec_id") == 3).select(
+        F.lit(9001).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).cast("array<float>").alias("embedding"),
+    )
+    anti3 = e.filter(F.col("vec_id") == 3).select(
+        F.lit(9002).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: -x).cast("array<float>").alias("embedding"),
+    )
+    train = (
+        e.filter(F.col("vec_id") >= 25)
+        .select("vec_id", "embedding")
+        .unionByName(anchor3)
+        .unionByName(anti3)
+    )
+    hits = ivfpq_search_rerank(anchors, train, k=10, n_probe=4, shortlist=50)
+    flagged = {
+        r["train_id"]: r["max_similarity"]
+        for r in hits.filter(F.col("similarity") >= 0.4)
+        .groupBy(F.col("neighbor_id").alias("train_id"))
+        .agg(F.max("similarity").alias("max_similarity"))
+        .collect()
+    }
+    assert flagged.get(9001) == 1.0  # planted paraphrase caught at cosine 1
+    assert 9002 not in flagged       # opposite direction never flags
