@@ -270,6 +270,66 @@ def temperature_mixing_plan(
     )
 
 
+def quality_weighted_mixing_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    quality_col: str = "q_micro",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Quality-weighted temperature mixing (VERDICT r11 next #8 — composes
+    the tau=2 ``temperature_mixing_plan`` with a per-doc quality signal):
+    per-domain allocation proportional to ``floor(sqrt(n_docs)) *
+    mean_quality_micro``, capped at domain size.  A small high-quality
+    domain outranks a big low-quality one — the knob curation teams
+    actually turn (DoReMi/UniMax-style mixing, but weighted by the
+    quality classifier instead of size alone).
+
+    ``df`` carries one row per doc with ``domain_col`` and an integer
+    micro-unit quality in ``quality_col`` (e.g.
+    ``quality_classifier_scores``'s prob_micro).  All arithmetic is
+    bigint: mean quality is ``SUM(q) DIV n``, the weight product stays
+    < 2^63 for any real corpus (sqrt(n) <= 3e7 at n=1e15 times q <= 1e6),
+    and allocation is the same integer floor division as the unweighted
+    plan — value-hash exact, no float crosses an aggregate.
+
+    Returns (domain, n_docs, mean_q_micro, weight, alloc, rate_micro).
+    Scale shape: one groupBy on the domain key + a broadcast 1-row totals
+    join; domain-cardinality-sized output.
+    """
+    d = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(quality_col)).cast("bigint").alias("__sum_q"),
+        )
+        .withColumn("mean_q_micro", F.expr("__sum_q DIV n_docs").cast("bigint"))
+        .withColumn(
+            "weight",
+            (F.floor(F.sqrt(F.col("n_docs"))).cast("bigint") * F.col("mean_q_micro"))
+            .cast("bigint"),
+        )
+    )
+    t = d.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.sum("weight").cast("bigint").alias("w_total"),
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "alloc",
+            F.least(
+                F.col("n_docs"),
+                F.expr(
+                    f"(total * {budget_num} DIV {budget_den}) * weight DIV w_total"
+                ),
+            ).cast("bigint"),
+        )
+        .withColumn("rate_micro", F.expr("alloc * 1000000 DIV n_docs").cast("bigint"))
+        .select("domain", "n_docs", "mean_q_micro", "weight", "alloc", "rate_micro")
+    )
+
+
 def sequence_packing_plan(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4847,6 +4847,64 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(docs)
 
 
+def _quality_mix_oracle(budget_num: int = 1, budget_den: int = 2) -> str:
+    """Replay of `operators/sampling.quality_weighted_mixing_plan` over the
+    quality classifier's prob_micro (the `_qclf_oracle` SELECT embedded as
+    a subquery): per-domain integer mean quality, sqrt(n)*quality weight,
+    UniMax-capped floor-division allocation."""
+    return f"""
+WITH q AS ({_qclf_oracle()}),
+base AS (
+  SELECT d.source AS domain, q.prob_micro
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+g AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(prob_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_q_micro
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT domain, n_docs, mean_q_micro,
+         CAST(floor(sqrt(n_docs)) AS BIGINT) * mean_q_micro AS weight
+  FROM g
+),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(SUM(weight) AS BIGINT) AS w_total FROM w),
+a AS (
+  SELECT domain, n_docs, mean_q_micro, weight,
+         least(n_docs, ((t.total * {budget_num} // {budget_den}) * weight) // t.w_total) AS alloc
+  FROM w CROSS JOIN t
+)
+SELECT domain, n_docs, mean_q_micro, CAST(weight AS BIGINT) AS weight,
+       CAST(alloc AS BIGINT) AS alloc,
+       CAST((alloc * 1000000) // n_docs AS BIGINT) AS rate_micro
+FROM a
+"""
+
+
+@_llm("quality_weighted_mixing", _quality_mix_oracle())
+def quality_weighted_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture planner (VERDICT r11 next #8 —
+    `operators/sampling.quality_weighted_mixing_plan` composed with
+    `quality.quality_classifier_scores`): per-domain budget allocation
+    proportional to temperature-scaled size x integer mean classifier
+    quality, UniMax-capped at domain size.  The curation tier previously
+    had size-based (`domain_temperature_mixing`) and share-based
+    (`training_mixture_plan`) planners but no combined one — this is the
+    knob that up-samples a small high-quality domain over a big
+    low-quality one.  All integer math (mean = SUM DIV n, floor-division
+    allocation), so the plan is value-hash exact; one corpus scan for the
+    classifier + one domain groupBy + a broadcast 1-row totals join."""
+    from bigdata_rags_spark.operators.sampling import quality_weighted_mixing_plan
+    from bigdata_rags_spark.quality import quality_classifier_scores
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    q = quality_classifier_scores(docs).select("doc_id", F.col("prob_micro").alias("q_micro"))
+    return quality_weighted_mixing_plan(
+        docs.select("doc_id", "source").join(q, "doc_id"), domain_col="source"
+    )
+
+
 @_llm("embedding_pq_trained_rerank", None)
 def embedding_pq_trained_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ serving over TRAINED codebooks (VERDICT r7 #4): per-subspace

@@ -2336,3 +2336,27 @@ def test_embedding_decontamination_planted_paraphrase(spark, sf_smoke):
     }
     assert flagged.get(9001) == 1.0  # planted paraphrase caught at cosine 1
     assert 9002 not in flagged       # opposite direction never flags
+
+
+def test_quality_weighted_mixing_prefers_small_high_quality_domain(spark):
+    """A small high-quality domain must earn a HIGHER sampling rate than a
+    big low-quality one (the whole point of weighting by quality), while
+    the UniMax cap still bounds alloc at domain size."""
+    from bigdata_rags_spark.operators.sampling import quality_weighted_mixing_plan
+
+    rows = [("gold", i, 900_000) for i in range(4)] + [
+        ("sludge", 100 + i, 100_000) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "q_micro"])
+    plan = {r["domain"]: r for r in quality_weighted_mixing_plan(df).collect()}
+    assert plan["gold"]["mean_q_micro"] == 900_000
+    assert plan["sludge"]["mean_q_micro"] == 100_000
+    # weight: floor(sqrt(4))*9e5 = 1.8e6 vs floor(sqrt(100))*1e5 = 1e6
+    assert plan["gold"]["weight"] == 1_800_000
+    assert plan["sludge"]["weight"] == 1_000_000
+    assert plan["gold"]["rate_micro"] > plan["sludge"]["rate_micro"]
+    for r in plan.values():
+        assert r["alloc"] <= r["n_docs"]  # never oversample past one epoch
+    # exact integer replay: budget = 104 // 2 = 52
+    assert plan["gold"]["alloc"] == min(4, 52 * 1_800_000 // 2_800_000)
+    assert plan["sludge"]["alloc"] == min(100, 52 * 1_000_000 // 2_800_000)
