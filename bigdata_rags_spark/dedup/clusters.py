@@ -127,7 +127,15 @@ def connected_components(
        labels.
     3. Otherwise (the 100-TB path) the doubled min-label loop below runs
        on the CONTRACTED graph — never more rounds than on the raw graph,
-       and each round ships only (id, label) pairs.
+       and each round ships only (id, label) pairs.  Measured (SCALE.md
+       round-12 probe, tier 3 forced on a 250k-edge path): rounds ==
+       ceil(log2(diameter)) — the doubling bound — and the contraction's
+       round SAVINGS require edge locality; callers whose edges are
+       id-local should ``repartitionByRange`` on the edge key first
+       (18 -> 5 rounds on the probe), while hash-partitioned deep graphs
+       gain nothing (iterated per-u re-contraction was measured useless
+       and is deliberately absent).  Dedup graphs have cluster-bounded
+       diameter, so real rounds stay <= log2(max cluster size) + 1.
     """
     global LAST_ROUNDS
     fwd = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
