@@ -273,6 +273,92 @@ def main() -> None:
     for n in heavy:
         warm_med[n] = sorted([warm[n], extra_passes[0][n], extra_passes[1][n]])[1]
 
+    def ivfpq_phase_timings() -> dict[str, float]:
+        # VERDICT r11 #7: the index-family headline numbers conflate one-time
+        # build/write floors with the serve path, hiding serve regressions.
+        # Measure each lifecycle phase separately on ONE shared index:
+        # build/append/delete/compact are one-time table writes (compare each
+        # only to itself round-over-round), serve/stats/tuning are the
+        # steady-state paths (serve gets a 3-pass median like the shared-13).
+        from pyspark.sql import functions as F
+
+        from bigdata_rags_spark.io.bucketing import drop_managed_table
+        from bigdata_rags_spark.io.readers import read_testdata
+        from bigdata_rags_spark.similarity.pq import (
+            append_ivfpq_index,
+            build_ivfpq_index,
+            compact_ivfpq_index,
+            delete_from_ivfpq_index,
+            ivfpq_index_serve,
+            ivfpq_index_stats,
+            ivfpq_tuning_report,
+        )
+
+        prefix = "bench_ivfpq_phase"
+        tables = [
+            f"{prefix}_{s}"
+            for s in (
+                "codes", "vectors", "meta", "tombstones",
+                "codes__compacting", "vectors__compacting",
+            )
+        ]
+        for t in tables:
+            drop_managed_table(spark, t)
+        e = read_testdata(spark, SF_DIR, "embeddings")["embeddings"]
+        q = e.filter(F.col("vec_id") < 5)
+        phases: dict[str, float] = {}
+
+        def timed(key: str, fn) -> None:
+            t0 = time.perf_counter()
+            fn()
+            phases[key] = round(time.perf_counter() - t0, 3)
+            clear_persisted()
+
+        def noop(df) -> None:
+            df.write.mode("overwrite").format("noop").save()
+
+        timed(
+            "build",
+            lambda: build_ivfpq_index(
+                e.filter(F.col("vec_id") % 3 != 0), table_prefix=prefix
+            ),
+        )
+        serve = lambda: noop(  # noqa: E731
+            ivfpq_index_serve(q, k=5, table_prefix=prefix, n_probe=4, shortlist=50)
+        )
+        s_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            serve()
+            s_times.append(round(time.perf_counter() - t0, 3))
+            clear_persisted()
+        phases["serve_med"] = sorted(s_times)[1]
+        timed(
+            "append",
+            lambda: append_ivfpq_index(
+                e.filter(F.col("vec_id") % 3 == 0), table_prefix=prefix
+            ),
+        )
+        timed(
+            "delete",
+            lambda: delete_from_ivfpq_index(
+                e.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+                table_prefix=prefix,
+            ),
+        )
+        timed("serve_post_mutations", serve)
+        timed("compact", lambda: compact_ivfpq_index(spark, table_prefix=prefix))
+        timed("stats", lambda: noop(ivfpq_index_stats(spark, table_prefix=prefix)))
+        timed(
+            "tuning",
+            lambda: noop(ivfpq_tuning_report(q, k=5, table_prefix=prefix)),
+        )
+        for t in tables:
+            drop_managed_table(spark, t)
+        return phases
+
+    ivfpq_phases = ivfpq_phase_timings()
+
     def tier_totals(ts: dict[str, float]) -> dict[str, float]:
         by: dict[str, float] = {}
         for name, t in ts.items():
@@ -337,6 +423,7 @@ def main() -> None:
                 "queries_warm": warm,
                 "queries_warm_med": warm_med,
                 "heavy_top10": heavy,
+                "ivfpq_phases": ivfpq_phases,
             },
             fh,
             indent=1,
