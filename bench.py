@@ -182,6 +182,17 @@ HEADLINE = [
     "split_leakage_audit",
     "events_debounce_dedup",
     "corpus_health_report",
+    # r12 additions: the tokenizer ENCODE chain, the docs->vectors bridge
+    # (featurizer + its LSH and IVFPQ end-to-end compositions), video
+    # temporal near-dup, embedding-space decontamination, quality mixing
+    "bpe_encode_docs",
+    "bpe_sequence_packing",
+    "doc_hashed_features",
+    "text_hashed_near_dups",
+    "text_hashed_ann_topk",
+    "video_temporal_near_dups",
+    "embedding_decontamination",
+    "quality_weighted_mixing",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -5938,12 +5938,17 @@ def _ivfpq_oracle(
     shortlist: int = 50,
     dim: int = 64,
     corpus_pred: str = "TRUE",
+    prelude_ctes: str = "",
+    source_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
 ) -> str:
     """Oracle for IVFPQ serving: the `_ivf_probe_fixed_oracle` cell CTEs
     restrict WHICH corpus codes are scored, the `_pq_adc_oracle` encode /
     LUT CTEs price HOW — same literals as both Spark-side codebooks.
     ``corpus_pred`` restricts the INDEXED corpus (codes + cell assignment)
-    without touching the query side — the delete-lifecycle oracle."""
+    without touching the query side — the delete-lifecycle oracle.
+    ``source_sql``/``prelude_ctes`` swap the vector source (default: the
+    embeddings fixture) for a derived one, e.g. the hashed-feature
+    featurizer — the docs -> vectors -> ANN end-to-end oracle."""
     from bigdata_rags_spark.similarity.ivf import fixed_centroids
     from bigdata_rags_spark.similarity.pq import SUB_DIM, pq_codebooks
 
@@ -5986,7 +5991,7 @@ def _ivfpq_oracle(
                 + "]::DOUBLE[]) * 1000000) AS BIGINT)"
             )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH {prelude_ctes}e AS ({source_sql}),
 cs AS (
   SELECT vec_id, v,
          CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
@@ -6085,6 +6090,46 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("similarity").alias("max_similarity"),
         )
     )
+
+
+_TEXT_VEC_PRELUDE = f"""feats AS {_SQL_FEATS},
+sw AS ({_SQL_SPARSE_FEATURES}),
+dense AS (
+  SELECT d.doc_id AS vec_id,
+         list(CAST(COALESCE(sw.weight, 0) AS DOUBLE) ORDER BY g.range) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(0, 64) g
+  LEFT JOIN sw ON sw.doc_id = d.doc_id AND sw.bucket = g.range
+  GROUP BY d.doc_id
+),
+"""
+
+
+@_llm(
+    "text_hashed_ann_topk",
+    _ivfpq_oracle(
+        prelude_ctes=_TEXT_VEC_PRELUDE, source_sql="SELECT vec_id, v FROM dense"
+    ),
+)
+def text_hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text ANN: raw documents -> hashed-feature vectors
+    (`functions/featurize.py:hashed_doc_vectors`) -> full IVFPQ serving
+    (`similarity/pq.py:ivfpq_search_rerank` — coarse cells, ADC, exact
+    rerank) with docs 0-4 as queries.  The similarity tier's flagship path
+    now runs from TEXT with no embeddings fixture anywhere in the plan:
+    featurize once, index with the same fixed-literal quantizers (they
+    are distribution-free md5 constructions over any dim-64 space), serve
+    top-5.  The oracle swaps the embeddings source CTE for the featurizer
+    replay and keeps the entire ANN replay unchanged — one oracle
+    proves the whole docs -> vectors -> ANN composition.  100 TB: the
+    featurizer adds one row-local explode + one (doc, bucket) groupBy in
+    front of the unchanged bucketed ANN plan."""
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    vecs = hashed_doc_vectors(_docs_parallel(spark, sf_dir), dim=64)
+    q = vecs.filter(F.col("vec_id") < 5)
+    return ivfpq_search_rerank(q, vecs, k=5, n_probe=4, shortlist=50)
 
 
 @_llm("embedding_ivfpq_rerank_topk", _ivfpq_oracle())

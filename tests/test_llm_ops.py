@@ -2360,3 +2360,26 @@ def test_quality_weighted_mixing_prefers_small_high_quality_domain(spark):
     # exact integer replay: budget = 104 // 2 = 52
     assert plan["gold"]["alloc"] == min(4, 52 * 1_800_000 // 2_800_000)
     assert plan["sludge"]["alloc"] == min(100, 52 * 1_000_000 // 2_800_000)
+
+
+def test_text_hashed_ann_topk_finds_planted_neighbor(spark):
+    """End-to-end text ANN: querying with a doc that has a planted
+    near-copy must return that copy at rank 1 with high exact cosine,
+    invariant to partitioning."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(1, base), (2, base + "lambda")] + [
+        (10 + i, f"filler doc number {i} about topic {i % 7} with words " * 3)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n_parts in (1, 4):
+        vecs = hashed_doc_vectors(docs.repartition(n_parts), dim=64)
+        q = vecs.filter(F.col("vec_id") == 1)
+        top = ivfpq_search_rerank(q, vecs, k=3, n_probe=16, shortlist=20).collect()
+        best = min(top, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == 2 and best["similarity"] >= 0.8, top
