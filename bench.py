@@ -193,6 +193,7 @@ HEADLINE = [
     "video_temporal_near_dups",
     "embedding_decontamination",
     "quality_weighted_mixing",
+    "wordpiece_encode_docs",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

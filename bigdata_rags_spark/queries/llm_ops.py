@@ -5218,13 +5218,11 @@ SELECT subword, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
 FROM seg GROUP BY subword"""
 
 
-def _wordpiece_oracle(n_merges: int = 8, scale: int = 1_000_000_000) -> str:
-    """Unrolled replay of `functions/wordpiece.py:train_wordpiece_merges`:
-    the `_bpe_blocks` round structure with the WordPiece likelihood argmax —
-    per round a symbol-count CTE u{i}, the pair counts, and the quantized
-    score ``(c_pair * scale) // (c_l * c_r)`` (floor division on positive
-    bigints agrees exactly between Spark DIV and DuckDB //), tiebreak
-    (score_q DESC, c DESC, l, r)."""
+def _wordpiece_blocks(n_merges: int = 8, scale: int = 1_000_000_000) -> str:
+    """The WITH-body blocks of the WordPiece training replay (see
+    `_wordpiece_oracle`); ``v{n_merges}`` holds the fully-merged vocab
+    encoding — shared by the trainer oracle and the document-encode
+    oracle, the `_bpe_blocks` split."""
     US, RS = "\x1f", "\x1e"
     blocks = [
         f"""v0 AS MATERIALIZED (
@@ -5262,12 +5260,22 @@ v{i} AS MATERIALIZED (
   FROM v{i-1} CROSS JOIN a{i}
 )"""
         )
+    return ",\n".join(blocks)
+
+
+def _wordpiece_oracle(n_merges: int = 8, scale: int = 1_000_000_000) -> str:
+    """Unrolled replay of `functions/wordpiece.py:train_wordpiece_merges`:
+    the `_bpe_blocks` round structure with the WordPiece likelihood argmax —
+    per round a symbol-count CTE u{i}, the pair counts, and the quantized
+    score ``(c_pair * scale) // (c_l * c_r)`` (floor division on positive
+    bigints agrees exactly between Spark DIV and DuckDB //), tiebreak
+    (score_q DESC, c DESC, l, r)."""
     rounds = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS merge_round, l AS sym_left, r AS sym_right,"
         f" l || r AS merged, c AS pair_count, score_q FROM a{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(blocks) + "\n" + rounds
+    return "WITH " + _wordpiece_blocks(n_merges, scale) + "\n" + rounds
 
 
 def _unigram_seg_blocks(tag: str, piece_cte: str, n_steps: int = 16) -> str:
@@ -5485,15 +5493,16 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle(n_merges: int = 8) -> str:
-    """Unrolled replay of `functions/bpe.py:bpe_encode_documents`: the
-    `_bpe_blocks` training rounds, the frozen-rule segmentation, the
-    sorted-subword vocab ranking, the word -> ordered-id dictionary, and
-    the per-doc reassembly in (word position, subword position) order —
-    every id an integer, the final sequence comma-joined (the
-    `collect_sorted_lists` array-cell convention)."""
+def _encode_docs_oracle(blocks: str, n_merges: int = 8) -> str:
+    """Unrolled replay of `functions/bpe.py:bpe_encode_documents` over ANY
+    bracketed-merge trainer's blocks (`_bpe_blocks` or `_wordpiece_blocks`
+    — both end in the fully-merged vocab ``v{n_merges}``): the frozen-rule
+    segmentation, the sorted-subword vocab ranking, the word ->
+    ordered-id dictionary, and the per-doc reassembly in (word position,
+    subword position) order — every id an integer, the final sequence
+    comma-joined (the `collect_sorted_lists` array-cell convention)."""
     US, RS = "\x1f", "\x1e"
-    return f"""WITH {_bpe_blocks(n_merges)},
+    return f"""WITH {blocks},
 segw AS (
   SELECT word, string_split(trim(enc, '{US}{RS}'), '{RS}{US}') AS subs FROM v{n_merges}
 ),
@@ -5522,7 +5531,7 @@ SELECT doc_id, n_words, CAST(len(ids) AS BIGINT) AS n_tokens,
 FROM de"""
 
 
-@_llm("bpe_encode_docs", _bpe_encode_oracle())
+@_llm("bpe_encode_docs", _encode_docs_oracle(_bpe_blocks(8)))
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale tokenizer ENCODE (`functions/bpe.py:
     bpe_encode_documents`; VERDICT r11 next #2 — the missing middle link of
@@ -5546,6 +5555,36 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = [
         (r["sym_left"], r["sym_right"])
         for r in train_bpe_merges(words, n_merges=8).orderBy("merge_round").collect()
+    ]
+    return bpe_encode_documents(docs, rules)
+
+
+@_llm("wordpiece_encode_docs", _encode_docs_oracle(_wordpiece_blocks(8)))
+def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece document ENCODE — the likelihood-merge family's serving
+    half: train 8 WordPiece rules (`functions/wordpiece.py:
+    train_wordpiece_merges`), then run the SAME frozen-merge encode as
+    `bpe_encode_docs` (`functions/bpe.py:bpe_encode_documents` is
+    trainer-agnostic: any ordered merge list replays through the
+    bracketed-replace chain).  Two of the three tokenizer families now
+    have corpus-scale train -> ENCODE coverage; the prune-based unigram
+    family's apply path is covered at vocab scope by its trainer's final
+    decode.  Same dictionary-encode scale shape as the BPE sibling."""
+    from bigdata_rags_spark.functions.bpe import bpe_encode_documents
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from bigdata_rags_spark.functions.wordpiece import train_wordpiece_merges
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_wordpiece_merges(words, n_merges=8)
+        .orderBy("merge_round")
+        .collect()
     ]
     return bpe_encode_documents(docs, rules)
 

@@ -2383,3 +2383,43 @@ def test_text_hashed_ann_topk_finds_planted_neighbor(spark):
         top = ivfpq_search_rerank(q, vecs, k=3, n_probe=16, shortlist=20).collect()
         best = min(top, key=lambda r: r["rank"])
         assert best["neighbor_id"] == 2 and best["similarity"] >= 0.8, top
+
+
+def test_wordpiece_encode_differs_from_bpe_when_rules_differ(spark):
+    """The trainer-agnostic encode must reflect the RULES it was given: on
+    a corpus where WordPiece's likelihood argmax picks a different merge
+    than BPE's frequency argmax, the two encodes differ, and each matches
+    a replay with its own rules."""
+    from bigdata_rags_spark.functions.bpe import bpe_encode_documents, train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from bigdata_rags_spark.functions.wordpiece import train_wordpiece_merges
+
+    # 'xy' is frequent (BPE merges it) but x,y are individually common so
+    # WordPiece's count/(cl*cr) score prefers the rare-but-exclusive 'qz'
+    texts = {
+        1: "xy xy xy xy qz",
+        2: "x y x y x y qz",
+        3: "xy x y qz qz",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bpe = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=2).orderBy("merge_round").collect()
+    ]
+    wp = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_wordpiece_merges(words, n_merges=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert bpe != wp  # the planted corpus separates the two argmaxes
+    enc_b = {r["doc_id"]: r["token_ids"] for r in bpe_encode_documents(docs, bpe).collect()}
+    enc_w = {r["doc_id"]: r["token_ids"] for r in bpe_encode_documents(docs, wp).collect()}
+    assert enc_b != enc_w
+    # both encodes cover every doc with positive token counts
+    assert set(enc_b) == set(enc_w) == set(texts)
