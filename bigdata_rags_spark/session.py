@@ -32,6 +32,14 @@ def get_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
+        # local-mode JVM heap: the 1g PySpark default is absurd next to 32
+        # executor threads on a 128 GiB host — the r12 bench OOMed its heavy
+        # re-passes under it.  Builder-time driver.memory IS honored for the
+        # lazily-launched local JVM (verified: Runtime.maxMemory follows it);
+        # on a real cluster spark-submit sizing overrides this.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
