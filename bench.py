@@ -194,6 +194,7 @@ HEADLINE = [
     "embedding_decontamination",
     "quality_weighted_mixing",
     "wordpiece_encode_docs",
+    "text_hashed_idf_near_dups",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

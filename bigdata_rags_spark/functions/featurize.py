@@ -55,22 +55,46 @@ def hashed_doc_features(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "feat",
+    idf: bool = False,
 ) -> DataFrame:
     """Sparse hashed features: (doc_id, bucket int, weight bigint) — the
     signed occurrence sum of every word unigram and bigram hashing into
     ``bucket``.  Zero-sum buckets are kept (deterministic either way; the
-    dense builder fills gaps with 0 regardless)."""
+    dense builder fills gaps with 0 regardless).
+
+    ``idf=True`` scales each occurrence by the integer inverse document
+    frequency ``1_000_000 DIV df`` (df = docs containing the feature) —
+    the boilerplate suppressor: raw count vectors share a dominant
+    common-word direction, which correlates LSH signatures corpus-wide
+    (measured r12 at sf0.1: idf cut per-table candidate volume 3.1M ->
+    0.83M, the random-pair theoretical floor).  Same posture as the
+    idf-weighted SimHash sibling (SCALE.md finding #6): serve the idf
+    variant on real corpora.  Integer reciprocal, never a float log, so
+    both engines agree exactly.  Cost: one extra (feature -> df) groupBy
+    and a feature-keyed join — the tf-idf shape `tfidf_top_terms` already
+    runs; weights stay < 1e6 so 64-dim dot products remain float64-exact.
+    """
     toks = ws_tokens(F.col(text_col))
     feats = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.concat(toks, word_shingles(toks, 2))).alias("feat"),
     )
+    per_occurrence = _sign(F.col("feat"), salt)
+    if idf:
+        dfreq = (
+            feats.select("doc_id", "feat")
+            .distinct()
+            .groupBy("feat")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+        )
+        feats = feats.join(dfreq, "feat")
+        per_occurrence = per_occurrence * F.expr("1000000 DIV __df")
     return (
         feats.groupBy(
             "doc_id",
             _bucket(F.col("feat"), salt, dim).alias("bucket"),
         )
-        .agg(F.sum(_sign(F.col("feat"), salt)).cast("bigint").alias("weight"))
+        .agg(F.sum(per_occurrence).cast("bigint").alias("weight"))
         .select("doc_id", "bucket", "weight")
     )
 
@@ -81,6 +105,7 @@ def hashed_doc_vectors(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "feat",
+    idf: bool = False,
 ) -> DataFrame:
     """Dense hashed-feature vectors: (vec_id, embedding array<double>) —
     the sparse buckets scattered into a dim-length array (map lookup over
@@ -88,7 +113,9 @@ def hashed_doc_vectors(
     ``embeddings`` fixture so every similarity operator consumes the output
     unchanged.  Docs with no tokens still emit the all-zero vector (the
     left join keeps them) — downstream cosine guards handle zero norms."""
-    sparse = hashed_doc_features(docs, dim=dim, id_col=id_col, text_col=text_col, salt=salt)
+    sparse = hashed_doc_features(
+        docs, dim=dim, id_col=id_col, text_col=text_col, salt=salt, idf=idf
+    )
     m = sparse.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "weight"))).alias("__m")
     )

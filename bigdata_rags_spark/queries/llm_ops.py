@@ -1063,12 +1063,24 @@ def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_doc_features(_docs_parallel(spark, sf_dir), dim=64)
 
 
+# idf-weighted sparse features: integer reciprocal 1e6 DIV df (see
+# functions/featurize.py hashed_doc_features(idf=True))
+_SQL_SPARSE_FEATURES_IDF = f"""
+SELECT f.doc_id, {_SQL_FEAT_BUCKET} AS bucket,
+       CAST(SUM(({_SQL_FEAT_SIGN}) * (1000000 // d.dfc)) AS BIGINT) AS weight
+FROM feats f
+JOIN (SELECT feat, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+      FROM feats GROUP BY 1) d USING (feat)
+GROUP BY 1, 2"""
+
+
 def _text_lsh_oracle(
     threshold: float = 0.8,
     n_planes: int = 8,
     n_tables: int = 4,
     probe_bits: int = 2,
     dim: int = 64,
+    sparse_sql: str | None = None,
 ) -> str:
     """End-to-end replay: hashed featurization (sparse -> dense via the
     range(0, dim) left join) feeding the exact `_lsh_pairs_oracle` rule —
@@ -1081,7 +1093,7 @@ def _text_lsh_oracle(
     )
     return f"""
 WITH feats AS {_SQL_FEATS},
-sw AS ({_SQL_SPARSE_FEATURES}),
+sw AS ({sparse_sql if sparse_sql is not None else _SQL_SPARSE_FEATURES}),
 dense AS (
   SELECT d.doc_id AS vec_id,
          list(CAST(COALESCE(sw.weight, 0) AS DOUBLE) ORDER BY g.range) AS v
@@ -1115,9 +1127,41 @@ def text_hashed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
     from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
 
-    vecs = hashed_doc_vectors(_docs_parallel(spark, sf_dir), dim=64)
+    # materialize the featurizer ONCE (round-8 lesson: the LSH join reads
+    # its input from several branches — probe side, signature side, both
+    # verify sides — and without this the explode+groupBy featurize subtree
+    # re-executes per branch; measured r12: 15.8 s -> ~4 s warm at sf0.1)
+    vecs = hashed_doc_vectors(_docs_parallel(spark, sf_dir), dim=64).localCheckpoint()
     # n_planes omitted -> self-scaling default; 8 on the driver fixtures
     return lsh_verified_pairs(vecs, threshold=0.8, n_tables=4, probe_bits=2)
+
+
+@_llm(
+    "text_hashed_idf_near_dups",
+    _text_lsh_oracle(threshold=0.6, sparse_sql=_SQL_SPARSE_FEATURES_IDF),
+)
+def text_hashed_idf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idf-weighted sibling of ``text_hashed_near_dups`` — the variant
+    to SERVE at 100 TB (the `simhash_idf_near_dup_pairs` posture, SCALE.md
+    finding #6): raw count vectors share a dominant common-word direction
+    that correlates LSH signatures corpus-wide, and idf scaling
+    (integer reciprocal 1_000_000 DIV df, never a float log) decorrelates
+    them — measured at sf0.1: per-table candidate volume 3.1M -> 0.83M,
+    which IS the 10-plane/probe-2 theoretical floor for uncorrelated
+    vectors.  Same LSH machinery, exact-cosine verify at 0.6 (the idf scale sits lower — see inline
+    note); the extra cost is one (feature -> df) groupBy + a feature-keyed join (the
+    `tfidf_top_terms` shape)."""
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
+
+    vecs = hashed_doc_vectors(
+        _docs_parallel(spark, sf_dir), dim=64, idf=True
+    ).localCheckpoint()
+    # 0.6, not the raw sibling's 0.8: idf already normalizes boilerplate
+    # away, so true near-copies that swap a few RARE words sit lower on the
+    # idf cosine scale (measured sf0.01 knee: 48/17/7/2 pairs at
+    # 0.5/0.6/0.7/0.8)
+    return lsh_verified_pairs(vecs, threshold=0.6, n_tables=4, probe_bits=2)
 
 
 @_llm("embedding_near_dup_pairs_mm", None)
@@ -3854,11 +3898,15 @@ def video_temporal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses an exchange, no UDF anywhere."""
     from bigdata_rags_spark.multimodal.codecs import video_temporal_fingerprint128
 
-    docs = read_testdata(spark, sf_dir, "documents")["documents"]
-    payload = docs.select(
+    # _docs_parallel: the single-file fixture would otherwise run the
+    # per-char explode on ONE input partition (measured r12: 11.7 s -> 3.5 s)
+    payload = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.hex(F.col("text").cast("binary")).cast("binary").alias("payload")
     )
-    h = video_temporal_fingerprint128(payload).cache()
+    # localCheckpoint, not cache: the banded join reads the fingerprint
+    # frame from FOUR branches (both explode sides, both verify sides) and
+    # a lazy cache does not protect multi-branch reuse (the round-8 lesson)
+    h = video_temporal_fingerprint128(payload).localCheckpoint()
     return _hamming128_banded_pairs(h)
 
 
@@ -6166,7 +6214,9 @@ def text_hashed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
     from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
 
-    vecs = hashed_doc_vectors(_docs_parallel(spark, sf_dir), dim=64)
+    # one materialization: the ANN plan reads the corpus vectors from three
+    # branches (cell assign, PQ encode, rerank fetch) plus the query side
+    vecs = hashed_doc_vectors(_docs_parallel(spark, sf_dir), dim=64).localCheckpoint()
     q = vecs.filter(F.col("vec_id") < 5)
     return ivfpq_search_rerank(q, vecs, k=5, n_probe=4, shortlist=50)
 

@@ -2423,3 +2423,37 @@ def test_wordpiece_encode_differs_from_bpe_when_rules_differ(spark):
     assert enc_b != enc_w
     # both encodes cover every doc with positive token counts
     assert set(enc_b) == set(enc_w) == set(texts)
+
+
+def test_hashed_features_idf_scaling(spark):
+    """idf=True must scale each occurrence by 1e6 DIV df: a feature in all
+    docs gets weight sign*(1e6//N) per occurrence, a singleton gets
+    sign*1e6 — replayed exactly in python."""
+    import hashlib
+
+    from bigdata_rags_spark.functions.featurize import hashed_doc_features
+
+    texts = {1: "common rare1", 2: "common", 3: "common rare3 rare3"}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    dim = 16
+
+    def feats(t):
+        ws = t.lower().split()
+        return ws + [" ".join(p) for p in zip(ws, ws[1:])]
+
+    dfreq: dict[str, set] = {}
+    for d, t in texts.items():
+        for f in set(feats(t)):
+            dfreq.setdefault(f, set()).add(d)
+    expected: dict[tuple[int, int], int] = {}
+    for d, t in texts.items():
+        for f in feats(t):
+            h = hashlib.md5(f"feat:{f}".encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            s = 1 if int(h[8], 16) % 2 == 0 else -1
+            expected[(d, b)] = expected.get((d, b), 0) + s * (1_000_000 // len(dfreq[f]))
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hashed_doc_features(docs, dim=dim, idf=True).collect()
+    }
+    assert got == expected
