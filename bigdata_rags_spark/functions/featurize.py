@@ -81,6 +81,12 @@ def hashed_doc_features(
     )
     per_occurrence = _sign(F.col("feat"), salt)
     if idf:
+        # the exploded feature frame feeds TWO consumers (the df aggregate
+        # and the weights join) — materialize it once or the explode runs
+        # twice (the repo-wide multi-branch rule).  On a real cluster swap
+        # localCheckpoint for checkpoint-to-storage, or accept the double
+        # scan when the exploded frame outweighs the recompute.
+        feats = feats.localCheckpoint()
         dfreq = (
             feats.select("doc_id", "feat")
             .distinct()
