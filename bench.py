@@ -195,6 +195,7 @@ HEADLINE = [
     "quality_weighted_mixing",
     "wordpiece_encode_docs",
     "text_hashed_idf_near_dups",
+    "unigram_encode_docs",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

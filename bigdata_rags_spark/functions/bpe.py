@@ -202,6 +202,31 @@ def bpe_encode_documents(
     words = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     seg = apply_bpe_merges(words, merges)
     word_sub = seg.select("word", F.posexplode("subwords").alias("spos", "subword"))
+    return encode_documents_from_word_pieces(docs, word_sub, id_col, text_col)
+
+
+def encode_documents_from_word_pieces(
+    docs: DataFrame,
+    word_sub: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared ENCODE tail for every tokenizer family: given an ORDERED
+    per-word segmentation ``word_sub (word, spos int, subword)`` — from
+    BPE/WordPiece merge replay or the unigram greedy decode — rank the
+    emitted subword inventory into token ids, broadcast the word -> ids
+    dictionary onto the corpus word stream, and reassemble per-doc
+    sequences in (word position, subword position) order.  Words absent
+    from ``word_sub`` (e.g. over the trainer's length cap) are dropped
+    from the stream in both engines; ``n_words`` counts ENCODED words."""
+    from pyspark.sql import Window
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("wpos", "word"),
+    )
     # vocab ranking: one unpartitioned window over the DISTINCT subword
     # inventory — vocab-bounded (never corpus-bounded), the documented
     # single-partition exception shared with the tokenizer trainers

@@ -118,6 +118,50 @@ def greedy_segment_usage(
     )
 
 
+def greedy_segment_pieces(
+    word_counts: DataFrame,
+    pieces: list[str],
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    word_col: str = "word",
+) -> DataFrame:
+    """ORDERED greedy longest-prefix segmentation: (word, spos int, piece)
+    for every word of the vocabulary, spos the 1-based char offset of each
+    chosen piece — the serving-side sibling of ``greedy_segment_usage``
+    (which aggregates away order), feeding the document ENCODE tail.  Same
+    rules: longest inventory prefix wins, single-char fallback, words
+    longer than ``max_word_len`` excluded (the trainer's cap — both
+    engines apply it identically)."""
+    import pandas as pd
+
+    pset = frozenset(pieces)
+    cap = max_piece_len
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for word in pdf["word"]:
+                pos, n = 0, len(word)
+                while pos < n:
+                    for plen in range(min(cap, n - pos), 0, -1):
+                        cand = word[pos : pos + plen]
+                        if cand in pset:
+                            out.append((word, pos + 1, cand))
+                            pos += plen
+                            break
+                    else:
+                        out.append((word, pos + 1, word[pos]))
+                        pos += 1
+            yield pd.DataFrame(out, columns=["word", "spos", "piece"])
+
+    return (
+        word_counts.select(F.col(word_col).alias("word"))
+        .filter((F.length("word") >= 1) & (F.length("word") <= max_word_len))
+        .distinct()
+        .mapInPandas(seg, "word string, spos int, piece string")
+    )
+
+
 def train_unigram_pieces(
     word_counts: DataFrame,
     n_prune_rounds: int = 2,

@@ -5357,19 +5357,18 @@ def _unigram_emit_union(tag: str, n_steps: int = 16) -> str:
     )
 
 
-def _unigram_oracle(
+def _unigram_parts(
     n_prune_rounds: int = 2,
     max_piece_len: int = 4,
     min_count: int = 2,
     prune_denom: int = 4,
     max_word_len: int = 16,
     n_steps: int = 16,
-) -> str:
-    """Unrolled replay of `functions/unigram.py:train_unigram_pieces`: the
-    seed inventory, each prune round's greedy segmentation + usage ranking,
-    and the final-inventory segmentation — every intermediate integer with
-    total (usage ASC, piece ASC) order, so training is value-hash exact
-    (the `_bpe_oracle` pattern for the prune-based tokenizer branch)."""
+) -> tuple[list[str], int]:
+    """The seed + prune-round + final-segmentation CTE parts of the unigram
+    training replay (shared by `_unigram_oracle` and the document-encode
+    oracle); returns (parts, fin) where ``p{fin}`` is the surviving piece
+    inventory and the ``cf_*`` blocks hold the final segmentation."""
     parts = [
         f"""v AS MATERIALIZED (
   SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -5413,6 +5412,16 @@ def _unigram_oracle(
         )
     fin = n_prune_rounds
     parts.append(_unigram_seg_blocks("f", f"p{fin}", n_steps))
+    return parts, fin
+
+
+def _unigram_oracle(n_steps: int = 16) -> str:
+    """Unrolled replay of `functions/unigram.py:train_unigram_pieces`: the
+    seed inventory, each prune round's greedy segmentation + usage ranking,
+    and the final-inventory segmentation — every intermediate integer with
+    total (usage ASC, piece ASC) order, so training is value-hash exact
+    (the `_bpe_oracle` pattern for the prune-based tokenizer branch)."""
+    parts, fin = _unigram_parts(n_steps=n_steps)
     parts.append(
         f"""uf AS (
   SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage,
@@ -5430,6 +5439,87 @@ SELECT p.piece, CAST(len(p.piece) AS INT) AS piece_len,
 FROM p{fin} p LEFT JOIN uf u USING (piece)
 """
     )
+
+
+def _unigram_emit_union_pos(tag: str, n_steps: int = 16) -> str:
+    """Like `_unigram_emit_union` but keeps each emission's char offset —
+    the ORDERED segmentation the document-encode tail needs."""
+    return "\nUNION ALL\n".join(
+        f"SELECT word, pos AS spos, piece AS subword FROM c{tag}_{i} WHERE rn = 1"
+        for i in range(1, n_steps + 1)
+    )
+
+
+def _unigram_encode_oracle(n_steps: int = 16) -> str:
+    """Document ENCODE under the trained unigram inventory: the full
+    training replay (`_unigram_parts`), the final greedy segmentation WITH
+    positions, then the shared encode tail — emitted-subword vocab ranking,
+    word -> ordered-id dictionary, per-doc reassembly (the
+    `_encode_docs_oracle` tail over greedy pieces instead of merge
+    replays).  Words over the trainer's 16-char cap drop from the stream
+    in both engines (the inner join)."""
+    parts, _fin = _unigram_parts(n_steps=n_steps)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+wsub AS ({_unigram_emit_union_pos("f", n_steps)}),
+vocab AS (
+  SELECT subword, CAST(ROW_NUMBER() OVER (ORDER BY subword) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT subword FROM wsub)
+),
+wid AS (
+  SELECT w.word, list(v.token_id ORDER BY w.spos) AS ids
+  FROM wsub w JOIN vocab v USING (subword) GROUP BY w.word
+),
+dw AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS wpos
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+),
+de AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         flatten(list(w.ids ORDER BY d.wpos)) AS ids
+  FROM dw d JOIN wid w USING (word) GROUP BY d.doc_id
+)
+SELECT doc_id, n_words, CAST(len(ids) AS BIGINT) AS n_tokens,
+       array_to_string(ids, ',') AS token_ids
+FROM de"""
+    )
+
+
+@_llm("unigram_encode_docs", _unigram_encode_oracle())
+def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document ENCODE — the prune-based family's serving half,
+    completing corpus-scale train -> ENCODE for ALL THREE tokenizer
+    families: train the piece inventory (`functions/unigram.py:
+    train_unigram_pieces`), greedy-longest-prefix segment the distinct
+    words WITH positions (`greedy_segment_pieces` — one Arrow pass over
+    the vocab, inventory riding the closure like a broadcast codebook),
+    then the shared dictionary-encode tail (`functions/bpe.py:
+    encode_documents_from_word_pieces`).  Words over the trainer's 16-char
+    cap drop from the stream in both engines; n_words counts encoded
+    words.  Same scale shape as the merge-family encodes: the corpus is
+    scanned once to split words and once to reassemble — everything
+    tokenizer-ish is vocab-sized."""
+    from bigdata_rags_spark.functions.bpe import encode_documents_from_word_pieces
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from bigdata_rags_spark.functions.unigram import (
+        greedy_segment_pieces,
+        train_unigram_pieces,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds training AND the segmentation pass
+    )
+    inv = train_unigram_pieces(words, n_prune_rounds=2)
+    # vocab-bounded collect (the SentencePiece in-RAM contract)
+    pieces = sorted(r["piece"] for r in inv.select("piece").collect())
+    wseg = greedy_segment_pieces(words, pieces).withColumnRenamed("piece", "subword")
+    return encode_documents_from_word_pieces(docs, wseg)
 
 
 @_llm("unigram_piece_training", _unigram_oracle())
@@ -5616,8 +5706,7 @@ def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer-agnostic: any ordered merge list replays through the
     bracketed-replace chain).  Two of the three tokenizer families now
     have corpus-scale train -> ENCODE coverage; the prune-based unigram
-    family's apply path is covered at vocab scope by its trainer's final
-    decode.  Same dictionary-encode scale shape as the BPE sibling."""
+    family's encode is `unigram_encode_docs`.  Same dictionary-encode scale shape as the BPE sibling."""
     from bigdata_rags_spark.functions.bpe import bpe_encode_documents
     from bigdata_rags_spark.functions.text import ws_tokens
     from bigdata_rags_spark.functions.wordpiece import train_wordpiece_merges

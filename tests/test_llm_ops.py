@@ -2457,3 +2457,51 @@ def test_hashed_features_idf_scaling(spark):
         for r in hashed_doc_features(docs, dim=dim, idf=True).collect()
     }
     assert got == expected
+
+
+def test_unigram_encode_docs_matches_greedy_replay(spark):
+    """The ordered greedy segmentation and the full unigram document
+    encode must equal a python replay: longest-prefix-first pieces with
+    positions, sorted-piece ids, doc reassembly in word order; words over
+    the 16-char cap drop from the stream."""
+    from bigdata_rags_spark.functions.bpe import encode_documents_from_word_pieces
+    from bigdata_rags_spark.functions.unigram import greedy_segment_pieces
+
+    pieces = ["a", "b", "c", "ab", "abc", "x"]
+    texts = {1: "abcab x", 2: "ab abba", 3: "abcabcabcabcabcabcab c"}  # 20-char word drops
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    words = docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")).groupBy(
+        "word"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def seg(word):
+        out, pos = [], 0
+        while pos < len(word):
+            for plen in range(min(4, len(word) - pos), 0, -1):
+                cand = word[pos : pos + plen]
+                if cand in pieces:
+                    out.append((pos + 1, cand))
+                    pos += plen
+                    break
+            else:
+                out.append((pos + 1, word[pos]))
+                pos += 1
+        return out
+
+    got = {}
+    for r in greedy_segment_pieces(words, pieces).collect():
+        got.setdefault(r["word"], []).append((r["spos"], r["piece"]))
+    all_words = {w for t in texts.values() for w in t.split() if len(w) <= 16}
+    assert {w: sorted(v) for w, v in got.items()} == {w: seg(w) for w in all_words}
+
+    wseg = greedy_segment_pieces(words, pieces).withColumnRenamed("piece", "subword")
+    enc = {
+        r["doc_id"]: (r["n_words"], r["token_ids"])
+        for r in encode_documents_from_word_pieces(docs, wseg).collect()
+    }
+    vocab = sorted({p for w in all_words for _, p in seg(w)})
+    tid = {p: i + 1 for i, p in enumerate(vocab)}
+    for d, t in texts.items():
+        kept = [w for w in t.split() if len(w) <= 16]
+        ids = [tid[p] for w in kept for _, p in seg(w)]
+        assert enc[d] == (len(kept), ",".join(map(str, ids))), (d, enc[d])
