@@ -886,6 +886,77 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(e.filter(F.col("vec_id") < 5), e, k=5, pos_ceiling=0.9)
 
 
+def _binary_topk_oracle(dim: int = 64, shortlist: int = 50, k: int = 5) -> str:
+    """Full replay of `similarity/binary.binary_hamming_topk`: sign-bit
+    packing into 32-bit words (bit j of word w = component w*32+j strictly
+    positive — DuckDB lists are 1-based so v[w*32+j+1]), integer Hamming
+    shortlist with neighbor-id tiebreak, exact-cosine rerank of shortlist
+    rows only."""
+    from bigdata_rags_spark.similarity.binary import WORD_BITS, n_words
+
+    nw = n_words(dim)
+    word_cols = []
+    for w in range(nw):
+        terms = " + ".join(
+            f"(CASE WHEN v[{w * WORD_BITS + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(min(WORD_BITS, dim - w * WORD_BITS))
+        )
+        word_cols.append(f"CAST({terms} AS BIGINT) AS w{w}")
+    ham = " + ".join(f"bit_count(xor(q.w{w}, c.w{w}))" for w in range(nw))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+codes AS (SELECT vec_id, {", ".join(word_cols)} FROM e),
+h AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM codes q JOIN codes c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY hamming, neighbor_id) AS hr
+    FROM h
+  ) WHERE hr <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         ROUND(list_dot_product(q.v, c.v) / sqrt(list_dot_product(q.v, q.v))
+               / sqrt(list_dot_product(c.v, c.v)), 6) AS similarity
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+),
+f AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS INT) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, hamming, similarity, rank FROM f WHERE rank <= {k}
+"""
+
+
+@_llm("embedding_binary_hamming_topk", _binary_topk_oracle())
+def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantized ANN — the third rung of the quantization
+    ladder after int8 and PQ (`similarity/binary.binary_hamming_topk`):
+    sign-bit codes pack 64 dims into two 32-bit words (32x smaller than
+    float32), a broadcast-query xor/popcount sweep ranks each anchor's
+    50-code Hamming shortlist (the 8-byte scan that replaces the 256-byte
+    float scan), and ONLY shortlist rows pay the exact float cosine — the
+    binary-rescore serving architecture, same shortlist->rerank shape as
+    ``embedding_pq_rerank_topk``.  Hamming over sign bits estimates angular
+    distance via the Charikar hyperplane identity with the coordinate axes
+    as planes, so no projection step exists at all.  Deterministic end to
+    end (integer Hamming + neighbor-id tiebreaks), so the oracle replays
+    both stages value-for-value."""
+    from bigdata_rags_spark.similarity.binary import binary_hamming_topk
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return binary_hamming_topk(
+        e.filter(F.col("vec_id") < 5), e, dim=64, shortlist=50, k=5
+    )
+
+
 def _lsh_topk_oracle(
     k: int = 5, n_planes: int = 8, n_tables: int = 2, probe_bits: int = 2, dim: int = 64
 ) -> str:

@@ -1,0 +1,156 @@
+"""Binary (1-bit) embedding quantization + Hamming-shortlist serving.
+
+The third rung of the repo's quantization ladder (float32 -> int8
+``embedding_int8_quantization`` -> PQ codes -> 1 bit/dim here): each
+vector component keeps only its SIGN, so a 64-dim float vector becomes a
+64-bit code — a 32x storage cut over float32 and the cheapest possible
+first-pass scorer (two XOR + popcount per candidate instead of a 64-mult
+dot product).  Serving is the standard binary-rescore architecture:
+Hamming distance over the packed codes ranks a per-query SHORTLIST, and
+only shortlist survivors are re-scored with the exact float cosine — the
+same shortlist->rerank shape as ``similarity/pq.pq_search_rerank``.
+
+Why sign bits work: for vectors drawn around the origin,
+``P[sign(a_i) != sign(b_i)] = theta(a,b) / pi`` (the Charikar 2002 /
+Goemans-Williamson hyperplane identity with the coordinate axes as the
+planes), so Hamming distance over sign bits is a consistent estimator of
+angular distance — the identity the repo's LSH tier already relies on;
+here the "planes" are the basis itself, which costs zero projections.
+
+Packing follows the repo-wide idiom (``multimodal/codecs.py``
+image_ahash128 / video_temporal_fingerprint128): 32 bits per bigint word
+so no shift ever reaches a sign bit in any engine, built by
+posexplode + conditional-sum aggregation — never a dim-subexpression
+projection (the Janino-codegen lesson, CLAUDE.md).
+
+100-TB shape: quantization is one row-local explode + one (id, word)
+groupBy; the code table is ~dim/8 bytes per vector, so the Hamming scan
+reads 32x less than a float scan and stays in whole-stage codegen
+(xor + bit_count are JVM intrinsics).  Exact cosine touches only
+|queries| x shortlist rows.  Extension beyond the reference (no ANN
+surface in bigdata-rags — SURVEY.md §2 extension tier).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
+
+WORD_BITS = 32
+
+
+def n_words(dim: int) -> int:
+    return math.ceil(dim / WORD_BITS)
+
+
+def binary_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-bit codes: (id, w0..w{n-1} bigint) — bit j of word w is 1 iff
+    component ``w*32 + j`` is strictly positive (zeros quantize to 0, the
+    deterministic tie rule both engines share).  One explode + one
+    conditional-sum groupBy; bit packing never reaches a sign bit."""
+    nw = n_words(dim)
+    comp = df.select(
+        F.col(id_col),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("i", "x"),
+    )
+    words = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN i >= {WORD_BITS * w} AND i < {WORD_BITS * (w + 1)}"
+                f" AND x > 0 THEN CAST(1 AS BIGINT) << CAST(i - {WORD_BITS * w} AS INT)"
+                f" ELSE CAST(0 AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias(f"w{w}")
+        for w in range(nw)
+    ]
+    return comp.groupBy(id_col).agg(*words)
+
+
+def _hamming(nw: int, a_prefix: str = "qw", b_prefix: str = "cw") -> F.Column:
+    h = F.lit(0).cast("bigint")
+    for w in range(nw):
+        h = h + F.bit_count(
+            F.col(f"{a_prefix}{w}").bitwiseXOR(F.col(f"{b_prefix}{w}"))
+        ).cast("bigint")
+    return h
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    shortlist: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming shortlist over packed sign codes, then
+    exact-cosine rerank of shortlist rows only.
+
+    Returns (query_id, neighbor_id, hamming bigint, similarity, rank int)
+    — the k exact-cosine winners among each query's ``shortlist`` lowest
+    Hamming codes.  Both stages are fully deterministic (integer Hamming
+    with neighbor-id tiebreak; rounded cosine with neighbor-id tiebreak),
+    so a SQL oracle replays the whole plan value-for-value.
+
+    Plan: corpus is quantized once (or read pre-quantized at scale) and the
+    broadcast query codes sweep it with xor/bit_count only — the 8-byte-per-
+    vector scan that replaces the 256-byte float scan.  The per-query window
+    keeps ``shortlist`` rows; full vectors are joined back for ONLY those
+    rows (the ``pq_search_rerank`` fetch shape), then the exact cosine in
+    the oracle's op order (dot / q-norm / c-norm) ranks the final k.
+    ``shortlist >= |corpus|`` degenerates to exact brute force — pinned in
+    tests as the equivalence anchor."""
+    from pyspark.sql import Window
+
+    nw = n_words(dim)
+    qcodes = binary_quantize(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), *[F.col(f"w{w}").alias(f"qw{w}") for w in range(nw)]
+    )
+    ccodes = binary_quantize(corpus, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"w{w}").alias(f"cw{w}") for w in range(nw)],
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    short = (
+        F.broadcast(qcodes)
+        .crossJoin(ccodes)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", _hamming(nw))
+        .withColumn("h_rank", F.row_number().over(w_short))
+        .filter(F.col("h_rank") <= shortlist)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "similarity",
+            F.round(dot(F.col("qv"), F.col("cv")) / F.col("qn") / F.col("cn"), 6),
+        )
+        .withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "similarity", "rank")
+    )

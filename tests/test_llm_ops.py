@@ -205,6 +205,68 @@ def test_lsh_recall_at_5_on_real_embeddings(spark, sf_oracle):
     assert recall >= 0.9, recall
 
 
+def test_binary_quantize_packs_sign_bits_into_32bit_words(spark):
+    from bigdata_rags_spark.similarity.binary import binary_quantize
+
+    # dim=64: component 0 positive -> w0 bit 0; component 63 positive -> w1
+    # bit 31 (the highest bit any word carries — still non-negative); zeros
+    # and negatives quantize to 0.
+    v = [0.0] * 64
+    v[0] = 1.5
+    v[33] = -2.0  # negative -> bit stays 0
+    v[63] = 0.25
+    df = spark.createDataFrame([(7, v)], ["vec_id", "embedding"])
+    row = binary_quantize(df, dim=64).collect()[0]
+    assert row["w0"] == 1
+    assert row["w1"] == 1 << 31
+    assert row["w0"] >= 0 and row["w1"] >= 0
+
+
+def test_binary_hamming_topk_equals_brute_force_at_full_shortlist(spark, sf_oracle):
+    # shortlist >= |corpus| makes the Hamming stage a no-op filter, so the
+    # rerank must reproduce the exact brute-force top-k row-for-row — the
+    # equivalence anchor for the binary-rescore architecture.
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.binary import binary_hamming_topk
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["similarity"], r["rank"])
+        for r in brute_force_topk(q, e, k=5).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["similarity"], r["rank"])
+        for r in binary_hamming_topk(q, e, shortlist=10**6, k=5).collect()
+    )
+    assert got == exact
+
+
+def test_binary_hamming_recall_and_partitioning_invariance(spark, sf_oracle):
+    # production shortlist (50 of 500 codes): recall@5 vs brute force on the
+    # REAL embeddings — near-random vectors are the adversarial case for
+    # sign-bit codes (true-neighbor angles barely beat chance), so the floor
+    # is deliberately modest; clustered real corpora sit far higher.  Also
+    # pins partitioning invariance: a repartitioned corpus yields the same
+    # rows (deterministic tiebreaks end to end).
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.binary import binary_hamming_topk
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    truth: dict[int, set[int]] = {}
+    for r in brute_force_topk(q, e, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out = binary_hamming_topk(q, e, shortlist=50, k=5).collect()
+    got: dict[int, set[int]] = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(truth[i] & got.get(i, set())) for i in truth) / (5 * len(truth))
+    assert recall >= 0.35, recall
+    rep = binary_hamming_topk(q, e.repartition(13), shortlist=50, k=5).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
+
+
 def test_repetition_quality_gates_planted_docs(spark):
     from bigdata_rags_spark.quality import repetition_quality
 
