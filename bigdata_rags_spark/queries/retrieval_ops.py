@@ -249,6 +249,98 @@ def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_likelihood_scores(docs, QUERY_TERMS, k=10)
 
 
+def _mmr_sim_sql(a: str, b: str) -> str:
+    """Integer-milli pair cosine in the Spark fold order: (dot / norm_a /
+    norm_b) * 1000, one ROUND — identical bigint in both engines."""
+    return (
+        f"CAST(ROUND((list_dot_product({a}.v, {b}.v)"
+        f" / sqrt(list_dot_product({a}.v, {a}.v))"
+        f" / sqrt(list_dot_product({b}.v, {b}.v))) * 1000) AS BIGINT)"
+    )
+
+
+def _mmr_oracle(k: int = 5, m: int = 10, lam: int = 700) -> str:
+    """Chained-CTE replay of the greedy MMR loop (the `_fps_oracle`
+    pattern): the BM25 top-m shortlist with milli-normalized relevance and
+    its m^2 pair-cosine table feed k-1 argmax CTEs of one row each, with
+    the selected set accumulated via UNION ALL sel CTEs."""
+    parts = [
+        _SQL_BM25_CORE.strip().rstrip(),
+        f"short AS (SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {m})",
+        "mx AS (SELECT MAX(bm25) AS mx FROM short)",
+        """cand AS (
+  SELECT s.doc_id, CAST(ROUND(s.bm25 * 1000 / mx.mx) AS BIGINT) AS rel_milli,
+         e.embedding::DOUBLE[] AS v
+  FROM short s JOIN embeddings e ON e.vec_id = s.doc_id CROSS JOIN mx)""",
+        f"""pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, {_mmr_sim_sql('a', 'b')} AS sim_milli
+  FROM cand a JOIN cand b ON a.doc_id != b.doc_id)""",
+        "p1 AS (SELECT doc_id, rel_milli FROM cand ORDER BY rel_milli DESC, doc_id LIMIT 1)",
+        "sel1 AS (SELECT doc_id FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT c.doc_id, c.rel_milli, MAX(p.sim_milli) AS ms
+  FROM cand c JOIN pairs p
+    ON p.ia = c.doc_id AND p.ib IN (SELECT doc_id FROM sel{i - 1})
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"p{i} AS (SELECT doc_id, rel_milli, ms, "
+            f"CAST({lam} * rel_milli - {1000 - lam} * ms AS BIGINT) AS score "
+            f"FROM s{i} ORDER BY score DESC, doc_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"sel{i} AS (SELECT doc_id FROM sel{i - 1} UNION ALL SELECT doc_id FROM p{i})"
+            )
+    selects = [
+        "SELECT 1 AS step, doc_id, rel_milli, CAST(NULL AS BIGINT) AS max_sim_milli,"
+        " CAST(NULL AS BIGINT) AS mmr_milli FROM p1"
+    ]
+    for i in range(2, k + 1):
+        selects.append(
+            f"SELECT {i}, doc_id, rel_milli, CAST(ms AS BIGINT), score FROM p{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("retrieval_mmr_rerank", _mmr_oracle(), tier=TIER_LLM)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (`retrieval/mmr.py`, Carbonell &
+    Goldstein 1998) of the BM25 top-10 shortlist: greedy selection of 5
+    results maximizing ``0.7 * rel - 0.3 * max-sim-to-selected`` — the
+    dependent re-ranking pass that stops the top-k being five paraphrases
+    of one passage; the fifth ranker in the retrieval family and the only
+    one whose scores interact.  Relevance is the shortlist-max-normalized
+    BM25 in integer milli; diversity is the integer-milli embedding cosine
+    (documents and embeddings align by id).  The corpus-sized work is the
+    upstream BM25 scan; the greedy runs on the bounded shortlist with
+    k-bounded 1-row argmax collects (the FPS contract) and the oracle
+    replays it as chained CTEs."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.vectors import as_double_array
+    from bigdata_rags_spark.retrieval.mmr import mmr_rerank
+
+    docs = _docs_parallel(spark, sf_dir)
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    short = bm25_scores(docs, QUERY_TERMS, k=10).select("doc_id", "bm25")
+    mx = short.agg(F.max("bm25").alias("mx"))
+    pool = (
+        short.crossJoin(F.broadcast(mx))
+        .join(e, short["doc_id"] == e["vec_id"])
+        .select(
+            short["doc_id"],
+            F.round(F.col("bm25") * 1000 / F.col("mx")).cast("bigint").alias("rel_milli"),
+            as_double_array(F.col("embedding")).alias("v"),
+        )
+    )
+    return mmr_rerank(pool, k=5, lambda_milli=700)
+
+
 _REL_SQL = " + ".join(
     f"(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)" for t in QUERY_TERMS
 )

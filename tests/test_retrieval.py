@@ -95,3 +95,55 @@ def test_retrieval_ranking_eval_registry_shape(spark):
     assert (pdf["ndcg_micro"] <= 1_000_000).all()
     assert pdf.loc["bm25", "ndcg_micro"] >= pdf.loc["rrf", "ndcg_micro"]
     assert pdf.loc["ql", "ndcg_micro"] >= pdf.loc["rrf", "ndcg_micro"]
+
+
+def test_mmr_rerank_prefers_diverse_over_near_duplicate(spark):
+    """Planted MMR scenario: doc 2 is a near-copy of the top pick (sim
+    ~1000) with almost-top relevance; docs 3/4 are orthogonal with lower
+    relevance.  At lambda=500 the duplicate's penalty (500 * 1000) swamps
+    its relevance edge, so the greedy picks the diverse docs first and the
+    near-dup dead last — the behavior that distinguishes MMR from every
+    independent ranker."""
+    from bigdata_rags_spark.retrieval.mmr import mmr_rerank
+
+    rows = [
+        (1, 1000, [1.0, 0.0, 0.0, 0.0]),
+        (2, 990, [1.0, 0.001, 0.0, 0.0]),  # near-duplicate of doc 1
+        (3, 500, [0.0, 1.0, 0.0, 0.0]),
+        (4, 400, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    pool = spark.createDataFrame(rows, "doc_id long, rel_milli long, v array<double>")
+    out = mmr_rerank(pool, k=4, lambda_milli=500).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["step"])] == [1, 3, 4, 2]
+    by_id = {r["doc_id"]: r for r in out}
+    # the near-dup's max-sim is to doc 1 (cos ~ 1.0 -> 1000 milli)
+    assert by_id[2]["max_sim_milli"] == 1000
+    assert by_id[2]["mmr_milli"] == 500 * 990 - 500 * 1000
+    # step-1 seed carries no sim/score (pure relevance)
+    assert by_id[1]["step"] == 1 and by_id[1]["max_sim_milli"] is None
+
+
+def test_mmr_lambda_1000_degenerates_to_relevance_order(spark):
+    from bigdata_rags_spark.retrieval.mmr import mmr_rerank
+
+    rows = [
+        (1, 1000, [1.0, 0.0, 0.0, 0.0]),
+        (2, 990, [1.0, 0.001, 0.0, 0.0]),
+        (3, 500, [0.0, 1.0, 0.0, 0.0]),
+        (4, 400, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    pool = spark.createDataFrame(rows, "doc_id long, rel_milli long, v array<double>")
+    out = sorted(mmr_rerank(pool, k=4, lambda_milli=1000).collect(), key=lambda r: r["step"])
+    assert [r["doc_id"] for r in out] == [1, 2, 3, 4]
+
+
+def test_mmr_pool_smaller_than_k_returns_all(spark):
+    from bigdata_rags_spark.retrieval.mmr import mmr_rerank
+
+    pool = spark.createDataFrame(
+        [(1, 1000, [1.0, 0.0]), (2, 500, [0.0, 1.0])],
+        "doc_id long, rel_milli long, v array<double>",
+    )
+    out = mmr_rerank(pool, k=5, lambda_milli=700).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    assert sorted(r["step"] for r in out) == [1, 2]
