@@ -195,14 +195,84 @@ def bpe_encode_documents(
 
     from bigdata_rags_spark.functions.text import ws_tokens
 
+    word_sub = bpe_word_segmentation(docs, merges, id_col, text_col)
+    return encode_documents_from_word_pieces(docs, word_sub, id_col, text_col)
+
+
+def bpe_word_segmentation(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's DISTINCT-WORD segmentation under frozen merge rules:
+    (word, spos int, subword) — the ordered per-word piece table every
+    encode/decode stage keys off.  Vocab-bounded by construction."""
+    from bigdata_rags_spark.functions.text import ws_tokens
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ws_tokens(F.col(text_col))).alias("wpos", "word"),
     )
     words = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     seg = apply_bpe_merges(words, merges)
-    word_sub = seg.select("word", F.posexplode("subwords").alias("spos", "subword"))
-    return encode_documents_from_word_pieces(docs, word_sub, id_col, text_col)
+    return seg.select("word", F.posexplode("subwords").alias("spos", "subword"))
+
+
+def subword_vocab(word_sub: DataFrame) -> DataFrame:
+    """Dense deterministic token ids for a segmentation's subword
+    inventory: (subword, token_id bigint), ranked by subword string.  One
+    unpartitioned window over the DISTINCT subwords — vocab-bounded, the
+    documented single-partition exception shared with the trainers."""
+    from pyspark.sql import Window
+
+    return (
+        word_sub.select("subword")
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy("subword")).cast("bigint"),
+        )
+    )
+
+
+def decode_token_ids(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """DETOKENIZE: (doc_id, token_ids 'i,j,k') + (subword, token_id) back
+    to the per-doc character stream — (doc_id, decoded string), subwords
+    concatenated in sequence order.  The serving inverse of
+    ``encode_documents_from_word_pieces``; word boundaries are not encoded
+    (no end-of-word marker in this vocab), so the decode target is the
+    document's word stream with whitespace elided — exactly what the
+    round-trip audit compares against.
+
+    Scale shape: one row-local split+posexplode of the id CSV, one
+    broadcast join against the vocab-sized id table, one per-doc ordered
+    reassembly — the same dictionary-encode join as the encoder, run in
+    reverse."""
+    ids = encoded.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(F.split(F.col(ids_col), ","), lambda s: s.cast("bigint"))
+        ).alias("tpos", "token_id"),
+    )
+    return (
+        ids.join(F.broadcast(vocab), "token_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "subword"))),
+                    lambda s: s["subword"],
+                ),
+                "",
+            ).alias("decoded")
+        )
+    )
 
 
 def encode_documents_from_word_pieces(
@@ -219,8 +289,6 @@ def encode_documents_from_word_pieces(
     sequences in (word position, subword position) order.  Words absent
     from ``word_sub`` (e.g. over the trainer's length cap) are dropped
     from the stream in both engines; ``n_words`` counts ENCODED words."""
-    from pyspark.sql import Window
-
     from bigdata_rags_spark.functions.text import ws_tokens
 
     toks = docs.select(
@@ -230,14 +298,7 @@ def encode_documents_from_word_pieces(
     # vocab ranking: one unpartitioned window over the DISTINCT subword
     # inventory — vocab-bounded (never corpus-bounded), the documented
     # single-partition exception shared with the tokenizer trainers
-    vocab = (
-        word_sub.select("subword")
-        .distinct()
-        .withColumn(
-            "token_id",
-            F.row_number().over(Window.orderBy("subword")).cast("bigint"),
-        )
-    )
+    vocab = subword_vocab(word_sub)
     wid = (
         word_sub.join(F.broadcast(vocab), "subword")
         .groupBy("word")

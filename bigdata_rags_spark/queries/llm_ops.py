@@ -5702,16 +5702,14 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _encode_docs_oracle(blocks: str, n_merges: int = 8) -> str:
-    """Unrolled replay of `functions/bpe.py:bpe_encode_documents` over ANY
-    bracketed-merge trainer's blocks (`_bpe_blocks` or `_wordpiece_blocks`
-    — both end in the fully-merged vocab ``v{n_merges}``): the frozen-rule
-    segmentation, the sorted-subword vocab ranking, the word ->
-    ordered-id dictionary, and the per-doc reassembly in (word position,
-    subword position) order — every id an integer, the final sequence
-    comma-joined (the `collect_sorted_lists` array-cell convention)."""
+def _encode_docs_ctes(blocks: str, n_merges: int = 8) -> str:
+    """Shared CTE chain replaying `functions/bpe.py:bpe_encode_documents`
+    over ANY bracketed-merge trainer's blocks (`_bpe_blocks` or
+    `_wordpiece_blocks` — both end in the fully-merged vocab
+    ``v{n_merges}``): frozen-rule segmentation, sorted-subword vocab
+    ranking, word -> ordered-id dictionary, per-doc reassembly."""
     US, RS = "\x1f", "\x1e"
-    return f"""WITH {blocks},
+    return f"""{blocks},
 segw AS (
   SELECT word, string_split(trim(enc, '{US}{RS}'), '{RS}{US}') AS subs FROM v{n_merges}
 ),
@@ -5734,10 +5732,41 @@ de AS (
   SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          flatten(list(w.ids ORDER BY d.wpos)) AS ids
   FROM dw d JOIN wid w USING (word) GROUP BY d.doc_id
-)
+)"""
+
+
+def _encode_docs_oracle(blocks: str, n_merges: int = 8) -> str:
+    """Unrolled encode replay — every id an integer, the final sequence
+    comma-joined (the `collect_sorted_lists` array-cell convention)."""
+    return f"""WITH {_encode_docs_ctes(blocks, n_merges)}
 SELECT doc_id, n_words, CAST(len(ids) AS BIGINT) AS n_tokens,
        array_to_string(ids, ',') AS token_ids
 FROM de"""
+
+
+def _decode_roundtrip_oracle(blocks: str, n_merges: int = 8) -> str:
+    """Encode replay + DECODE replay: every emitted id joins back to its
+    vocab subword, subwords concatenate in sequence order, and the result
+    is audited against the doc's encoded-word stream with whitespace
+    elided — the lossless-round-trip integrity flag."""
+    return f"""WITH {_encode_docs_ctes(blocks, n_merges)},
+decx AS (
+  SELECT doc_id, unnest(ids) AS token_id, generate_subscripts(ids, 1) AS tpos FROM de
+),
+dec AS (
+  SELECT d.doc_id,
+         rtrim(replace(string_agg(v.subword, '' ORDER BY d.tpos), '</w>', ' '))
+           AS decoded_text
+  FROM decx d JOIN vocab v USING (token_id) GROUP BY d.doc_id
+),
+orig AS (
+  SELECT d.doc_id, string_agg(d.word, ' ' ORDER BY d.wpos) AS orig_text
+  FROM dw d JOIN wid w USING (word) GROUP BY d.doc_id
+)
+SELECT de.doc_id, CAST(len(de.ids) AS BIGINT) AS n_tokens,
+       CAST(length(dec.decoded_text) AS BIGINT) AS n_chars_decoded,
+       CAST(dec.decoded_text = o.orig_text AS INT) AS lossless
+FROM de JOIN dec USING (doc_id) JOIN orig o ON o.doc_id = de.doc_id"""
 
 
 @_llm("bpe_encode_docs", _encode_docs_oracle(_bpe_blocks(8)))
@@ -5766,6 +5795,82 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in train_bpe_merges(words, n_merges=8).orderBy("merge_round").collect()
     ]
     return bpe_encode_documents(docs, rules)
+
+
+@_llm("bpe_decode_roundtrip", _decode_roundtrip_oracle(_bpe_blocks(8)))
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer DECODE + lossless round-trip audit (`functions/bpe.py:
+    decode_token_ids`) — the inverse that completes train -> encode ->
+    pack -> DECODE: every document's token-id sequence maps back through
+    the (token_id -> subword) vocab, subwords concatenate in sequence
+    order, and the Sennrich ``</w>`` end-of-word markers turn back into
+    spaces — reconstructing the document's whitespace-normalized word
+    stream EXACTLY (the markers are why boundaries survive the flat id
+    stream; a word containing the literal '</w>' would break this, which
+    the trainer's control-char exclusion mirrors).  ``lossless`` must be 1
+    for every doc — the integrity gate a pipeline runs after swapping
+    tokenizer versions; the planted test proves it drops to 0 when the
+    vocab is tampered with.
+
+    Scale shape: decode is the encoder's dictionary join run in reverse —
+    one row-local id split, one broadcast vocab join, one per-doc ordered
+    reassembly; the audit adds one per-doc word concat.  The segmentation
+    frame feeds three consumers (encode tail, decode vocab, kept-word
+    audit) and is localCheckpointed per the multi-branch rule."""
+    from bigdata_rags_spark.functions.bpe import (
+        bpe_word_segmentation,
+        decode_token_ids,
+        encode_documents_from_word_pieces,
+        subword_vocab,
+        train_bpe_merges,
+    )
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=8).orderBy("merge_round").collect()
+    ]
+    word_sub = bpe_word_segmentation(docs, rules).localCheckpoint()
+    encoded = encode_documents_from_word_pieces(docs, word_sub).localCheckpoint()
+    decoded = decode_token_ids(encoded, subword_vocab(word_sub)).select(
+        "doc_id",
+        F.rtrim(F.replace(F.col("decoded"), F.lit("</w>"), F.lit(" "))).alias(
+            "decoded_text"
+        ),
+    )
+    kept_words = word_sub.select("word").distinct()
+    orig = (
+        docs.select(
+            "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("wpos", "word")
+        )
+        .join(F.broadcast(kept_words), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("orig_text")
+        )
+    )
+    return (
+        encoded.join(decoded, "doc_id")
+        .join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.length("decoded_text").cast("bigint").alias("n_chars_decoded"),
+            (F.col("decoded_text") == F.col("orig_text")).cast("int").alias("lossless"),
+        )
+    )
 
 
 @_llm("wordpiece_encode_docs", _encode_docs_oracle(_wordpiece_blocks(8)))

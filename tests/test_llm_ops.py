@@ -1735,6 +1735,60 @@ def test_bpe_encode_documents_matches_replay(spark):
     assert all(nt > nw for nw, nt, _ in expected.values())
 
 
+def test_decode_token_ids_inverts_encode_and_detects_tampering(spark):
+    """The decoder must reconstruct every doc's whitespace-normalized word
+    stream exactly (the `</w>` markers carry the boundaries), and the
+    round-trip audit must DETECT corruption: remapping one vocab id makes
+    lossless drop for exactly the docs containing that token."""
+    from bigdata_rags_spark.functions.bpe import (
+        bpe_word_segmentation,
+        decode_token_ids,
+        encode_documents_from_word_pieces,
+        subword_vocab,
+        train_bpe_merges,
+    )
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    texts = {
+        10: "low lower lowest new newest",
+        11: "the newest low is the widest low",
+        12: "aaaa aaaa wider new",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=6).orderBy("merge_round").collect()
+    ]
+    word_sub = bpe_word_segmentation(docs, rules).localCheckpoint()
+    vocab = subword_vocab(word_sub)
+    encoded = encode_documents_from_word_pieces(docs, word_sub).localCheckpoint()
+    dec = {
+        r["doc_id"]: r["decoded"]
+        for r in decode_token_ids(encoded, vocab).collect()
+    }
+    for d, t in texts.items():
+        assert dec[d].replace("</w>", " ").rstrip() == t
+
+    # tamper: swap the subword behind the id of '</w>'-terminated token for
+    # a wrong string -> decode must no longer round-trip for docs using it
+    bad = vocab.withColumn(
+        "subword",
+        F.when(F.col("token_id") == 1, F.lit("CORRUPT")).otherwise(F.col("subword")),
+    )
+    dec_bad = {
+        r["doc_id"]: r["decoded"]
+        for r in decode_token_ids(encoded, bad).collect()
+    }
+    assert any(
+        dec_bad[d].replace("</w>", " ").rstrip() != t for d, t in texts.items()
+    )
+
+
 def test_sequence_packing_tokens_col(spark):
     """`sequence_packing_plan(tokens_col=...)` must pack on the supplied
     real counts (+1 EOS), not the whitespace placeholder."""
