@@ -4922,6 +4922,120 @@ def domain_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted raw-URL variants for the canonicalizer: four decorations of the
+# same canonical target (case/port, www+trailing-slash+fragment, tracking
+# params, param order) so every group of 4 consecutive doc_ids provably
+# collapses to ONE canonical URL.  The operator under test is the
+# canonicalization algebra, not the synthesis (the `_SQL_URL` precedent).
+_SQL_RAW_URL = """CASE doc_id % 4
+  WHEN 0 THEN 'https://site' || CAST(doc_id // 4 AS VARCHAR) || '.com/p/'
+              || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+  WHEN 1 THEN 'HTTPS://SITE' || CAST(doc_id // 4 AS VARCHAR) || '.COM:443/p/'
+              || CAST(doc_id // 4 AS VARCHAR) || '?b=2&utm_source=x&a=1'
+  WHEN 2 THEN 'https://www.site' || CAST(doc_id // 4 AS VARCHAR) || '.com/p/'
+              || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2#top'
+  ELSE 'https://site' || CAST(doc_id // 4 AS VARCHAR) || '.com/p/'
+       || CAST(doc_id // 4 AS VARCHAR) || '?a=1&fbclid=zzz&b=2'
+END"""
+
+
+def _url_canon_oracle() -> str:
+    from bigdata_rags_spark.functions.urls import TRACKING_PARAM_RE
+
+    return f"""
+WITH u AS (SELECT doc_id, {_SQL_RAW_URL} AS url FROM documents),
+c AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+  FROM u
+),
+h AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(lower(string_split(string_split_regex(rest, '[/?#]')[1], ':')[1]),
+                        '^www\\.', '') AS host,
+         regexp_extract(string_split_regex(rest, '[/?#]')[1], ':(\\d+)$', 1) AS port,
+         regexp_replace(regexp_extract(rest, '(/[^?#]*)', 1), '/+$', '') AS path,
+         regexp_extract(rest, '\\?([^#]*)', 1) AS query
+  FROM c
+),
+pp AS (
+  SELECT *, list_sort(list_filter(string_split(query, '&'),
+            q -> q != '' AND NOT regexp_matches(q, '{TRACKING_PARAM_RE}'))) AS params
+  FROM h
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host
+         || (CASE WHEN port != '' AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END)
+         || path
+         || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                  ELSE '' END) AS canonical_url
+  FROM pp
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon GROUP BY 1
+"""
+
+
+@_llm("url_canonical_dedup", _url_canon_oracle())
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-key dedup (`functions/urls.py:
+    canonical_url`) — the crawl-frontier/C4 step that collapses
+    scheme-case, ``www.``, default ports, fragments, tracking params
+    (utm_*/fbclid/gclid/...), unsorted query params, and trailing slashes
+    before URL-level dedup: four planted raw decorations of every
+    canonical target provably merge (n_urls=4, n_distinct_raw=4 per
+    group), with MIN(doc_id) as the keeper.  Pure codegen'd string/array
+    algebra on the scan; the only shuffle carries (canonical_url, doc_id,
+    raw-url) for the hash agg — at crawl scale this keys the frontier
+    dedup that runs BEFORE any fetch or text processing."""
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    from bigdata_rags_spark.functions.urls import canonical_url
+
+    g = F.expr("CAST(doc_id DIV 4 AS STRING)")
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://site"), g, F.lit(".com/p/"), g, F.lit("?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://SITE"), g, F.lit(".COM:443/p/"), g,
+                F.lit("?b=2&utm_source=x&a=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://www.site"), g, F.lit(".com/p/"), g,
+                F.lit("/?a=1&b=2#top"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), g, F.lit(".com/p/"), g,
+                F.lit("?a=1&fbclid=zzz&b=2"),
+            )
+        )
+    )
+    u = docs.select("doc_id", raw.alias("url"))
+    return (
+        u.withColumn("canonical_url", canonical_url(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
 def _qclf_oracle() -> str:
     from bigdata_rags_spark.quality import QCLF_BIAS_MICRO, qclf_weights
 

@@ -1145,6 +1145,42 @@ def test_url_parsing_messy_urls(spark):
     assert out[5]["dom"] == "example.com"
 
 
+def test_canonical_url_normalization_rules(spark):
+    """Every canonicalization rule on adversarial-but-legal URLs: scheme/
+    host case, www, default vs real ports, fragment, tracking params,
+    param sorting, trailing slashes — plus idempotence (canonicalizing a
+    canonical URL is a fixed point)."""
+    from bigdata_rags_spark.functions.urls import canonical_url
+
+    rows = [
+        (1, "HTTPS://WWW.Site.com:443/p/1/?b=2&utm_source=x&a=1#top"),
+        (2, "https://site.com/p/1?a=1&b=2"),
+        (3, "http://site.com:8080/x//?gclid=z"),       # real port survives
+        (4, "http://site.com:80/x"),                    # default port dropped
+        (5, "https://site.com"),                        # no path, no query
+        (6, "https://site.com/?utm_campaign=only"),     # all params tracking
+        (7, "https://site.com/a?ref=tw&z=9&a=1"),       # mixed, needs sort
+    ]
+    df = spark.createDataFrame(rows, ["i", "url"])
+    out = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert out[1] == "https://site.com/p/1?a=1&b=2"
+    assert out[2] == "https://site.com/p/1?a=1&b=2"
+    assert out[1] == out[2]
+    assert out[3] == "http://site.com:8080/x?gclid=z".replace("?gclid=z", "")
+    assert out[4] == "http://site.com/x"
+    assert out[5] == "https://site.com"
+    assert out[6] == "https://site.com"
+    assert out[7] == "https://site.com/a?a=1&z=9"
+    # idempotence: re-canonicalizing the outputs changes nothing
+    canon = spark.createDataFrame(
+        [(i, c) for i, c in out.items()], ["i", "url"]
+    ).select("i", canonical_url(F.col("url")).alias("c"))
+    assert {r["i"]: r["c"] for r in canon.collect()} == out
+
+
 def test_domain_quota_caps_megasite(spark, sf_oracle):
     """No registrable domain may exceed the quota, ranks are 1..k dense per
     domain, and every domain present in the corpus appears."""
