@@ -401,3 +401,133 @@ def sequence_packing_plan(
             .alias("seq_offset"),
         )
     )
+
+
+def length_bucket_batching(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 8,
+    min_bucket: int = 16,
+    max_bucket: int = 512,
+    n_shards: int = 8,
+    salt: str = "lbb",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Length-bucketed inference/training batching plan — the padding-waste
+    killer: docs are grouped into power-of-two token-length buckets
+    (ceil-pow2 of the doc's token count, clamped to [min_bucket,
+    max_bucket]) and batched WITHIN a bucket, so a batch never pads to a
+    far-off global max.  The standard serving/eval layout step (dynamic
+    batching by length).
+
+    Returns (id, n_tokens, bucket_cap, shard, batch_no, pos_in_batch,
+    padding, truncated): ``padding = max(0, bucket_cap - n_tokens)`` and
+    ``truncated = 1`` for docs longer than ``max_bucket`` (they pad 0 and
+    truncate at the cap).  Deterministic on any engine/partitioning: batch
+    order inside a (bucket, shard) comes from md5(salt:id), the module-wide
+    contract.  ``tokens_col`` supplies REAL tokenizer counts (e.g.
+    ``bpe_encode_documents``'s n_tokens); the default is whitespace tokens.
+
+    Integer-exact ceil-pow2 via bit length (the ``length(bin(n-1))``
+    idiom — never a float log2).  100 TB shape: bucket/shard assignment is
+    row-local; the only exchange is the per-(bucket, shard) rank window —
+    sharding bounds any one window partition exactly like
+    ``sequence_packing_plan``'s packer streams.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    raw_tokens = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(ws_tokens(F.col(text_col)))
+    )
+    sk = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    base = df.select(
+        id_col,
+        raw_tokens.cast("bigint").alias("n_tokens"),
+        sk.alias("__sk"),
+    ).withColumn(
+        "bucket_cap",
+        F.greatest(
+            F.lit(min_bucket).cast("bigint"),
+            F.least(
+                F.lit(max_bucket).cast("bigint"),
+                F.expr(
+                    "CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT) "
+                    "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))) END"
+                ),
+            ),
+        ),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("__sk", 1, 8), 16, 10).cast("bigint") % n_shards).cast("int"),
+    )
+    w = Window.partitionBy("bucket_cap", "shard").orderBy(F.col("__sk"), F.col(id_col))
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket_cap",
+            "shard",
+            F.expr(f"CAST((__rn - 1) DIV {batch_size} AS BIGINT)").alias("batch_no"),
+            F.expr(f"CAST((__rn - 1) % {batch_size} AS INT)").alias("pos_in_batch"),
+            F.greatest(F.lit(0).cast("bigint"), F.col("bucket_cap") - F.col("n_tokens")).alias(
+                "padding"
+            ),
+            (F.col("n_tokens") > F.col("bucket_cap")).cast("int").alias("truncated"),
+        )
+    )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "z_micro",
+) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training data:
+    within each group (the shared-prompt proxy — source, cluster, or
+    query id), pair the HIGHEST-scored doc (chosen) with the LOWEST
+    (rejected) and report the margin.  Groups of one (or where no distinct
+    pair exists) are dropped — a pair needs two sides.
+
+    Deterministic tie rules make the pair engine-exact: chosen breaks
+    score ties toward the LOWEST id, rejected toward the HIGHEST, so an
+    all-tied group still yields two distinct docs.  Implemented as ONE
+    hash agg with struct min/max (no sort, no window): max(struct(score,
+    -id)) is (best score, lowest id), min(struct(score, -id)) is (worst
+    score, highest id) — the 100-TB shape for per-group argmax.
+
+    Returns (group, chosen_id, rejected_id, chosen_micro, rejected_micro,
+    margin_micro, n_docs)."""
+    agg = (
+        scored.select(
+            F.col(group_col).alias("grp"),
+            F.struct(
+                F.col(score_col).cast("bigint").alias("s"),
+                (-F.col(id_col)).cast("bigint").alias("nid"),
+            ).alias("kv"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("kv").alias("best"),
+            F.min("kv").alias("worst"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            (-F.col("best.nid")).alias("chosen_id"),
+            (-F.col("worst.nid")).alias("rejected_id"),
+            F.col("best.s").alias("chosen_micro"),
+            F.col("worst.s").alias("rejected_micro"),
+            (F.col("best.s") - F.col("worst.s")).alias("margin_micro"),
+            "n_docs",
+        )
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+    )

@@ -5036,12 +5036,11 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qclf_oracle() -> str:
+def _qclf_ctes() -> str:
     from bigdata_rags_spark.quality import QCLF_BIAS_MICRO, qclf_weights
 
     wlist = ", ".join(str(w) for w in qclf_weights())
-    return f"""
-WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    return f"""toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
 f AS (
   SELECT doc_id,
          (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
@@ -5057,7 +5056,12 @@ z AS (
          CAST({QCLF_BIAS_MICRO} + (raw + 500000 * n_tokens) // n_tokens
               - 500000 AS BIGINT) AS z_micro
   FROM pooled
-)
+)"""
+
+
+def _qclf_oracle() -> str:
+    return f"""
+WITH {_qclf_ctes()}
 SELECT doc_id, n_tokens, z_micro,
        CAST((500000 * (1000000 + abs(z_micro) + z_micro))
             // (1000000 + abs(z_micro)) AS BIGINT) AS prob_micro,
@@ -5078,6 +5082,105 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
     return quality_classifier_scores(docs)
+
+
+@_llm(
+    "preference_pair_mining",
+    f"""
+WITH {_qclf_ctes()},
+j AS (
+  SELECT d.source, z.doc_id, z.z_micro
+  FROM z JOIN documents d ON d.doc_id = z.doc_id
+),
+ch AS (
+  SELECT source, doc_id AS chosen_id, z_micro AS chosen_micro FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY z_micro DESC, doc_id) AS rn FROM j
+  ) WHERE rn = 1
+),
+rj AS (
+  SELECT source, doc_id AS rejected_id, z_micro AS rejected_micro FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY z_micro ASC, doc_id DESC) AS rn FROM j
+  ) WHERE rn = 1
+),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM j GROUP BY 1)
+SELECT ch.source, chosen_id, rejected_id, chosen_micro, rejected_micro,
+       CAST(chosen_micro - rejected_micro AS BIGINT) AS margin_micro, n_docs
+FROM ch JOIN rj USING (source) JOIN n USING (source)
+WHERE chosen_id != rejected_id
+""",
+)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training data
+    (`operators/sampling.preference_pairs` composed with the learned
+    quality classifier): within each source group — the shared-prompt
+    proxy — pair the highest-scored doc (chosen) with the lowest
+    (rejected), reporting the score margin.  Deterministic tie rules
+    (chosen breaks toward the lowest id, rejected toward the highest)
+    keep an all-tied group from degenerating to one doc.
+
+    Scale shape: the Spark side is ONE hash agg with struct min/max per
+    group — no sort, no window, no per-group funnel (the oracle replays
+    the identical tie rules with two rank windows; same rows by
+    construction).  The classifier scan is the only corpus-sized work."""
+    from bigdata_rags_spark.operators.sampling import preference_pairs
+    from bigdata_rags_spark.quality import quality_classifier_scores
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    scored = quality_classifier_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return preference_pairs(scored, group_col="source")
+
+
+@_llm(
+    "length_bucket_batching",
+    f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         GREATEST(CAST(16 AS BIGINT), LEAST(CAST(512 AS BIGINT),
+           CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1)) END)) AS bucket_cap
+  FROM t
+),
+k AS (
+  SELECT *, md5('lbb:' || CAST(doc_id AS VARCHAR)) AS sk,
+         CAST(('0x' || substr(md5('lbb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 8 AS INT) AS shard
+  FROM b
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_cap, shard
+            ORDER BY sk, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, n_tokens, bucket_cap, shard,
+       CAST((rn - 1) // 8 AS BIGINT) AS batch_no,
+       CAST((rn - 1) % 8 AS INT) AS pos_in_batch,
+       CAST(GREATEST(0, bucket_cap - n_tokens) AS BIGINT) AS padding,
+       CAST(n_tokens > bucket_cap AS INT) AS truncated
+FROM r
+""",
+)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan (`operators/sampling.
+    length_bucket_batching`) — the inference/eval layout step that groups
+    docs into ceil-power-of-two token-length buckets (clamped [16, 512])
+    and batches of 8 WITHIN a bucket, so no batch pads to a distant global
+    max; per-doc padding waste and over-cap truncation are reported.
+    Bucketing is integer-exact bit-length math (never float log2); batch
+    order inside a (bucket, md5-shard) is the module's deterministic
+    md5(salt:id) contract, so the plan replays on any engine or
+    partitioning.  Row-local assignment + one per-(bucket, shard) rank
+    window — the `sequence_packing_plan` exchange shape."""
+    from bigdata_rags_spark.operators.sampling import length_bucket_batching as lbb
+
+    docs = _docs_parallel(spark, sf_dir)
+    return lbb(docs)
 
 
 def _quality_mix_oracle(budget_num: int = 1, budget_den: int = 2) -> str:

@@ -1825,6 +1825,53 @@ def test_decode_token_ids_inverts_encode_and_detects_tampering(spark):
     )
 
 
+def test_preference_pairs_tie_rules_and_small_groups(spark):
+    """Chosen = (best score, lowest id), rejected = (worst score, highest
+    id); an all-tied group still yields two distinct docs; singleton
+    groups are dropped."""
+    from bigdata_rags_spark.operators.sampling import preference_pairs
+
+    rows = [
+        ("a", 1, 900), ("a", 2, 100), ("a", 3, 900),   # tie at top
+        ("b", 4, 500), ("b", 5, 500), ("b", 6, 500),   # all tied
+        ("c", 7, 123),                                   # singleton
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "z_micro"])
+    out = {r["source"]: r for r in preference_pairs(df, group_col="source").collect()}
+    assert set(out) == {"a", "b"}
+    assert (out["a"]["chosen_id"], out["a"]["rejected_id"]) == (1, 2)
+    assert out["a"]["margin_micro"] == 800
+    assert (out["b"]["chosen_id"], out["b"]["rejected_id"]) == (4, 6)
+    assert out["b"]["margin_micro"] == 0 and out["b"]["n_docs"] == 3
+
+
+def test_length_bucket_batching_plan(spark):
+    """Ceil-pow2 buckets with clamps, padding arithmetic, truncation flag,
+    full batches of batch_size, and partitioning invariance."""
+    from bigdata_rags_spark.operators.sampling import length_bucket_batching
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [1, 3, 16, 17, 100, 600, 5, 31, 33, 64]
+    )]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in length_bucket_batching(docs, batch_size=2).collect()}
+    assert out[0]["bucket_cap"] == 16 and out[0]["padding"] == 15     # clamp up
+    assert out[1]["bucket_cap"] == 16                                  # 3 -> 4 -> clamp 16
+    assert out[2]["bucket_cap"] == 16 and out[2]["padding"] == 0      # exact pow2
+    assert out[3]["bucket_cap"] == 32                                  # 17 -> 32
+    assert out[4]["bucket_cap"] == 128                                 # 100 -> 128
+    assert out[5]["bucket_cap"] == 512 and out[5]["truncated"] == 1   # over cap
+    assert out[5]["padding"] == 0
+    assert out[7]["bucket_cap"] == 32 and out[8]["bucket_cap"] == 64
+    assert out[9]["bucket_cap"] == 64 and out[9]["padding"] == 0
+    assert all(r["pos_in_batch"] < 2 for r in out.values())
+    rep = {
+        r["doc_id"]: r
+        for r in length_bucket_batching(docs.repartition(7), batch_size=2).collect()
+    }
+    assert {k: tuple(v) for k, v in rep.items()} == {k: tuple(v) for k, v in out.items()}
+
+
 def test_sequence_packing_tokens_col(spark):
     """`sequence_packing_plan(tokens_col=...)` must pack on the supplied
     real counts (+1 EOS), not the whitespace placeholder."""
