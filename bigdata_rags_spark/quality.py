@@ -193,3 +193,52 @@ def quality_classifier_scores(
         .cast("bigint")
         .alias("keep"),
     )
+
+
+def ngram_diversity_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """Corpus n-gram diversity report — the mode-collapse / self-repetition
+    audit for synthetic-data pipelines (the aggregate cousin of Self-BLEU:
+    distinct-n, Li et al. 2016): for each n, total n-gram occurrences,
+    distinct n-grams, the distinct ratio, and the single hottest n-gram's
+    share, all in integer micro-units.  A generated corpus that collapsed
+    onto templates shows cratering distinct ratios and spiking top shares
+    as n grows; natural corpora keep distinct-4 near 1e6.
+
+    One explode + one (gram) hash agg + one 1-row rollup per n — each n is
+    an independent linear scan (no joins, no windows), so the report costs
+    ~|ns| token scans at any corpus size.
+
+    Extension beyond the reference (no text surface — SURVEY.md §2
+    extension tier)."""
+    from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+    out = None
+    for n in ns:
+        grams = docs.select(
+            F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias("gram")
+        )
+        per_gram = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        rep = (
+            per_gram.agg(
+                F.sum("cnt").cast("bigint").alias("total_ngrams"),
+                F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+                F.max("cnt").cast("bigint").alias("__maxc"),
+            )
+            .select(
+                F.lit(n).cast("int").alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+                F.expr("distinct_ngrams * 1000000 DIV total_ngrams")
+                .cast("bigint")
+                .alias("diversity_micro"),
+                F.expr("__maxc * 1000000 DIV total_ngrams")
+                .cast("bigint")
+                .alias("top_share_micro"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

@@ -5036,6 +5036,133 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_diversity_oracle(ns: tuple[int, ...] = (1, 2, 3, 4)) -> str:
+    blocks = ["t AS (SELECT " + _SQL_TOKS + " AS tk FROM documents)"]
+    selects = []
+    for n in ns:
+        blocks.append(
+            f"""g{n} AS (
+  SELECT unnest(CASE WHEN len(tk) >= {n}
+    THEN list_transform(range(1, len(tk) - {n - 2}),
+         i -> array_to_string(tk[i:i+{n - 1}], ' '))
+    ELSE [] END) AS gram
+  FROM t)"""
+        )
+        blocks.append(
+            f"c{n} AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g{n} GROUP BY 1)"
+        )
+        selects.append(
+            f"""SELECT CAST({n} AS INT) AS n,
+       CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+       CAST(COUNT(*) * 1000000 // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS diversity_micro,
+       CAST(MAX(cnt) * 1000000 // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS top_share_micro
+FROM c{n}"""
+        )
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@_llm("ngram_diversity_report", _ngram_diversity_oracle())
+def ngram_diversity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity / mode-collapse audit
+    (`quality.ngram_diversity_report`, the distinct-n family of Li et al.
+    2016): per n in 1..4, total vs distinct n-grams, the integer-micro
+    distinct ratio, and the hottest n-gram's share — the first report a
+    synthetic-data pipeline checks for template collapse (distinct-4
+    cratering, top-share spiking).  One explode + two hash aggs per n,
+    no joins; ~4 linear token scans at any corpus size."""
+    from bigdata_rags_spark.quality import ngram_diversity_report
+
+    return ngram_diversity_report(_docs_parallel(spark, sf_dir))
+
+
+def _cluster_topics_oracle(n_cells: int = 16, dim: int = 64, k: int = 5) -> str:
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+
+    cents = fixed_centroids(dim, n_cells)
+    sims = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for c in cents
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
+         unnest([{sims}]) AS sim
+  FROM e
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell DESC) AS r
+  FROM s
+),
+asg AS (SELECT vec_id AS doc_id, cell FROM ranked WHERE r = 1),
+toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+ct AS (
+  SELECT a.cell, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN asg a USING (doc_id) GROUP BY 1, 2
+),
+dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_clusters FROM ct GROUP BY 1),
+nd AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs FROM asg GROUP BY 1),
+sc AS (
+  SELECT ct.cell, ct.token, ct.tf, dfc.df_clusters,
+         CAST(ct.tf * 1000000 // dfc.df_clusters AS BIGINT) AS score_micro
+  FROM ct JOIN dfc USING (token)
+),
+rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cell
+            ORDER BY score_micro DESC, token) AS INT) AS rank
+  FROM sc
+)
+SELECT rk.cell, rk.rank, rk.token, rk.tf, rk.df_clusters, rk.score_micro, nd.n_docs
+FROM rk JOIN nd USING (cell) WHERE rk.rank <= {k}
+"""
+
+
+@_llm("cluster_topic_terms", _cluster_topics_oracle())
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-and-describe corpus map (the BERTopic/WebOrganizer curation
+    move): embeddings are assigned to their nearest fixed-literal centroid
+    (the `semantic_dedup_cells` quantizer — documents and embeddings align
+    by id), and each cluster is DESCRIBED by its top-5 tokens under an
+    integer c-TF-IDF (token count in cluster x 1e6 DIV number of clusters
+    containing the token — rare-across-clusters terms win, boilerplate
+    present everywhere scores 1e6/n_cells).  The report a curator reads
+    before deciding which clusters to quota, dedup harder, or drop.
+
+    Scale shape: assignment is row-local math against the literal
+    codebook; only (cell, token) count rows shuffle (two hash aggs), the
+    describe window is per-cell over the cluster vocabulary; nothing
+    corpus-sized funnels anywhere."""
+    from pyspark.sql import Window
+
+    from bigdata_rags_spark.similarity.ivf import assign_cells, fixed_centroids
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    docs = _docs_parallel(spark, sf_dir)
+    asg = assign_cells(e, fixed_centroids(64, 16)).withColumnRenamed("id", "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    ct = (
+        toks.join(asg, "doc_id")
+        .groupBy("cell", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfc = ct.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df_clusters"))
+    nd = asg.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    sc = ct.join(dfc, "token").withColumn(
+        "score_micro", F.expr("tf * 1000000 DIV df_clusters").cast("bigint")
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("score_micro").desc(), "token")
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .join(nd, "cell")
+        .select("cell", "rank", "token", "tf", "df_clusters", "score_micro", "n_docs")
+    )
+
+
 def _qclf_ctes() -> str:
     from bigdata_rags_spark.quality import QCLF_BIAS_MICRO, qclf_weights
 

@@ -1825,6 +1825,54 @@ def test_decode_token_ids_inverts_encode_and_detects_tampering(spark):
     )
 
 
+def test_ngram_diversity_report_detects_template_collapse(spark):
+    """A looped/templated corpus must show LOWER distinct ratios and a
+    HIGHER top-share than a diverse one at every n; hand-checked counts on
+    a tiny doc pin the arithmetic."""
+    from bigdata_rags_spark.quality import ngram_diversity_report
+
+    diverse = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    looped = spark.createDataFrame(
+        [(i, " ".join(["spam", "ham"] * 10)) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    d = {r["n"]: r for r in ngram_diversity_report(diverse).collect()}
+    l = {r["n"]: r for r in ngram_diversity_report(looped).collect()}
+    for n in (1, 2, 3, 4):
+        assert d[n]["diversity_micro"] > l[n]["diversity_micro"], n
+        assert d[n]["top_share_micro"] < l[n]["top_share_micro"], n
+    # hand check: one doc "a b a b" -> bigrams: "a b","b a","a b"
+    one = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    r2 = {r["n"]: r for r in ngram_diversity_report(one, ns=(2,)).collect()}[2]
+    assert (r2["total_ngrams"], r2["distinct_ngrams"]) == (3, 2)
+    assert r2["diversity_micro"] == 2 * 1_000_000 // 3
+    assert r2["top_share_micro"] == 2 * 1_000_000 // 3
+
+
+def test_cluster_topic_terms_rare_term_beats_boilerplate(spark, sf_oracle):
+    """c-TF-IDF sanity on the real fixtures: every cluster gets exactly 5
+    ranked terms, scores are non-increasing in rank, and a term present in
+    EVERY cluster can only win rank 1 by raw frequency (score tf*1e6/16),
+    while df_clusters=1 terms score tf*1e6."""
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    rows = REGISTRY["cluster_topic_terms"].spark(spark, sf_oracle).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(
+            rs[i]["score_micro"] >= rs[i + 1]["score_micro"] for i in range(len(rs) - 1)
+        ), cell
+        for r in rs:
+            assert r["score_micro"] == r["tf"] * 1_000_000 // r["df_clusters"]
+
+
 def test_preference_pairs_tie_rules_and_small_groups(spark):
     """Chosen = (best score, lowest id), rejected = (worst score, highest
     id); an all-tied group still yields two distinct docs; singleton
