@@ -196,6 +196,17 @@ HEADLINE = [
     "wordpiece_encode_docs",
     "text_hashed_idf_near_dups",
     "unigram_encode_docs",
+    # late-r12 additions: binary-quantized ANN, MMR re-ranking, tokenizer
+    # decode round-trip, URL canonicalization, RM/DPO pair mining, length
+    # bucketing, cluster describe, n-gram diversity audit
+    "embedding_binary_hamming_topk",
+    "retrieval_mmr_rerank",
+    "bpe_decode_roundtrip",
+    "url_canonical_dedup",
+    "preference_pair_mining",
+    "length_bucket_batching",
+    "cluster_topic_terms",
+    "ngram_diversity_report",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -522,6 +522,9 @@ _RECHECK: tuple[str, ...] = (
     # serving returned a duplicated neighbor at two ranks).  Same results on
     # the non-reappend fixture path, new plan — re-confirm green.
     "embedding_ivfpq_index_append",
+    # round 12 session 2: its oracle SQL now assembles from the shared
+    # _qclf_ctes block (same semantics, rebuilt string) — re-confirm green.
+    "quality_classifier_scores",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

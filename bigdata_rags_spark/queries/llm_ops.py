@@ -957,6 +957,82 @@ def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SQL_BITEXT_COS = (
+    "CAST(ROUND((list_dot_product(av, bv) / sqrt(list_dot_product(av, av))"
+    " / sqrt(list_dot_product(bv, bv))) * 1000000) AS BIGINT)"
+)
+
+
+@_llm(
+    "bitext_margin_mining",
+    f"""
+WITH src AS (
+  SELECT e.vec_id AS src_id, e.embedding::DOUBLE[] AS av
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en' AND e.vec_id < 50
+),
+tgt AS (
+  SELECT e.vec_id AS tgt_id, e.embedding::DOUBLE[] AS bv
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'de'
+),
+scored AS (
+  SELECT src_id, tgt_id, {_SQL_BITEXT_COS} AS cos_micro
+  FROM src CROSS JOIN tgt
+),
+fwd AS (
+  SELECT src_id, CAST(SUM(cos_micro) AS BIGINT) AS src_knn_sum FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+              ORDER BY cos_micro DESC, tgt_id) AS rn
+    FROM scored
+  ) WHERE rn <= 4 GROUP BY 1
+),
+bwd AS (
+  SELECT tgt_id, CAST(SUM(cos_micro) AS BIGINT) AS tgt_knn_sum FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+              ORDER BY cos_micro DESC, src_id) AS rn
+    FROM scored
+  ) WHERE rn <= 4 GROUP BY 1
+),
+m AS (
+  SELECT s.src_id, s.tgt_id, s.cos_micro,
+         CAST(s.cos_micro * 8000 // (f.src_knn_sum + b.tgt_knn_sum) AS BIGINT)
+           AS margin_milli
+  FROM scored s JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)
+  WHERE s.cos_micro > 0 AND f.src_knn_sum + b.tgt_knn_sum > 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+            ORDER BY margin_milli DESC, tgt_id) AS best
+  FROM m
+)
+SELECT src_id, tgt_id, cos_micro, margin_milli FROM r
+WHERE best = 1 AND margin_milli >= 1000
+""",
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext (parallel-corpus) mining via the margin criterion
+    (`similarity/bitext.py:margin_mining`; Artetxe & Schwenk 2019 — the
+    CCMatrix recipe): en anchors (vec_id<50) probe the de corpus, and a
+    candidate's cosine is scored RELATIVE to both sides' k-NN neighborhood
+    averages — hub vectors close to everything are divided away by their
+    own density, where raw cosine top-1 would pair them with everyone.
+    Forward-best pairs above margin 1.0 (milli 1000) are emitted.  All
+    integer micro/milli math (the k-NN means stay as sums); at 100 TB the
+    dense anchor sweep swaps for IVFPQ probed candidates with the margin
+    math unchanged."""
+    from bigdata_rags_spark.similarity.bitext import margin_mining
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    d = read_testdata(spark, sf_dir, "documents")["documents"].select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    j = e.join(d, "vec_id")
+    src = j.filter((F.col("lang") == "en") & (F.col("vec_id") < 50))
+    tgt = j.filter(F.col("lang") == "de")
+    return margin_mining(src, tgt, k=4, margin_threshold_milli=1000)
+
+
 def _lsh_topk_oracle(
     k: int = 5, n_planes: int = 8, n_tables: int = 2, probe_bits: int = 2, dim: int = 64
 ) -> str:

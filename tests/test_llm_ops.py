@@ -267,6 +267,43 @@ def test_binary_hamming_recall_and_partitioning_invariance(spark, sf_oracle):
     assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
 
 
+def test_bitext_margin_mining_demotes_hub_vector(spark):
+    """The margin criterion's reason to exist: a HUB target close to every
+    anchor wins raw-cosine top-1 everywhere, but its own dense
+    neighborhood divides its margin down — the true translation (near-copy
+    of one anchor, far from the others) outranks it for its anchor, and
+    anchors whose best candidate is only the hub fall below the margin
+    threshold."""
+    import math
+
+    from bigdata_rags_spark.similarity.bitext import margin_mining
+
+    dim = 8
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # anchors: 4 near-orthogonal directions
+    src_rows = [(i, unit([1.0 if j == i else 0.01 for j in range(dim)])) for i in range(4)]
+    # hub: equal similarity to every anchor; translation: near-copy of anchor 0
+    hub = unit([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    trans = unit([1.0 if j == 0 else (0.05 if j == 7 else 0.01) for j in range(dim)])
+    other = unit([0.0] * 7 + [1.0])
+    tgt_rows = [(100, hub), (101, trans), (102, other)]
+    src = spark.createDataFrame(src_rows, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(tgt_rows, "vec_id long, embedding array<double>")
+    out = {r["src_id"]: r for r in margin_mining(src, tgt, k=2, margin_threshold_milli=1000).collect()}
+    # anchor 0's best-by-margin is the translation, NOT the hub (raw cosine
+    # alone cannot guarantee this: cos(a0, hub) ~ 0.5 vs cos(a0, trans) ~ 1)
+    assert out[0]["tgt_id"] == 101
+    # anchors 1-3 have no true translation: their candidates are hub-like
+    # (margin ~ 1000) — none may beat anchor 0's translation margin
+    for i in (1, 2, 3):
+        if i in out:
+            assert out[i]["margin_milli"] < out[0]["margin_milli"]
+
+
 def test_repetition_quality_gates_planted_docs(spark):
     from bigdata_rags_spark.quality import repetition_quality
 
