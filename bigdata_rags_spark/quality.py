@@ -242,3 +242,52 @@ def ngram_diversity_report(
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+def compression_ratio_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    min_ratio_micro: int = 250_000,
+) -> DataFrame:
+    """zlib compression-ratio quality signal — the Dolma/RefinedWeb gate
+    the heuristic repetition scorers approximate from the other side:
+    templated/looped text compresses far below natural prose, and a
+    near-zero ratio is the strongest cheap "machine-generated spam" flag
+    there is (conversely, ratios near 1 flag binary/garbled payloads).
+
+    Returns (id, raw_bytes, compressed_bytes, ratio_micro, keep) with
+    ``ratio_micro = compressed * 1e6 DIV max(raw, 1)`` and ``keep = 1``
+    iff ratio_micro >= min_ratio_micro.  DETERMINISTIC (zlib with a fixed
+    level is bit-stable for a given input) but not SQL-expressible, so
+    the registered query is rows-only by nature — correctness is pinned
+    by an exact python-replay test instead (the GK/HLL sketch precedent).
+
+    Arrow-batched mapInPandas (the multimodal-codec seam — zlib is the
+    codec here); one linear scan, no shuffle at all.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    schema = f"{id_col} long, raw_bytes long, compressed_bytes long, ratio_micro long, keep int"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                raw = ("" if text is None else str(text)).encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ratio = len(comp) * 1_000_000 // max(len(raw), 1)
+                out.append(
+                    (did, len(raw), len(comp), ratio, 1 if ratio >= min_ratio_micro else 0)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "raw_bytes", "compressed_bytes", "ratio_micro", "keep"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema)

@@ -5112,6 +5112,22 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm("doc_compression_ratio", None)
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality gate (`quality.
+    compression_ratio_scores`; the Dolma/RefinedWeb signal): templated or
+    looped text compresses to a fraction of natural prose's ratio, making
+    near-zero ratios the cheapest machine-spam flag, and near-1 ratios the
+    garbled-payload flag.  ROWS-ONLY BY NATURE: zlib is deterministic
+    (fixed level -> bit-stable output) but not expressible in SQL, so the
+    driver records rows>0 while correctness is pinned by the exact
+    python-replay test (the GK/HLL sketch precedent).  One Arrow-batched
+    linear scan, zero shuffles."""
+    from bigdata_rags_spark.quality import compression_ratio_scores
+
+    return compression_ratio_scores(_docs_parallel(spark, sf_dir))
+
+
 def _ngram_diversity_oracle(ns: tuple[int, ...] = (1, 2, 3, 4)) -> str:
     blocks = ["t AS (SELECT " + _SQL_TOKS + " AS tk FROM documents)"]
     selects = []

@@ -88,9 +88,12 @@ def margin_mining(
         .groupBy("tgt_id")
         .agg(F.sum("cos_micro").cast("bigint").alias("tgt_knn_sum"))
     )
+    # fwd is anchor-bounded (always tiny) -> force the broadcast; bwd is
+    # |tgt|-sized, so its join is left to the planner (SMJ is the honest
+    # shape when the target language is corpus-sized)
     margins = (
         scored.filter(F.col("cos_micro") > 0)
-        .join(fwd, "src_id")
+        .join(F.broadcast(fwd), "src_id")
         .join(bwd, "tgt_id")
         .filter(F.col("src_knn_sum") + F.col("tgt_knn_sum") > 0)
         .withColumn(

@@ -267,6 +267,38 @@ def test_binary_hamming_recall_and_partitioning_invariance(spark, sf_oracle):
     assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
 
 
+def test_compression_ratio_exact_replay_and_ordering(spark):
+    """Spark output must equal a direct python zlib replay bit-for-bit
+    (the rows-only query's correctness anchor), and the signal must order
+    looped text below natural prose."""
+    import zlib
+
+    from bigdata_rags_spark.quality import compression_ratio_scores
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog and rivers wind slowly",
+        2: "spam " * 200,
+        3: "",
+        4: "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in compression_ratio_scores(docs).collect()}
+    for d, t in texts.items():
+        raw = t.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert out[d]["raw_bytes"] == len(raw)
+        assert out[d]["compressed_bytes"] == len(comp)
+        assert out[d]["ratio_micro"] == len(comp) * 1_000_000 // max(len(raw), 1)
+    assert out[2]["ratio_micro"] < out[1]["ratio_micro"]   # loop compresses away
+    assert out[4]["ratio_micro"] < out[1]["ratio_micro"]
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 0
+    rep = {
+        r["doc_id"]: tuple(r)
+        for r in compression_ratio_scores(docs.repartition(5)).collect()
+    }
+    assert rep == {k: tuple(v) for k, v in out.items()}
+
+
 def test_bitext_margin_mining_demotes_hub_vector(spark):
     """The margin criterion's reason to exist: a HUB target close to every
     anchor wins raw-cosine top-1 everywhere, but its own dense
