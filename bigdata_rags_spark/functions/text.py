@@ -75,3 +75,31 @@ def content_hash(text: Column) -> Column:
     """Exact-dedup key: md5 of normalized text (portable to every engine;
     string->binary cast is UTF-8 in both Spark and DuckDB)."""
     return F.md5(norm_text(text))
+
+
+def html_extract_text(html: Column) -> Column:
+    """HTML -> visible text (the WET-extraction step a web-corpus pipeline
+    runs before any text analysis): drops <script>/<style> subtrees
+    ENTIRELY (their contents are code, not prose), strips every remaining
+    tag and HTML comment, decodes the five standard named entities plus
+    numeric character references' common ASCII range is left to real
+    parsers — this is the deterministic regex tier (the C4/CCNet
+    extraction fidelity class, not a DOM parser), then collapses
+    whitespace.  Pure codegen'd regexp algebra, no UDF; mirrored 1:1 by
+    the oracle SQL.
+
+    Order matters and is part of the contract: script/style removal ->
+    comment removal -> tag strip -> entity decode (&amp; LAST so
+    '&amp;lt;' decodes to '&lt;' the literal, not to '<') -> whitespace
+    collapse + trim."""
+    t = F.regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, "(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, "(?s)<[^>]+>", " ")
+    t = F.regexp_replace(t, "&lt;", "<")
+    t = F.regexp_replace(t, "&gt;", ">")
+    t = F.regexp_replace(t, "&quot;", "\"")
+    t = F.regexp_replace(t, "&#39;", "'")
+    t = F.regexp_replace(t, "&nbsp;", " ")
+    t = F.regexp_replace(t, "&amp;", "&")
+    return F.trim(F.regexp_replace(t, "\\s+", " "))

@@ -5112,6 +5112,86 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted HTML wrapper for the extraction operator: title + style + script
+# + comment + nav boilerplate with entities around the document text — the
+# operator under test is the extraction algebra, not the synthesis.
+_SQL_HTML = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+    "<style>p{color:red}</style><script>var x = 1 < 2;</script></head>"
+    "<body><!-- nav --><nav>Home &amp; About</nav><p>' || text || "
+    "'</p></body></html>'"
+)
+
+
+@_llm(
+    "html_text_extraction",
+    f"""
+WITH h AS (SELECT doc_id, {_SQL_HTML} AS html FROM documents),
+e AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(html,
+        '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+        '&lt;', '<', 'g'),
+        '&gt;', '>', 'g'),
+        '&quot;', '"', 'g'),
+        '&#39;', '''', 'g'),
+        '&nbsp;', ' ', 'g'),
+        '\\s+', ' ', 'g')) AS almost
+  FROM h
+),
+x AS (SELECT doc_id, html, replace(almost, '&amp;', '&') AS extracted FROM e)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS html_bytes,
+       CAST(length(extracted) AS BIGINT) AS extracted_bytes,
+       CAST((length(html) - length(extracted)) * 1000000 // length(html) AS BIGINT)
+         AS overhead_micro,
+       md5(extracted) AS extracted_hash
+FROM x
+""",
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction (`functions/text.html_extract_text`;
+    the WET/C4 extraction step): script/style subtrees dropped whole, tags
+    and comments stripped, standard entities decoded (&amp; last, so
+    double-escaped entities stay literal), whitespace collapsed — plus the
+    markup-overhead share (boilerplate bytes per page) a crawl pipeline
+    tracks per source.  Deterministic regex-tier extraction (the fidelity
+    class C4/CCNet shipped, not a DOM parser), all codegen'd regexp
+    algebra on the scan — zero UDFs, zero shuffles beyond the final
+    projection.  The planted wrapper plants every rule: a <script> whose
+    body contains a bare '<', a <style>, a comment, nav boilerplate, and
+    an &amp; entity."""
+    from bigdata_rags_spark.functions.text import html_extract_text
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    g = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), g,
+        F.lit("</title><style>p{color:red}</style><script>var x = 1 < 2;</script>"
+              "</head><body><!-- nav --><nav>Home &amp; About</nav><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    h = docs.select("doc_id", html.alias("html"))
+    x = h.withColumn("extracted", html_extract_text(F.col("html")))
+    return x.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("html_bytes"),
+        F.length("extracted").cast("bigint").alias("extracted_bytes"),
+        F.expr(
+            "CAST((CAST(length(html) AS BIGINT) - length(extracted)) * 1000000"
+            " DIV length(html) AS BIGINT)"
+        ).alias("overhead_micro"),
+        F.md5("extracted").alias("extracted_hash"),
+    )
+
+
 @_llm("doc_compression_ratio", None)
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality gate (`quality.

@@ -267,6 +267,34 @@ def test_binary_hamming_recall_and_partitioning_invariance(spark, sf_oracle):
     assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
 
 
+def test_html_extract_text_rules(spark):
+    """Each extraction rule on adversarial snippets: script/style subtree
+    drop (including '<' inside script bodies), comment removal, tag strip,
+    entity decode order (&amp; last so double-escaped stays literal),
+    whitespace collapse."""
+    from bigdata_rags_spark.functions.text import html_extract_text
+
+    rows = [
+        (1, "<p>hello   <b>world</b></p>"),
+        (2, "<script>if (a < b) { alert('x') }</script>visible"),
+        (3, "<style>p { color: red }</style>text<!-- hidden -->here"),
+        (4, "fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+        (5, "double &amp;lt; stays literal"),
+        (6, "<div class='a'\n data-x='1'>multi\nline</div>"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "html"])
+    out = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_extract_text(F.col("html")).alias("t")).collect()
+    }
+    assert out[1] == "hello world"
+    assert out[2] == "visible"
+    assert out[3] == "text here"
+    assert out[4] == "fish & chips <tag> \"q\" 's'"
+    assert out[5] == "double &lt; stays literal"
+    assert out[6] == "multi line"
+
+
 def test_compression_ratio_exact_replay_and_ordering(spark):
     """Spark output must equal a direct python zlib replay bit-for-bit
     (the rows-only query's correctness anchor), and the signal must order
