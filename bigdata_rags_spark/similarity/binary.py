@@ -55,26 +55,36 @@ def binary_quantize(
 ) -> DataFrame:
     """Sign-bit codes: (id, w0..w{n-1} bigint) — bit j of word w is 1 iff
     component ``w*32 + j`` is strictly positive (zeros quantize to 0, the
-    deterministic tie rule both engines share).  One explode + one
-    conditional-sum groupBy; bit packing never reaches a sign bit."""
+    deterministic tie rule both engines share).
+
+    ROW-LOCAL fold, no shuffle: each word is one ``aggregate(zip_with(
+    slice, bit-literals))`` over 32 elements — the `signature_col` family
+    of expression (well inside Janino limits; the PQ lesson only bites at
+    hundreds of scalar subexpressions).  The first cut packed via
+    posexplode + conditional-sum groupBy, and the groupBy SHUFFLE cost
+    more than the Hamming sweep saved (measured r12 at 20k vectors:
+    binary path 1.5 s vs float brute force 1.0 s warm); as a projection
+    the quantizer is free on the scan.  Bit packing never reaches a sign
+    bit."""
     nw = n_words(dim)
-    comp = df.select(
-        F.col(id_col),
-        F.posexplode(as_double_array(F.col(vec_col))).alias("i", "x"),
-    )
-    words = [
-        F.sum(
-            F.expr(
-                f"CASE WHEN i >= {WORD_BITS * w} AND i < {WORD_BITS * (w + 1)}"
-                f" AND x > 0 THEN CAST(1 AS BIGINT) << CAST(i - {WORD_BITS * w} AS INT)"
-                f" ELSE CAST(0 AS BIGINT) END"
-            )
+    vec = as_double_array(F.col(vec_col))
+    words = []
+    for w in range(nw):
+        width = min(WORD_BITS, dim - w * WORD_BITS)
+        bits = F.array(*[F.lit(1 << j).cast("long") for j in range(width)])
+        seg = F.slice(vec, w * WORD_BITS + 1, width)
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    seg,
+                    bits,
+                    lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"w{w}")
         )
-        .cast("bigint")
-        .alias(f"w{w}")
-        for w in range(nw)
-    ]
-    return comp.groupBy(id_col).agg(*words)
+    return df.select(F.col(id_col), *words)
 
 
 def _hamming(nw: int, a_prefix: str = "qw", b_prefix: str = "cw") -> F.Column:
