@@ -5208,6 +5208,98 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio_scores(_docs_parallel(spark, sf_dir))
 
 
+@_llm(
+    "eval_pass_at_k",
+    """
+WITH s AS (
+  SELECT l_orderkey AS task_id,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS correct
+  FROM lineitem
+),
+a AS (
+  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(correct) AS BIGINT) AS n_correct
+  FROM s GROUP BY 1
+),
+f AS (SELECT * FROM a WHERE n_samples >= 5)
+SELECT task_id, n_samples, n_correct,
+  CAST(1000000 - (GREATEST(n_samples - n_correct - 0, 0)) * 1000000
+       // ((n_samples - 0)) AS BIGINT) AS pass1_micro,
+  CAST(1000000 - (GREATEST(n_samples - n_correct - 0, 0)
+                  * GREATEST(n_samples - n_correct - 1, 0)
+                  * GREATEST(n_samples - n_correct - 2, 0)
+                  * GREATEST(n_samples - n_correct - 3, 0)
+                  * GREATEST(n_samples - n_correct - 4, 0)) * 1000000
+       // ((n_samples - 0) * (n_samples - 1) * (n_samples - 2)
+           * (n_samples - 3) * (n_samples - 4)) AS BIGINT) AS pass5_micro
+FROM f
+""",
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k eval aggregation (`functions/evals.pass_at_k`; the Chen et
+    al. 2021 HumanEval unbiased estimator ``1 - C(n-c,k)/C(n,k)``): tasks
+    are orders, samples their lineitems, "correct" the planted
+    returnflag='R' outcome — the aggregation shape is the operator under
+    test, exactly as a real harness feeds (task_id, correct) sample rows.
+    The binomial ratio telescopes to one bigint product ratio with a
+    clamped numerator (fewer than k incorrect -> pass@k exactly 1), so
+    both engines agree to the last micro.  One hash agg; tasks with
+    n < max(k) dropped by the estimator's own requirement."""
+    from bigdata_rags_spark.functions.evals import pass_at_k
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    samples = li.select(
+        F.col("l_orderkey").alias("task_id"),
+        (F.col("l_returnflag") == "R").cast("int").alias("correct"),
+    )
+    return pass_at_k(samples, ks=(1, 5))
+
+
+@_llm(
+    "eval_self_consistency",
+    """
+WITH s AS (
+  SELECT l_orderkey AS task_id, CAST(l_linenumber % 4 AS BIGINT) AS answer
+  FROM lineitem
+),
+v AS (
+  SELECT task_id, answer AS vote, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM s GROUP BY 1, 2
+),
+t AS (
+  SELECT task_id, CAST(SUM(votes) AS BIGINT) AS n_samples,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_answers
+  FROM v GROUP BY 1
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY task_id
+            ORDER BY votes DESC, vote) AS rn
+  FROM v
+)
+SELECT r.task_id, r.vote, r.votes, t.n_samples, t.n_distinct_answers,
+       CAST(r.votes * 1000000 // t.n_samples AS BIGINT) AS agreement_micro
+FROM r JOIN t USING (task_id) WHERE r.rn = 1
+""",
+)
+def eval_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-consistency / majority-vote eval aggregation
+    (`functions/evals.majority_vote`; Wang et al. 2022): per task the
+    modal sampled answer (ties toward the lowest answer — engine-exact),
+    its vote count, and the integer-micro agreement rate.  Tasks are
+    orders; the planted answer is ``l_linenumber % 4`` — the aggregation,
+    tie rule, and agreement math are the operator under test.  One
+    (task, answer) hash agg + a per-task argmax window over that task's
+    distinct answers only."""
+    from bigdata_rags_spark.functions.evals import majority_vote
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    samples = li.select(
+        F.col("l_orderkey").alias("task_id"),
+        (F.col("l_linenumber") % 4).cast("bigint").alias("answer"),
+    )
+    return majority_vote(samples)
+
+
 def _ngram_diversity_oracle(ns: tuple[int, ...] = (1, 2, 3, 4)) -> str:
     blocks = ["t AS (SELECT " + _SQL_TOKS + " AS tk FROM documents)"]
     selects = []

@@ -267,6 +267,49 @@ def test_binary_hamming_recall_and_partitioning_invariance(spark, sf_oracle):
     assert sorted(map(tuple, rep)) == sorted(map(tuple, out))
 
 
+def test_pass_at_k_matches_closed_form(spark):
+    """Exact vs the combinatorial definition on hand-picked (n, c):
+    pass@k = 1 - C(n-c,k)/C(n,k), with the clamp (n-c < k -> exactly 1)
+    and the n >= k drop both exercised."""
+    from math import comb
+
+    from bigdata_rags_spark.functions.evals import pass_at_k
+
+    cases = [(1, 10, 3), (2, 8, 0), (3, 6, 6), (4, 13, 2), (5, 5, 1), (6, 4, 2)]
+    rows = [
+        (t, 1 if i < c else 0) for t, n, c in cases for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["task_id", "correct"])
+    out = {r["task_id"]: r for r in pass_at_k(df, ks=(1, 5)).collect()}
+    assert 6 not in out  # n=4 < max(k)=5 dropped
+    for t, n, c in cases:
+        if n < 5:
+            continue
+        for k, col in ((1, "pass1_micro"), (5, "pass5_micro")):
+            expected = 1_000_000 - comb(n - c, k) * 1_000_000 // comb(n, k) \
+                if n - c >= k else 1_000_000
+            assert out[t][col] == expected, (t, k)
+    assert out[3]["pass5_micro"] == 1_000_000 and out[3]["pass1_micro"] == 1_000_000
+    assert out[2]["pass1_micro"] == 0  # zero correct
+
+
+def test_majority_vote_tie_rule_and_agreement(spark):
+    from bigdata_rags_spark.functions.evals import majority_vote
+
+    rows = (
+        [(1, 7)] * 3 + [(1, 2)] * 2            # clear winner 7
+        + [(2, 5)] * 2 + [(2, 3)] * 2 + [(2, 9)]  # tie 5 vs 3 -> lowest (3)
+        + [(3, 4)]                               # singleton
+    )
+    df = spark.createDataFrame(rows, ["task_id", "answer"])
+    out = {r["task_id"]: r for r in majority_vote(df).collect()}
+    assert out[1]["vote"] == 7 and out[1]["votes"] == 3
+    assert out[1]["agreement_micro"] == 3 * 1_000_000 // 5
+    assert out[2]["vote"] == 3 and out[2]["votes"] == 2
+    assert out[2]["n_distinct_answers"] == 3
+    assert out[3]["vote"] == 4 and out[3]["agreement_micro"] == 1_000_000
+
+
 def test_html_extract_text_rules(spark):
     """Each extraction rule on adversarial snippets: script/style subtree
     drop (including '<' inside script bodies), comment removal, tag strip,
