@@ -207,6 +207,11 @@ HEADLINE = [
     "length_bucket_batching",
     "cluster_topic_terms",
     "ngram_diversity_report",
+    "bitext_margin_mining",
+    "doc_compression_ratio",
+    "html_text_extraction",
+    "eval_pass_at_k",
+    "eval_self_consistency",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
