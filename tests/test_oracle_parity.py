@@ -59,6 +59,7 @@ def test_registry_contract():
         "zone_compaction_invariant",          # filesystem effect (part-file count)
         "embedding_pq_trained_rerank",        # iterative Lloyd training (r8)
         "embedding_ivfpq_trained_serve",      # trained persisted index (r10)
+        "doc_compression_ratio",              # zlib not SQL-expressible (r12)
     }
     for name, spec in REGISTRY.items():
         assert spec.name == name
