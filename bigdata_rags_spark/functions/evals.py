@@ -93,3 +93,98 @@ def majority_vote(
             ),
         )
     )
+
+
+# Poisson(1) CDF thresholds in 2^32 units (floor(F(k) * 2^32), k = 0..6;
+# the k=7+ tail mass is ~8e-8 and folds into the last bucket).  Shared
+# verbatim by the oracle SQL so both engines draw identical weights.
+POISSON1_THRESHOLDS: tuple[int, ...] = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777,
+)
+
+
+def poisson_weight_case_sql(u_expr: str) -> str:
+    """CASE expression mapping a uniform 32-bit draw to a Poisson(1)
+    weight by inverse CDF — identical text works in Spark SQL and DuckDB."""
+    clauses = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
+    )
+    return f"CASE {clauses} ELSE 7 END"
+
+
+def poisson_bootstrap_ci(
+    scores: DataFrame,
+    value_col: str,
+    id_col: str = "task_id",
+    n_replicates: int = 200,
+    salt: str = "bs",
+    lo_rank: int = 5,
+    hi_rank: int = 195,
+) -> DataFrame:
+    """Bootstrap confidence interval for a per-task metric via the POISSON
+    bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    Data Streams" — Google's distributed resampling): instead of drawing
+    n-of-n WITH replacement (which needs a global row index — a corpus
+    funnel), each (replicate, task) pair draws an independent Poisson(1)
+    weight, which converges to the multinomial bootstrap for large n and
+    is embarrassingly parallel: every task row expands to B weighted rows
+    ROW-LOCALLY (one explode), and each replicate's mean is one hash agg.
+
+    Deterministic end to end: the weight comes from an md5-uniform pushed
+    through the exact integer Poisson(1) inverse-CDF thresholds
+    (``POISSON1_THRESHOLDS`` — shared verbatim with the oracle); replicate
+    means are bigint floor-division micro values; the CI bounds are exact
+    RANK PICKS over the B sorted means (lo_rank/hi_rank, defaults the
+    2.5%/97.5% ranks for B=200), never interpolated.
+
+    Returns ONE row: (n_tasks, n_replicates, point_micro — the full-sample
+    mean, ci_lo_micro, ci_hi_micro).  Replicates whose total weight is 0
+    (probability ~e^-n) are dropped.  Scale shape: B x n_tasks narrow rows
+    through one (replicate) hash agg; the final rank window sees exactly B
+    rows."""
+    from pyspark.sql import Window
+
+    base = scores.select(
+        F.col(id_col).cast("string").alias("__tid"),
+        F.col(value_col).cast("bigint").alias("__v"),
+    )
+    w_expr = poisson_weight_case_sql(
+        f"CAST(conv(substring(md5(concat('{salt}:', b, ':', __tid)), 1, 8), 16, 10)"
+        f" AS BIGINT)"
+    )
+    draws = base.select(
+        "__tid", "__v", F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("b")
+    ).withColumn("w", F.expr(w_expr).cast("bigint"))
+    means = (
+        draws.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("__v")).cast("bigint").alias("ws"),
+            F.sum("w").cast("bigint").alias("wn"),
+        )
+        .filter(F.col("wn") > 0)
+        .select("b", F.expr("ws DIV wn").cast("bigint").alias("mean_micro"))
+    )
+    ranked = means.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("mean_micro"), F.col("b")))
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("r") == lo_rank, F.col("mean_micro"))).alias("ci_lo_micro"),
+        F.max(F.when(F.col("r") == hi_rank, F.col("mean_micro"))).alias("ci_hi_micro"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.expr("CAST(SUM(__v) AS BIGINT) DIV COUNT(1)").cast("bigint").alias(
+            "point_micro"
+        ),
+    )
+    return (
+        point.crossJoin(F.broadcast(bounds))
+        .select(
+            "n_tasks",
+            F.lit(n_replicates).cast("int").alias("n_replicates"),
+            "point_micro",
+            "ci_lo_micro",
+            "ci_hi_micro",
+        )
+    )

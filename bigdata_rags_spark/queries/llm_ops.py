@@ -5300,6 +5300,78 @@ def eval_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_vote(samples)
 
 
+def _bootstrap_ci_oracle(B: int = 200, lo: int = 5, hi: int = 195) -> str:
+    from bigdata_rags_spark.functions.evals import poisson_weight_case_sql
+
+    u = (
+        "('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':' "
+        "|| CAST(task_id AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"""
+WITH s AS (
+  SELECT l_orderkey AS task_id,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS correct
+  FROM lineitem
+),
+a AS (
+  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(correct) AS BIGINT) AS n_correct
+  FROM s GROUP BY 1
+),
+p AS (
+  SELECT task_id,
+         CAST(1000000 - GREATEST(n_samples - n_correct, 0) * 1000000
+              // n_samples AS BIGINT) AS v
+  FROM a
+),
+d AS (SELECT task_id, v, unnest(range(1, {B + 1})) AS b FROM p),
+w AS (SELECT b, v, CAST({poisson_weight_case_sql(u)} AS BIGINT) AS w FROM d),
+m AS (
+  SELECT b, CAST(CAST(SUM(w * v) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS BIGINT)
+         AS mean_micro
+  FROM w GROUP BY b HAVING SUM(w) > 0
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mean_micro, b) AS rk FROM m),
+bounds AS (
+  SELECT MAX(CASE WHEN rk = {lo} THEN mean_micro END) AS ci_lo_micro,
+         MAX(CASE WHEN rk = {hi} THEN mean_micro END) AS ci_hi_micro
+  FROM r
+),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+         CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS point_micro
+  FROM p
+)
+SELECT n_tasks, CAST({B} AS INT) AS n_replicates, point_micro,
+       ci_lo_micro, ci_hi_micro
+FROM pt CROSS JOIN bounds
+"""
+
+
+@_llm("eval_bootstrap_ci", _bootstrap_ci_oracle())
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the corpus-mean pass@1 via the POISSON
+    bootstrap (`functions/evals.poisson_bootstrap_ci`; Chamandy et al.
+    2012 — the distributed resampling that replaces n-of-n draws with
+    independent Poisson(1) weights per (replicate, task), so NO global
+    row index or corpus funnel exists anywhere): 200 replicates expand
+    row-locally from each task, one hash agg yields each replicate mean,
+    and the CI bounds are exact rank picks (5th/195th of 200 sorted
+    means).  md5-uniforms through exact integer inverse-CDF thresholds
+    make every weight — and therefore the whole interval — engine-exact.
+    The uncertainty report an eval harness attaches to any headline
+    metric."""
+    from bigdata_rags_spark.functions.evals import pass_at_k, poisson_bootstrap_ci
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    samples = li.select(
+        F.col("l_orderkey").alias("task_id"),
+        (F.col("l_returnflag") == "R").cast("int").alias("correct"),
+    )
+    per_task = pass_at_k(samples, ks=(1,))
+    return poisson_bootstrap_ci(per_task, "pass1_micro", n_replicates=200)
+
+
 def _ngram_diversity_oracle(ns: tuple[int, ...] = (1, 2, 3, 4)) -> str:
     blocks = ["t AS (SELECT " + _SQL_TOKS + " AS tk FROM documents)"]
     selects = []

@@ -293,6 +293,50 @@ def test_pass_at_k_matches_closed_form(spark):
     assert out[2]["pass1_micro"] == 0  # zero correct
 
 
+def test_poisson_bootstrap_ci_exact_python_replay(spark):
+    """The whole interval must equal a from-scratch python replay of the
+    md5 draws, Poisson inverse-CDF thresholds, replicate means, and rank
+    picks — and be invariant to input partitioning."""
+    import hashlib
+
+    from bigdata_rags_spark.functions.evals import (
+        POISSON1_THRESHOLDS,
+        poisson_bootstrap_ci,
+    )
+
+    tasks = [(i, (i * 37) % 1_000_001) for i in range(40)]
+    df = spark.createDataFrame(tasks, ["task_id", "score"])
+    B, lo, hi = 50, 2, 49
+
+    def weight(b, tid):
+        u = int(hashlib.md5(f"bs:{b}:{tid}".encode()).hexdigest()[:8], 16)
+        for k, t in enumerate(POISSON1_THRESHOLDS):
+            if u < t:
+                return k
+        return 7
+
+    means = []
+    for b in range(1, B + 1):
+        ws = sum(weight(b, t) * v for t, v in tasks)
+        wn = sum(weight(b, t) for t, v in tasks)
+        if wn > 0:
+            means.append(ws // wn)
+    means.sort()
+    expected = {
+        "n_tasks": 40,
+        "n_replicates": B,
+        "point_micro": sum(v for _, v in tasks) // 40,
+        "ci_lo_micro": means[lo - 1],
+        "ci_hi_micro": means[hi - 1],
+    }
+    for n_parts in (1, 7):
+        row = poisson_bootstrap_ci(
+            df.repartition(n_parts), "score", n_replicates=B, lo_rank=lo, hi_rank=hi
+        ).collect()[0]
+        assert row.asDict() == expected, n_parts
+    assert expected["ci_lo_micro"] <= expected["point_micro"] <= expected["ci_hi_micro"]
+
+
 def test_majority_vote_tie_rule_and_agreement(spark):
     from bigdata_rags_spark.functions.evals import majority_vote
 
