@@ -212,6 +212,7 @@ HEADLINE = [
     "html_text_extraction",
     "eval_pass_at_k",
     "eval_self_consistency",
+    "eval_bootstrap_ci",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
