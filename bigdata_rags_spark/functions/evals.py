@@ -95,22 +95,42 @@ def majority_vote(
     )
 
 
-# Poisson(1) CDF thresholds in 2^32 units (floor(F(k) * 2^32), k = 0..6;
+# Poisson(1) CDF thresholds in 2^31 units (floor(F(k) * 2^31), k = 0..6;
 # the k=7+ tail mass is ~8e-8 and folds into the last bucket).  Shared
 # verbatim by the oracle SQL so both engines draw identical weights.
 POISSON1_THRESHOLDS: tuple[int, ...] = (
-    1580030168, 3160060337, 3950075421, 4213413783,
-    4279248373, 4292415291, 4294609777,
+    790015084, 1580030168, 1975037710, 2106706891,
+    2139624186, 2146207645, 2147304888,
 )
+
+# Integer mixer constants (31-bit lane: every intermediate stays < 2^31 so
+# the largest product is < 2^31 * 73244475 < 2^58 — no bigint overflow in
+# either engine).  0x45d9f3b is the classic xorshift-multiply hash
+# constant; 1013904223 the Numerical Recipes LCG increment.
+MIX_INC = 1013904223
+MIX_MULT = 73244475  # 0x45d9f3b
+MOD31 = 2147483648
 
 
 def poisson_weight_case_sql(u_expr: str) -> str:
-    """CASE expression mapping a uniform 32-bit draw to a Poisson(1)
+    """CASE expression mapping a uniform 31-bit draw to a Poisson(1)
     weight by inverse CDF — identical text works in Spark SQL and DuckDB."""
     clauses = " ".join(
         f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
     )
     return f"CASE {clauses} ELSE 7 END"
+
+
+def poisson_u31_python(h: int, b: int) -> int:
+    """Reference mixer: per-(task-hash, replicate) uniform in [0, 2^31).
+    ONE md5 per task (h = md5 head % 2^31) plus two xorshift-multiply
+    rounds per replicate — 200x fewer hashes than md5-per-(b, task)
+    (measured r12: 30M md5s cost ~20 s at sf0.1; the integer mixer is
+    codegen arithmetic).  Mirrored exactly by Spark and DuckDB SQL."""
+    x = (h + b * MIX_INC) % MOD31
+    x = ((x ^ (x >> 16)) * MIX_MULT) % MOD31
+    x = ((x ^ (x >> 16)) * MIX_MULT) % MOD31
+    return x ^ (x >> 16)
 
 
 def poisson_bootstrap_ci(
@@ -131,8 +151,11 @@ def poisson_bootstrap_ci(
     is embarrassingly parallel: every task row expands to B weighted rows
     ROW-LOCALLY (one explode), and each replicate's mean is one hash agg.
 
-    Deterministic end to end: the weight comes from an md5-uniform pushed
-    through the exact integer Poisson(1) inverse-CDF thresholds
+    Deterministic end to end: each task hashes ONCE (md5 head % 2^31) and
+    per-replicate uniforms come from the integer xorshift-multiply mixer
+    ``poisson_u31_python`` (mirrored in SQL — md5-per-(b, task) measured
+    20 s at sf0.1, the mixer makes the expansion pure codegen arithmetic),
+    pushed through the exact integer Poisson(1) inverse-CDF thresholds
     (``POISSON1_THRESHOLDS`` — shared verbatim with the oracle); replicate
     means are bigint floor-division micro values; the CI bounds are exact
     RANK PICKS over the B sorted means (lo_rank/hi_rank, defaults the
@@ -145,17 +168,33 @@ def poisson_bootstrap_ci(
     rows."""
     from pyspark.sql import Window
 
+    # one narrow row per task — hashed ONCE — feeding BOTH the replicate
+    # expansion and the point estimate; materialized per the repo-wide
+    # multi-branch rule
     base = scores.select(
-        F.col(id_col).cast("string").alias("__tid"),
         F.col(value_col).cast("bigint").alias("__v"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{salt}:', CAST({id_col} AS STRING))),"
+            f" 1, 8), 16, 10) AS BIGINT) % {MOD31}"
+        ).alias("__h"),
+    ).localCheckpoint()
+    # per-replicate uniform: the 31-bit xorshift-multiply mixer
+    # (poisson_u31_python), hoisted column by column so every step
+    # evaluates once — pure integer codegen, no per-(b, task) hashing
+    draws = (
+        base.select(
+            "__h",
+            "__v",
+            F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("b"),
+        )
+        # b is INT from sequence(): the product MUST widen to BIGINT first
+        # (b * MIX_INC wraps 32-bit silently ANSI-off, errors ANSI-on)
+        .withColumn("x0", F.expr(f"(__h + CAST(b AS BIGINT) * {MIX_INC}) % {MOD31}"))
+        .withColumn("x1", F.expr(f"((x0 ^ shiftright(x0, 16)) * {MIX_MULT}) % {MOD31}"))
+        .withColumn("x2", F.expr(f"((x1 ^ shiftright(x1, 16)) * {MIX_MULT}) % {MOD31}"))
+        .withColumn("u", F.expr("x2 ^ shiftright(x2, 16)"))
+        .withColumn("w", F.expr(poisson_weight_case_sql("u")).cast("bigint"))
     )
-    w_expr = poisson_weight_case_sql(
-        f"CAST(conv(substring(md5(concat('{salt}:', b, ':', __tid)), 1, 8), 16, 10)"
-        f" AS BIGINT)"
-    )
-    draws = base.select(
-        "__tid", "__v", F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("b")
-    ).withColumn("w", F.expr(w_expr).cast("bigint"))
     means = (
         draws.groupBy("b")
         .agg(

@@ -5301,12 +5301,13 @@ def eval_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_ci_oracle(B: int = 200, lo: int = 5, hi: int = 195) -> str:
-    from bigdata_rags_spark.functions.evals import poisson_weight_case_sql
-
-    u = (
-        "('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':' "
-        "|| CAST(task_id AS VARCHAR)), 1, 8))::BIGINT"
+    from bigdata_rags_spark.functions.evals import (
+        MIX_INC,
+        MIX_MULT,
+        MOD31,
+        poisson_weight_case_sql,
     )
+
     return f"""
 WITH s AS (
   SELECT l_orderkey AS task_id,
@@ -5324,8 +5325,17 @@ p AS (
               // n_samples AS BIGINT) AS v
   FROM a
 ),
-d AS (SELECT task_id, v, unnest(range(1, {B + 1})) AS b FROM p),
-w AS (SELECT b, v, CAST({poisson_weight_case_sql(u)} AS BIGINT) AS w FROM d),
+hh AS (
+  SELECT v, CAST(('0x' || substr(md5('bs:' || CAST(task_id AS VARCHAR)), 1, 8))::BIGINT
+         % {MOD31} AS BIGINT) AS h
+  FROM p
+),
+d AS (SELECT h, v, unnest(range(1, {B + 1})) AS b FROM hh),
+m0 AS (SELECT v, b, (h + b * {MIX_INC}) % {MOD31} AS x0 FROM d),
+m1 AS (SELECT v, b, (xor(x0, x0 >> 16) * {MIX_MULT}) % {MOD31} AS x1 FROM m0),
+m2 AS (SELECT v, b, (xor(x1, x1 >> 16) * {MIX_MULT}) % {MOD31} AS x2 FROM m1),
+m3 AS (SELECT v, b, xor(x2, x2 >> 16) AS u FROM m2),
+w AS (SELECT b, v, CAST({poisson_weight_case_sql("u")} AS BIGINT) AS w FROM m3),
 m AS (
   SELECT b, CAST(CAST(SUM(w * v) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS BIGINT)
          AS mean_micro
@@ -5357,10 +5367,12 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     row index or corpus funnel exists anywhere): 200 replicates expand
     row-locally from each task, one hash agg yields each replicate mean,
     and the CI bounds are exact rank picks (5th/195th of 200 sorted
-    means).  md5-uniforms through exact integer inverse-CDF thresholds
-    make every weight — and therefore the whole interval — engine-exact.
-    The uncertainty report an eval harness attaches to any headline
-    metric."""
+    means).  Each task hashes ONCE (md5) and per-replicate uniforms come
+    from the 31-bit xorshift-multiply mixer pushed through exact integer
+    inverse-CDF thresholds — every weight, and therefore the whole
+    interval, is engine-exact, and the B x N expansion stays pure integer
+    codegen (md5-per-pair measured 20 s at sf0.1; the mixer ~2 s).  The
+    uncertainty report an eval harness attaches to any headline metric."""
     from bigdata_rags_spark.functions.evals import pass_at_k, poisson_bootstrap_ci
 
     li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]

@@ -308,8 +308,11 @@ def test_poisson_bootstrap_ci_exact_python_replay(spark):
     df = spark.createDataFrame(tasks, ["task_id", "score"])
     B, lo, hi = 50, 2, 49
 
+    from bigdata_rags_spark.functions.evals import poisson_u31_python
+
     def weight(b, tid):
-        u = int(hashlib.md5(f"bs:{b}:{tid}".encode()).hexdigest()[:8], 16)
+        h = int(hashlib.md5(f"bs:{tid}".encode()).hexdigest()[:8], 16) % 2**31
+        u = poisson_u31_python(h, b)
         for k, t in enumerate(POISSON1_THRESHOLDS):
             if u < t:
                 return k
