@@ -952,9 +952,9 @@ def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdata_rags_spark.similarity.binary import binary_hamming_topk
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    return binary_hamming_topk(
-        e.filter(F.col("vec_id") < 5), e, dim=64, shortlist=50, k=5
-    )
+    # shortlist self-scales (`auto_shortlist`: max(50, N DIV 10)) — 50 on
+    # the driver fixture, so the oracle's literal is the resolved value
+    return binary_hamming_topk(e.filter(F.col("vec_id") < 5), e, dim=64, k=5)
 
 
 _SQL_BITEXT_COS = (
