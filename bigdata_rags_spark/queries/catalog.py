@@ -270,6 +270,9 @@ _PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
     # persisted-index serving path is hash-anchored by its fixed-literal
     # siblings (embedding_ivfpq_index_serve / _append)
     "embedding_ivfpq_trained_serve",
+    # rows-only by nature (zlib deflate is not SQL-expressible); its driver
+    # row (err: no_oracle, spark_rows=500) landed in CORRECTNESS_r12
+    "doc_compression_ratio",
 })
 
 # Every query's LAST driver CORRECTNESS row (name -> round), rebuilt each
@@ -287,34 +290,11 @@ _DRIVER_CHECKED: dict[str, int] = {
     "embedding_ivf_topk": 4,
     # --- last driver row: round 6 ---
     # --- last driver row: round 7 ---
-    "basket_affinity_lift": 7,
-    "bigram_collocation_lift": 7,
-    "bloom_prefilter_incremental_dedup": 7,
-    "cdc_apply_log_compaction": 7,
-    "doc_boilerplate_ngram_coverage": 7,
-    "embedding_diversity_fps": 7,
-    "embedding_pq_adc_topk": 7,
-    "embedding_pq_rerank_topk": 7,
     "events_ab_experiment_lift": 7,
-    "events_cep_view_purchase": 7,
     "events_dau_wau_stickiness": 7,
-    "events_heavy_hitters_cms": 7,
-    "events_hourly_value_percentiles": 7,
     "events_new_vs_returning": 7,
-    "events_rollup_cascade": 7,
-    "events_run_length_islands": 7,
-    "events_running_user_totals": 7,
     "events_seasonal_baseline_error": 7,
-    "events_transition_matrix": 7,
-    "gini_revenue_concentration": 7,
-    "lsh_tuning_planner": 7,
-    "pareto_abc_customers": 7,
-    "priority_sample_docs": 7,
-    "rfm_customer_segmentation": 7,
     "rrf_fusion_search": 7,
-    "snapshot_drift_report": 7,
-    "source_pair_overlap_kmv": 7,
-    "vocab_coverage_curve": 7,
     "zone_compaction_invariant": 7,
     # --- last driver row: round 8 ---
     "contrastive_negatives_sample": 8,
@@ -341,7 +321,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "length_weighted_sample_docs": 8,
     "map_functions_status_scores": 8,
     "multimodal_video_framesample": 8,
-    "quality_classifier_scores": 8,
     "query_likelihood_search": 8,
     "semantic_dedup_cells": 8,
     "sequence_packing_bins": 8,
@@ -423,7 +402,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "dup_bigram_fraction_docs": 10,
     "embedding_cosine_topk": 10,
     "embedding_ivf_probe_fixed": 10,
-    "embedding_ivfpq_index_append": 10,
     "embedding_ivfpq_index_delete": 10,
     "embedding_ivfpq_index_serve": 10,
     "embedding_ivfpq_index_stats": 10,
@@ -512,19 +490,69 @@ _DRIVER_CHECKED: dict[str, int] = {
     "winnowed_plagiarism_pairs": 11,
     "wordpiece_merge_training": 11,
     "zorder_file_skipping_stats": 11,
+    # --- last driver row: round 12 ---
+    "basket_affinity_lift": 12,
+    "bigram_collocation_lift": 12,
+    "bitext_margin_mining": 12,
+    "bloom_prefilter_incremental_dedup": 12,
+    "bpe_decode_roundtrip": 12,
+    "bpe_encode_docs": 12,
+    "bpe_sequence_packing": 12,
+    "cdc_apply_log_compaction": 12,
+    "cluster_topic_terms": 12,
+    "doc_boilerplate_ngram_coverage": 12,
+    "doc_compression_ratio": 12,
+    "doc_hashed_features": 12,
+    "embedding_binary_hamming_topk": 12,
+    "embedding_decontamination": 12,
+    "embedding_diversity_fps": 12,
+    "embedding_ivfpq_index_append": 12,
+    "embedding_pq_adc_topk": 12,
+    "embedding_pq_rerank_topk": 12,
+    "eval_bootstrap_ci": 12,
+    "eval_pass_at_k": 12,
+    "eval_self_consistency": 12,
+    "events_cep_view_purchase": 12,
+    "events_heavy_hitters_cms": 12,
+    "events_hourly_value_percentiles": 12,
+    "events_rollup_cascade": 12,
+    "events_run_length_islands": 12,
+    "events_running_user_totals": 12,
+    "events_transition_matrix": 12,
+    "gini_revenue_concentration": 12,
+    "html_text_extraction": 12,
+    "length_bucket_batching": 12,
+    "lsh_tuning_planner": 12,
+    "ngram_diversity_report": 12,
+    "pareto_abc_customers": 12,
+    "preference_pair_mining": 12,
+    "priority_sample_docs": 12,
+    "quality_classifier_scores": 12,
+    "quality_weighted_mixing": 12,
+    "retrieval_mmr_rerank": 12,
+    "rfm_customer_segmentation": 12,
+    "snapshot_drift_report": 12,
+    "source_pair_overlap_kmv": 12,
+    "text_hashed_ann_topk": 12,
+    "text_hashed_idf_near_dups": 12,
+    "text_hashed_near_dups": 12,
+    "unigram_encode_docs": 12,
+    "url_canonical_dedup": 12,
+    "video_temporal_near_dups": 12,
+    "vocab_coverage_curve": 12,
+    "wordpiece_encode_docs": 12,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 12: append_ivfpq_index gained the physical purge of
-    # batch∩tombstone ids before the bucketed insert (ADVICE r11 high —
-    # re-appended ids previously unmasked BOTH old and new code rows, so
-    # serving returned a duplicated neighbor at two ranks).  Same results on
-    # the non-reappend fixture path, new plan — re-confirm green.
-    "embedding_ivfpq_index_append",
-    # round 12 session 2: its oracle SQL now assembles from the shared
-    # _qclf_ctes block (same semantics, rebuilt string) — re-confirm green.
-    "quality_classifier_scores",
+    # round 13: the broadcast-sweep ANN family gained a partition-local
+    # pre-top-k before the global per-query window (VERDICT r12 #2) — the
+    # final hashes must be unchanged; re-confirm green.
+    "embedding_binary_hamming_topk",
+    "embedding_cosine_topk",
+    # round 13: shortlist pinned to the oracle literal at every fixture
+    # scale (ADVICE r12 low re auto_shortlist divergence at sf0.1).
+    "text_hashed_ann_topk",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
