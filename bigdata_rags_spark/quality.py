@@ -195,6 +195,151 @@ def quality_classifier_scores(
     )
 
 
+# ---------------------------------------------------------------------------
+# TRAINED quality classifier: Naive-Bayes count-ratio fit (NBSVM weights)
+# ---------------------------------------------------------------------------
+
+NB_BUCKETS = 64
+NB_SCALE = 1_000_000
+
+
+def _nb_bucket(token: F.Column) -> F.Column:
+    # identical hashed-feature bucketing to quality_classifier_scores —
+    # the "existing hashed-feature scan" the trained weights plug into
+    return (
+        F.conv(F.substring(F.md5(token), 1, 4), 16, 10).cast("int") % NB_BUCKETS
+    )
+
+
+def nb_fit_weights(
+    labeled: DataFrame, text_col: str = "text", label_col: str = "y"
+) -> DataFrame:
+    """FIT the quality classifier from labeled seed docs — the distributed
+    multinomial-Naive-Bayes count stage (VERDICT r12 #3): the literal-weight
+    `quality_classifier_scores` gains the train half of the train->score
+    loop the tokenizers already have (train->encode).
+
+    Per hashed-feature bucket b the fit computes the per-class token
+    occurrence counts and the NBSVM log-count-ratio weight (Wang & Manning
+    2012, "Baselines and Bigrams" — NB count-ratio features are the strong
+    linear-classifier baseline fastText reimplements at scale), quantized
+    engine-exactly WITHOUT ln(): with add-1-smoothed class rates
+    ``r_c = (c_c + 1) / (T_c + B)`` in integer micros, the stored weight is
+
+        w = (r1 - r0) / (r1 + r0)  ==  tanh( ln(r1/r0) / 2 )
+
+    — a bounded, odd, strictly monotone transform of the NB log-odds
+    (same sign, same ranking), computed as ``(2e6 * r1) div (r1 + r0) -
+    1e6`` so every numerator stays non-negative (Spark ``div`` truncates
+    toward zero while DuckDB ``//`` floors — the catalog.py gotcha) and
+    nothing exceeds ~2e12 (int64-safe at any corpus size because rates,
+    not counts, enter the division).  ln() itself is NOT oracle-safe (libm
+    vs JVM last-ulp drift), which is why the tanh-of-half-log-odds
+    quantization is stored instead.
+
+    Returns exactly ``NB_BUCKETS`` rows ``(b int, c0, c1, r0_micro,
+    r1_micro, w_micro)`` — absent buckets appear with zero counts via the
+    bucket spine so smoothing applies uniformly.
+
+    100-TB shape: one explode -> (bucket) hash agg with map-side partials
+    (only (bucket, y-flag) pairs shuffle, 64 distinct keys), one 64-row
+    spine left-join, one broadcast 1-row totals join.  The fit output is
+    dimension-bounded (64 rows) regardless of corpus size.
+    """
+    toks = labeled.select(
+        F.col(label_col).alias("y"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    cnt = (
+        toks.select("y", _nb_bucket(F.col("token")).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        )
+    )
+    spine = labeled.sparkSession.range(NB_BUCKETS).select(
+        F.col("id").cast("int").alias("b")
+    )
+    full = spine.join(cnt, "b", "left").select(
+        "b",
+        F.coalesce(F.col("c0"), F.lit(0)).cast("bigint").alias("c0"),
+        F.coalesce(F.col("c1"), F.lit(0)).cast("bigint").alias("c1"),
+    )
+    tot = full.agg(
+        F.sum("c0").cast("bigint").alias("t0"), F.sum("c1").cast("bigint").alias("t1")
+    )
+    rates = full.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "c0",
+        "c1",
+        F.expr(f"({NB_SCALE} * (c0 + 1)) div (t0 + {NB_BUCKETS})")
+        .cast("bigint")
+        .alias("r0_micro"),
+        F.expr(f"({NB_SCALE} * (c1 + 1)) div (t1 + {NB_BUCKETS})")
+        .cast("bigint")
+        .alias("r1_micro"),
+    )
+    return rates.select(
+        "b",
+        "c0",
+        "c1",
+        "r0_micro",
+        "r1_micro",
+        F.expr(f"({2 * NB_SCALE} * r1_micro) div (r1_micro + r0_micro) - {NB_SCALE}")
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+
+
+def nb_score_docs(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SCORE docs with fitted ``nb_fit_weights`` output — the linear scan
+    half of the trained train->score loop: hashed unigram buckets joined to
+    the broadcast 64-row weight table, summed per doc.
+
+    Returns ``(id_col, n_tokens, score_micro, mean_micro, keep)`` with
+    ``mean_micro = score div n`` via the non-negative-offset idiom and
+    ``keep = 1`` iff the summed evidence is non-negative (class-1 wins
+    under the tanh-quantized log-odds — same decision as true NB because
+    tanh is sign-preserving and strictly monotone per bucket; only the
+    relative magnitude mixing across buckets is the documented
+    approximation).
+
+    100-TB shape: one explode -> broadcast join against 64 rows -> (doc)
+    hash agg with map-side partials; text never shuffles.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    scored = (
+        toks.select("doc_id", _nb_bucket(F.col("token")).alias("b"))
+        .join(F.broadcast(weights.select("b", "w_micro")), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    return scored.select(
+        F.col("doc_id").alias(id_col),
+        "n_tokens",
+        "score_micro",
+        F.expr(f"(score_micro + {NB_SCALE} * n_tokens) div n_tokens - {NB_SCALE}")
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.when(F.col("score_micro") >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
 def ngram_diversity_report(
     docs: DataFrame,
     text_col: str = "text",

@@ -546,13 +546,16 @@ _DRIVER_CHECKED: dict[str, int] = {
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
     # round 13: the broadcast-sweep ANN family gained a partition-local
-    # pre-top-k before the global per-query window (VERDICT r12 #2) — the
-    # final hashes must be unchanged; re-confirm green.
+    # pre-top-k before the global per-query window (VERDICT r12 #2,
+    # similarity/topk.py) — final hashes must be unchanged; re-confirm
+    # green.  embedding_binary_hamming_topk also pins shortlist=50
+    # explicitly (ADVICE r12: auto_shortlist drifts from the oracle
+    # literal at sf0.1).
     "embedding_binary_hamming_topk",
     "embedding_cosine_topk",
-    # round 13: shortlist pinned to the oracle literal at every fixture
-    # scale (ADVICE r12 low re auto_shortlist divergence at sf0.1).
-    "text_hashed_ann_topk",
+    "embedding_lsh_topk",
+    "embedding_hard_negatives",
+    "embedding_matryoshka_recall",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

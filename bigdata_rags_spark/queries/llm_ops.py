@@ -952,9 +952,15 @@ def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdata_rags_spark.similarity.binary import binary_hamming_topk
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    # shortlist self-scales (`auto_shortlist`: max(50, N DIV 10)) — 50 on
-    # the driver fixture, so the oracle's literal is the resolved value
-    return binary_hamming_topk(e.filter(F.col("vec_id") < 5), e, dim=64, k=5)
+    # shortlist is PINNED to the oracle's literal (ADVICE r12): the
+    # self-scaling `auto_shortlist` resolves to 50 only at the sf0.01
+    # fixture (N=500) and would drift to 200 at sf0.1 (N=2000), silently
+    # diverging from the oracle SQL's hard-coded 50 on any other-scale
+    # parity run.  Library callers still get self-scaling via
+    # `shortlist=None`.
+    return binary_hamming_topk(
+        e.filter(F.col("vec_id") < 5), e, dim=64, shortlist=50, k=5
+    )
 
 
 _SQL_BITEXT_COS = (
@@ -2505,6 +2511,108 @@ def langid_stopword_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("de")
         .alias("predicted_lang"),
     )
+
+
+def _ct_ctes() -> str:
+    """Shared replay of the Cavnar-Trenkle fit (`functions/langid.py`):
+    normalized text, fused 2+3-char grams over the even-doc_id seed split,
+    per-language top-40 rank profiles with the (count desc, gram asc) tie
+    rule."""
+    return f"""norm AS (SELECT doc_id, lang, {_SQL_NORM} AS t FROM documents),
+seedg AS (
+  SELECT lang, substr(t, CAST(i AS INT), 2) AS gram
+  FROM (SELECT lang, t, unnest(range(1, len(t))) AS i
+        FROM norm WHERE doc_id % 2 = 0)
+  UNION ALL
+  SELECT lang, substr(t, CAST(i AS INT), 3) AS gram
+  FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i
+        FROM norm WHERE doc_id % 2 = 0)
+),
+lprof AS (
+  SELECT lang, CAST(rn AS INT) AS lrank, gram, cnt FROM (
+    SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, gram) AS rn
+    FROM seedg GROUP BY lang, gram
+  ) WHERE rn <= 40
+)"""
+
+
+@_llm("langid_ngram_profiles", f"WITH {_ct_ctes()} SELECT lang, lrank, gram, cnt FROM lprof")
+def langid_ngram_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN language-ID rank profiles (VERDICT r12 #4 — the trained
+    upgrade of `langid_stopword_heuristic`): Cavnar-Trenkle 1994 char-2/3-
+    gram top-40 rank profiles per language, fitted from the even-doc_id
+    seed split labeled by the fixture's ``lang`` column
+    (`functions/langid.ct_fit_profiles`).  All integer counts + ranks with
+    the (count desc, gram asc) tie rule, so the fit is hash-exact.  Output
+    is the |langs| x 40 profile table serving broadcasts."""
+    from bigdata_rags_spark.functions.langid import ct_fit_profiles
+
+    docs = _docs_parallel(spark, sf_dir)
+    return ct_fit_profiles(docs.filter(F.col("doc_id") % 2 == 0))
+
+
+@_llm(
+    "langid_ngram_scores",
+    f"""
+WITH {_ct_ctes()},
+docg AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM norm)
+  UNION ALL
+  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM norm)
+),
+dprof AS (
+  SELECT doc_id, gram, CAST(rn AS INT) AS drank FROM (
+    SELECT doc_id, gram,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, gram) AS rn
+    FROM docg GROUP BY doc_id, gram
+  ) WHERE rn <= 40
+),
+langs AS (SELECT DISTINCT lang FROM lprof),
+dist AS (
+  SELECT d.doc_id, l.lang,
+         CAST(SUM(CASE WHEN p.lrank IS NULL THEN 40
+                       ELSE abs(d.drank - p.lrank) END) AS BIGINT) AS dist
+  FROM dprof d CROSS JOIN langs l
+  LEFT JOIN lprof p ON p.lang = l.lang AND p.gram = d.gram
+  GROUP BY d.doc_id, l.lang
+),
+pred AS (
+  SELECT doc_id, lang AS predicted_lang, dist AS best_dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT p.doc_id, d.lang AS labeled_lang, p.predicted_lang, p.best_dist
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+""",
+)
+def langid_ngram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORE every doc against the trained Cavnar-Trenkle profiles
+    (`functions/langid.ct_score_docs`): the doc's own top-40 gram ranks
+    vs each language profile under the out-of-place distance (|rank
+    delta|, flat 40 for profile-missing grams), argmin by ONE struct-min
+    hash agg (ties to the first lang).  The oracle replays fit AND score
+    in one statement — train->score certified end to end, the
+    `quality_nb_scores` treatment for language ID.  The fixture's langs
+    share one synthetic vocabulary, so accuracy here is chance-level by
+    construction; the planted-language test in tests/test_llm_ops.py
+    demonstrates real separation (the honest-negative-result rule)."""
+    from bigdata_rags_spark.functions.langid import ct_fit_profiles, ct_score_docs
+
+    docs = _docs_parallel(spark, sf_dir)
+    # derived frame read from two plan branches (distinct-langs spine +
+    # the profile join) — materialize once (CLAUDE.md multi-branch rule);
+    # it is 200 rows, the checkpoint is free and saves a second fit scan
+    profiles = ct_fit_profiles(docs.filter(F.col("doc_id") % 2 == 0)).localCheckpoint()
+    scored = ct_score_docs(docs, profiles)
+    return scored.join(
+        docs.select("doc_id", F.col("lang").alias("labeled_lang")), "doc_id"
+    ).select("doc_id", "labeled_lang", "predicted_lang", "best_dist")
 
 
 @_llm(
@@ -5557,6 +5665,100 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
     return quality_classifier_scores(docs)
+
+
+def _nb_ctes() -> str:
+    """Shared replay of the Naive-Bayes count-ratio fit (quality.py:
+    nb_fit_weights): seed labels, per-bucket per-class counts, bucket
+    spine, smoothed micro rates, tanh-of-half-log-odds weights."""
+    return f"""seed AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+  FROM documents WHERE doc_id % 2 = 0
+),
+ntoks AS (SELECT y, unnest({_SQL_TOKS}) AS token FROM seed),
+nbc AS (
+  SELECT (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM ntoks GROUP BY 1
+),
+spine AS (SELECT CAST(range AS INT) AS b FROM range(64)),
+fullc AS (
+  SELECT s.b, CAST(COALESCE(c0, 0) AS BIGINT) AS c0,
+         CAST(COALESCE(c1, 0) AS BIGINT) AS c1
+  FROM spine s LEFT JOIN nbc ON nbc.b = s.b
+),
+tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1 FROM fullc),
+rates AS (
+  SELECT b, c0, c1,
+         CAST((1000000 * (c0 + 1)) // (t0 + 64) AS BIGINT) AS r0_micro,
+         CAST((1000000 * (c1 + 1)) // (t1 + 64) AS BIGINT) AS r1_micro
+  FROM fullc, tot
+),
+wts AS (
+  SELECT b, c0, c1, r0_micro, r1_micro,
+         CAST((2000000 * r1_micro) // (r1_micro + r0_micro) - 1000000 AS BIGINT) AS w_micro
+  FROM rates
+)"""
+
+
+def _nb_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"), "text"
+    )
+
+
+@_llm("quality_nb_fit", f"WITH {_nb_ctes()} SELECT * FROM wts")
+def quality_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier (VERDICT r12 #3 — the fit half the
+    literal-weight `quality_classifier_scores` lacked): multinomial-NB
+    per-class token counts over hashed-feature buckets from a labeled seed
+    split (every even doc_id, y = 1 iff lang = 'en' — a deterministic
+    fixture-derived labeling; real pipelines plug in human/LLM labels),
+    then NBSVM count-ratio weights quantized engine-exactly as
+    tanh(log-odds/2) in integer micros (`quality.py:nb_fit_weights` — no
+    ln() anywhere, the reason the fit is hash-checkable).  Output is the
+    64-row trained weight table the scorer broadcasts."""
+    from bigdata_rags_spark.quality import nb_fit_weights
+
+    return nb_fit_weights(_nb_seed(spark, sf_dir))
+
+
+@_llm(
+    "quality_nb_scores",
+    f"""
+WITH {_nb_ctes()},
+dtoks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+dbuck AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
+  FROM dtoks
+),
+dsc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM dbuck JOIN wts USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score_micro,
+       CAST((score_micro + 1000000 * n_tokens) // n_tokens - 1000000 AS BIGINT)
+         AS mean_micro,
+       CAST(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM dsc
+""",
+)
+def quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORE the corpus with the trained NB weights — the complete
+    train->score loop in one plan (`quality.py:nb_fit_weights` +
+    `nb_score_docs`): fit on the labeled seed split, broadcast the 64-row
+    weight table, one hashed-unigram scan sums per-doc evidence.  The
+    oracle replays fit AND score in one statement, so the driver hash
+    certifies the whole trained loop end to end — the tokenizer-tier
+    treatment (train->encode) applied to the quality tier."""
+    from bigdata_rags_spark.quality import nb_fit_weights, nb_score_docs
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    weights = nb_fit_weights(_nb_seed(spark, sf_dir))
+    return nb_score_docs(docs, weights)
 
 
 @_llm(

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
+from bigdata_rags_spark.similarity.topk import local_topk_prefilter
 
 WORD_BITS = 32
 
@@ -140,6 +141,14 @@ def binary_hamming_topk(
     contract)."""
     from pyspark.sql import Window
 
+    # The partition-local pre-top-k only pays off when it can actually
+    # shrink the window exchange: it keeps <= |Q| x P x shortlist rows, so
+    # with the auto-scaled shortlist (N // 10) any cluster with P >= 10
+    # partitions keeps MORE than the |Q| x N it started with and the Arrow
+    # hop is pure overhead (measured in the r13 20k probe: 1.0x reduction).
+    # Auto mode therefore skips the prune; explicitly-pinned shortlists
+    # (the registered query's 50) get the ~N/(P*shortlist)-fold cut.
+    prefilter = shortlist is not None
     if shortlist is None:
         shortlist = auto_shortlist(corpus.count())
     nw = n_words(dim)
@@ -153,12 +162,27 @@ def binary_hamming_topk(
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("hamming"), F.col("neighbor_id")
     )
-    short = (
+    # partition-local pre-top-k (VERDICT r12 #2): the r12 probe measured the
+    # per-query window EXCHANGE — not Hamming math — as the dominant cost of
+    # this sweep; pruning each partition to its own per-query best `shortlist`
+    # rows first shrinks the exchange ~N/shortlist-fold with hash-identical
+    # output (superset argument in similarity/topk.py).
+    scored = (
         F.broadcast(qcodes)
         .crossJoin(ccodes)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("hamming", _hamming(nw))
-        .withColumn("h_rank", F.row_number().over(w_short))
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    if prefilter:
+        scored = local_topk_prefilter(
+            scored,
+            ["query_id"],
+            [("hamming", True), ("neighbor_id", True)],
+            shortlist,
+        )
+    short = (
+        scored.withColumn("h_rank", F.row_number().over(w_short))
         .filter(F.col("h_rank") <= shortlist)
         .select("query_id", "neighbor_id", "hamming")
     )

@@ -58,14 +58,27 @@ def brute_force_topk(
 
     Rounded similarity is the ranking key (ties broken by neighbor id) so
     the result set is fully deterministic and oracle-matchable.
+
+    The per-query window's exchange — not the cosine math — dominates this
+    sweep (SCALE.md r12 binary probe), so each partition pre-prunes to its
+    own per-query top k before the global window (``local_topk_prefilter``,
+    hash-identical by the superset argument): the exchange carries
+    <= |Q| x partitions x k rows instead of |Q| x N.
     """
     from pyspark.sql import Window
+
+    from bigdata_rags_spark.similarity.topk import local_topk_prefilter
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")
     )
+    scored = _scored(queries, corpus, id_col, vec_col).select(
+        "query_id", "neighbor_id", "similarity"
+    )
     return (
-        _scored(queries, corpus, id_col, vec_col)
+        local_topk_prefilter(
+            scored, ["query_id"], [("similarity", False), ("neighbor_id", True)], k
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
@@ -153,6 +166,8 @@ def hard_negative_topk(
     """
     from pyspark.sql import Window
 
+    from bigdata_rags_spark.similarity.topk import local_topk_prefilter
+
     scored = _scored(queries, corpus, id_col, vec_col)
     pos = (
         scored.filter(F.col("similarity") >= pos_ceiling)
@@ -162,9 +177,16 @@ def hard_negative_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")
     )
+    neg = local_topk_prefilter(
+        scored.filter(F.col("similarity") < pos_ceiling).select(
+            "query_id", "neighbor_id", "similarity"
+        ),
+        ["query_id"],
+        [("similarity", False), ("neighbor_id", True)],
+        k,
+    )
     return (
-        scored.filter(F.col("similarity") < pos_ceiling)
-        .withColumn("neg_rank", F.row_number().over(w))
+        neg.withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= k)
         .join(pos, "query_id", "left")
         .select(
@@ -612,14 +634,22 @@ def lsh_bucketed_topk(
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()
 
+    from bigdata_rags_spark.similarity.topk import local_topk_prefilter
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("similarity").desc(), F.col("neighbor_id")
     )
-    return (
+    scored = (
         cand.filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qvecs), "query_id")
         .join(cvecs, "neighbor_id")
         .withColumn("similarity", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "similarity")
+    )
+    return (
+        local_topk_prefilter(
+            scored, ["query_id"], [("similarity", False), ("neighbor_id", True)], k
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")

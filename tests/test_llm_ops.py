@@ -1422,6 +1422,97 @@ def test_quality_classifier_separates_planted_docs(spark):
     assert out[1]["z_micro"] == z and out[1]["prob_micro"] == p
 
 
+def test_nb_fit_separates_planted_corpus(spark):
+    """Trained NB classifier (VERDICT r12 #3): fit on a planted separable
+    corpus (class-1 docs drawn from one vocabulary, class-0 from a
+    disjoint one, shared noise tokens in both) must classify held-out
+    docs from each vocabulary correctly, and the fitted weight table must
+    replay exactly in python (counts -> smoothed micro rates -> tanh
+    quantization)."""
+    import hashlib
+
+    from bigdata_rags_spark.quality import NB_BUCKETS, nb_fit_weights, nb_score_docs
+
+    good = [f"fine{i}" for i in range(12)]
+    bad = [f"junk{i}" for i in range(12)]
+    noise = ["the", "a", "of"]
+    rows = []
+    for d in range(20):
+        voc = good if d % 2 else bad
+        toks = [voc[(d + j) % 12] for j in range(10)] + noise
+        rows.append((d % 2, " ".join(toks)))
+    labeled = spark.createDataFrame(rows, ["y", "text"])
+    weights = nb_fit_weights(labeled)
+    wrows = {r["b"]: r for r in weights.collect()}
+    assert len(wrows) == NB_BUCKETS
+
+    # exact python replay of the fit math
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % NB_BUCKETS
+
+    c = {b: [0, 0] for b in range(NB_BUCKETS)}
+    for y, text in rows:
+        for t in text.split():
+            c[bucket(t)][y] += 1
+    t0 = sum(v[0] for v in c.values())
+    t1 = sum(v[1] for v in c.values())
+    for b in range(NB_BUCKETS):
+        r0 = (1_000_000 * (c[b][0] + 1)) // (t0 + NB_BUCKETS)
+        r1 = (1_000_000 * (c[b][1] + 1)) // (t1 + NB_BUCKETS)
+        w = (2_000_000 * r1) // (r1 + r0) - 1_000_000
+        assert (wrows[b]["c0"], wrows[b]["c1"]) == tuple(c[b]), b
+        assert (wrows[b]["r0_micro"], wrows[b]["r1_micro"]) == (r0, r1), b
+        assert wrows[b]["w_micro"] == w, b
+
+    # held-out docs from each vocabulary classify correctly
+    held = spark.createDataFrame(
+        [(100, " ".join(good[:6] + noise)), (101, " ".join(bad[6:] + noise))],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in nb_score_docs(held, weights).collect()}
+    assert out[100]["keep"] == 1 and out[100]["score_micro"] > 0
+    assert out[101]["keep"] == 0 and out[101]["score_micro"] < 0
+    assert out[100]["mean_micro"] > out[101]["mean_micro"]
+
+
+def test_ct_langid_separates_planted_languages(spark):
+    """Trained Cavnar-Trenkle language ID (VERDICT r12 #4): profiles fitted
+    on three planted 'languages' with genuinely distinct character
+    distributions must classify held-out docs of each language correctly
+    (the fixture's shared-vocabulary langs cannot show this — honest
+    negative documented on the registered query)."""
+    from bigdata_rags_spark.functions.langid import ct_fit_profiles, ct_score_docs
+
+    vocab = {
+        "aa": ["mare", "tela", "roma", "vita", "sole", "luna"],
+        "bb": ["zwxq", "qxzw", "wqxz", "xqwz", "zqwx", "qzxw"],
+        "cc": ["kolo", "pyko", "loky", "kypo", "okyl", "ypok"],
+    }
+    train = []
+    for lang, words in vocab.items():
+        for d in range(6):
+            train.append((lang, " ".join(words[(d + j) % 6] for j in range(8))))
+    labeled = spark.createDataFrame(train, ["lang", "text"])
+    profiles = ct_fit_profiles(labeled).localCheckpoint()
+    # profile shape: <= 40 ranked grams per language, ranks contiguous
+    prof = {}
+    for r in profiles.collect():
+        prof.setdefault(r["lang"], []).append(r["lrank"])
+    for lang, ranks in prof.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+
+    held = spark.createDataFrame(
+        [
+            (0, " ".join(vocab["aa"][2:] + vocab["aa"][:2])),
+            (1, " ".join(vocab["bb"][3:] + vocab["bb"][:3])),
+            (2, " ".join(vocab["cc"][1:] + vocab["cc"][:1])),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in ct_score_docs(held, profiles).collect()}
+    assert out == {0: "aa", 1: "bb", 2: "cc"}
+
+
 def test_trained_pq_beats_fixed_codebooks(spark, sf_oracle):
     """Lloyd-trained PQ codebooks must strictly lower mean quantization
     error vs the fixed md5 literals (the k-means property), and the
