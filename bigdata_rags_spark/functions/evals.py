@@ -8,12 +8,16 @@ replays them bit-for-bit:
   Large Language Models Trained on Code", the HumanEval paper):
   ``pass@k = 1 - C(n-c, k) / C(n, k)`` per task with n samples and c
   correct.  The binomial ratio telescopes to
-  ``prod_{i<k} (n-c-i) / (n-i)`` — evaluated as ONE bigint numerator
-  product and ONE denominator product (n is sample-count-bounded, so the
-  products never overflow), then a single floor division:
-  ``pass_micro = 1e6 - num * 1e6 DIV den``.  When fewer than k samples
-  are incorrect the numerator clamps to 0 (every k-subset contains a
-  correct sample — pass@k is exactly 1).
+  ``prod_{i<k} (n-c-i) / (n-i)`` — evaluated as ONE numerator product
+  and ONE denominator product in 128-bit-wide integers
+  (Spark DECIMAL(38,0) / DuckDB HUGEINT — matched exactly, both floor
+  the single final division), then
+  ``pass_micro = 1e6 - num * 1e6 DIV den``.  The wide intermediates keep
+  the k=5 product exact to n_samples ~ 2.5e6 per task (ADVICE r12: the
+  old bigint product silently overflowed past n ~ 390 — real harnesses
+  run n = 500-1000).  When fewer than k samples are incorrect the
+  numerator clamps to 0 (every k-subset contains a correct sample —
+  pass@k is exactly 1).
 
 - ``majority_vote``: self-consistency aggregation (Wang et al. 2022,
   "Self-Consistency Improves Chain of Thought Reasoning"): the modal
@@ -50,8 +54,11 @@ def pass_at_k(
     out = agg
     cols = ["task_id", "n_samples", "n_correct"]
     for k in ks:
-        num = " * ".join(f"GREATEST(n_samples - n_correct - {i}, 0)" for i in range(k))
-        den = " * ".join(f"(n_samples - {i})" for i in range(k))
+        num = " * ".join(
+            f"CAST(GREATEST(n_samples - n_correct - {i}, 0) AS DECIMAL(38,0))"
+            for i in range(k)
+        )
+        den = " * ".join(f"CAST(n_samples - {i} AS DECIMAL(38,0))" for i in range(k))
         out = out.withColumn(
             f"pass{k}_micro",
             F.expr(f"CAST(1000000 - ({num}) * 1000000 DIV ({den}) AS BIGINT)"),

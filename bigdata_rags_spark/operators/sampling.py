@@ -498,35 +498,38 @@ def preference_pairs(
     Deterministic tie rules make the pair engine-exact: chosen breaks
     score ties toward the LOWEST id, rejected toward the HIGHEST, so an
     all-tied group still yields two distinct docs.  Implemented as ONE
-    hash agg with struct min/max (no sort, no window): max(struct(score,
-    -id)) is (best score, lowest id), min(struct(score, -id)) is (worst
-    score, highest id) — the 100-TB shape for per-group argmax.
+    hash agg with struct min/max (no sort, no window): the NEGATED SCORE
+    leads the struct (scores are numeric micro-units by contract; ids are
+    any orderable type — string/UUID keys work, ADVICE r12), so
+    min(struct(-score, id)) is (best score, lowest id) and
+    max(struct(-score, id)) is (worst score, highest id) — the 100-TB
+    shape for per-group argmax.
 
     Returns (group, chosen_id, rejected_id, chosen_micro, rejected_micro,
-    margin_micro, n_docs)."""
+    margin_micro, n_docs); id columns keep their input type."""
     agg = (
         scored.select(
             F.col(group_col).alias("grp"),
             F.struct(
-                F.col(score_col).cast("bigint").alias("s"),
-                (-F.col(id_col)).cast("bigint").alias("nid"),
+                (-F.col(score_col).cast("bigint")).alias("ns"),
+                F.col(id_col).alias("id"),
             ).alias("kv"),
         )
         .groupBy("grp")
         .agg(
-            F.max("kv").alias("best"),
-            F.min("kv").alias("worst"),
+            F.min("kv").alias("best"),
+            F.max("kv").alias("worst"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         )
     )
     return (
         agg.select(
             F.col("grp").alias(group_col),
-            (-F.col("best.nid")).alias("chosen_id"),
-            (-F.col("worst.nid")).alias("rejected_id"),
-            F.col("best.s").alias("chosen_micro"),
-            F.col("worst.s").alias("rejected_micro"),
-            (F.col("best.s") - F.col("worst.s")).alias("margin_micro"),
+            F.col("best.id").alias("chosen_id"),
+            F.col("worst.id").alias("rejected_id"),
+            (-F.col("best.ns")).alias("chosen_micro"),
+            (-F.col("worst.ns")).alias("rejected_micro"),
+            (F.col("worst.ns") - F.col("best.ns")).alias("margin_micro"),
             "n_docs",
         )
         .filter(F.col("chosen_id") != F.col("rejected_id"))

@@ -556,6 +556,12 @@ _RECHECK: tuple[str, ...] = (
     "embedding_lsh_topk",
     "embedding_hard_negatives",
     "embedding_matryoshka_recall",
+    # round 13 ADVICE fixes: pass@k intermediates widened to
+    # DECIMAL(38,0)/HUGEINT (same values, new expression + oracle);
+    # preference_pairs tie-break re-implemented without id negation
+    # (generic id types; same values, new agg struct orientation).
+    "eval_pass_at_k",
+    "preference_pair_mining",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

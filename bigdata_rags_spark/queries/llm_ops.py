@@ -5331,14 +5331,14 @@ a AS (
 ),
 f AS (SELECT * FROM a WHERE n_samples >= 5)
 SELECT task_id, n_samples, n_correct,
-  CAST(1000000 - (GREATEST(n_samples - n_correct - 0, 0)) * 1000000
-       // ((n_samples - 0)) AS BIGINT) AS pass1_micro,
-  CAST(1000000 - (GREATEST(n_samples - n_correct - 0, 0)
+  CAST(1000000 - CAST(GREATEST(n_samples - n_correct - 0, 0) AS HUGEINT) * 1000000
+       // (CAST(n_samples - 0 AS HUGEINT)) AS BIGINT) AS pass1_micro,
+  CAST(1000000 - (CAST(GREATEST(n_samples - n_correct - 0, 0) AS HUGEINT)
                   * GREATEST(n_samples - n_correct - 1, 0)
                   * GREATEST(n_samples - n_correct - 2, 0)
                   * GREATEST(n_samples - n_correct - 3, 0)
                   * GREATEST(n_samples - n_correct - 4, 0)) * 1000000
-       // ((n_samples - 0) * (n_samples - 1) * (n_samples - 2)
+       // (CAST(n_samples - 0 AS HUGEINT) * (n_samples - 1) * (n_samples - 2)
            * (n_samples - 3) * (n_samples - 4)) AS BIGINT) AS pass5_micro
 FROM f
 """,

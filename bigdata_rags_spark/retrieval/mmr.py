@@ -54,6 +54,8 @@ def mmr_rerank(
     FPS seed convention); step t's row carries the candidate's max
     similarity to the already-selected set and the bigint objective
     ``lambda_milli * rel_milli - (1000 - lambda_milli) * max_sim_milli``.
+    The output ``doc_id`` keeps the pool's id type (string/UUID keys work
+    — ADVICE r12; ids only need to be orderable for the tie rule).
     """
     spark = pool.sparkSession
     base = pool.select(
@@ -112,7 +114,24 @@ def mmr_rerank(
         picks.append((step, t["doc_id"], t["rel_milli"], t["max_sim_milli"], t["mmr_milli"]))
         selected.append(t["doc_id"])
         step += 1
+    # derive the id field's type from the pool so string/UUID keys round-trip
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = base.schema["doc_id"].dataType
     return spark.createDataFrame(
         picks,
-        "step int, doc_id long, rel_milli long, max_sim_milli long, mmr_milli long",
+        StructType(
+            [
+                StructField("step", IntegerType()),
+                StructField("doc_id", id_type),
+                StructField("rel_milli", LongType()),
+                StructField("max_sim_milli", LongType()),
+                StructField("mmr_milli", LongType()),
+            ]
+        ),
     )

@@ -275,7 +275,10 @@ def test_pass_at_k_matches_closed_form(spark):
 
     from bigdata_rags_spark.functions.evals import pass_at_k
 
-    cases = [(1, 10, 3), (2, 8, 0), (3, 6, 6), (4, 13, 2), (5, 5, 1), (6, 4, 2)]
+    # task 7: n=1000 — the ADVICE r12 overflow regime (the old bigint
+    # k=5 product exceeded 2^63 past n ~ 390; DECIMAL(38,0)/HUGEINT
+    # intermediates must stay exact)
+    cases = [(1, 10, 3), (2, 8, 0), (3, 6, 6), (4, 13, 2), (5, 5, 1), (6, 4, 2), (7, 1000, 3)]
     rows = [
         (t, 1 if i < c else 0) for t, n, c in cases for i in range(n)
     ]
@@ -2169,6 +2172,23 @@ def test_preference_pairs_tie_rules_and_small_groups(spark):
     assert out["a"]["margin_micro"] == 800
     assert (out["b"]["chosen_id"], out["b"]["rejected_id"]) == (4, 6)
     assert out["b"]["margin_micro"] == 0 and out["b"]["n_docs"] == 3
+
+
+def test_preference_pairs_string_ids(spark):
+    """ADVICE r12: the tie rules must work for non-numeric document keys
+    (string/UUID) — same (best, lowest id) / (worst, highest id) semantics,
+    id type preserved in the output."""
+    from bigdata_rags_spark.operators.sampling import preference_pairs
+
+    rows = [
+        ("a", "doc-x", 900), ("a", "doc-b", 900), ("a", "doc-m", 100),
+        ("b", "u1", 500), ("b", "u2", 500),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "z_micro"])
+    out = {r["source"]: r for r in preference_pairs(df, group_col="source").collect()}
+    assert (out["a"]["chosen_id"], out["a"]["rejected_id"]) == ("doc-b", "doc-m")
+    assert (out["b"]["chosen_id"], out["b"]["rejected_id"]) == ("u1", "u2")
+    assert isinstance(out["a"]["chosen_id"], str)
 
 
 def test_length_bucket_batching_plan(spark):

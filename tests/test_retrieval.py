@@ -123,6 +123,22 @@ def test_mmr_rerank_prefers_diverse_over_near_duplicate(spark):
     assert by_id[1]["step"] == 1 and by_id[1]["max_sim_milli"] is None
 
 
+def test_mmr_rerank_string_ids(spark):
+    """ADVICE r12: the output schema derives the id type from the pool, so
+    string document keys survive the greedy round-trip."""
+    from bigdata_rags_spark.retrieval.mmr import mmr_rerank
+
+    rows = [
+        ("p1", 1000, [1.0, 0.0]),
+        ("p2", 990, [1.0, 0.001]),
+        ("p3", 500, [0.0, 1.0]),
+    ]
+    pool = spark.createDataFrame(rows, "doc_id string, rel_milli long, v array<double>")
+    out = sorted(mmr_rerank(pool, k=3, lambda_milli=500).collect(), key=lambda r: r["step"])
+    assert [r["doc_id"] for r in out] == ["p1", "p3", "p2"]
+    assert all(isinstance(r["doc_id"], str) for r in out)
+
+
 def test_mmr_lambda_1000_degenerates_to_relevance_order(spark):
     from bigdata_rags_spark.retrieval.mmr import mmr_rerank
 
