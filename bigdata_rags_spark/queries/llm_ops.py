@@ -1176,13 +1176,20 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word unigrams + bigrams, mirroring functions/featurize.py (the
 # word_shingles(k=2) slice convention: DuckDB t[i:i+1] is the 2-element
 # inclusive slice, range end exclusive == Spark sequence(1, n-1) inclusive)
-_SQL_FEATS = f"""(
+def _sql_feats(src: str = "documents") -> str:
+    """Hashed-featurizer replay over any (doc_id, text) source — ``src``
+    defaults to the documents table; the RAG capstone passes the chunk
+    grain."""
+    return f"""(
   SELECT doc_id, unnest(
     t || CASE WHEN len(t) >= 2
          THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
          ELSE [] END) AS feat
-  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM {src})
 )"""
+
+
+_SQL_FEATS = _sql_feats()
 
 _SQL_FEAT_BUCKET = (
     "CAST(('0x' || substr(md5('feat:' || feat), 1, 8))::BIGINT % 64 AS INT)"
@@ -7338,17 +7345,24 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_VEC_PRELUDE = f"""feats AS {_SQL_FEATS},
+def _text_vec_prelude(src: str = "documents") -> str:
+    """docs -> dense hashed-vector CTE chain over any (doc_id, text)
+    source (the `hashed_doc_vectors` replay); the RAG capstone passes the
+    chunk grain."""
+    return f"""feats AS {_sql_feats(src)},
 sw AS ({_SQL_SPARSE_FEATURES}),
 dense AS (
   SELECT d.doc_id AS vec_id,
          list(CAST(COALESCE(sw.weight, 0) AS DOUBLE) ORDER BY g.range) AS v
-  FROM (SELECT DISTINCT doc_id FROM documents) d
+  FROM (SELECT DISTINCT doc_id FROM {src}) d
   CROSS JOIN range(0, 64) g
   LEFT JOIN sw ON sw.doc_id = d.doc_id AND sw.bucket = g.range
   GROUP BY d.doc_id
 ),
 """
+
+
+_TEXT_VEC_PRELUDE = _text_vec_prelude()
 
 
 @_llm(

@@ -259,22 +259,12 @@ def _mmr_sim_sql(a: str, b: str) -> str:
     )
 
 
-def _mmr_oracle(k: int = 5, m: int = 10, lam: int = 700) -> str:
-    """Chained-CTE replay of the greedy MMR loop (the `_fps_oracle`
-    pattern): the BM25 top-m shortlist with milli-normalized relevance and
-    its m^2 pair-cosine table feed k-1 argmax CTEs of one row each, with
-    the selected set accumulated via UNION ALL sel CTEs."""
+def _mmr_greedy_sql(k: int, lam: int) -> tuple[list[str], str]:
+    """The greedy-MMR CTE chain (p1/sel/s_i/p_i one-row argmax CTEs + the
+    final step UNION), referencing ``cand(doc_id, rel_milli, v)`` and
+    ``pairs(ia, ib, sim_milli)`` CTEs the caller defines — shared by the
+    BM25-pool oracle and the RAG-capstone oracle."""
     parts = [
-        _SQL_BM25_CORE.strip().rstrip(),
-        f"short AS (SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {m})",
-        "mx AS (SELECT MAX(bm25) AS mx FROM short)",
-        """cand AS (
-  SELECT s.doc_id, CAST(ROUND(s.bm25 * 1000 / mx.mx) AS BIGINT) AS rel_milli,
-         e.embedding::DOUBLE[] AS v
-  FROM short s JOIN embeddings e ON e.vec_id = s.doc_id CROSS JOIN mx)""",
-        f"""pairs AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib, {_mmr_sim_sql('a', 'b')} AS sim_milli
-  FROM cand a JOIN cand b ON a.doc_id != b.doc_id)""",
         "p1 AS (SELECT doc_id, rel_milli FROM cand ORDER BY rel_milli DESC, doc_id LIMIT 1)",
         "sel1 AS (SELECT doc_id FROM p1)",
     ]
@@ -304,7 +294,29 @@ def _mmr_oracle(k: int = 5, m: int = 10, lam: int = 700) -> str:
         selects.append(
             f"SELECT {i}, doc_id, rel_milli, CAST(ms AS BIGINT), score FROM p{i}"
         )
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return parts, "\nUNION ALL ".join(selects)
+
+
+def _mmr_oracle(k: int = 5, m: int = 10, lam: int = 700) -> str:
+    """Chained-CTE replay of the greedy MMR loop (the `_fps_oracle`
+    pattern): the BM25 top-m shortlist with milli-normalized relevance and
+    its m^2 pair-cosine table feed k-1 argmax CTEs of one row each, with
+    the selected set accumulated via UNION ALL sel CTEs."""
+    greedy, final = _mmr_greedy_sql(k, lam)
+    parts = [
+        _SQL_BM25_CORE.strip().rstrip(),
+        f"short AS (SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {m})",
+        "mx AS (SELECT MAX(bm25) AS mx FROM short)",
+        """cand AS (
+  SELECT s.doc_id, CAST(ROUND(s.bm25 * 1000 / mx.mx) AS BIGINT) AS rel_milli,
+         e.embedding::DOUBLE[] AS v
+  FROM short s JOIN embeddings e ON e.vec_id = s.doc_id CROSS JOIN mx)""",
+        f"""pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, {_mmr_sim_sql('a', 'b')} AS sim_milli
+  FROM cand a JOIN cand b ON a.doc_id != b.doc_id)""",
+        *greedy,
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + final
 
 
 @query("retrieval_mmr_rerank", _mmr_oracle(), tier=TIER_LLM)
@@ -477,3 +489,102 @@ def retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = docs.select("doc_id", grade.alias("rel"))
     return ranking_quality(runs, rel, k=10, rel_threshold=2)
+
+
+# ---------------------------------------------------------------------------
+# RAG capstone: docs -> chunk -> featurize -> IVFPQ retrieve -> MMR diversify
+# ---------------------------------------------------------------------------
+
+
+def _rag_capstone_oracle(k: int = 5, m: int = 10, lam: int = 700) -> str:
+    """One statement replaying the ENTIRE RAG chain: the chunking CTEs
+    (document_chunking's oracle), the hashed featurizer at CHUNK grain
+    (`_text_vec_prelude` over chunk_key*100 ids), the full IVFPQ serve
+    (`_ivfpq_oracle` with the dense-chunk source, chunk 0 of doc 0 as the
+    query), then the greedy MMR CTEs (`_mmr_greedy_sql`) over the
+    retrieved top-m with ANN similarity as milli relevance."""
+    from bigdata_rags_spark.queries.llm_ops import _ivfpq_oracle, _text_vec_prelude
+
+    chunk_ctes = f"""t0 AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, (len(tk) - 1) // 40 + 1)) AS chunk_id,
+         unnest(list_transform(range(0, (len(tk) - 1) // 40 + 1),
+                i -> array_to_string(tk[i * 40 + 1 : i * 40 + 50], ' '))) AS chunk_text
+  FROM t0
+),
+"""
+    chunk_src = "(SELECT doc_id * 100 + chunk_id AS doc_id, chunk_text AS text FROM chunks)"
+    prelude = chunk_ctes + _text_vec_prelude(chunk_src)
+    ivf = _ivfpq_oracle(
+        k=m, n_queries=1, prelude_ctes=prelude, source_sql="SELECT vec_id, v FROM dense"
+    )
+    greedy, final = _mmr_greedy_sql(k, lam)
+    # MATERIALIZED is load-bearing: the greedy CTEs reference cand/pairs
+    # repeatedly, and DuckDB would otherwise re-inline the nested IVFPQ
+    # replay (itself ~20 prelude inlinings) once per reference — measured
+    # as a >10 min hang; materialization evaluates hits exactly once.
+    parts = [
+        prelude.rstrip().rstrip(","),
+        f"hits AS MATERIALIZED ({ivf})",
+        """cand AS MATERIALIZED (
+  SELECT h.neighbor_id AS doc_id,
+         CAST(ROUND(h.similarity * 1000) AS BIGINT) AS rel_milli,
+         d.v
+  FROM hits h JOIN dense d ON d.vec_id = h.neighbor_id)""",
+        f"""pairs AS MATERIALIZED (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, {_mmr_sim_sql('a', 'b')} AS sim_milli
+  FROM cand a JOIN cand b ON a.doc_id != b.doc_id)""",
+        *greedy,
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@query("rag_capstone_retrieval", _rag_capstone_oracle(), tier=TIER_LLM)
+def rag_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG FLAGSHIP chain (VERDICT r12 next #6) — every similarity-tier
+    stage composed into one registry query, from raw text with no
+    embeddings fixture anywhere in the plan:
+
+    1. `document_chunking` — 50-token windows, stride 40 (chunk grain key
+       ``doc_id * 100 + chunk_id``);
+    2. `functions/featurize.hashed_doc_vectors` at chunk grain — the
+       dictionary-free docs -> vectors bridge;
+    3. `similarity/pq.ivfpq_search_rerank` — coarse cells prune, integer
+       ADC scores, exact cosine reranks; query = chunk 0 of doc 0, top-10;
+    4. `retrieval/mmr.mmr_rerank` — greedy diversification of the
+       retrieved 10 down to 5 (lambda 0.7), relevance = ANN similarity in
+       integer milli.
+
+    The oracle replays chunk -> featurize -> ANN -> greedy in ONE SQL
+    statement, so the driver hash certifies the composed pipeline, not
+    just its parts (the flagship-query treatment the relational tier got
+    at `flagship_revenue_by_nation`).  100 TB: chunking/featurizing are
+    row-local scans, the ANN serve is bucket-pruned, MMR touches only the
+    bounded top-m pool — no stage is corpus-quadratic."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.functions.vectors import as_double_array
+    from bigdata_rags_spark.retrieval.mmr import mmr_rerank
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    chunks = document_chunking(spark, sf_dir).select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).cast("long").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    # one materialization: the ANN plan reads the chunk vectors from three
+    # branches (cell assign, PQ encode, rerank fetch) plus the query side
+    # and the MMR pool join (CLAUDE.md multi-branch rule)
+    vecs = hashed_doc_vectors(chunks, dim=64).localCheckpoint()
+    q = vecs.filter(F.col("vec_id") < 1)
+    hits = ivfpq_search_rerank(q, vecs, k=10, n_probe=4, shortlist=50)
+    pool = (
+        hits.join(vecs, hits["neighbor_id"] == vecs["vec_id"])
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.round(F.col("similarity") * 1000).cast("bigint").alias("rel_milli"),
+            as_double_array(F.col("embedding")).alias("v"),
+        )
+    )
+    return mmr_rerank(pool, k=5, lambda_milli=700)

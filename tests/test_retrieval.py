@@ -163,3 +163,38 @@ def test_mmr_pool_smaller_than_k_returns_all(spark):
     out = mmr_rerank(pool, k=5, lambda_milli=700).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
     assert sorted(r["step"] for r in out) == [1, 2]
+
+
+def test_rag_capstone_retrieves_planted_needle(spark):
+    """VERDICT r12 #6 planted test: a corpus where doc 7 is a near-copy of
+    the query doc must come back as the top retrieved chunk through the
+    full chain (hashed featurize -> IVFPQ serve -> MMR greedy): the ANN
+    similarity puts the needle first, and the MMR seed (pure relevance)
+    picks it."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.functions.vectors import as_double_array
+    from bigdata_rags_spark.retrieval.mmr import mmr_rerank
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    q_tokens = [f"alpha{i}" for i in range(30)]
+    needle = q_tokens[:29] + ["omega"]  # one-token edit of the query
+    rows = [(0, " ".join(q_tokens)), (7, " ".join(needle))]
+    for d in range(1, 7):
+        rows.append((d, " ".join(f"noise{d}_{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    vecs = hashed_doc_vectors(docs, dim=64).localCheckpoint()
+    q = vecs.filter(F.col("vec_id") == 0)
+    hits = ivfpq_search_rerank(q, vecs, k=5, n_probe=4, shortlist=50)
+    got = sorted(hits.collect(), key=lambda r: r["rank"])
+    assert got and got[0]["neighbor_id"] == 7 and got[0]["similarity"] > 0.9
+
+    pool = hits.join(vecs, hits["neighbor_id"] == vecs["vec_id"]).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.round(F.col("similarity") * 1000).cast("bigint").alias("rel_milli"),
+        as_double_array(F.col("embedding")).alias("v"),
+    )
+    out = sorted(mmr_rerank(pool, k=3, lambda_milli=700).collect(), key=lambda r: r["step"])
+    assert out[0]["doc_id"] == 7  # the needle seeds the diversified list
