@@ -299,7 +299,17 @@ def main() -> None:
     # compare rounds per-query ONLY through queries_warm_med; everything
     # else is subtotal-level.
     warm_med = {n: sorted(p[n] for p in warm_passes)[1] for n in SHARED_R1}
+    # WATCH set (VERDICT r12 #7): three small queries showed >1.5x single-
+    # observation upticks in r12 that could not be adjudicated because they
+    # fell outside the median set; pin them into the median-of-3 treatment
+    # so noise vs regression is decidable from the artifacts.
+    watch = (
+        "multimodal_png_resize_features",
+        "events_hourly_value_percentiles",
+        "multimodal_wav_features",
+    )
     heavy = sorted(rest, key=lambda n: warm[n], reverse=True)[:10]
+    heavy = list(dict.fromkeys([*heavy, *(n for n in watch if n in rest)]))
     extra_passes = [run_pass(heavy) for _ in range(2)]
     for n in heavy:
         warm_med[n] = sorted([warm[n], extra_passes[0][n], extra_passes[1][n]])[1]

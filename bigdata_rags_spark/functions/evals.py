@@ -234,3 +234,153 @@ def poisson_bootstrap_ci(
             "ci_hi_micro",
         )
     )
+
+
+def bradley_terry_ratings(
+    matches: DataFrame,
+    a_col: str = "model_a",
+    b_col: str = "model_b",
+    winner_col: str = "winner",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Bradley-Terry skill ratings from pairwise preference judgments —
+    the arena-style eval aggregation (Bradley & Terry 1952; the MM update
+    from Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    models"; Chatbot-Arena-style leaderboards run exactly this fit):
+
+        r_i  <-  w_i / sum_j n_ij / (r_i + r_j)
+
+    iterated ``n_iter`` times from the flat start and renormalized each
+    round so the mean rating stays 1e6 micro.  Everything is integer
+    micro-units with a FIXED division order (per-(i,j) floor division,
+    then the sum, then one closing division — the `eval_bootstrap_ci`
+    discipline), so a chained-CTE SQL oracle replays every iteration
+    bit-for-bit; no exp/log anywhere (the logistic link never needs to be
+    evaluated to FIT the model).
+
+    Input: one row per judged pair; ``winner`` must equal one of the two
+    sides (ties dropped — standard BT has no tie term; use Rao-Kupper if
+    ties matter).  Returns (model, n_matches, n_wins, rating_micro,
+    rank int) sorted ratings with deterministic ties (rating desc, model
+    asc).
+
+    100-TB shape: one hash agg shrinks the judgment log to the
+    (model_a, model_b) match matrix (|models|^2 rows max); every MM
+    round is one join + one hash agg over that matrix — iteration cost
+    depends on |models|, never on the log size.
+    """
+    sym = matches.filter(
+        (F.col(winner_col) == F.col(a_col)) | (F.col(winner_col) == F.col(b_col))
+    ).select(
+        F.col(a_col).alias("i"),
+        F.col(b_col).alias("j"),
+        (F.col(winner_col) == F.col(a_col)).cast("bigint").alias("win_i"),
+    )
+    # symmetrize: one row per ordered (i, j) with n_ij total games and the
+    # per-model win counts — |models|^2-bounded
+    both = sym.unionByName(
+        sym.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            (1 - F.col("win_i")).alias("win_i"),
+        )
+    )
+    grid = both.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij"),
+        F.sum("win_i").cast("bigint").alias("w_ij"),
+    )
+    wins = grid.groupBy("i").agg(
+        F.sum("n_ij").cast("bigint").alias("n_matches"),
+        F.sum("w_ij").cast("bigint").alias("n_wins"),
+    )
+    r = wins.select("i", F.lit(1_000_000).cast("bigint").alias("r"))
+    n_models = F.broadcast(wins.select(F.count(F.lit(1)).cast("bigint").alias("m")))
+    for _ in range(n_iter):
+        # s_i = sum_j n_ij * 1e12 DIV (r_i + r_j)   (micro-inverse mass)
+        ra = r.select(F.col("i"), F.col("r").alias("ri"))
+        rb = r.select(F.col("i").alias("j"), F.col("r").alias("rj"))
+        s = (
+            grid.join(ra, "i")
+            .join(rb, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.expr("n_ij * 1000000000000 DIV (ri + rj)"))
+                .cast("bigint")
+                .alias("s")
+            )
+        )
+        raw = wins.join(s, "i").select(
+            "i", F.expr("n_wins * 1000000000000 DIV s").cast("bigint").alias("r")
+        )
+        # renormalize: mean rating pinned at 1e6 micro (BT is scale-free;
+        # without this the floor divisions drift the scale downward)
+        tot = raw.agg(F.sum("r").cast("bigint").alias("t"))
+        r = raw.crossJoin(F.broadcast(tot)).crossJoin(n_models).select(
+            "i", F.expr("r * 1000000 * m DIV t").cast("bigint").alias("r")
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rating_micro").desc(), F.col("model"))
+    return (
+        wins.join(r, "i")
+        .select(
+            F.col("i").alias("model"),
+            "n_matches",
+            "n_wins",
+            F.col("r").alias("rating_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+def best_of_n(
+    samples: DataFrame,
+    group_col: str = "task_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward_micro",
+) -> DataFrame:
+    """Best-of-n selection over reward-scored candidate generations — the
+    rejection-sampling data op behind BoN distillation / RFT (pick the
+    reward argmax per prompt) plus the margin diagnostics a curation
+    pipeline filters on (a best barely above the median is a weak
+    training signal; a large margin marks a decisive winner).
+
+    Returns (task, n_candidates, best_id, best_micro, median_micro,
+    margin_micro).  All-integer and engine-exact: the winner is
+    ``min(struct(-reward, cand))`` (ties to the lowest candidate id, the
+    `preference_pairs` idiom), the median is an exact RANK PICK — the
+    ``(n+1) div 2``-th value under (reward, cand) order, never an
+    interpolated average — and the margin is their difference.
+
+    100-TB shape: one per-task window (rank pick) + one hash agg; samples
+    shuffle once on task."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("task_id").orderBy(F.col("reward"), F.col("cand"))
+    base = samples.select(
+        F.col(group_col).alias("task_id"),
+        F.col(cand_col).alias("cand"),
+        F.col(reward_col).cast("bigint").alias("reward"),
+    ).withColumn("rnk", F.row_number().over(w))
+    agg = base.groupBy("task_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.min(F.struct((-F.col("reward")).alias("nr"), F.col("cand").alias("c"))).alias(
+            "best"
+        ),
+    )
+    med = base.join(
+        agg.select("task_id", "n_candidates"), "task_id"
+    ).filter(F.col("rnk") == F.expr("(n_candidates + 1) div 2")).select(
+        "task_id", F.col("reward").alias("median_micro")
+    )
+    return (
+        agg.join(med, "task_id")
+        .select(
+            "task_id",
+            "n_candidates",
+            F.col("best.c").alias("best_id"),
+            (-F.col("best.nr")).alias("best_micro"),
+            "median_micro",
+            ((-F.col("best.nr")) - F.col("median_micro")).alias("margin_micro"),
+        )
+    )

@@ -256,7 +256,8 @@ from bigdata_rags_spark.queries import retrieval_ops as _retrieval_ops  # noqa: 
 # the staleness sort in ordered_registry() additionally pushes every
 # oracle-less query (checked or not) behind all re-greenable ones.
 _PERMANENT_NO_ORACLE: frozenset[str] = frozenset({
-    "embedding_ivf_topk",
+    # (embedding_ivf_topk, rows-only since r4, was retired from the
+    # registry in r13 — superseded by embedding_ivf_probe_fixed)
     "embedding_near_dup_pairs_mm",
     "approx_percentile_prices",
     "approx_count_distinct_orders",
@@ -287,7 +288,7 @@ _DRIVER_CHECKED: dict[str, int] = {
     "approx_count_distinct_orders": 2,
     "approx_percentile_prices": 2,
     # --- last driver row: round 4 ---
-    "embedding_ivf_topk": 4,
+    # (embedding_ivf_topk retired r13)
     # --- last driver row: round 6 ---
     # --- last driver row: round 7 ---
     "events_ab_experiment_lift": 7,

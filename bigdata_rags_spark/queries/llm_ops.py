@@ -32,7 +32,6 @@ from bigdata_rags_spark.io.readers import read_testdata
 from bigdata_rags_spark.operators.sampling import stratified_hash_sample
 from bigdata_rags_spark.quality import repetition_quality
 from bigdata_rags_spark.queries.catalog import TIER_LLM, query
-from bigdata_rags_spark.similarity.ivf import ivf_topk
 from bigdata_rags_spark.similarity.knn import brute_force_topk
 
 # DuckDB fragments mirroring functions/text.py (single source of truth for
@@ -469,6 +468,51 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair explosion to actual collisions)."""
     docs = _docs_parallel(spark, sf_dir)
     return ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+
+
+@_llm(
+    "jaccard_prefix_filter_pairs",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, intersection,
+       ROUND(intersection / CAST(sa.n + sb.n - intersection AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE ROUND(intersection / CAST(sa.n + sb.n - intersection AS DOUBLE), 6) >= 0.5
+""",
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard >= 0.5 pairs via the PREFIX FILTER
+    (`dedup/ppjoin.py`; Bayardo et al. 2007 All-Pairs / Xiao et al.
+    PPJoin) — the LOSSLESS subquadratic candidate route: only each doc's
+    ``|S| - ceil(0.5|S|) + 1`` rarest shingles (global df-asc order) join,
+    plus the t·|A| <= |B| size filter, and the theorem guarantees no
+    qualifying pair is missed — the exact-answer sibling of the MinHash-
+    LSH route, with no recall knob.  Candidates verify with one
+    array_intersect against per-doc sorted shingle sets.  The oracle is
+    the DEFINITIONAL all-shared-shingle Jaccard SQL (identical text to
+    ``ngram_jaccard_near_dups``), so the driver hash doubles as a
+    no-missed-pairs proof on the fixture.  100 TB: df table is the
+    vocab-join shape; candidate shuffle carries prefix shingles only."""
+    from bigdata_rags_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    docs = _docs_parallel(spark, sf_dir)
+    return prefix_filter_jaccard_pairs(docs, k=5, threshold=0.5)
 
 
 _SQL_JACCARD_PAIRS = f"""
@@ -1622,20 +1666,16 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_llm("embedding_ivf_topk", None)
-def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 (spherical k-means coarse quantizer, 8 cells, probe 4).
-
-    rows-only BY DESIGN: the codebook comes from iterative Lloyd's training —
-    a genuinely non-SQL-expressible algorithm (the driver records the weaker
-    rows-only check).  Correctness is pinned by tests instead:
-    ``test_ivf_probe_all_cells_equals_brute_force`` (probe-all == exact
-    brute force, row-for-row) and ``test_ivf_recall_at_5_on_real_embeddings``
-    (recall@5 >= 0.9 on the near-random fixture).  See ``similarity/ivf.py``
-    for the 100 TB design."""
-    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    q = e.filter(F.col("vec_id") < 20)
-    return ivf_topk(q, e, k=5, n_cells=8, n_probe=4, n_iter=3)
+# `embedding_ivf_topk` (trained-k-means IVF, rows-only since r4) was RETIRED
+# from the registry in round 13 (VERDICT r12 #8, the r6 multimodal-stub
+# retirement pattern): its oracle-checkable surface is exactly
+# `embedding_ivf_probe_fixed` (same probe plan under fixed literal
+# centroids), and the trained path stays pinned by
+# tests/test_llm_ops.py::test_ivf_probe_all_cells_equals_brute_force and
+# ::test_ivf_recall_at_5_on_real_embeddings over `similarity/ivf.ivf_topk`,
+# plus the IVFPQ trained lifecycle (`embedding_ivfpq_trained_serve`).
+# Retiring the key stops a permanently-ungreenable row from occupying the
+# driver's rows-only budget.
 
 
 def _ivf_probe_fixed_oracle(
@@ -1689,7 +1729,7 @@ SELECT query_id, neighbor_id, similarity, rank FROM rk WHERE rank <= {k}
 @_llm("embedding_ivf_probe_fixed", _ivf_probe_fixed_oracle())
 def embedding_ivf_probe_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 with a FIXED literal codebook — the oracle-checked
-    serving path (VERDICT r5 #4): training (``embedding_ivf_topk``) stays
+    serving path (VERDICT r5 #4): trained-quantizer fitting stays
     rows-only because Lloyd's iterations aren't SQL-expressible, but cell
     assignment + n_probe probing + exact in-cell cosine against a pinned
     codebook is pure relational algebra, so the driver value-hashes the
@@ -5497,6 +5537,136 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_task = pass_at_k(samples, ks=(1,))
     return poisson_bootstrap_ci(per_task, "pass1_micro", n_replicates=200)
+
+
+@_llm(
+    "eval_best_of_n",
+    """
+WITH s AS (
+  SELECT l_orderkey AS task_id, l_linenumber AS cand,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS reward
+  FROM lineitem
+),
+r AS (
+  SELECT task_id, cand, reward,
+         ROW_NUMBER() OVER (PARTITION BY task_id ORDER BY reward, cand) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY task_id) AS BIGINT) AS n_candidates
+  FROM s
+),
+best AS (
+  SELECT task_id, n_candidates, cand AS best_id, reward AS best_micro FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY task_id
+              ORDER BY reward DESC, cand) AS br FROM r
+  ) WHERE br = 1
+),
+med AS (
+  SELECT task_id, reward AS median_micro FROM r
+  WHERE rnk = (n_candidates + 1) // 2
+)
+SELECT b.task_id, b.n_candidates, b.best_id, b.best_micro, m.median_micro,
+       CAST(b.best_micro - m.median_micro AS BIGINT) AS margin_micro
+FROM best b JOIN med m ON m.task_id = b.task_id
+""",
+)
+def eval_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection with margin diagnostics
+    (`functions/evals.best_of_n` — the BoN/rejection-sampling curation
+    op): per task the reward argmax (ties to the lowest candidate id),
+    the exact rank-picked median reward, and the winner's margin over it.
+    Fixture: lineitems as candidates, price cents as the reward.  One
+    per-task window + one hash agg; everything integer-exact."""
+    from bigdata_rags_spark.functions.evals import best_of_n
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    samples = li.select(
+        F.col("l_orderkey").alias("task_id"),
+        F.col("l_linenumber").alias("cand_id"),
+        # explicit FLOOR on both sides: DuckDB ROUNDS on double->bigint
+        # casts while Spark truncates, so a bare cast diverges by one at
+        # .5+ cents
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("reward_micro"),
+    )
+    return best_of_n(samples)
+
+
+def _bt_oracle(n_iter: int = 3) -> str:
+    """Chained-CTE replay of the Bradley-Terry MM iterations
+    (`functions/evals.bradley_terry_ratings`): match matrix, then per
+    round s_i -> raw ratings -> mean-1e6 renormalization, every division
+    floored in the same fixed order (all numerators non-negative, so
+    Spark DIV == DuckDB //)."""
+    parts = [
+        """m AS (
+  SELECT 'm' || CAST(l_partkey % 5 AS VARCHAR) AS i,
+         'm' || CAST(l_suppkey % 5 AS VARCHAR) AS j,
+         CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS win_i
+  FROM lineitem WHERE l_partkey % 5 != l_suppkey % 5)""",
+        "bi AS (SELECT i, j, win_i FROM m UNION ALL SELECT j, i, 1 - win_i FROM m)",
+        """grid AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_ij,
+         CAST(SUM(win_i) AS BIGINT) AS w_ij
+  FROM bi GROUP BY 1, 2)""",
+        """wins AS (
+  SELECT i, CAST(SUM(n_ij) AS BIGINT) AS n_matches,
+         CAST(SUM(w_ij) AS BIGINT) AS n_wins
+  FROM grid GROUP BY 1)""",
+        "nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM wins)",
+        "r0 AS (SELECT i, CAST(1000000 AS BIGINT) AS r FROM wins)",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"r{it - 1}"
+        parts.append(
+            f"""s{it} AS (
+  SELECT g.i, CAST(SUM(g.n_ij * 1000000000000 // (ra.r + rb.r)) AS BIGINT) AS s
+  FROM grid g JOIN {prev} ra ON ra.i = g.i JOIN {prev} rb ON rb.i = g.j
+  GROUP BY 1)"""
+        )
+        parts.append(
+            f"raw{it} AS (SELECT w.i, CAST(w.n_wins * 1000000000000 // s{it}.s AS BIGINT) AS r "
+            f"FROM wins w JOIN s{it} ON s{it}.i = w.i)"
+        )
+        parts.append(f"t{it} AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM raw{it})")
+        parts.append(
+            f"r{it} AS (SELECT i, CAST(r * 1000000 * m // t AS BIGINT) AS r "
+            f"FROM raw{it}, t{it}, nm)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT w.i AS model, w.n_matches, w.n_wins, rr.r AS rating_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY rr.r DESC, w.i) AS INT) AS rank
+FROM wins w JOIN r{n_iter} rr ON rr.i = w.i
+"""
+    )
+
+
+@_llm("eval_bradley_terry", _bt_oracle())
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry skill leaderboard from pairwise preference judgments
+    (`functions/evals.bradley_terry_ratings`; Bradley & Terry 1952 fitted
+    with Hunter 2004's MM updates — the Chatbot-Arena aggregation): the
+    judgment log collapses to a |models|^2 match matrix in one hash agg,
+    then 3 MM rounds (join + hash agg over the matrix, mean-1e6
+    renormalized) produce integer-micro ratings, every division floored
+    in a fixed order so the chained-CTE oracle replays each round
+    bit-for-bit — no exp/log anywhere (fitting BT never evaluates the
+    logistic).  The fixture derives 5 'models' and winners from lineitem
+    deterministically.  Completes the eval tier's aggregate family:
+    pass@k, self-consistency, bootstrap CI, and now pairwise-preference
+    ratings.  100 TB: iteration cost depends on |models|, never the log
+    size."""
+    from bigdata_rags_spark.functions.evals import bradley_terry_ratings
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    a = F.concat(F.lit("m"), (F.col("l_partkey") % 5).cast("string"))
+    b = F.concat(F.lit("m"), (F.col("l_suppkey") % 5).cast("string"))
+    matches = li.select(
+        a.alias("model_a"),
+        b.alias("model_b"),
+        F.when(F.col("l_quantity") > 25, a).otherwise(b).alias("winner"),
+    ).filter(F.col("model_a") != F.col("model_b"))
+    return bradley_terry_ratings(matches, n_iter=3)
 
 
 def _ngram_diversity_oracle(ns: tuple[int, ...] = (1, 2, 3, 4)) -> str:

@@ -3050,3 +3050,81 @@ def test_unigram_encode_docs_matches_greedy_replay(spark):
         kept = [w for w in t.split() if len(w) <= 16]
         ids = [tid[p] for w in kept for _, p in seg(w)]
         assert enc[d] == (len(kept), ",".join(map(str, ids))), (d, enc[d])
+
+
+def test_bradley_terry_orders_planted_tournament(spark):
+    """BT ratings from a planted skill order (A beats B 9:1, B beats C 9:1,
+    A beats C 9:1) must rank A > B > C, and every MM iteration must equal
+    a from-scratch integer python replay (fixed division order)."""
+    from bigdata_rags_spark.functions.evals import bradley_terry_ratings
+
+    rows = []
+    for a, b in (("A", "B"), ("B", "C"), ("A", "C")):
+        rows += [(a, b, a)] * 9 + [(a, b, b)]
+    df = spark.createDataFrame(rows, ["model_a", "model_b", "winner"])
+    out = {r["model"]: r for r in bradley_terry_ratings(df, n_iter=3).collect()}
+    assert [m for m, _ in sorted(out.items(), key=lambda kv: kv[1]["rank"])] == ["A", "B", "C"]
+    assert out["A"]["rating_micro"] > out["B"]["rating_micro"] > out["C"]["rating_micro"]
+    assert out["A"]["n_matches"] == 20 and out["A"]["n_wins"] == 18
+
+    # exact python replay of the 3 MM rounds
+    models = ["A", "B", "C"]
+    n = {}; w = {}
+    for a, b in (("A", "B"), ("B", "C"), ("A", "C")):
+        n[(a, b)] = n[(b, a)] = 10
+        w[(a, b)] = 9; w[(b, a)] = 1
+    wins = {m: sum(w.get((m, o), 0) for o in models) for m in models}
+    r = {m: 1_000_000 for m in models}
+    for _ in range(3):
+        s = {
+            m: sum(
+                n[(m, o)] * 1_000_000_000_000 // (r[m] + r[o])
+                for o in models
+                if (m, o) in n
+            )
+            for m in models
+        }
+        raw = {m: wins[m] * 1_000_000_000_000 // s[m] for m in models}
+        t = sum(raw.values())
+        r = {m: raw[m] * 1_000_000 * len(models) // t for m in models}
+    for m in models:
+        assert out[m]["rating_micro"] == r[m], m
+
+
+def test_prefix_filter_jaccard_is_lossless_vs_definitional(spark, sf_oracle):
+    """PPJoin prefix filter must return EXACTLY the all-shared-shingle
+    Jaccard pairs (the no-missed-pairs theorem), while generating
+    measurably fewer candidate rows than the full shingle self-join."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.minhash import ngram_jaccard_pairs
+    from bigdata_rags_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+    from bigdata_rags_spark.io.readers import read_testdata
+
+    docs = read_testdata(spark, sf_oracle, "documents")["documents"]
+    want = {tuple(r) for r in ngram_jaccard_pairs(docs, k=5, threshold=0.5).collect()}
+    got = {
+        tuple(r)
+        for r in prefix_filter_jaccard_pairs(docs, k=5, threshold=0.5)
+        .repartition(13)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_best_of_n_argmax_median_margin(spark):
+    """Winner = reward argmax (ties -> lowest cand id); median = exact
+    (n+1) div 2 rank pick; margin = best - median."""
+    from bigdata_rags_spark.functions.evals import best_of_n
+
+    rows = [
+        (1, 1, 100), (1, 2, 900), (1, 3, 500),          # odd n: median = 500
+        (2, 1, 700), (2, 2, 700), (2, 3, 100), (2, 4, 300),  # tie at top -> cand 1
+    ]
+    df = spark.createDataFrame(rows, ["task_id", "cand_id", "reward_micro"])
+    out = {r["task_id"]: r for r in best_of_n(df).collect()}
+    assert (out[1]["best_id"], out[1]["best_micro"]) == (2, 900)
+    assert out[1]["median_micro"] == 500 and out[1]["margin_micro"] == 400
+    # even n=4: rank (4+1) div 2 = 2 under ascending order -> 300
+    assert (out[2]["best_id"], out[2]["median_micro"]) == (1, 300)
+    assert out[2]["margin_micro"] == 400

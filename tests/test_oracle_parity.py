@@ -54,7 +54,8 @@ def test_registry_contract():
     assert rows_only == {
         "approx_count_distinct_orders",       # HLL sketch: engine-specific
         "embedding_near_dup_pairs_mm",        # BLAS reduction order
-        "embedding_ivf_topk",                 # iterative k-means training
+        # (embedding_ivf_topk retired r13 — superseded by the oracle-checked
+        # embedding_ivf_probe_fixed; trained path stays test-pinned)
         "approx_percentile_prices",           # GK quantile sketch: engine-specific
         "zone_compaction_invariant",          # filesystem effect (part-file count)
         "embedding_pq_trained_rerank",        # iterative Lloyd training (r8)
