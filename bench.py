@@ -213,6 +213,16 @@ HEADLINE = [
     "eval_pass_at_k",
     "eval_self_consistency",
     "eval_bootstrap_ci",
+    # round 13: trained quality classifier + trained langid (fit & score),
+    # RAG capstone chain, BT ratings, best-of-n, PPJoin exact-Jaccard
+    "quality_nb_fit",
+    "quality_nb_scores",
+    "langid_ngram_profiles",
+    "langid_ngram_scores",
+    "rag_capstone_retrieval",
+    "eval_bradley_terry",
+    "eval_best_of_n",
+    "jaccard_prefix_filter_pairs",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -285,14 +285,19 @@ def bradley_terry_ratings(
             (1 - F.col("win_i")).alias("win_i"),
         )
     )
+    # the match matrix is DERIVED (full judgment-log scan + agg) and feeds
+    # every MM round plus the win totals — materialize once (CLAUDE.md
+    # multi-branch rule; it is |models|^2 rows, the checkpoint is free and
+    # without it each lazy iteration re-scans the log: measured 7.8 s ->
+    # ~1 s warm at sf0.1)
     grid = both.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ij"),
         F.sum("win_i").cast("bigint").alias("w_ij"),
-    )
+    ).localCheckpoint()
     wins = grid.groupBy("i").agg(
         F.sum("n_ij").cast("bigint").alias("n_matches"),
         F.sum("w_ij").cast("bigint").alias("n_wins"),
-    )
+    ).localCheckpoint()
     r = wins.select("i", F.lit(1_000_000).cast("bigint").alias("r"))
     n_models = F.broadcast(wins.select(F.count(F.lit(1)).cast("bigint").alias("m")))
     for _ in range(n_iter):

@@ -522,3 +522,28 @@ def test_r11_queries_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_r13_queries_have_scale_safe_plans(spark, sf_smoke):
+    """Round-13 additions: the plan properties their docstrings claim."""
+    for name, pred in {
+        # trained NB: explode -> 64-key hash agg + broadcast weight join;
+        # never a corpus pairing
+        "quality_nb_scores": lambda p: "CartesianProduct" not in p
+        and "HashAggregate" in p,
+        # trained langid: profile join must broadcast (200 rows), no
+        # cartesian anywhere
+        "langid_ngram_scores": lambda p: "CartesianProduct" not in p
+        and "BroadcastHashJoin" in p,
+        # PPJoin: candidates via shingle EQUI-join — never all-pairs
+        "jaccard_prefix_filter_pairs": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # Bradley-Terry: models^2 grid joins only; the 1-row totals
+        # crossJoins broadcast, a real cartesian must never appear
+        "eval_bradley_terry": lambda p: "CartesianProduct" not in p,
+        # best-of-n: one per-task window + hash agg, no join explosion
+        "eval_best_of_n": lambda p: "CartesianProduct" not in p
+        and "Window" in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
