@@ -223,6 +223,7 @@ HEADLINE = [
     "eval_bradley_terry",
     "eval_best_of_n",
     "jaccard_prefix_filter_pairs",
+    "incremental_ppjoin_dedup",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

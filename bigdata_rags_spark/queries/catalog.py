@@ -22,6 +22,20 @@ compute averages with integer micro-unit floor division
 (``cents * 10^4 div n``: see events_tumbling_hourly) instead of
 ROUND(AVG(..), 6).
 
+DOUBLE->BIGINT CAST hazard (round 13, found in eval_best_of_n): DuckDB
+ROUNDS half-to-even when casting DOUBLE to BIGINT; Spark TRUNCATES toward
+zero.  Never bare-cast a float expression to an integer type in a parity
+formula — wrap the SAME explicit FLOOR() (or ROUND(), chosen once) on
+both sides.  CEIL on integers: ``(a + b - 1) DIV b`` for a >= 0 — the
+negate-divide-negate trick FLOORS under Spark's truncating div.
+
+NESTED-CTE MATERIALIZATION hazard (round 13, rag_capstone_retrieval):
+DuckDB inlines a CTE once per reference, so a greedy/iterative CTE chain
+referencing an expensive subquery CTE (a full IVFPQ replay) re-evaluates
+it per reference — measured as a >10 min hang.  Mark expensive
+multi-referenced CTEs ``AS MATERIALIZED`` in the oracle; purely physical,
+values unchanged.
+
 INTEGER-DIVISION hazard (round 8): Spark's ``div`` truncates toward zero
 while DuckDB's ``//`` floors — they agree ONLY when the numerator is
 non-negative.  Every integer-exact formula must keep operands non-negative
@@ -87,6 +101,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None = None, tier: str = TIER_REFERENCE):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # a registered function must be NAMED for its key (``_q`` suffix
+        # allowed for library-name clashes): guards the dangling-decorator
+        # bug where an insert lands between @query(...) and its def and
+        # silently registers the WRONG function under the key (found in
+        # r13 — jaccard_prefix_filter_pairs briefly served the incremental
+        # variant's frame)
+        assert fn.__name__ in (name, f"{name}_q"), (
+            f"query {name!r} registered with mismatched function "
+            f"{fn.__name__!r} — dangling decorator?"
+        )
         REGISTRY[name] = QuerySpec(name, fn, oracle, tier)
         return fn
 

@@ -471,6 +471,81 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_llm(
+    "incremental_ppjoin_dedup",
+    f"""
+WITH allsh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      CASE WHEN len({_SQL_TOKS}) >= 5 THEN range(1, len({_SQL_TOKS}) - 3)
+           ELSE [] END,
+      i -> array_to_string(({_SQL_TOKS})[i:i+4], ' ')
+    ))) AS shingle
+  FROM documents
+),
+ex AS (SELECT doc_id, shingle FROM allsh WHERE doc_id % 5 = 0),
+bsh AS (
+  SELECT doc_id, shingle FROM allsh WHERE doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, shingle FROM allsh WHERE doc_id % 10 = 0
+),
+bdocs AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 != 0
+  UNION ALL SELECT doc_id + 1000000000 FROM documents WHERE doc_id % 10 = 0
+),
+bsize AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bsh GROUP BY 1),
+esize AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+dead_ex AS (
+  SELECT DISTINCT p.bid AS doc_id FROM (
+    SELECT a.doc_id AS bid, e.doc_id AS oid, CAST(COUNT(*) AS BIGINT) AS i
+    FROM bsh a JOIN ex e ON a.shingle = e.shingle GROUP BY 1, 2
+  ) p
+  JOIN bsize sa ON sa.doc_id = p.bid
+  JOIN esize sb ON sb.doc_id = p.oid
+  WHERE ROUND(p.i / CAST(sa.n + sb.n - p.i AS DOUBLE), 6) >= 0.5
+),
+dead_lo AS (
+  SELECT DISTINCT p.bid AS doc_id FROM (
+    SELECT a.doc_id AS bid, b.doc_id AS oid, CAST(COUNT(*) AS BIGINT) AS i
+    FROM bsh a JOIN bsh b ON a.shingle = b.shingle AND b.doc_id < a.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN bsize sa ON sa.doc_id = p.bid
+  JOIN bsize sb ON sb.doc_id = p.oid
+  WHERE ROUND(p.i / CAST(sa.n + sb.n - p.i AS DOUBLE), 6) >= 0.5
+),
+dead AS (SELECT doc_id FROM dead_ex UNION SELECT doc_id FROM dead_lo)
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_shingles
+FROM bdocs d LEFT JOIN bsize s ON s.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dead)
+""",
+)
+def incremental_ppjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-Jaccard near-dedup via the prefix filter
+    (`dedup/ppjoin.incremental_prefix_filter_keepers`) — the lossless
+    member of the incremental-ingest family (exact / MinHash / winnow /
+    semantic all have incremental variants; the prefix filter completes
+    the set with the no-missed-pairs guarantee the LSH sibling trades
+    away).  Fixture: stored corpus = every 5th doc; the batch = the rest
+    PLUS planted re-crawls (exact copies of stored docs under new ids,
+    doc_id + 1e9) that must die against the store.  The rarest-first
+    order is FROZEN from the stored corpus's df table (batch-unseen
+    shingles rank at df 0) — the dedup-index analogue of the two-widths
+    doctrine.  The oracle is the definitional all-shared-shingle drop
+    rule, so the hash is again a no-missed-pairs proof."""
+    from bigdata_rags_spark.dedup.ppjoin import incremental_prefix_filter_keepers
+
+    docs = _docs_parallel(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").unionByName(
+        planted
+    )
+    return incremental_prefix_filter_keepers(batch, existing, k=5, threshold=0.5)
+
+
+@_llm(
     "jaccard_prefix_filter_pairs",
     f"""
 WITH sh AS (

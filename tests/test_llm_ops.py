@@ -3128,3 +3128,27 @@ def test_best_of_n_argmax_median_margin(spark):
     # even n=4: rank (4+1) div 2 = 2 under ascending order -> 300
     assert (out[2]["best_id"], out[2]["median_micro"]) == (1, 300)
     assert out[2]["margin_micro"] == 400
+
+
+def test_incremental_ppjoin_keepers_planted(spark):
+    """Family drop rules under the frozen stored-corpus order: an exact
+    re-crawl of a stored doc dies vs the store; of two near-identical
+    batch docs the higher id dies (greedy-by-id); novel docs survive;
+    short docs (no shingles) survive trivially."""
+    from bigdata_rags_spark.dedup.ppjoin import incremental_prefix_filter_keepers
+
+    base = " ".join(f"w{i}" for i in range(10))
+    existing = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (1, base),                                        # copy of stored -> dies
+            (2, " ".join(f"x{i}" for i in range(10))),        # novel -> keeps
+            (3, " ".join(f"x{i}" for i in range(10)) + " x9"),# near-dup of 2 (higher id) -> dies
+            (4, "too short"),                                  # no 5-gram shingles -> keeps
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_shingles"] for r in
+           incremental_prefix_filter_keepers(batch, existing, k=5, threshold=0.5).collect()}
+    assert set(out) == {2, 4}
+    assert out[2] == 6 and out[4] == 0
