@@ -587,6 +587,19 @@ _RECHECK: tuple[str, ...] = (
     # (generic id types; same values, new agg struct orientation).
     "eval_pass_at_k",
     "preference_pair_mining",
+    # round 13: the PQ/IVFPQ ADC shortlist windows gained the same
+    # partition-local pre-top-k (similarity/topk.py) — hash-identical by
+    # the superset argument, new plans; re-confirm the family's
+    # oracle-expressible members.
+    "embedding_pq_adc_topk",
+    "embedding_pq_rerank_topk",
+    "embedding_ivfpq_rerank_topk",
+    "embedding_ivfpq_index_serve",
+    "embedding_ivfpq_index_append",
+    "embedding_ivfpq_index_delete",
+    "embedding_ivfpq_tuning_planner",
+    "text_hashed_ann_topk",
+    "embedding_decontamination",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.functions.vectors import as_double_array
+from bigdata_rags_spark.similarity.topk import local_topk_prefilter
 
 M_SUB = 16
 K_CODES = 16
@@ -194,6 +195,14 @@ def pq_adc_topk(
         .filter(F.col("id") != F.col("query_id"))
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
         .agg(F.sum("dot_micro").cast("bigint").alias("approx_sim_micro"))
+    )
+    # partition-local pre-top-k (VERDICT r12 #2 family-wide): the agg's
+    # exchange is unavoidable (it IS the ADC sum), but the per-query
+    # window would re-shuffle all |Q| x candidates rows into one task per
+    # query — prune each partition to its own per-query best k first
+    # (hash-identical superset; similarity/topk.py)
+    scored = local_topk_prefilter(
+        scored, ["query_id"], [("approx_sim_micro", False), ("neighbor_id", True)], k
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim_micro"), F.asc("neighbor_id")
@@ -401,6 +410,14 @@ def ivfpq_search_rerank(
         .filter(F.col("id") != F.col("query_id"))
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
         .agg(F.sum("dot_micro").cast("bigint").alias("approx_sim_micro"))
+    )
+    # per-partition pre-top-k ahead of the shortlist window (VERDICT r12
+    # #2 family-wide; hash-identical superset — similarity/topk.py)
+    scored = local_topk_prefilter(
+        scored,
+        ["query_id"],
+        [("approx_sim_micro", False), ("neighbor_id", True)],
+        shortlist,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim_micro"), F.asc("neighbor_id")
@@ -658,6 +675,14 @@ def ivfpq_index_serve(
         .filter(F.col("id") != F.col("query_id"))
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
         .agg(F.sum("dot_micro").cast("bigint").alias("approx_sim_micro"))
+    )
+    # per-partition pre-top-k ahead of the shortlist window (VERDICT r12
+    # #2 family-wide; hash-identical superset — similarity/topk.py)
+    scored = local_topk_prefilter(
+        scored,
+        ["query_id"],
+        [("approx_sim_micro", False), ("neighbor_id", True)],
+        shortlist,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim_micro"), F.asc("neighbor_id")

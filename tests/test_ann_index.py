@@ -55,14 +55,16 @@ def _n_arrow_stages(plan: str) -> int:
 def test_serving_plan_has_no_corpus_encode(spark, built_index):
     q = built_index.filter(F.col("vec_id") < 5)
     plan = _plan(ivfpq_index_serve(q, k=5, table_prefix=PREFIX))
-    # exactly one Arrow stage: the per-QUERY lookup table.  The corpus
-    # encode (pq_encode's MapInPandas) must not appear — that's the build
-    # half, paid once at build_ivfpq_index time.
-    assert _n_arrow_stages(plan) == 1, plan[:3000]
-    # and the on-the-fly sibling DOES encode the corpus in-plan (>= 2 Arrow
-    # stages), which is exactly the repeated cost the split amortizes
+    # exactly two Arrow stages: the per-QUERY lookup table + the r13
+    # partition-local pre-top-k ahead of the shortlist window
+    # (similarity/topk.py).  The corpus encode (pq_encode's MapInPandas)
+    # must not appear — that's the build half, paid once at
+    # build_ivfpq_index time.
+    assert _n_arrow_stages(plan) == 2, plan[:3000]
+    # and the on-the-fly sibling DOES encode the corpus in-plan (one MORE
+    # Arrow stage), which is exactly the repeated cost the split amortizes
     fly = _plan(ivfpq_search_rerank(q, built_index, k=5, n_probe=4, shortlist=50))
-    assert _n_arrow_stages(fly) >= 2
+    assert _n_arrow_stages(fly) >= 3
 
 
 def test_serving_scan_prunes_unprobed_buckets(spark, built_index):
@@ -136,7 +138,7 @@ def test_trained_index_serves_its_own_quantizers(spark, sf_smoke, _drop_tables):
         key=key,
     )
     assert served == fly and len(served) == 25
-    assert _n_arrow_stages(_plan(ivfpq_index_serve(q, k=5, table_prefix="t_ann_tr"))) == 1
+    assert _n_arrow_stages(_plan(ivfpq_index_serve(q, k=5, table_prefix="t_ann_tr"))) == 2
 
     def recall(rows) -> float:
         truth: dict[int, set[int]] = {}
@@ -187,7 +189,7 @@ def test_delete_then_compact_lifecycle(spark, sf_smoke, _drop_tables):
     assert compacted == deleted
     # plan properties survive compaction
     plan = _plan(ivfpq_index_serve(e.filter(F.col("vec_id") == 1), k=5, table_prefix="t_ann_del"))
-    assert _n_arrow_stages(plan) == 1
+    assert _n_arrow_stages(plan) == 2
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2)), plan[:3000]
 
