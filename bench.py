@@ -224,6 +224,7 @@ HEADLINE = [
     "eval_best_of_n",
     "jaccard_prefix_filter_pairs",
     "incremental_ppjoin_dedup",
+    "chunk_dedup_embedding_cache",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -588,3 +588,52 @@ def rag_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mmr_rerank(pool, k=5, lambda_milli=700)
+
+
+@query(
+    "chunk_dedup_embedding_cache",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, (len(tk) - 1) // 40 + 1)) AS chunk_id,
+         unnest(list_transform(range(0, (len(tk) - 1) // 40 + 1),
+                i -> array_to_string(tk[i * 40 + 1 : i * 40 + 50], ' '))) AS chunk_text
+  FROM t
+)
+SELECT md5(chunk_text) AS chunk_hash,
+       MIN(doc_id * 100 + chunk_id) AS keeper_key,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(*) - 1 AS BIGINT) AS embeds_saved
+FROM chunks
+GROUP BY 1
+""",
+    tier=TIER_LLM,
+)
+def chunk_dedup_embedding_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-grain exact dedup — the embedding-cache step every RAG
+    ingestion pipeline runs between chunking and the (expensive) embedding
+    call: identical chunks (overlap windows, boilerplate, re-crawled docs)
+    embed ONCE under their content hash; `embeds_saved` is the per-hash
+    count of skipped calls.  One hash agg on md5(chunk_text) with the
+    deterministic keeper rule MIN(doc*100+chunk) — the `exact_dedup_docs`
+    shape at chunk grain, feeding `rag_capstone_retrieval`'s featurizer.
+    100 TB: chunking is a row-local scan and only (hash, key) pairs
+    shuffle; the cache table this materializes is exactly the
+    `chunk_hash` join key `document_chunking` already emits."""
+    from pyspark.sql import functions as F
+
+    ch = document_chunking(spark, sf_dir)
+    return (
+        ch.select(
+            F.col("chunk_hash"),
+            (F.col("doc_id") * 100 + F.col("chunk_id")).cast("long").alias("key"),
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("key").alias("keeper_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("embeds_saved"),
+        )
+        .select("chunk_hash", "keeper_key", "n_copies", "embeds_saved")
+    )
