@@ -301,7 +301,12 @@ def bradley_terry_ratings(
     r = wins.select("i", F.lit(1_000_000).cast("bigint").alias("r"))
     n_models = F.broadcast(wins.select(F.count(F.lit(1)).cast("bigint").alias("m")))
     for _ in range(n_iter):
-        # s_i = sum_j n_ij * 1e12 DIV (r_i + r_j)   (micro-inverse mass)
+        # s_i = sum_j n_ij * 1e12 DIV (r_i + r_j)   (micro-inverse mass).
+        # The micro-inverse products are DECIMAL(38,0) (HUGEINT in the
+        # oracle) — n_ij * 1e12 in bigint overflows int64 once one model
+        # pair accumulates ~9.2M judgments, the pass_at_k overflow class
+        # (ADVICE r13); division order unchanged, so values are identical
+        # wherever bigint didn't overflow.
         ra = r.select(F.col("i"), F.col("r").alias("ri"))
         rb = r.select(F.col("i").alias("j"), F.col("r").alias("rj"))
         s = (
@@ -309,19 +314,30 @@ def bradley_terry_ratings(
             .join(rb, "j")
             .groupBy("i")
             .agg(
-                F.sum(F.expr("n_ij * 1000000000000 DIV (ri + rj)"))
-                .cast("bigint")
+                F.sum(
+                    F.expr(
+                        "CAST(n_ij AS DECIMAL(38,0)) * 1000000000000"
+                        " DIV (ri + rj)"
+                    )
+                )
+                .cast("decimal(38,0)")
                 .alias("s")
             )
         )
         raw = wins.join(s, "i").select(
-            "i", F.expr("n_wins * 1000000000000 DIV s").cast("bigint").alias("r")
+            "i",
+            F.expr("CAST(n_wins AS DECIMAL(38,0)) * 1000000000000 DIV s")
+            .cast("bigint")
+            .alias("r"),
         )
         # renormalize: mean rating pinned at 1e6 micro (BT is scale-free;
         # without this the floor divisions drift the scale downward)
         tot = raw.agg(F.sum("r").cast("bigint").alias("t"))
         r = raw.crossJoin(F.broadcast(tot)).crossJoin(n_models).select(
-            "i", F.expr("r * 1000000 * m DIV t").cast("bigint").alias("r")
+            "i",
+            F.expr("CAST(r AS DECIMAL(38,0)) * 1000000 * m DIV t")
+            .cast("bigint")
+            .alias("r"),
         )
     from pyspark.sql import Window
 

@@ -315,55 +315,29 @@ _DRIVER_CHECKED: dict[str, int] = {
     # (embedding_ivf_topk retired r13)
     # --- last driver row: round 6 ---
     # --- last driver row: round 7 ---
-    "events_ab_experiment_lift": 7,
-    "events_dau_wau_stickiness": 7,
-    "events_new_vs_returning": 7,
-    "events_seasonal_baseline_error": 7,
-    "rrf_fusion_search": 7,
     "zone_compaction_invariant": 7,
     # --- last driver row: round 8 ---
     "contrastive_negatives_sample": 8,
     "corpus_health_by_lang": 8,
-    "corpus_top_tokens": 8,
     "doc_fingerprint_minshingle": 8,
     "doc_pii_scan": 8,
     "domain_blocklist_filter": 8,
     "domain_corpus_stats": 8,
     "domain_psl_extraction": 8,
     "domain_quota_selection": 8,
-    "embedding_int8_quantization": 8,
-    "embedding_ivfpq_rerank_topk": 8,
-    "embedding_label_centroids": 8,
-    "embedding_lsh_topk": 8,
-    "embedding_near_dup_pairs_lsh": 8,
-    "embedding_norm_stats": 8,
     "embedding_pq_trained_rerank": 8,
-    "embedding_random_projection": 8,
     "events_sliding_topk_types": 8,
-    "exact_dup_clusters": 8,
     "intra_doc_repeated_spans": 8,
     "langid_stopword_heuristic": 8,
     "length_weighted_sample_docs": 8,
-    "map_functions_status_scores": 8,
     "multimodal_video_framesample": 8,
     "query_likelihood_search": 8,
     "semantic_dedup_cells": 8,
     "sequence_packing_bins": 8,
-    "simhash64_fingerprints": 8,
     "source_token_drift": 8,
-    "stratified_sample_docs": 8,
     "substring_dedup_docs": 8,
     "text_quality_scores": 8,
-    "tfidf_top_terms": 8,
     "token_count_stats": 8,
-    "tpch_q10_returned_items": 8,
-    "tpch_q11_important_parts": 8,
-    "tpch_q14_promo_effect": 8,
-    "tpch_q16_supplier_part_counts": 8,
-    "tpch_q18_large_volume_customers": 8,
-    "tpch_q5_local_supplier_volume": 8,
-    "tpch_q6_forecast_revenue": 8,
-    "tpch_q7_volume_shipping": 8,
     "training_mixture_plan": 8,
     "unigram_lm_doc_scores": 8,
     # --- last driver row: round 9 ---
@@ -425,10 +399,7 @@ _DRIVER_CHECKED: dict[str, int] = {
     "decimal_exact_revenue": 10,
     "dedup_surviving_docs": 10,
     "dup_bigram_fraction_docs": 10,
-    "embedding_cosine_topk": 10,
     "embedding_ivf_probe_fixed": 10,
-    "embedding_ivfpq_index_delete": 10,
-    "embedding_ivfpq_index_serve": 10,
     "embedding_ivfpq_index_stats": 10,
     "epoch_shuffle_assignment": 10,
     "events_click_attribution": 10,
@@ -478,10 +449,7 @@ _DRIVER_CHECKED: dict[str, int] = {
     "dup_cluster_size_histogram": 11,
     "edit_distance_near_dups": 11,
     "embedding_fuzzy_dedup_vectors": 11,
-    "embedding_hard_negatives": 11,
     "embedding_ivfpq_trained_serve": 11,
-    "embedding_ivfpq_tuning_planner": 11,
-    "embedding_matryoshka_recall": 11,
     "events_attribution_first_vs_last": 11,
     "events_debounce_dedup": 11,
     "events_dedup_replayed": 11,
@@ -528,14 +496,8 @@ _DRIVER_CHECKED: dict[str, int] = {
     "doc_boilerplate_ngram_coverage": 12,
     "doc_compression_ratio": 12,
     "doc_hashed_features": 12,
-    "embedding_binary_hamming_topk": 12,
-    "embedding_decontamination": 12,
     "embedding_diversity_fps": 12,
-    "embedding_ivfpq_index_append": 12,
-    "embedding_pq_adc_topk": 12,
-    "embedding_pq_rerank_topk": 12,
     "eval_bootstrap_ci": 12,
-    "eval_pass_at_k": 12,
     "eval_self_consistency": 12,
     "events_cep_view_purchase": 12,
     "events_heavy_hitters_cms": 12,
@@ -550,7 +512,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "lsh_tuning_planner": 12,
     "ngram_diversity_report": 12,
     "pareto_abc_customers": 12,
-    "preference_pair_mining": 12,
     "priority_sample_docs": 12,
     "quality_classifier_scores": 12,
     "quality_weighted_mixing": 12,
@@ -558,7 +519,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "rfm_customer_segmentation": 12,
     "snapshot_drift_report": 12,
     "source_pair_overlap_kmv": 12,
-    "text_hashed_ann_topk": 12,
     "text_hashed_idf_near_dups": 12,
     "text_hashed_near_dups": 12,
     "unigram_encode_docs": 12,
@@ -566,40 +526,69 @@ _DRIVER_CHECKED: dict[str, int] = {
     "video_temporal_near_dups": 12,
     "vocab_coverage_curve": 12,
     "wordpiece_encode_docs": 12,
+    # --- last driver row: round 13 ---
+    "chunk_dedup_embedding_cache": 13,
+    "corpus_top_tokens": 13,
+    "embedding_binary_hamming_topk": 13,
+    "embedding_cosine_topk": 13,
+    "embedding_decontamination": 13,
+    "embedding_hard_negatives": 13,
+    "embedding_int8_quantization": 13,
+    "embedding_ivfpq_index_append": 13,
+    "embedding_ivfpq_index_delete": 13,
+    "embedding_ivfpq_index_serve": 13,
+    "embedding_ivfpq_rerank_topk": 13,
+    "embedding_ivfpq_tuning_planner": 13,
+    "embedding_label_centroids": 13,
+    "embedding_lsh_topk": 13,
+    "embedding_matryoshka_recall": 13,
+    "embedding_near_dup_pairs_lsh": 13,
+    "embedding_norm_stats": 13,
+    "embedding_pq_adc_topk": 13,
+    "embedding_pq_rerank_topk": 13,
+    "embedding_random_projection": 13,
+    "eval_best_of_n": 13,
+    "eval_bradley_terry": 13,
+    "eval_pass_at_k": 13,
+    "events_ab_experiment_lift": 13,
+    "events_dau_wau_stickiness": 13,
+    "events_new_vs_returning": 13,
+    "events_seasonal_baseline_error": 13,
+    "exact_dup_clusters": 13,
+    "incremental_ppjoin_dedup": 13,
+    "jaccard_prefix_filter_pairs": 13,
+    "langid_ngram_profiles": 13,
+    "langid_ngram_scores": 13,
+    "map_functions_status_scores": 13,
+    "preference_pair_mining": 13,
+    "quality_nb_fit": 13,
+    "quality_nb_scores": 13,
+    "rag_capstone_retrieval": 13,
+    "rrf_fusion_search": 13,
+    "simhash64_fingerprints": 13,
+    "stratified_sample_docs": 13,
+    "text_hashed_ann_topk": 13,
+    "tfidf_top_terms": 13,
+    "tpch_q10_returned_items": 13,
+    "tpch_q11_important_parts": 13,
+    "tpch_q14_promo_effect": 13,
+    "tpch_q16_supplier_part_counts": 13,
+    "tpch_q18_large_volume_customers": 13,
+    "tpch_q5_local_supplier_volume": 13,
+    "tpch_q6_forecast_revenue": 13,
+    "tpch_q7_volume_shipping": 13,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 13: the broadcast-sweep ANN family gained a partition-local
-    # pre-top-k before the global per-query window (VERDICT r12 #2,
-    # similarity/topk.py) — final hashes must be unchanged; re-confirm
-    # green.  embedding_binary_hamming_topk also pins shortlist=50
-    # explicitly (ADVICE r12: auto_shortlist drifts from the oracle
-    # literal at sf0.1).
-    "embedding_binary_hamming_topk",
-    "embedding_cosine_topk",
-    "embedding_lsh_topk",
-    "embedding_hard_negatives",
-    "embedding_matryoshka_recall",
-    # round 13 ADVICE fixes: pass@k intermediates widened to
-    # DECIMAL(38,0)/HUGEINT (same values, new expression + oracle);
-    # preference_pairs tie-break re-implemented without id negation
-    # (generic id types; same values, new agg struct orientation).
-    "eval_pass_at_k",
-    "preference_pair_mining",
-    # round 13: the PQ/IVFPQ ADC shortlist windows gained the same
-    # partition-local pre-top-k (similarity/topk.py) — hash-identical by
-    # the superset argument, new plans; re-confirm the family's
-    # oracle-expressible members.
-    "embedding_pq_adc_topk",
-    "embedding_pq_rerank_topk",
-    "embedding_ivfpq_rerank_topk",
-    "embedding_ivfpq_index_serve",
-    "embedding_ivfpq_index_append",
-    "embedding_ivfpq_index_delete",
-    "embedding_ivfpq_tuning_planner",
-    "text_hashed_ann_topk",
-    "embedding_decontamination",
+    # round 14 ADVICE fixes: Bradley-Terry micro-inverse products widened to
+    # DECIMAL(38,0)/HUGEINT (same values at fixture scale, new expression +
+    # oracle); PPJoin prefix length now uses a conservative floor for the
+    # milli threshold approximation (same candidates at threshold=0.5, new
+    # expression).
+    "eval_bradley_terry",
+    "jaccard_prefix_filter_pairs",
+    "incremental_ppjoin_dedup",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

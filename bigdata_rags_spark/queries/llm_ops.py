@@ -5690,19 +5690,25 @@ def _bt_oracle(n_iter: int = 3) -> str:
     ]
     for it in range(1, n_iter + 1):
         prev = f"r{it - 1}"
+        # HUGEINT micro-inverse products (== Spark's DECIMAL(38,0)):
+        # bigint n_ij * 1e12 overflows at ~9.2M judgments per pair
+        # (ADVICE r13, the pass_at_k overflow class)
         parts.append(
             f"""s{it} AS (
-  SELECT g.i, CAST(SUM(g.n_ij * 1000000000000 // (ra.r + rb.r)) AS BIGINT) AS s
+  SELECT g.i,
+         CAST(SUM(CAST(g.n_ij AS HUGEINT) * 1000000000000 // (ra.r + rb.r))
+              AS HUGEINT) AS s
   FROM grid g JOIN {prev} ra ON ra.i = g.i JOIN {prev} rb ON rb.i = g.j
   GROUP BY 1)"""
         )
         parts.append(
-            f"raw{it} AS (SELECT w.i, CAST(w.n_wins * 1000000000000 // s{it}.s AS BIGINT) AS r "
+            f"raw{it} AS (SELECT w.i, "
+            f"CAST(CAST(w.n_wins AS HUGEINT) * 1000000000000 // s{it}.s AS BIGINT) AS r "
             f"FROM wins w JOIN s{it} ON s{it}.i = w.i)"
         )
         parts.append(f"t{it} AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM raw{it})")
         parts.append(
-            f"r{it} AS (SELECT i, CAST(r * 1000000 * m // t AS BIGINT) AS r "
+            f"r{it} AS (SELECT i, CAST(CAST(r AS HUGEINT) * 1000000 * m // t AS BIGINT) AS r "
             f"FROM raw{it}, t{it}, nm)"
         )
     return (

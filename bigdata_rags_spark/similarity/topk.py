@@ -44,6 +44,7 @@ def local_topk_prefilter(
     keys: Sequence[str],
     order: Sequence[tuple[str, bool]],
     keep: int,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Keep <= ``keep`` rows per ``keys`` group WITHIN each physical
     partition, under the total order ``order`` ([(col, ascending), ...]).
@@ -54,8 +55,30 @@ def local_topk_prefilter(
     per-key top ``keep`` and the downstream window result is bit-identical
     under any partitioning.  Schema is unchanged — select the narrow
     columns (ids + score) BEFORE calling so the Arrow hop stays thin.
+
+    ``order`` columns must be NON-NULL and NON-NaN (ADVICE r13): pandas'
+    ``sort_values`` places NaN/None LAST regardless of direction, while
+    Spark orders NULL first under asc and treats NaN as the largest
+    double — a NaN/null row the global window would keep could be pruned
+    here, silently breaking the superset argument.  Every repo call site
+    feeds integer Hamming distances or rounded finite cosines; the fold
+    raises loudly on a violation rather than corrupt the top-k.
+
+    Applicability (the keep x P < N rule, SCALE.md r13): the prune only
+    pays off when ``keep`` x the number of physical partitions is well
+    under the row count — the output is bounded by |keys-in-partition| x
+    keep per partition, so when keep x P >= N the Arrow hop cannot shrink
+    the downstream exchange and is pure overhead.  Callers that already
+    know the row count can pass ``n_rows`` (VERDICT r13 #8): when
+    ``keep * num_partitions >= n_rows`` the prune is SKIPPED and ``df``
+    returns unchanged (visible in the plan as the missing MapInPandas
+    stage).  Without ``n_rows`` the prune always applies — counting here
+    would cost the job the prune exists to avoid.
     """
     import pandas as pd
+
+    if n_rows is not None and keep * max(1, df.rdd.getNumPartitions()) >= n_rows:
+        return df
 
     schema = df.schema
     key_cols = list(keys)
@@ -67,6 +90,13 @@ def local_topk_prefilter(
         # state never exceeds |keys| x keep rows plus one incoming batch.
         best: pd.DataFrame | None = None
         for pdf in batches:
+            if pdf[order_cols].isna().values.any():
+                raise ValueError(
+                    "local_topk_prefilter: NULL/NaN in order columns "
+                    f"{order_cols} — pandas na_position diverges from "
+                    "Spark window NULL/NaN ordering; the caller must "
+                    "feed non-null, non-NaN scores (see docstring)"
+                )
             cur = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
             cur = cur.sort_values(order_cols, ascending=ascending, kind="mergesort")
             best = cur.groupby(key_cols, sort=False).head(keep)

@@ -48,16 +48,33 @@ def ingest_vectors_batch(
     """One micro-batch's upsert into the persisted IVFPQ index — the
     delete-then-append composition described in the module docstring.
     Also the right call for BATCH upserts (replace-or-insert by id); the
-    streaming sink below is just this per trigger."""
+    streaming sink below is just this per trigger.
+
+    INTRA-BATCH duplicates (the CDC/update-stream case: two rows for one
+    id inside a single micro-batch) are collapsed to ONE deterministic row
+    per id BEFORE the delete-then-append (ADVICE r13): without this, the
+    id is tombstoned once and then BOTH rows insert and clear the
+    tombstone — two live copies, the exact duplicate-rank/double-ADC bug
+    the purge exists to prevent.  The input carries no version column, so
+    the documented rule is ``max(vec)`` under Spark's lexicographic array
+    order — arbitrary but DETERMINISTIC, hence replay-idempotent (a
+    replayed batch collapses to the same survivor).  Callers with a real
+    version column should pre-resolve to latest-per-id upstream."""
     from bigdata_rags_spark.similarity.pq import (
         append_ivfpq_index,
         delete_from_ivfpq_index,
     )
 
-    ids = batch.select(F.col(id_col)).distinct()
+    one_per_id = batch.groupBy(F.col(id_col)).agg(
+        F.max(F.col(vec_col)).alias(vec_col)
+    )
+    ids = one_per_id.select(F.col(id_col))
     delete_from_ivfpq_index(ids, table_prefix, id_col=id_col)
     append_ivfpq_index(
-        batch.select(id_col, vec_col), table_prefix, id_col=id_col, vec_col=vec_col
+        one_per_id.select(id_col, vec_col),
+        table_prefix,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

@@ -3112,6 +3112,34 @@ def test_prefix_filter_jaccard_is_lossless_vs_definitional(spark, sf_oracle):
     assert got == want and len(got) > 0
 
 
+def test_prefix_filter_non_milli_threshold_stays_lossless(spark):
+    """ADVICE r13: t_milli must FLOOR, never round — a rounded-UP milli
+    threshold (0.4516 -> 452) shortens the prefix below the theorem bound
+    at large n and silently drops qualifying pairs.  Pin the conservative
+    direction: at a non-milli-representable threshold the filter still
+    returns exactly the definitional pairs."""
+    from bigdata_rags_spark.dedup.minhash import ngram_jaccard_pairs
+    from bigdata_rags_spark.dedup.ppjoin import prefix_filter_jaccard_pairs
+
+    def words(lo, hi):
+        return " ".join(f"w{i}" for i in range(lo, hi))
+
+    docs = spark.createDataFrame(
+        [
+            (1, words(0, 40)),
+            (2, words(0, 25) + " " + words(100, 115)),  # J vs 1 just below t
+            (3, words(10, 50)),                          # J vs 1 ~ 0.59 >= t
+            (4, words(200, 240)),                        # disjoint
+            (5, words(0, 40)),                           # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    t = 0.4516
+    want = {tuple(r) for r in ngram_jaccard_pairs(docs, k=2, threshold=t).collect()}
+    got = {tuple(r) for r in prefix_filter_jaccard_pairs(docs, k=2, threshold=t).collect()}
+    assert got == want and len(got) >= 2
+
+
 def test_best_of_n_argmax_median_margin(spark):
     """Winner = reward argmax (ties -> lowest cand id); median = exact
     (n+1) div 2 rank pick; margin = best - median."""

@@ -766,3 +766,55 @@ def test_stream_ingest_into_ivfpq_equals_batch_append(spark, sf_smoke, tmp_path)
         for p in prefixes:
             for suffix in ("_codes", "_vectors", "_meta", "_tombstones"):
                 drop_managed_table(spark, f"{p}{suffix}")
+
+
+def test_ingest_batch_with_intra_batch_duplicate_ids_converges(spark, sf_smoke):
+    """ADVICE r13 (medium): a micro-batch carrying TWO rows for one id
+    (the CDC/update-stream case) must still converge to exactly one live
+    copy — delete-then-append alone tombstones the id once and then
+    inserts both rows, leaving duplicates.  The fix collapses the batch to
+    one deterministic row per id (max(vec) lexicographic) pre-append."""
+    from bigdata_rags_spark.io.bucketing import drop_managed_table
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.pq import build_ivfpq_index
+    from bigdata_rags_spark.streaming.ingest import ingest_vectors_batch
+
+    prefix = "t_dup_ing"
+    try:
+        e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+        build_ivfpq_index(e.filter(F.col("vec_id") % 3 != 0), table_prefix=prefix)
+
+        dup_id = 777_777
+        batch = (
+            e.filter(F.col("vec_id").isin(10, 11))
+            .select(F.lit(dup_id).cast("bigint").alias("vec_id"), "embedding")
+        )
+        assert batch.count() == 2
+        expected_vec = batch.agg(F.max("embedding")).collect()[0][0]
+
+        ingest_vectors_batch(batch, prefix)
+        live_vecs = (
+            spark.table(f"{prefix}_vectors").filter(F.col("vec_id") == dup_id).collect()
+        )
+        assert len(live_vecs) == 1
+        assert list(live_vecs[0]["embedding"]) == list(expected_vec)
+        # codes table: exactly one row per subquantizer for the id, and no
+        # lingering tombstone masking it
+        codes = spark.table(f"{prefix}_codes").filter(F.col("id") == dup_id)
+        assert codes.count() == codes.select("m").distinct().count()
+        assert (
+            spark.table(f"{prefix}_tombstones")
+            .filter(F.col("vec_id") == dup_id)
+            .count()
+            == 0
+        )
+
+        # replaying the same duplicate-carrying batch is still idempotent
+        ingest_vectors_batch(batch, prefix)
+        again = (
+            spark.table(f"{prefix}_vectors").filter(F.col("vec_id") == dup_id).collect()
+        )
+        assert len(again) == 1 and list(again[0]["embedding"]) == list(expected_vec)
+    finally:
+        for suffix in ("_codes", "_vectors", "_meta", "_tombstones"):
+            drop_managed_table(spark, f"{prefix}{suffix}")

@@ -101,6 +101,48 @@ def test_sweep_queries_plan_the_local_prefilter(spark, sf_smoke):
         assert "hashpartitioning(query_id" in p, name
 
 
+def test_prefilter_raises_on_nan_or_null_scores(spark):
+    """ADVICE r13: pandas sorts NaN/None last regardless of direction while
+    Spark windows order NULL first under asc / NaN largest — a silent prune
+    of a would-be winner.  The contract is non-null non-NaN order columns;
+    violations must fail LOUDLY, not corrupt the top-k."""
+    import pytest
+
+    for bad in (float("nan"), None):
+        df = spark.createDataFrame(
+            [(0, 1, 5.0), (0, 2, bad), (0, 3, 1.0)],
+            "g long, item long, score double",
+        )
+        pre = local_topk_prefilter(
+            df, ["g"], [("score", False), ("item", True)], 2
+        )
+        with pytest.raises(Exception, match="NULL/NaN"):
+            pre.collect()
+
+
+def test_prefilter_skips_when_keep_times_partitions_covers_n(spark):
+    """VERDICT r13 #8: with n_rows known and keep x P >= N the prune cannot
+    shrink the exchange — the call must return the frame unchanged (no
+    MapInPandas stage), so small-N library callers don't pay a
+    pure-overhead Arrow hop."""
+    df = (
+        spark.range(100)
+        .select(
+            (F.col("id") % 4).alias("g"),
+            F.col("id").alias("item"),
+            (F.col("id") % 7).cast("double").alias("score"),
+        )
+        .repartition(8)
+    )
+    order = [("score", False), ("item", True)]
+    skipped = local_topk_prefilter(df, ["g"], order, 20, n_rows=100)
+    assert "MapInPandas" not in _plan(skipped)  # 20 * 8 >= 100 -> no-op
+    applied = local_topk_prefilter(df, ["g"], order, 2, n_rows=100)
+    assert "MapInPandas" in _plan(applied)  # 2 * 8 < 100 -> prune
+    # and the no-op path is value-identical to the input
+    assert _global_topk(skipped, 20) == _global_topk(df, 20)
+
+
 def test_binary_topk_values_unchanged_by_prefilter(spark, sf_oracle):
     """End-to-end anchor: the registered binary query (prefilter inside)
     equals the pre-r13 semantics — shortlist>=corpus degenerate equals the
