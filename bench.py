@@ -188,7 +188,9 @@ HEADLINE = [
     "bpe_encode_docs",
     "bpe_sequence_packing",
     "doc_hashed_features",
-    "text_hashed_near_dups",
+    # (text_hashed_near_dups demoted r14: raw-count signature skew made its
+    # wall time unstable — 12-22 s intra-session at sf0.1; the idf sibling
+    # below is the registered serve path)
     "text_hashed_ann_topk",
     "video_temporal_near_dups",
     "embedding_decontamination",

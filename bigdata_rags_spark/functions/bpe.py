@@ -50,6 +50,28 @@ def encode_word(word_col) -> F.Column:
     )
 
 
+def encode_word_bytes(word_col) -> F.Column:
+    """word -> bracketed BYTE-level initial symbols (GPT-2-style byte
+    fallback, VERDICT r13 next #5): the word's UTF-8 bytes render as
+    two-hex-char symbols ('61', 'C3', ...), plus the end-of-word marker.
+
+    Why bytes: the char-level ``encode_word`` seeds the vocabulary from
+    the TRAINING corpus's characters, so a serving document containing an
+    out-of-alphabet character has no guaranteed encoding under a frozen
+    vocab.  The byte alphabet is CLOSED (exactly 256 symbols + EOW), so
+    ``byte_vocab`` covers every possible input by construction and any
+    unicode text encodes — and round-trips — losslessly.  Bonus safety: a
+    word containing a literal '</w>' (which corrupts char-level decode)
+    is hex-encoded here ('3C2F773E'), so the only literal EOW markers in
+    the symbol stream are the appended ones."""
+    return F.concat(
+        F.regexp_replace(
+            F.upper(F.hex(F.encode(word_col, "UTF-8"))), "(..)", f"{US}$1{RS}"
+        ),
+        F.lit(f"{US}{EOW}{RS}"),
+    )
+
+
 def _symbols(enc) -> F.Column:
     """Bracketed string -> array<string> of symbols."""
     return F.split(F.expr(f"trim(BOTH '{US}{RS}' FROM {enc})"), f"{RS}{US}")
@@ -60,6 +82,7 @@ def train_bpe_merges(
     n_merges: int = 8,
     word_col: str = "word",
     count_col: str = "cnt",
+    encoder=encode_word,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merge rules over a (word, count) vocabulary.
 
@@ -76,7 +99,7 @@ def train_bpe_merges(
         .select(
             F.col(word_col).alias("word"),
             F.col(count_col).cast("bigint").alias("cnt"),
-            encode_word(F.col(word_col)).alias("enc"),
+            encoder(F.col(word_col)).alias("enc"),
         )
         .localCheckpoint()  # materialize the vocab once; rounds never re-scan upstream
     )
@@ -132,6 +155,7 @@ def apply_bpe_merges(
     merges: list[tuple[str, str]],
     word_col: str = "word",
     count_col: str = "cnt",
+    encoder=encode_word,
 ) -> DataFrame:
     """Segment a (word, count) vocabulary with an ORDERED merge list — the
     serving half of BPE (train once with ``train_bpe_merges``, apply the
@@ -144,7 +168,7 @@ def apply_bpe_merges(
     vocab is a single scan with a deep-but-codegen-friendly replace chain
     (each replace is a literal substring scan).
     """
-    enc = encode_word(F.col(word_col))
+    enc = encoder(F.col(word_col))
     for l, r in merges:
         enc = F.replace(
             enc, F.lit(f"{US}{l}{RS}{US}{r}{RS}"), F.lit(f"{US}{l + r}{RS}")
@@ -275,11 +299,109 @@ def decode_token_ids(
     )
 
 
+def byte_vocab(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The FROZEN byte-level token-id table: the closed 256-symbol byte
+    alphabet ('00'..'FF') + the end-of-word marker + one product symbol
+    per merge rule, ranked by subword string (the ``subword_vocab``
+    convention).  Built from literals — no corpus scan — and COMPLETE by
+    construction: every segmentation under ``encode_word_bytes`` +
+    ``merges`` emits only symbols from this set, so a frozen-vocab encode
+    can never drop an out-of-alphabet piece (the byte-fallback
+    guarantee)."""
+    from pyspark.sql import Window
+
+    base = spark.range(256).select(
+        F.format_string("%02X", F.col("id").cast("int")).alias("subword")
+    )
+    extra = [EOW] + [l + r for l, r in merges]
+    syms = base.unionByName(
+        spark.createDataFrame([(s,) for s in extra], "subword string")
+    ).distinct()
+    return syms.withColumn(
+        "token_id", F.row_number().over(Window.orderBy("subword")).cast("bigint")
+    )
+
+
+def bpe_encode_documents_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-fallback corpus ENCODE (VERDICT r13 next #5): like
+    ``bpe_encode_documents`` but over ``encode_word_bytes`` symbols and
+    the FROZEN ``byte_vocab`` id table, so ANY unicode document — symbols
+    in the training alphabet or not — encodes losslessly.  Same scale
+    shape: one corpus scan, all merge work on the distinct-word table,
+    dictionary-encode join back onto the word stream."""
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("wpos", "word"),
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    seg = apply_bpe_merges(words, merges, encoder=encode_word_bytes)
+    word_sub = seg.select("word", F.posexplode("subwords").alias("spos", "subword"))
+    return encode_documents_from_word_pieces(
+        docs,
+        word_sub,
+        id_col,
+        text_col,
+        vocab=byte_vocab(docs.sparkSession, merges),
+    )
+
+
+def decode_byte_token_ids(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Byte-level DETOKENIZE: token ids -> hex symbol stream -> (EOW
+    markers become the space byte '20') -> unhex -> UTF-8 — reconstructing
+    the document's space-joined word stream EXACTLY (one trailing space
+    from the final EOW is dropped).  Stronger than the char-level decode
+    contract: word boundaries AND every non-ASCII character survive."""
+    ids = encoded.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(F.split(F.col(ids_col), ","), lambda s: s.cast("bigint"))
+        ).alias("tpos", "token_id"),
+    )
+    hexed = (
+        ids.join(F.broadcast(vocab), "token_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "subword"))),
+                    lambda s: s["subword"],
+                ),
+                "",
+            ).alias("hx")
+        )
+    )
+    return (
+        hexed.withColumn(
+            "__txt",
+            F.decode(
+                F.unhex(F.replace(F.col("hx"), F.lit(EOW), F.lit("20"))), "UTF-8"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr("substring(__txt, 1, length(__txt) - 1)").alias("decoded"),
+        )
+    )
+
+
 def encode_documents_from_word_pieces(
     docs: DataFrame,
     word_sub: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Shared ENCODE tail for every tokenizer family: given an ORDERED
     per-word segmentation ``word_sub (word, spos int, subword)`` — from
@@ -297,8 +419,12 @@ def encode_documents_from_word_pieces(
     )
     # vocab ranking: one unpartitioned window over the DISTINCT subword
     # inventory — vocab-bounded (never corpus-bounded), the documented
-    # single-partition exception shared with the tokenizer trainers
-    vocab = subword_vocab(word_sub)
+    # single-partition exception shared with the tokenizer trainers.
+    # A caller-supplied FROZEN vocab (the byte-fallback ``byte_vocab``)
+    # replaces the corpus-derived one; coverage is then the caller's
+    # contract (the byte alphabet satisfies it by construction).
+    if vocab is None:
+        vocab = subword_vocab(word_sub)
     wid = (
         word_sub.join(F.broadcast(vocab), "subword")
         .groupBy("word")

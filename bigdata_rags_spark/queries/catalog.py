@@ -520,7 +520,9 @@ _DRIVER_CHECKED: dict[str, int] = {
     "snapshot_drift_report": 12,
     "source_pair_overlap_kmv": 12,
     "text_hashed_idf_near_dups": 12,
-    "text_hashed_near_dups": 12,
+    # (text_hashed_near_dups demoted to a test-only calibration sibling in
+    # r14 — raw-count LSH signature skew, unstable wall time; the idf
+    # sibling is the registered serve path)
     "unigram_encode_docs": 12,
     "url_canonical_dedup": 12,
     "video_temporal_near_dups": 12,

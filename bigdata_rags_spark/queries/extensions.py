@@ -3156,6 +3156,98 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "zone_time_travel_read",
+    """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, '1995-01-01' AS vf,
+         CASE WHEN o_orderkey % 5 = 0 THEN '1995-06-01'
+              WHEN o_orderkey % 7 = 0 THEN '1995-12-01'
+              ELSE NULL END AS vt
+  FROM orders
+),
+v2 AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, '1995-06-01' AS vf,
+         CASE WHEN o_orderkey % 7 = 0 THEN '1995-12-01' ELSE NULL END AS vt
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+v3 AS (
+  SELECT o_orderkey, 'Y' AS o_orderstatus, '1995-12-01' AS vf,
+         CAST(NULL AS VARCHAR) AS vt
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+hist AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+),
+snap AS (
+  SELECT 'as_of_1995-03-01' AS as_of_label, o_orderstatus FROM hist
+   WHERE vf <= '1995-03-01' AND (vt IS NULL OR '1995-03-01' < vt)
+  UNION ALL
+  SELECT 'as_of_1995-09-01', o_orderstatus FROM hist
+   WHERE vf <= '1995-09-01' AND (vt IS NULL OR '1995-09-01' < vt)
+  UNION ALL
+  SELECT 'current', o_orderstatus FROM hist WHERE vt IS NULL
+)
+SELECT as_of_label, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM snap GROUP BY 1, 2
+""",
+)
+def zone_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone TIME-TRAVEL read (`io/maintenance.as_of_snapshot` /
+    `read_zone_as_of` — VERDICT r13 next #6): reconstruct a
+    SCD-2-maintained table at three moments and report its status
+    composition at each.  Three merge batches build the history (all keys
+    at 1995-01-01 with their real status; every 5th key flips to 'X' at
+    1995-06-01; every 7th to 'Y' at 1995-12-01), then
+    as-of(1995-03-01) != as-of(1995-09-01) != current — each probe
+    non-vacuously selects a different version mix, the lakehouse
+    "SELECT ... AS OF" surface the snapshot/SCD2/CDC tier was missing.
+    Scale: each as-of read is one scan with a row-local interval
+    predicate (no join); the three labeled snapshots union into one
+    status rollup."""
+    from bigdata_rags_spark.io.maintenance import as_of_snapshot, scd2_apply
+
+    o = read_testdata(spark, sf_dir, "orders")["orders"]
+    b1 = o.select(
+        "o_orderkey", "o_orderstatus", F.lit("1995-01-01").alias("change_ts")
+    )
+    b2 = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.lit("1995-06-01").alias("change_ts"),
+    )
+    b3 = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("Y").alias("o_orderstatus"),
+        F.lit("1995-12-01").alias("change_ts"),
+    )
+    hist = scd2_apply(
+        scd2_apply(
+            scd2_apply(None, b1, "o_orderkey", "change_ts"),
+            b2,
+            "o_orderkey",
+            "change_ts",
+        ),
+        b3,
+        "o_orderkey",
+        "change_ts",
+    )
+
+    def labeled(label: str, snap: DataFrame) -> DataFrame:
+        return snap.select(
+            F.lit(label).alias("as_of_label"), "o_orderstatus"
+        )
+
+    snaps = (
+        labeled("as_of_1995-03-01", as_of_snapshot(hist, "1995-03-01"))
+        .unionByName(labeled("as_of_1995-09-01", as_of_snapshot(hist, "1995-09-01")))
+        .unionByName(labeled("current", hist.filter(F.col("__is_current"))))
+    )
+    return snaps.groupBy("as_of_label", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
 def _zorder_oracle(n_files: int = 64) -> str:
     """Oracle for the Z-order layout stats: the same 16-bit grid `div`
     normalization and the same 32-term shift-add Morton interleave,

@@ -1392,17 +1392,24 @@ SELECT id_a, id_b, similarity FROM cand WHERE similarity >= {threshold}
 """
 
 
-@_llm("text_hashed_near_dups", _text_lsh_oracle())
 def text_hashed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END text near-dup from raw documents — featurize (hashed
-    64-dim integer vectors, `functions/featurize.py:hashed_doc_vectors`)
-    then the production LSH near-dup path (`similarity/knn.py:
-    lsh_verified_pairs`): candidates via hyperplane-signature probe
-    equi-joins, exact-cosine verify at 0.8 (measured at sf0.01: background
-    hashed-cosine mass dies below ~0.7, planted near-dups sit >= 0.9 — the
-    0.8 boundary is in the empty margin).  This closes the docs -> vectors
-    gap: the similarity tier no longer needs the pre-made embeddings
-    fixture to run."""
+    """END-TO-END text near-dup from raw documents over RAW-COUNT hashed
+    vectors — DEREGISTERED round 14 (the r6/r7 demotion pattern), kept as
+    the test-only calibration sibling of ``text_hashed_idf_near_dups``.
+
+    Why demoted: raw count vectors share a dominant common-word direction
+    that correlates LSH signatures corpus-wide (SCALE.md r11 finding #6),
+    so this variant carries 3.1M candidates/table at sf0.1 where the idf
+    sibling sits at the 0.83M theoretical floor — and the skewed
+    signature buckets made its wall time UNSTABLE: r14 serialized
+    median-of-3 re-measure (VERDICT r13 #2) gave 21.1 s warm with a
+    12.1-22.0 s intra-session spread, vs the strictly-heavier idf
+    sibling's steady ~10.8 s.  The idf variant is the documented 100-TB
+    serve path; this one remains the raw-count calibration baseline
+    (featurize -> `similarity/knn.lsh_verified_pairs`, exact-cosine
+    verify at 0.8 — at sf0.01 background mass dies below ~0.7, planted
+    near-dups sit >= 0.9), pinned by
+    tests/test_llm_ops.py::test_text_hashed_near_dups_end_to_end."""
     from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
     from bigdata_rags_spark.similarity.knn import lsh_verified_pairs
 
@@ -8099,4 +8106,332 @@ def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg.withColumn("rnk", F.row_number().over(wneg).cast("int"))
         .filter(F.col("rnk") <= 5)
         .select("query_id", F.col("cand_id").alias("negative_id"), "similarity", "rnk")
+    )
+
+
+# multimodal capstone: retrieve documents BY IMAGE (VERDICT r13 next #3) ------
+
+
+def _hamming128_banded_probe(
+    qh: DataFrame, ch: DataFrame, max_hamming: int = 7, k: int = 5
+) -> DataFrame:
+    """Asymmetric banded-Hamming ANN probe — the QUERY-vs-CORPUS serving
+    form of ``_hamming128_banded_pairs``: band both sides' 128-bit hashes
+    into 8 keys of 16 bits, equi-join query bands against corpus bands,
+    verify candidates with the exact four-word bit_count, keep each
+    query's top ``k`` hits at hamming <= ``max_hamming``.  Pigeonhole-
+    exact for ``max_hamming <= 7``: every qualifying (query, match) pair
+    shares an untouched band, so the probe equals the all-pairs predicate
+    the oracle states directly.  Scale: candidates ~|Q| x N/65536 per
+    band, hashes are 4 ints/row, the per-query window runs on verified
+    hits only (already <= corpus near-dup density)."""
+    def band_keys(h: DataFrame, idcol: str) -> DataFrame:
+        bands = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(w{b // 2}, {16 * (b % 2)}) & 65535").alias("key"),
+            )
+            for b in range(8)
+        ]
+        return h.select(
+            F.col("doc_id").alias(idcol), F.explode(F.array(*bands)).alias("bk")
+        ).select(idcol, "bk.band", "bk.key")
+
+    cand = (
+        band_keys(qh, "query_doc")
+        .join(band_keys(ch, "match_doc"), ["band", "key"])
+        .filter(F.col("query_doc") != F.col("match_doc"))
+        .select("query_doc", "match_doc")
+        .distinct()
+    )
+    ha = qh.select(
+        F.col("doc_id").alias("query_doc"),
+        *[F.col(f"w{j}").alias(f"a{j}") for j in range(4)],
+    )
+    hb = ch.select(
+        F.col("doc_id").alias("match_doc"),
+        *[F.col(f"w{j}").alias(f"b{j}") for j in range(4)],
+    )
+    from pyspark.sql import Window
+
+    dist = " + ".join(f"bit_count(a{j} ^ b{j})" for j in range(4))
+    verified = (
+        cand.join(ha, "query_doc")
+        .join(hb, "match_doc")
+        .withColumn("hamming", F.expr(dist).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    w = Window.partitionBy("query_doc").orderBy("hamming", "match_doc")
+    return (
+        verified.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_doc", "rank", "match_doc", "hamming")
+    )
+
+
+def _multimodal_capstone_oracle(max_hamming: int = 7, k: int = 5) -> str:
+    """One-statement replay of the image capstone chain: synthesized-PNG
+    decode -> 16x8 aHash words (``_phash_words_sql``) -> query subset ->
+    Hamming <= 7 hits (the banded probe is pigeonhole-EQUAL to this
+    predicate) -> per-query top-k -> document metadata join."""
+    return f"""
+WITH {_phash_words_sql()},
+q AS (SELECT * FROM hh WHERE doc_id % 10 = 0),
+scored AS (
+  SELECT a.doc_id AS query_doc, b.doc_id AS match_doc,
+         CAST({_PHASH_DIST} AS INT) AS hamming
+  FROM q a JOIN hh b ON b.doc_id != a.doc_id
+  WHERE {_PHASH_DIST} <= {max_hamming}
+),
+topk AS (
+  SELECT query_doc, match_doc, hamming,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+              ORDER BY hamming, match_doc) AS INT) AS rank
+  FROM scored QUALIFY rank <= {k}
+)
+SELECT t.query_doc, t.rank, t.match_doc, t.hamming,
+       d.lang AS match_lang, CAST(d.n_chars AS BIGINT) AS match_chars
+FROM topk t JOIN documents d ON d.doc_id = t.match_doc
+"""
+
+
+@_llm("multimodal_capstone_retrieval", _multimodal_capstone_oracle())
+def multimodal_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL CAPSTONE — retrieve documents BY IMAGE, end to end
+    (VERDICT r13 next #3, the image twin of `rag_capstone_retrieval`):
+    attach genuine PNG payloads -> pure-python decode -> 16x8 downsample
+    -> 128-bit average hash (`multimodal/codecs.image_ahash128`) ->
+    banded-Hamming ANN probe (every 10th document's image queries the
+    whole corpus; 8x16-bit band equi-join, exact bit_count verify at
+    hamming <= 7, per-query top-5) -> hits join back to `documents` for
+    the curation report (match language + size).  One oracle statement
+    replays decode -> hash -> ANN -> metadata join; the probe is
+    pigeonhole-exact, so the hash-green check covers the whole chain.
+    Scale: the hash frame is localCheckpoint'ed (4-branch consumer:
+    query/corpus band explodes + both verify sides); images never cross
+    an exchange after the hash stage; candidates ~|Q| x N/65536/band."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_png_payload,
+        image_ahash128,
+        resize_images,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    h = image_ahash128(
+        resize_images(attach_png_payload(docs), out_w=16, out_h=8)
+    ).localCheckpoint()
+    hits = _hamming128_banded_probe(
+        h.filter(F.col("doc_id") % 10 == 0), h, max_hamming=7, k=5
+    )
+    meta = docs.select(
+        F.col("doc_id").alias("match_doc"),
+        F.col("lang").alias("match_lang"),
+        F.col("n_chars").cast("bigint").alias("match_chars"),
+    )
+    return hits.join(meta, "match_doc").select(
+        "query_doc", "rank", "match_doc", "hamming", "match_lang", "match_chars"
+    )
+
+
+# byte-fallback BPE (VERDICT r13 next #5) -------------------------------------
+
+
+def _bpe_byte_blocks(n_merges: int = 8) -> str:
+    """`_bpe_blocks` with the BYTE-level initial encoding
+    (`functions/bpe.encode_word_bytes`): each word's UTF-8 bytes render as
+    two-hex-char bracketed symbols before the same unrolled merge rounds."""
+    US, RS = "\x1f", "\x1e"
+    blocks = [
+        f"""v0 AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         regexp_replace(upper(hex(encode(token))), '(..)', '{US}\\1{RS}', 'g')
+           || '{US}</w>{RS}' AS enc
+  FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+  WHERE NOT regexp_matches(token, '[{US}{RS}]')
+  GROUP BY token
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        blocks.append(
+            f"""p{i} AS (
+  SELECT unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r, cnt
+  FROM (SELECT cnt, string_split(trim(enc, '{US}{RS}'), '{RS}{US}') AS s FROM v{i-1})
+),
+a{i} AS (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM p{i} GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+),
+v{i} AS (
+  SELECT word, cnt,
+         replace(enc, '{US}' || l || '{RS}{US}' || r || '{RS}',
+                 '{US}' || l || r || '{RS}') AS enc
+  FROM v{i-1} CROSS JOIN a{i}
+)"""
+        )
+    return ",\n".join(blocks)
+
+
+def _byte_encode_ctes(n_merges: int = 8) -> str:
+    """Byte-level encode replay: segmentation under the trained byte
+    merges, the FROZEN closed vocab (256 byte symbols + EOW + one product
+    per merge — `functions/bpe.byte_vocab`), word -> ids dictionary,
+    per-doc reassembly."""
+    US, RS = "\x1f", "\x1e"
+    merged = "\n  UNION\n  ".join(
+        f"SELECT l || r AS subword FROM a{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""{_bpe_byte_blocks(n_merges)},
+segw AS (
+  SELECT word, string_split(trim(enc, '{US}{RS}'), '{RS}{US}') AS subs FROM v{n_merges}
+),
+wsub AS (
+  SELECT word, unnest(subs) AS subword, generate_subscripts(subs, 1) AS spos FROM segw
+),
+vsyms AS (
+  SELECT printf('%02X', CAST(i AS INT)) AS subword FROM range(0, 256) t(i)
+  UNION
+  SELECT '</w>' AS subword
+  UNION
+  {merged}
+),
+vocab AS (
+  SELECT subword, CAST(ROW_NUMBER() OVER (ORDER BY subword) AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT subword FROM vsyms)
+),
+wid AS (
+  SELECT w.word, list(v.token_id ORDER BY w.spos) AS ids
+  FROM wsub w JOIN vocab v USING (subword) GROUP BY w.word
+),
+dw AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS wpos
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+),
+de AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         flatten(list(w.ids ORDER BY d.wpos)) AS ids
+  FROM dw d JOIN wid w USING (word) GROUP BY d.doc_id
+)"""
+
+
+def _byte_encode_oracle(n_merges: int = 8) -> str:
+    return f"""WITH {_byte_encode_ctes(n_merges)}
+SELECT doc_id, n_words, CAST(len(ids) AS BIGINT) AS n_tokens,
+       array_to_string(ids, ',') AS token_ids
+FROM de"""
+
+
+def _byte_roundtrip_oracle(n_merges: int = 8) -> str:
+    """Encode + byte-level DECODE replay: ids -> hex symbols -> EOW markers
+    become the space byte '20' -> unhex -> UTF-8, audited against the
+    doc's SPACE-JOINED word stream (boundaries AND every byte survive —
+    the char-level audit could only compare whitespace-elided)."""
+    return f"""WITH {_byte_encode_ctes(n_merges)},
+decx AS (
+  SELECT doc_id, unnest(ids) AS token_id, generate_subscripts(ids, 1) AS tpos FROM de
+),
+dec AS (
+  SELECT d.doc_id,
+         decode(unhex(replace(string_agg(v.subword, '' ORDER BY d.tpos),
+                              '</w>', '20'))) AS raw
+  FROM decx d JOIN vocab v USING (token_id) GROUP BY d.doc_id
+),
+orig AS (
+  SELECT d.doc_id, string_agg(d.word, ' ' ORDER BY d.wpos) AS orig_text
+  FROM dw d JOIN wid w USING (word) GROUP BY d.doc_id
+)
+SELECT de.doc_id, CAST(len(de.ids) AS BIGINT) AS n_tokens,
+       CAST(length(substring(dec.raw, 1, length(dec.raw) - 1)) AS BIGINT)
+         AS n_chars_decoded,
+       CAST(substring(dec.raw, 1, length(dec.raw) - 1) = o.orig_text AS INT)
+         AS lossless
+FROM de JOIN dec USING (doc_id) JOIN orig o ON o.doc_id = de.doc_id"""
+
+
+@_llm("bpe_byte_encode_docs", _byte_encode_oracle())
+def bpe_byte_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-FALLBACK tokenizer encode (`functions/bpe.py:
+    bpe_encode_documents_bytes`, GPT-2-style byte level — VERDICT r13
+    next #5): words hex-render to their UTF-8 byte symbols, 8 merge rules
+    train over the byte alphabet, and every document encodes under the
+    FROZEN closed vocab (256 byte symbols + EOW + merge products from
+    `byte_vocab`) — so out-of-alphabet characters are impossible by
+    construction and any unicode text encodes losslessly, the guarantee
+    the char-seeded encoders cannot make under a frozen vocab.  Same
+    scale shape as `bpe_encode_docs`: one corpus scan, vocab-sized merge
+    work, dictionary-encode join back."""
+    from bigdata_rags_spark.functions.bpe import (
+        bpe_encode_documents_bytes,
+        encode_word_bytes,
+        train_bpe_merges,
+    )
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=8, encoder=encode_word_bytes)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_encode_documents_bytes(docs, rules)
+
+
+@_llm("bpe_byte_roundtrip", _byte_roundtrip_oracle())
+def bpe_byte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level DECODE + lossless audit (`functions/bpe.py:
+    decode_byte_token_ids`): every document's byte token ids map back
+    through the frozen vocab to the hex symbol stream, EOW markers become
+    the space byte, unhex + UTF-8 reconstructs the SPACE-JOINED word
+    stream exactly — a strictly stronger contract than the char-level
+    `bpe_decode_roundtrip` (word boundaries and non-ASCII bytes both
+    survive; the planted-unicode pytest proves lossless=1 on emoji/CJK
+    text the char path can't guarantee under a frozen vocab).
+    ``lossless`` must be 1 for every document."""
+    from bigdata_rags_spark.functions.bpe import (
+        bpe_encode_documents_bytes,
+        byte_vocab,
+        decode_byte_token_ids,
+        encode_word_bytes,
+        train_bpe_merges,
+    )
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.col("text"))).alias("wpos", "word")
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=8, encoder=encode_word_bytes)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    enc = bpe_encode_documents_bytes(docs, rules).localCheckpoint()
+    dec = decode_byte_token_ids(enc, byte_vocab(spark, rules))
+    # audit target = the ENCODED word stream (words carrying the bracket
+    # control chars are excluded from segmentation in both engines)
+    orig = toks.filter(~F.col("word").rlike("[\x1f\x1e]")).groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("orig_text")
+    )
+    return (
+        enc.join(dec, "doc_id")
+        .join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.length("decoded").cast("bigint").alias("n_chars_decoded"),
+            (F.col("decoded") == F.col("orig_text")).cast("int").alias("lossless"),
+        )
     )

@@ -637,3 +637,96 @@ def chunk_dedup_embedding_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("chunk_hash", "keeper_key", "n_copies", "embeds_saved")
     )
+
+
+def _rm3_oracle(
+    fb_k: int = 10, n_expansion: int = 10, alpha_micro: int = 500_000, k: int = 10
+) -> str:
+    """Chained-CTE replay of `retrieval/bm25.rm3_expanded_search`: first-pass
+    BM25, integer-micro relevance-model weights over the top-fb_k feedback
+    docs, RM3 interpolation, weighted second pass.  The weighted term score
+    parenthesizes the Okapi factor FIRST — ``(qw/1e6) * (idf * (tf*2.2) /
+    den)`` — matching Spark's expression tree exactly (left-assoc `a*b/c`
+    would round differently in the last ulp)."""
+    orig_micro = (1_000_000 - alpha_micro) // len(QUERY_TERMS)
+    values = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    okapi = (
+        "ln((stats.n_docs - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+        " * ({tf} * 2.2) / ({tf} + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgl.avgdl))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+pdt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM pdt GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+avgl AS (SELECT AVG(dl) AS avgdl FROM dl),
+tfq AS (SELECT * FROM pdt WHERE token IN ({_TERMS_SQL})),
+dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY token),
+bm25q AS (
+  SELECT tfq.doc_id,
+         ROUND(SUM({okapi.format(df="dfq.df", tf="tfq.tf")}), 6) AS bm25_orig
+  FROM tfq JOIN dfq USING (token) JOIN dl ON tfq.doc_id = dl.doc_id
+  CROSS JOIN stats CROSS JOIN avgl
+  GROUP BY tfq.doc_id
+),
+fb AS (
+  SELECT doc_id FROM bm25q
+  QUALIFY ROW_NUMBER() OVER (ORDER BY bm25_orig DESC, doc_id) <= {fb_k}
+),
+w AS (
+  SELECT token, CAST(SUM(pdt.tf * 1000000 // dl.dl) AS BIGINT) AS w_micro
+  FROM pdt JOIN fb USING (doc_id) JOIN dl ON pdt.doc_id = dl.doc_id
+  WHERE token NOT IN ({_TERMS_SQL})
+  GROUP BY token
+),
+expt AS (
+  SELECT token, w_micro FROM w
+  QUALIFY ROW_NUMBER() OVER (ORDER BY w_micro DESC, token) <= {n_expansion}
+),
+sumw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tot FROM expt),
+weights AS (
+  SELECT token, CAST({orig_micro} AS BIGINT) AS qw_micro
+  FROM (VALUES {values}) AS q(token)
+  UNION ALL
+  SELECT token, CAST({alpha_micro} * w_micro // tot AS BIGINT) FROM expt, sumw
+),
+tfa AS (SELECT pdt.* FROM pdt JOIN weights USING (token)),
+dfa AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfa GROUP BY token),
+rescored AS (
+  SELECT tfa.doc_id,
+         ROUND(SUM((wt.qw_micro / 1000000.0)
+                   * ({okapi.format(df="dfa.df", tf="tfa.tf")})), 6) AS rm3_score,
+         CAST(COUNT(*) AS BIGINT) AS matched_terms
+  FROM tfa JOIN dfa USING (token) JOIN weights wt USING (token)
+  JOIN dl ON tfa.doc_id = dl.doc_id
+  CROSS JOIN stats CROSS JOIN avgl
+  GROUP BY tfa.doc_id
+)
+SELECT r.doc_id, r.rm3_score, COALESCE(b.bm25_orig, 0.0) AS bm25_orig,
+       r.matched_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY r.rm3_score DESC, r.doc_id) AS INT) AS rnk
+FROM rescored r LEFT JOIN bm25q b ON r.doc_id = b.doc_id
+QUALIFY rnk <= {k}
+"""
+
+
+@query("rm3_expansion_search", _rm3_oracle(), tier=TIER_LLM)
+def rm3_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3, Lavrenko & Croft 2001 —
+    `retrieval/bm25.rm3_expanded_search`; VERDICT r13 next #4): BM25 top-10
+    feedback docs re-weight the query with their term distribution
+    (integer-micro relevance model, 10 expansion terms, alpha = 0.5
+    interpolation) and a weighted second BM25 pass re-ranks — the standard
+    feedback rung above plain BM25, reported with the first-pass score
+    alongside.  Scale: one tokenization shuffle (the per-(doc, token)
+    relation is checkpointed for its four consumers), all feedback-derived
+    frames are fb_k/n_expansion-bounded broadcasts, both top-k stages are
+    TakeOrderedAndProject."""
+    from bigdata_rags_spark.retrieval.bm25 import rm3_expanded_search
+
+    docs = _docs_parallel(spark, sf_dir)
+    return rm3_expanded_search(
+        docs, QUERY_TERMS, fb_k=10, n_expansion=10, alpha_micro=500_000, k=10
+    )

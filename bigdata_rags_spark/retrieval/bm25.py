@@ -243,6 +243,144 @@ def rrf_search(
     ).withColumn("rnk", F.col("rnk").cast("int"))
 
 
+def rm3_expanded_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_k: int = 10,
+    n_expansion: int = 10,
+    alpha_micro: int = 500_000,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance feedback / RM3 query expansion (Lavrenko & Croft
+    2001, "Relevance-based language models"; the RM3 interpolation is the
+    standard Anserini/Indri formulation) — the feedback rung the retrieval
+    ladder (BM25 -> QL -> hybrid -> RRF -> MMR) was missing (VERDICT r13
+    next #2):
+
+    1. first pass: BM25 top ``fb_k`` docs for the original query;
+    2. relevance model over the feedback set with a uniform document
+       prior: ``w(t) = sum_D tf(t, D) / |D|`` — here integer micro
+       (``sum(tf * 1e6 DIV dl)``), never a float, so both engines agree
+       bit-for-bit;
+    3. expansion terms: top ``n_expansion`` non-query terms by
+       (w_micro desc, token asc);
+    4. RM3 interpolation: original terms carry
+       ``(1e6 - alpha_micro) DIV |Q|`` micro each, expansion terms share
+       ``alpha_micro`` proportionally to w (``alpha * w DIV sum_w``);
+    5. second pass: weighted BM25 — each term's Okapi score is scaled by
+       its query-model weight (one float multiply in a pinned order,
+       rounded once) and summed; top ``k`` by (rm3 desc, doc_id).
+
+    Returns (doc_id, rm3_score, bm25_orig, matched_terms, rnk) — the
+    re-ranked list with the first-pass score alongside, so both rankings
+    are reported in one frame.  A synonym-shifted relevant doc that
+    shares NO original query term (bm25_orig = 0) can enter the RM3
+    top-k purely through expansion terms — the planted-recovery test.
+
+    Scale shape: ONE corpus tokenization shuffle; the per-(doc, token)
+    relation is ``localCheckpoint``-ed because it feeds four plan
+    branches (first-pass tf, feedback weights, second-pass tf, expanded
+    dfreq — the CLAUDE.md multi-branch rule); everything derived from the
+    feedback set is fb_k- or n_expansion-bounded and broadcast; both
+    top-k stages are TakeOrderedAndProject.  The feedback loop is
+    inherently two-pass — no single-plan formulation avoids scanning the
+    token relation twice, which is exactly what the checkpoint amortizes.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    pdt = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    dl = pdt.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+
+    def okapi_term_scores(tf: DataFrame) -> DataFrame:
+        """(doc_id, token, s): the per-term Okapi BM25 contribution, df
+        derived from the given (doc, token, tf) subset."""
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        return (
+            tf.join(F.broadcast(dfreq), "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(n_docs))
+            .crossJoin(F.broadcast(avgdl))
+            .select(
+                "doc_id",
+                "token",
+                (
+                    idf
+                    * (F.col("tf") * (K1 + 1))
+                    / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+                ).alias("s"),
+            )
+        )
+
+    # pass 1: plain BM25, feedback set = top fb_k
+    bm25_q = (
+        okapi_term_scores(pdt.filter(F.col("token").isin(query_terms)))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25_orig"))
+    )
+    fb = (
+        _ranked_topk(bm25_q, [F.desc("bm25_orig"), F.asc("doc_id")], fb_k, "r_fb")
+        .select("doc_id")
+    )
+
+    # relevance-model weights over the feedback docs (integer micro)
+    w = (
+        pdt.join(F.broadcast(fb), "doc_id")
+        .join(dl, "doc_id")
+        .filter(~F.col("token").isin(query_terms))
+        .groupBy("token")
+        .agg(F.sum(F.expr("tf * 1000000 DIV dl")).cast("bigint").alias("w_micro"))
+    )
+    exp_terms = _ranked_topk(
+        w, [F.desc("w_micro"), F.asc("token")], n_expansion, "r_exp"
+    ).select("token", "w_micro")
+    sum_w = exp_terms.agg(F.sum("w_micro").cast("bigint").alias("tot"))
+    exp_weights = exp_terms.crossJoin(F.broadcast(sum_w)).select(
+        "token",
+        F.expr(f"{alpha_micro} * w_micro DIV tot").cast("bigint").alias("qw_micro"),
+    )
+    orig_micro = (1_000_000 - alpha_micro) // len(query_terms)
+    spark = docs.sparkSession
+    orig_weights = spark.createDataFrame(
+        [(t, orig_micro) for t in query_terms], "token string, qw_micro bigint"
+    )
+    weights = orig_weights.unionByName(exp_weights)
+
+    # pass 2: weighted BM25 over the expanded query model
+    rescored = (
+        okapi_term_scores(pdt.join(F.broadcast(weights.select("token")), "token"))
+        .join(F.broadcast(weights), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("qw_micro") / F.lit(1_000_000.0) * F.col("s")), 6).alias(
+                "rm3_score"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("matched_terms"),
+        )
+    )
+    out = rescored.join(bm25_q, "doc_id", "left").select(
+        "doc_id",
+        "rm3_score",
+        F.coalesce(F.col("bm25_orig"), F.lit(0.0)).alias("bm25_orig"),
+        "matched_terms",
+    )
+    return _ranked_topk(out, [F.desc("rm3_score"), F.asc("doc_id")], k).withColumn(
+        "rnk", F.col("rnk").cast("int")
+    )
+
+
 MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty's standard default)
 
 

@@ -198,3 +198,59 @@ def test_rag_capstone_retrieves_planted_needle(spark):
     )
     out = sorted(mmr_rerank(pool, k=3, lambda_milli=700).collect(), key=lambda r: r["step"])
     assert out[0]["doc_id"] == 7  # the needle seeds the diversified list
+
+
+def test_rm3_expansion_recovers_synonym_shifted_doc(spark):
+    """VERDICT r13 #4: the planted-recovery contract — a relevant doc that
+    shares NO original query term is invisible to plain BM25 but enters
+    the RM3 top-k through expansion terms mined from the feedback docs."""
+    from bigdata_rags_spark.retrieval.bm25 import bm25_scores, rm3_expanded_search
+
+    filler = "lorem ipsum dolor sit amet consectetur"
+    rows = [
+        # feedback docs: contain the query term AND the synonym "catalyst"
+        (1, "spark catalyst engine spark catalyst plan"),
+        (2, "spark catalyst optimizer spark catalyst rules"),
+        (3, "spark catalyst codegen catalyst stage spark"),
+        # the synonym-shifted relevant doc: catalyst only, no "spark"
+        (4, "catalyst catalyst catalyst optimization deep dive"),
+        # background noise
+        (5, filler + " one two"),
+        (6, filler + " three four"),
+        (7, filler + " five six"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = ["spark"]
+
+    plain = {r["doc_id"] for r in bm25_scores(docs, q, k=4).collect()}
+    assert 4 not in plain  # no query term -> unmatched by BM25
+
+    out = rm3_expanded_search(
+        docs, q, fb_k=3, n_expansion=3, alpha_micro=500_000, k=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 4 in by_id, out
+    assert by_id[4]["bm25_orig"] == 0.0  # both rankings reported
+    assert by_id[4]["rm3_score"] > 0.0
+
+
+def test_rm3_alpha_zero_reduces_to_bm25_ranking(spark):
+    """alpha_micro=0 kills the expansion mass: the RM3 ranking must equal
+    the plain BM25 ranking (scores scale by 1/|Q| but order is identical)."""
+    from bigdata_rags_spark.retrieval.bm25 import bm25_scores, rm3_expanded_search
+
+    rows = [
+        (1, "spark join stream spark"),
+        (2, "spark join other words here"),
+        (3, "spark alone with filler text"),
+        (4, "nothing relevant at all here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = ["spark", "join", "stream"]
+    plain = [
+        r["doc_id"] for r in sorted(bm25_scores(docs, q, k=3).collect(), key=lambda r: r["rnk"])
+    ]
+    rm3 = rm3_expanded_search(docs, q, fb_k=2, n_expansion=2, alpha_micro=0, k=3)
+    assert [
+        r["doc_id"] for r in sorted(rm3.collect(), key=lambda r: r["rnk"])
+    ] == plain
