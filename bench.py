@@ -227,6 +227,17 @@ HEADLINE = [
     "jaccard_prefix_filter_pairs",
     "incremental_ppjoin_dedup",
     "chunk_dedup_embedding_cache",
+    # round 14: RM3 feedback expansion, image-retrieval capstone,
+    # byte-level BPE encode/decode, zone time travel, ANN recall gate,
+    # classifier calibration, curriculum annealing
+    "rm3_expansion_search",
+    "multimodal_capstone_retrieval",
+    "bpe_byte_encode_docs",
+    "bpe_byte_roundtrip",
+    "zone_time_travel_read",
+    "ivfpq_recall_report",
+    "quality_nb_calibration",
+    "curriculum_anneal_plan",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -534,3 +534,73 @@ def preference_pairs(
         )
         .filter(F.col("chosen_id") != F.col("rejected_id"))
     )
+
+
+def curriculum_anneal_plan(
+    df: DataFrame,
+    domain_col: str = "source",
+    n_epochs: int = 3,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Epoch-ANNEALED curriculum mixing plan — the multi-epoch extension of
+    ``temperature_mixing_plan`` (the UniMax/T5 temperature family): epoch 1
+    samples domains proportionally to their natural size (tau = 1), and
+    each later epoch applies one more sqrt to the weight (tau = 2, 4, ...),
+    flattening the mix toward uniform as training progresses — the public
+    multilingual/curriculum schedule that starts on the natural
+    distribution and up-weights rare domains in later passes.
+
+    Engine-exact by the same construction: epoch e's weight is
+    floor(sqrt(...)) iterated (e-1) times on the bigint domain size —
+    IEEE sqrt is correctly rounded and every intermediate is re-floored
+    to a bigint < 2^53, so the weight chain is bit-identical in every
+    engine; allocation stays integer floor division with the UniMax
+    per-domain cap.
+
+    Returns (epoch int, domain, n_docs, weight, alloc, rate_micro) —
+    n_epochs x |domains| rows.  Scale shape: ONE corpus groupBy on the
+    domain key; the per-epoch weight chain and totals are domain-
+    cardinality-sized expressions on that tiny frame.
+    """
+    d = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    epochs = []
+    w = F.col("n_docs")
+    for e in range(1, n_epochs + 1):
+        de = d.select(
+            F.lit(e).cast("int").alias("epoch"),
+            "domain",
+            "n_docs",
+            w.cast("bigint").alias("weight"),
+        )
+        t = de.agg(
+            F.sum("n_docs").cast("bigint").alias("total"),
+            F.sum("weight").cast("bigint").alias("w_total"),
+        )
+        epochs.append(
+            de.crossJoin(F.broadcast(t))
+            .withColumn(
+                "alloc",
+                F.least(
+                    F.col("n_docs"),
+                    F.expr(
+                        f"(total * {budget_num} DIV {budget_den}) * weight DIV w_total"
+                    ),
+                ).cast("bigint"),
+            )
+            .select(
+                "epoch",
+                "domain",
+                "n_docs",
+                "weight",
+                "alloc",
+                F.expr("alloc * 1000000 DIV n_docs").cast("bigint").alias("rate_micro"),
+            )
+        )
+        w = F.floor(F.sqrt(w)).cast("bigint")
+    out = epochs[0]
+    for de in epochs[1:]:
+        out = out.unionByName(de)
+    return out

@@ -446,3 +446,68 @@ def compression_ratio_scores(
             )
 
     return docs.select(id_col, text_col).mapInPandas(score, schema)
+
+
+def nb_calibration_bins(
+    docs: DataFrame,
+    weights: DataFrame,
+    label_col: str = "y",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for the trained NB classifier on a labeled
+    HELD-OUT split — the calibration audit every quality gate runs before
+    trusting classifier probabilities as sampling weights (Guo et al. 2017
+    "On Calibration of Modern Neural Networks"; the reliability diagram /
+    ECE decomposition is the standard public report).
+
+    Per document the mean evidence becomes a probability proxy through the
+    same rational sigmoid as `quality_classifier_scores` —
+    ``p = 500000 * (1e6 + |m| + m) div (1e6 + |m|)`` micro, exact integer
+    math — then docs bin by probability decile and each bin reports
+    predicted vs empirical: (bin int, n_docs, n_pos, mean_prob_micro,
+    emp_rate_micro, gap_micro).  |gap| summed with bin mass is ECE; a
+    well-calibrated scorer keeps gap near 0 in every populated bin.
+
+    100-TB shape: one scoring scan (`nb_score_docs`) + one n_bins-group
+    hash agg; the report is n_bins rows.
+    """
+    scored = nb_score_docs(
+        docs.select(F.col(id_col), F.col(text_col)), weights, id_col, text_col
+    )
+    labeled = scored.join(
+        docs.select(F.col(id_col), F.col(label_col).cast("bigint").alias("y")),
+        id_col,
+    )
+    prob = (
+        "CAST((500000 * (1000000 + abs(mean_micro) + mean_micro))"
+        " div (1000000 + abs(mean_micro)) AS BIGINT)"
+    )
+    binned = labeled.select(
+        "y",
+        F.expr(prob).alias("prob_micro"),
+    ).withColumn(
+        "bin",
+        F.least(
+            F.expr(f"prob_micro * {n_bins} div 1000000"), F.lit(n_bins - 1)
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr("SUM(prob_micro) div COUNT(*)").cast("bigint").alias(
+                "mean_prob_micro"
+            ),
+            F.expr("SUM(y) * 1000000 div COUNT(*)").cast("bigint").alias(
+                "emp_rate_micro"
+            ),
+        )
+        .withColumn(
+            "gap_micro",
+            (F.col("mean_prob_micro") - F.col("emp_rate_micro")).cast("bigint"),
+        )
+        .select("bin", "n_docs", "n_pos", "mean_prob_micro", "emp_rate_micro", "gap_micro")
+    )

@@ -8435,3 +8435,177 @@ def bpe_byte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("decoded") == F.col("orig_text")).cast("int").alias("lossless"),
         )
     )
+
+
+# round-14 extension ring: ANN recall gate, classifier calibration,
+# curriculum annealing ------------------------------------------------------
+
+
+def _ivfpq_recall_oracle(k: int = 10, n_queries: int = 25) -> str:
+    """ANN-vs-exact recall replay: the full IVFPQ serving oracle and the
+    brute-force cosine top-k over the same queries, joined per (query,
+    neighbor), recall@k per query in integer micro."""
+    return f"""
+WITH ann AS MATERIALIZED ({_ivfpq_oracle(k=k, n_queries=n_queries)}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id, ROUND({_SQL_COSINE}, 6) AS similarity
+  FROM q CROSS JOIN c WHERE neighbor_id != query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY similarity DESC, neighbor_id) AS r
+    FROM sims
+  ) WHERE r <= {k}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ann a JOIN exact x
+    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT qq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000000 // {k} AS BIGINT) AS recall_micro
+FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hits h USING (query_id)
+"""
+
+
+@_llm("ivfpq_recall_report", _ivfpq_recall_oracle())
+def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL GATE — per-query recall@10 of the IVFPQ serving path
+    against the exact brute-force cosine truth over the same 25 queries:
+    the calibration report every production vector store runs before
+    trusting an approximate index (and re-runs when n_probe/shortlist
+    change; pair with `embedding_ivfpq_tuning_planner` to pick the knob).
+    Both sides are already oracle-exact individually; this query joins
+    them per (query, neighbor) and reports n_hits + recall in integer
+    micro, so the gate itself is hash-checkable.  100 TB: the ANN side is
+    the bucket-pruned serving plan; the exact side is |Q| x N on a
+    benchmark-sized query SAMPLE only (25 here) — recall auditing never
+    runs corpus x corpus."""
+    from bigdata_rags_spark.similarity.knn import brute_force_topk
+    from bigdata_rags_spark.similarity.pq import ivfpq_search_rerank
+
+    k, n_queries = 10, 25
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < n_queries)
+    ann = ivfpq_search_rerank(q, e, k=k, n_probe=4, shortlist=50).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(q, e, k=k).select("query_id", "neighbor_id")
+    hits = ann.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 1000000 DIV {k}")
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+    )
+
+
+@_llm(
+    "quality_nb_calibration",
+    f"""
+WITH {_nb_ctes()},
+dtoks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+          WHERE doc_id % 2 = 1),
+dbuck AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
+  FROM dtoks
+),
+dsc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM dbuck JOIN wts USING (b) GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id,
+         CAST((score_micro + 1000000 * n_tokens) // n_tokens - 1000000 AS BIGINT)
+           AS mean_micro
+  FROM dsc
+),
+p AS (
+  SELECT h.y,
+         CAST((500000 * (1000000 + abs(mean_micro) + mean_micro))
+              // (1000000 + abs(mean_micro)) AS BIGINT) AS prob_micro
+  FROM m JOIN (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents WHERE doc_id % 2 = 1) h USING (doc_id)
+),
+bb AS (SELECT CAST(LEAST(prob_micro * 10 // 1000000, 9) AS INT) AS bin,
+              y, prob_micro FROM p)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(prob_micro) // COUNT(*) AS BIGINT) AS mean_prob_micro,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS emp_rate_micro,
+       CAST(SUM(prob_micro) // COUNT(*) - SUM(y) * 1000000 // COUNT(*) AS BIGINT)
+         AS gap_micro
+FROM bb GROUP BY bin
+""",
+)
+def quality_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION audit (`quality.nb_calibration_bins`, the
+    reliability-diagram/ECE report of Guo et al. 2017): fit the NB quality
+    classifier on the even-doc_id seed split, score the HELD-OUT odd
+    split, push mean evidence through the exact rational sigmoid, and bin
+    predicted probability against the empirical positive rate per decile
+    — the report that decides whether classifier scores can be trusted as
+    sampling weights (`quality_weighted_mixing`) or need recalibration.
+    All integer micro math, one oracle replays fit -> score -> sigmoid ->
+    bins.  100 TB: one scoring scan + a 10-group agg."""
+    from bigdata_rags_spark.quality import nb_calibration_bins, nb_fit_weights
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    weights = nb_fit_weights(_nb_seed(spark, sf_dir))
+    held = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    return nb_calibration_bins(held, weights)
+
+
+@_llm(
+    "curriculum_anneal_plan",
+    """
+WITH d AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+u AS (
+  SELECT 1 AS epoch, domain, n_docs, n_docs AS weight FROM d
+  UNION ALL
+  SELECT 2, domain, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) FROM d
+  UNION ALL
+  SELECT 3, domain, n_docs,
+         CAST(floor(sqrt(CAST(floor(sqrt(n_docs)) AS BIGINT))) AS BIGINT) FROM d
+),
+t AS (SELECT epoch, CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(SUM(weight) AS BIGINT) AS w_total
+      FROM u GROUP BY 1)
+SELECT CAST(u.epoch AS INT) AS epoch, domain, n_docs, weight,
+       CAST(LEAST(n_docs, (t.total * 1 // 2) * weight // t.w_total) AS BIGINT)
+         AS alloc,
+       CAST(LEAST(n_docs, (t.total * 1 // 2) * weight // t.w_total) * 1000000
+            // n_docs AS BIGINT) AS rate_micro
+FROM u JOIN t USING (epoch)
+""",
+)
+def curriculum_anneal_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-annealed CURRICULUM mixing plan (`operators/sampling.
+    curriculum_anneal_plan` — the multi-epoch extension of
+    `domain_temperature_mixing`): epoch 1 samples the natural domain
+    distribution, each later epoch applies one more exactly-rounded
+    floor(sqrt(.)) to the weights (tau = 1 -> 2 -> 4), flattening toward
+    uniform as training progresses — the public multilingual curriculum
+    schedule that starts natural and up-weights rare domains late.  All
+    integer floor division around the IEEE-exact sqrt chain, UniMax
+    per-domain cap per epoch.  One corpus groupBy; everything after is
+    domain-cardinality-sized."""
+    from bigdata_rags_spark.operators.sampling import curriculum_anneal_plan
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    return curriculum_anneal_plan(docs, domain_col="source", n_epochs=3)

@@ -3246,3 +3246,77 @@ def test_byte_bpe_encodes_out_of_alphabet_serving_text(spark):
     assert row["n_words"] == 4 and row["n_tokens"] > 0
     dec = decode_byte_token_ids(enc, byte_vocab(spark, rules)).collect()[0]
     assert dec["decoded"] == "naïve café 東京 🚀"
+
+
+def test_curriculum_anneal_plan_flattens_toward_uniform(spark):
+    """Epoch 1 = natural distribution; each later epoch's sqrt must raise
+    the SMALL domains' sampling rate monotonically (flattening toward
+    uniform), with the UniMax cap holding in every epoch."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.operators.sampling import curriculum_anneal_plan
+
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(i + 100, "mid") for i in range(9)]
+        + [(i + 200, "tiny") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = curriculum_anneal_plan(df, domain_col="source", n_epochs=3).collect()
+    assert len(out) == 9
+    by = {(r["epoch"], r["domain"]): r for r in out}
+    # weight chain: n -> floor(sqrt(n)) -> floor(sqrt(floor(sqrt(n))))
+    assert [by[(e, "big")]["weight"] for e in (1, 2, 3)] == [100, 10, 3]
+    assert [by[(e, "mid")]["weight"] for e in (1, 2, 3)] == [9, 3, 1]
+    for r in out:
+        assert 0 <= r["alloc"] <= r["n_docs"]
+        assert r["rate_micro"] == r["alloc"] * 1_000_000 // r["n_docs"]
+    # small domains' sampling rate is non-decreasing across epochs; the
+    # big domain's share of the (constant) budget shrinks
+    for dom in ("mid", "tiny"):
+        rates = [by[(e, dom)]["rate_micro"] for e in (1, 2, 3)]
+        assert rates == sorted(rates), (dom, rates)
+    big_rates = [by[(e, "big")]["rate_micro"] for e in (1, 2, 3)]
+    assert big_rates[0] > big_rates[-1]
+
+
+def test_nb_calibration_bins_on_separable_planted_split(spark):
+    """A cleanly separable seed/held split must land positives in a high
+    probability bin with emp_rate 1e6 and negatives in a low bin with
+    emp_rate 0, and gap must equal mean_prob - emp_rate exactly."""
+    from bigdata_rags_spark.quality import nb_calibration_bins, nb_fit_weights
+
+    seed = spark.createDataFrame(
+        [(1, "good " * 20), (0, "bad " * 20)] * 3, ["y", "text"]
+    )
+    weights = nb_fit_weights(seed)
+    held = spark.createDataFrame(
+        [
+            (1, "good good good good good", 1),
+            (2, "good good good good", 1),
+            (3, "bad bad bad bad bad", 0),
+            (4, "bad bad bad", 0),
+        ],
+        ["doc_id", "text", "y"],
+    )
+    out = nb_calibration_bins(held, weights).collect()
+    assert sum(r["n_docs"] for r in out) == 4
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert r["gap_micro"] == r["mean_prob_micro"] - r["emp_rate_micro"]
+    hi = max(out, key=lambda r: r["bin"])
+    lo = min(out, key=lambda r: r["bin"])
+    assert hi["emp_rate_micro"] == 1_000_000 and hi["n_pos"] == hi["n_docs"]
+    assert lo["emp_rate_micro"] == 0 and lo["n_pos"] == 0
+    assert hi["bin"] > lo["bin"]
+
+
+def test_ivfpq_recall_report_bounds_and_nonvacuous(spark, sf_oracle):
+    from bigdata_rags_spark.queries.catalog import REGISTRY
+
+    out = REGISTRY["ivfpq_recall_report"].spark(spark, sf_oracle).collect()
+    assert len(out) == 25  # one row per query, hit or not
+    assert all(0 <= r["n_hits"] <= 10 for r in out)
+    assert all(r["recall_micro"] == r["n_hits"] * 100_000 for r in out)
+    # the probed-cells path must find SOMETHING on the fixture
+    assert sum(r["n_hits"] for r in out) > 0
