@@ -238,6 +238,8 @@ HEADLINE = [
     "ivfpq_recall_report",
     "quality_nb_calibration",
     "curriculum_anneal_plan",
+    "embedding_matryoshka_funnel_topk",
+    "tokenizer_fertility_report",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -8609,3 +8609,111 @@ def curriculum_anneal_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
     return curriculum_anneal_plan(docs, domain_col="source", n_epochs=3)
+
+
+def _matryoshka_funnel_oracle(
+    d_coarse: int = 8, shortlist: int = 50, k: int = 5, n_queries: int = 5
+) -> str:
+    """Replay of the matryoshka funnel: prefix-d cosine shortlist, full-dim
+    exact rerank, both on rounded similarities with neighbor-id ties."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+coarse AS (
+  SELECT query_id, neighbor_id, coarse_sim FROM (
+    SELECT query_id, neighbor_id,
+           ROUND(list_dot_product(qv[1:{d_coarse}], cv[1:{d_coarse}])
+                 / sqrt(list_dot_product(qv[1:{d_coarse}], qv[1:{d_coarse}]))
+                 / sqrt(list_dot_product(cv[1:{d_coarse}], cv[1:{d_coarse}])), 6)
+             AS coarse_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ROUND(list_dot_product(qv[1:{d_coarse}], cv[1:{d_coarse}])
+                 / sqrt(list_dot_product(qv[1:{d_coarse}], qv[1:{d_coarse}]))
+                 / sqrt(list_dot_product(cv[1:{d_coarse}], cv[1:{d_coarse}])), 6)
+               DESC, neighbor_id) AS r
+    FROM q CROSS JOIN c WHERE neighbor_id != query_id
+  ) WHERE r <= {shortlist}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.coarse_sim,
+         ROUND({_SQL_COSINE}, 6) AS similarity
+  FROM coarse s
+  JOIN q ON q.query_id = s.query_id
+  JOIN c ON c.neighbor_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, coarse_sim, similarity, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS INT) AS rank
+  FROM rer
+) WHERE rank <= {k}
+"""
+
+
+@_llm("embedding_matryoshka_funnel_topk", _matryoshka_funnel_oracle())
+def embedding_matryoshka_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka ADAPTIVE retrieval (`similarity/knn.
+    matryoshka_coarse_to_fine_topk`; Kusupati et al. 2022's funnel): the
+    8-dim prefix cosine shortlists 50 candidates per query — on
+    prefix-sliced storage that coarse sweep reads 1/8th of the vector
+    bytes — and the full 64-dim exact cosine reranks the shortlist to
+    top-5.  The serving CONSUMER of `embedding_matryoshka_recall`'s
+    what-dim-do-I-serve planner, and the third member of the
+    cheap-score-then-exact-rerank family (binary Hamming, PQ ADC,
+    now matryoshka prefix).  Both stages deterministic on rounded
+    cosines; the oracle replays the whole funnel."""
+    from bigdata_rags_spark.similarity.knn import matryoshka_coarse_to_fine_topk
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return matryoshka_coarse_to_fine_topk(q, e, d_coarse=8, shortlist=50, k=5)
+
+
+@_llm(
+    "tokenizer_fertility_report",
+    f"""WITH {_encode_docs_ctes(_bpe_blocks(8))}
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(de.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(len(de.ids)) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(de.ids)) * 1000000 // SUM(de.n_words) AS BIGINT)
+         AS fertility_micro
+FROM de JOIN documents d USING (doc_id)
+GROUP BY 1""",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report — tokens-per-word by language, the
+    standard multilingual tokenizer-equity metric (the XLM-R/NLLB-style
+    audit: a vocabulary trained lopsidedly makes some languages pay 2-3x
+    the tokens for the same words, which is 2-3x the training/serving
+    cost and effective context):  encode the corpus under the trained
+    8-rule BPE (`functions/bpe.bpe_encode_documents`) and aggregate
+    n_tokens * 1e6 DIV n_words per `documents.lang`.  The eval consumer
+    of the train->encode loop, next to `vocab_coverage_curve`.  100 TB:
+    the encode is the existing dictionary-join scan; the report is one
+    |langs|-group agg."""
+    from bigdata_rags_spark.functions.bpe import bpe_encode_documents, train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    docs = _docs_parallel(spark, sf_dir)
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=8).orderBy("merge_round").collect()
+    ]
+    enc = bpe_encode_documents(docs, rules)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("SUM(n_tokens) * 1000000 DIV SUM(n_words)")
+            .cast("bigint")
+            .alias("fertility_micro"),
+        )
+    )

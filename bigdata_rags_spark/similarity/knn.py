@@ -140,6 +140,64 @@ def matryoshka_recall(
     return out
 
 
+def matryoshka_coarse_to_fine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_coarse: int = 8,
+    shortlist: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka ADAPTIVE retrieval (Kusupati et al. 2022's funnel
+    serving: shortlist on a cheap prefix dimension, rerank on the full
+    vector) — the SERVING consumer of the `matryoshka_recall` planner:
+    rank the corpus by cosine over the FIRST ``d_coarse`` components only
+    (at d=8 the scan reads 1/8th of the vector bytes on prefix-sliced
+    storage), keep each query's ``shortlist`` best, then exact full-
+    dimension cosine reranks the shortlist to the final ``k``.
+
+    Returns (query_id, neighbor_id, coarse_sim, similarity, rank int).
+    Both stages are deterministic on rounded cosines with neighbor-id
+    tiebreaks, so a SQL oracle replays the funnel value-for-value.
+
+    100-TB shape: the coarse sweep is the `brute_force_topk` plan (pre-
+    top-k prefilter included) over 1/8th of the vector payload; the fine
+    stage touches |Q| x shortlist full vectors via a point-lookup join —
+    the PQ-rerank fetch shape with the prefix dims as the cheap code."""
+    from pyspark.sql import Window
+
+    coarse = brute_force_topk(
+        queries.select(id_col, F.slice(F.col(vec_col), 1, d_coarse).alias(vec_col)),
+        corpus.select(id_col, F.slice(F.col(vec_col), 1, d_coarse).alias(vec_col)),
+        id_col,
+        vec_col,
+        shortlist,
+    ).select("query_id", "neighbor_id", F.col("similarity").alias("coarse_sim"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    rer = (
+        coarse.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "similarity",
+            F.round(dot(F.col("qv"), F.col("cv")) / F.col("qn") / F.col("cn"), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "coarse_sim", "similarity", "rank")
+    )
+
+
 def hard_negative_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -3320,3 +3320,66 @@ def test_ivfpq_recall_report_bounds_and_nonvacuous(spark, sf_oracle):
     assert all(r["recall_micro"] == r["n_hits"] * 100_000 for r in out)
     # the probed-cells path must find SOMETHING on the fixture
     assert sum(r["n_hits"] for r in out) > 0
+
+
+def test_matryoshka_funnel_degenerates_to_exact_at_full_shortlist(spark, sf_oracle):
+    """Family anchor: with shortlist >= corpus the coarse stage cannot
+    drop anything, so the funnel's final ranking equals the exact
+    full-dimension brute force."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.knn import (
+        brute_force_topk,
+        matryoshka_coarse_to_fine_topk,
+    )
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 3)
+    n = e.count()
+    funnel = {
+        (r["query_id"], r["neighbor_id"], r["similarity"], r["rank"])
+        for r in matryoshka_coarse_to_fine_topk(
+            q, e, d_coarse=8, shortlist=n, k=5
+        ).collect()
+    }
+    exact = {
+        tuple(r) for r in brute_force_topk(q, e, k=5).collect()
+    }
+    assert funnel == exact
+
+
+def test_tokenizer_fertility_higher_for_unseen_language(spark):
+    """A language whose words the merges never compress must pay more
+    tokens per word than the language the merges were trained on."""
+    from bigdata_rags_spark.functions.bpe import bpe_encode_documents, train_bpe_merges
+    from bigdata_rags_spark.functions.text import ws_tokens
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "aaaa aaaa aaaa aaaa", "aa"),
+        (2, "aaaa aaaa aaaa", "aa"),
+        (3, "xyzw qrst mnop", "zz"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    words = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rules = [
+        (r["sym_left"], r["sym_right"])
+        for r in train_bpe_merges(words, n_merges=4).orderBy("merge_round").collect()
+    ]
+    enc = bpe_encode_documents(docs, rules)
+    fert = {
+        r["lang"]: r["fertility_micro"]
+        for r in enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.expr("SUM(n_tokens) * 1000000 DIV SUM(n_words)")
+            .cast("bigint")
+            .alias("fertility_micro")
+        )
+        .collect()
+    }
+    assert fert["aa"] < fert["zz"]
+    assert all(v >= 1_000_000 for v in fert.values())
