@@ -818,3 +818,61 @@ def test_ingest_batch_with_intra_batch_duplicate_ids_converges(spark, sf_smoke):
     finally:
         for suffix in ("_codes", "_vectors", "_meta", "_tombstones"):
             drop_managed_table(spark, f"{prefix}{suffix}")
+
+
+def test_stream_cdc_into_scd2_zone_builds_time_travelable_history(spark, tmp_path):
+    """The stream -> versioned-lakehouse -> time-travel chain: CDC
+    micro-batches maintain an SCD-2 zone, read_zone_as_of reconstructs
+    each epoch, replaying a micro-batch changes nothing, and an
+    intra-batch double update keeps only the latest version."""
+    from bigdata_rags_spark.io.maintenance import read_zone_as_of
+    from bigdata_rags_spark.streaming.ingest import (
+        cdc_upsert_zone_batch,
+        stream_cdc_into_scd2_zone,
+    )
+
+    zone = str(tmp_path / "cdczone")
+    src = str(tmp_path / "cdcsrc")
+    cols = "k long, val string, ts string"
+    b1 = spark.createDataFrame(
+        [(1, "a", "2025-01-01"), (2, "b", "2025-01-01")], cols
+    )
+    # batch 2 carries an INTRA-batch double update for key 1: only the
+    # latest ("a3") may become a version
+    b2 = spark.createDataFrame(
+        [(1, "a2", "2025-02-01"), (1, "a3", "2025-03-01"), (3, "c", "2025-03-01")],
+        cols,
+    )
+    # deterministic two-batch sequencing (the test_watermark pattern):
+    # batch 2 lands only after batch 1 fully processed — merge_scd2 is
+    # arrival-order last-writer-wins, the CDC per-key-ordered contract
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(cols).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_cdc_into_scd2_zone(
+        stream, zone, key="k", change_ts_col="ts", checkpoint=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snap(ts):
+        return {r["k"]: r["val"] for r in read_zone_as_of(spark, zone, ts).collect()}
+
+    # epoch reads: before b2's changes key 1 was "a"; after, "a3"
+    assert snap("2025-01-15") == {1: "a", 2: "b"}
+    final = snap("2025-12-31")
+    assert final == {1: "a3", 2: "b", 3: "c"}
+    hist = spark.read.parquet(zone).collect()
+    vals_k1 = {r["val"] for r in hist if r["k"] == 1}
+    assert "a2" not in vals_k1  # intra-batch compaction kept only the latest
+
+    # replaying batch 2 (crashed-then-retried trigger) changes nothing
+    before = sorted(map(tuple, hist))
+    cdc_upsert_zone_batch(b2, zone, key="k", change_ts_col="ts")
+    after = sorted(map(tuple, spark.read.parquet(zone).collect()))
+    assert after == before
