@@ -240,6 +240,7 @@ HEADLINE = [
     "curriculum_anneal_plan",
     "embedding_matryoshka_funnel_topk",
     "tokenizer_fertility_report",
+    "quality_aware_dedup_keepers",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

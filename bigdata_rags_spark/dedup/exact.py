@@ -92,3 +92,61 @@ def prefix_dup_clusters(
         )
         .filter(F.col("cluster_size") > 1)
     )
+
+
+def quality_aware_keepers(
+    docs: DataFrame,
+    scores: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """QUALITY-AWARE keeper selection for prefix-duplicate clusters: keep
+    each cluster's HIGHEST-quality member (ties to the lowest id) instead
+    of blindly keeping the minimum id — the curation upgrade over
+    ``prefix_dup_clusters``' min-id rule (re-crawl variants share a
+    boilerplate head but differ in body; a classifier should pick which
+    copy survives, the RefinedWeb/FineWeb-style "best version" rule).
+
+    ``scores`` is any (id, score_micro) frame — the NB quality scorer in
+    the registered query, but any per-doc signal works.  Returns
+    (prefix_key, keeper_id, keeper_score_micro, cluster_size,
+    min_id_keeper, quality_upgraded int) for clusters of size > 1;
+    ``quality_upgraded = 1`` marks clusters where quality overrode the
+    min-id choice — the report a pipeline reviews before swapping rules.
+
+    Scale shape: the cluster key is the 32-hex prefix md5 (text never
+    shuffles); scores join by id; ONE exchange serves both windows
+    (same partition key)."""
+    from pyspark.sql import Window
+
+    from bigdata_rags_spark.functions.text import ws_tokens
+
+    prefix = F.array_join(F.slice(ws_tokens(F.col(text_col)), 1, k), " ")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(prefix).alias("prefix_key")
+    ).join(
+        scores.select(F.col(id_col).alias("doc_id"), F.col(score_col)), "doc_id"
+    )
+    wp = Window.partitionBy("prefix_key")
+    ranked = (
+        keyed.withColumn(
+            "rn",
+            F.row_number().over(
+                wp.orderBy(F.col(score_col).desc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wp).cast("bigint"))
+        .withColumn("min_id_keeper", F.min("doc_id").over(wp))
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") > 1)).select(
+        "prefix_key",
+        F.col("doc_id").alias("keeper_id"),
+        F.col(score_col).alias("keeper_score_micro"),
+        "cluster_size",
+        "min_id_keeper",
+        (F.col("doc_id") != F.col("min_id_keeper")).cast("int").alias(
+            "quality_upgraded"
+        ),
+    )

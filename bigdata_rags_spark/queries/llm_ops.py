@@ -8717,3 +8717,79 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_micro"),
         )
     )
+
+
+@_llm(
+    "quality_aware_dedup_keepers",
+    f"""
+WITH {_nb_ctes()},
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         text || ' zzqx prefix dedup suffix marker' AS text
+  FROM documents WHERE doc_id % 9 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(({_SQL_TOKS})[1:8], ' ')) AS prefix_key
+  FROM aug
+),
+atoks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM aug),
+abuck AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
+  FROM atoks
+),
+asc_ AS (
+  SELECT doc_id, CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM abuck JOIN wts USING (b) GROUP BY doc_id
+),
+j AS (
+  SELECT fp.prefix_key, fp.doc_id, s.score_micro
+  FROM fp JOIN asc_ s USING (doc_id)
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY prefix_key
+           ORDER BY score_micro DESC, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY prefix_key) AS BIGINT) AS cluster_size,
+         MIN(doc_id) OVER (PARTITION BY prefix_key) AS min_id_keeper
+  FROM j
+)
+SELECT prefix_key, doc_id AS keeper_id, score_micro AS keeper_score_micro,
+       cluster_size, min_id_keeper,
+       CAST(CASE WHEN doc_id != min_id_keeper THEN 1 ELSE 0 END AS INT)
+         AS quality_upgraded
+FROM r WHERE rn = 1 AND cluster_size > 1
+""",
+)
+def quality_aware_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection (`dedup/exact.
+    quality_aware_keepers`): prefix-duplicate clusters (the re-crawl /
+    truncated-tail variants `prefix_dup_docs` plants: every 9th doc
+    re-keyed with a divergent suffix) keep their HIGHEST-NB-quality
+    member instead of the minimum id — dedup and the quality tier
+    composed into the FineWeb-style "keep the best version" curation
+    rule.  The suffix tokens shift the planted copy's score, so the
+    quality argmax is non-vacuous (`quality_upgraded` marks clusters
+    where quality overrode min-id) and the oracle replays fit -> score ->
+    cluster -> argmax in one statement.  Scale: the cluster key is a
+    32-hex md5, scores join by id, one exchange serves both cluster
+    windows."""
+    from bigdata_rags_spark.dedup.exact import quality_aware_keepers
+    from bigdata_rags_spark.quality import nb_fit_weights, nb_score_docs
+
+    docs = read_testdata(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzqx prefix dedup suffix marker")).alias(
+                "text"
+            ),
+        )
+    )
+    weights = nb_fit_weights(_nb_seed(spark, sf_dir))
+    scores = nb_score_docs(aug, weights).select("doc_id", "score_micro")
+    return quality_aware_keepers(aug, scores)

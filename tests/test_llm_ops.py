@@ -3383,3 +3383,35 @@ def test_tokenizer_fertility_higher_for_unseen_language(spark):
     }
     assert fert["aa"] < fert["zz"]
     assert all(v >= 1_000_000 for v in fert.values())
+
+
+def test_quality_aware_keepers_picks_best_scored_member(spark):
+    """Planted cluster: two docs share an 8-token prefix, scores differ —
+    the keeper must be the higher-scored one even when it has the HIGHER
+    id (quality overrides min-id); singleton clusters are excluded."""
+    from bigdata_rags_spark.dedup.exact import quality_aware_keepers
+
+    head = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, head + " junk junk junk"),
+            (2, head + " brilliant insightful prose"),
+            (3, "totally unrelated single document here words"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = spark.createDataFrame(
+        [(1, -500_000), (2, 900_000), (3, 100_000)], ["doc_id", "score_micro"]
+    )
+    out = quality_aware_keepers(docs, scores).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["keeper_id"] == 2 and r["keeper_score_micro"] == 900_000
+    assert r["cluster_size"] == 2 and r["min_id_keeper"] == 1
+    assert r["quality_upgraded"] == 1
+    # tie on score -> lowest id wins
+    tie = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 1)], ["doc_id", "score_micro"]
+    )
+    r2 = quality_aware_keepers(docs, tie).collect()[0]
+    assert r2["keeper_id"] == 1 and r2["quality_upgraded"] == 0
