@@ -312,45 +312,19 @@ _DRIVER_CHECKED: dict[str, int] = {
     "approx_count_distinct_orders": 2,
     "approx_percentile_prices": 2,
     # --- last driver row: round 4 ---
-    # (embedding_ivf_topk retired r13)
-    # --- last driver row: round 6 ---
+    "embedding_ivf_topk": 4,
+    "embedding_near_dup_pairs": 4,
+    "multimodal_audio_features": 4,
+    "multimodal_image_features": 4,
     # --- last driver row: round 7 ---
     "zone_compaction_invariant": 7,
     # --- last driver row: round 8 ---
-    "contrastive_negatives_sample": 8,
-    "corpus_health_by_lang": 8,
-    "doc_fingerprint_minshingle": 8,
-    "doc_pii_scan": 8,
-    "domain_blocklist_filter": 8,
-    "domain_corpus_stats": 8,
-    "domain_psl_extraction": 8,
-    "domain_quota_selection": 8,
     "embedding_pq_trained_rerank": 8,
-    "events_sliding_topk_types": 8,
-    "intra_doc_repeated_spans": 8,
-    "langid_stopword_heuristic": 8,
-    "length_weighted_sample_docs": 8,
-    "multimodal_video_framesample": 8,
-    "query_likelihood_search": 8,
-    "semantic_dedup_cells": 8,
-    "sequence_packing_bins": 8,
-    "source_token_drift": 8,
-    "substring_dedup_docs": 8,
-    "text_quality_scores": 8,
-    "token_count_stats": 8,
-    "training_mixture_plan": 8,
-    "unigram_lm_doc_scores": 8,
     # --- last driver row: round 9 ---
-    "agg_suite_by_segment": 9,
-    "anti_join_customers_no_orders": 9,
     "asof_join_events_orders": 9,
-    "attack_shape_metrics": 9,
     "bm25_keyword_search": 9,
     "cube_returnflag_linestatus": 9,
     "date_functions_orders": 9,
-    "defense_shape_metrics": 9,
-    "discipline_shape_metrics": 9,
-    "distinct_nation_segments": 9,
     "document_chunking": 9,
     "events_json_extraction": 9,
     "events_pii_redaction": 9,
@@ -358,25 +332,17 @@ _DRIVER_CHECKED: dict[str, int] = {
     "events_sliding_halfhour": 9,
     "events_tumbling_hourly": 9,
     "events_user_sessions": 9,
-    "filter_pushdown_highvalue": 9,
-    "flagship_revenue_by_nation": 9,
-    "full_outer_join_supplier_customer_nations": 9,
     "gopher_quality_filters": 9,
     "hybrid_rag_search": 9,
     "incremental_dedup_new_docs": 9,
-    "left_join_customer_orders": 9,
     "minhash_jaccard_estimates": 9,
     "minhash_lsh_candidates": 9,
     "multimodal_wav_features": 9,
     "near_dup_candidate_eval": 9,
     "ngram_containment_pairs": 9,
-    "projection_rename_quoted": 9,
     "rollup_status_priority": 9,
-    "rollup_sum_by_supplier": 9,
-    "semi_join_customers_with_urgent": 9,
     "set_ops_nation_membership": 9,
     "string_functions_parts": 9,
-    "topk_orders_by_price": 9,
     "tpch_q12_priority_by_returnflag": 9,
     "tpch_q15_top_supplier": 9,
     "tpch_q17_small_quantity_revenue": 9,
@@ -520,9 +486,7 @@ _DRIVER_CHECKED: dict[str, int] = {
     "snapshot_drift_report": 12,
     "source_pair_overlap_kmv": 12,
     "text_hashed_idf_near_dups": 12,
-    # (text_hashed_near_dups demoted to a test-only calibration sibling in
-    # r14 — raw-count LSH signature skew, unstable wall time; the idf
-    # sibling is the registered serve path)
+    "text_hashed_near_dups": 12,
     "unigram_encode_docs": 12,
     "url_canonical_dedup": 12,
     "video_temporal_near_dups": 12,
@@ -550,15 +514,12 @@ _DRIVER_CHECKED: dict[str, int] = {
     "embedding_pq_rerank_topk": 13,
     "embedding_random_projection": 13,
     "eval_best_of_n": 13,
-    "eval_bradley_terry": 13,
     "eval_pass_at_k": 13,
     "events_ab_experiment_lift": 13,
     "events_dau_wau_stickiness": 13,
     "events_new_vs_returning": 13,
     "events_seasonal_baseline_error": 13,
     "exact_dup_clusters": 13,
-    "incremental_ppjoin_dedup": 13,
-    "jaccard_prefix_filter_pairs": 13,
     "langid_ngram_profiles": 13,
     "langid_ngram_scores": 13,
     "map_functions_status_scores": 13,
@@ -579,18 +540,62 @@ _DRIVER_CHECKED: dict[str, int] = {
     "tpch_q5_local_supplier_volume": 13,
     "tpch_q6_forecast_revenue": 13,
     "tpch_q7_volume_shipping": 13,
+    # --- last driver row: round 14 ---
+    "agg_suite_by_segment": 14,
+    "anti_join_customers_no_orders": 14,
+    "attack_shape_metrics": 14,
+    "bpe_byte_encode_docs": 14,
+    "bpe_byte_roundtrip": 14,
+    "contrastive_negatives_sample": 14,
+    "corpus_health_by_lang": 14,
+    "curriculum_anneal_plan": 14,
+    "defense_shape_metrics": 14,
+    "discipline_shape_metrics": 14,
+    "distinct_nation_segments": 14,
+    "doc_fingerprint_minshingle": 14,
+    "doc_pii_scan": 14,
+    "domain_blocklist_filter": 14,
+    "domain_corpus_stats": 14,
+    "domain_psl_extraction": 14,
+    "domain_quota_selection": 14,
+    "embedding_matryoshka_funnel_topk": 14,
+    "eval_bradley_terry": 14,
+    "events_sliding_topk_types": 14,
+    "filter_pushdown_highvalue": 14,
+    "flagship_revenue_by_nation": 14,
+    "full_outer_join_supplier_customer_nations": 14,
+    "incremental_ppjoin_dedup": 14,
+    "intra_doc_repeated_spans": 14,
+    "ivfpq_recall_report": 14,
+    "jaccard_prefix_filter_pairs": 14,
+    "langid_stopword_heuristic": 14,
+    "left_join_customer_orders": 14,
+    "length_weighted_sample_docs": 14,
+    "multimodal_capstone_retrieval": 14,
+    "multimodal_video_framesample": 14,
+    "projection_rename_quoted": 14,
+    "quality_aware_dedup_keepers": 14,
+    "quality_nb_calibration": 14,
+    "query_likelihood_search": 14,
+    "rm3_expansion_search": 14,
+    "rollup_sum_by_supplier": 14,
+    "semantic_dedup_cells": 14,
+    "semi_join_customers_with_urgent": 14,
+    "sequence_packing_bins": 14,
+    "source_token_drift": 14,
+    "substring_dedup_docs": 14,
+    "text_quality_scores": 14,
+    "token_count_stats": 14,
+    "tokenizer_fertility_report": 14,
+    "topk_orders_by_price": 14,
+    "training_mixture_plan": 14,
+    "unigram_lm_doc_scores": 14,
+    "zone_time_travel_read": 14,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 14 ADVICE fixes: Bradley-Terry micro-inverse products widened to
-    # DECIMAL(38,0)/HUGEINT (same values at fixture scale, new expression +
-    # oracle); PPJoin prefix length now uses a conservative floor for the
-    # milli threshold approximation (same candidates at threshold=0.5, new
-    # expression).
-    "eval_bradley_terry",
-    "jaccard_prefix_filter_pairs",
-    "incremental_ppjoin_dedup",
+    # round 15: no existing-query expression changes yet this round.
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
