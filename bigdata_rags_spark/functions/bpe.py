@@ -77,6 +77,18 @@ def _symbols(enc) -> F.Column:
     return F.split(F.expr(f"trim(BOTH '{US}{RS}' FROM {enc})"), f"{RS}{US}")
 
 
+def _bracket_safe(word_counts: DataFrame, word_col: str, encoder) -> DataFrame:
+    """Drop words whose raw characters would collide with the \\x1f/\\x1e
+    symbol delimiters — needed ONLY for the char-level encoder (each raw
+    char becomes a symbol, so a literal delimiter corrupts the bracketed
+    string).  The byte-level encoder hex-renders every byte ('1F', '1E'),
+    so collisions are impossible and filtering would break its closed-
+    alphabet "any unicode round-trips" guarantee (ADVICE r14 #1)."""
+    if encoder is encode_word_bytes:
+        return word_counts
+    return word_counts.filter(~F.col(word_col).rlike(f"[{US}{RS}]"))
+
+
 def train_bpe_merges(
     word_counts: DataFrame,
     n_merges: int = 8,
@@ -89,13 +101,17 @@ def train_bpe_merges(
     Returns a DataFrame (merge_round int, sym_left, sym_right, merged,
     pair_count bigint) — the ordered merge table.  Each round runs one
     vocab-sized explode+groupBy and collects exactly ONE row (the argmax
-    pair); the updated vocab encoding is a single string replace.  Words
-    containing the bracket control characters are excluded up front (they
-    would corrupt the encoding; real corpora don't contain \\x1e/\\x1f).
+    pair); the updated vocab encoding is a single string replace.  Under
+    the CHAR-level encoder, words containing the bracket control
+    characters are excluded up front (a literal \\x1f/\\x1e char symbol
+    would corrupt the bracketed encoding); the BYTE-level encoder needs no
+    filter — its symbols are hex pairs, which can never collide with the
+    delimiters, so the closed-alphabet lossless guarantee really does
+    cover ANY input (ADVICE r14 #1).
     """
     spark = word_counts.sparkSession
     v = (
-        word_counts.filter(~F.col(word_col).rlike(f"[{US}{RS}]"))
+        _bracket_safe(word_counts, word_col, encoder)
         .select(
             F.col(word_col).alias("word"),
             F.col(count_col).cast("bigint").alias("cnt"),
@@ -173,7 +189,7 @@ def apply_bpe_merges(
         enc = F.replace(
             enc, F.lit(f"{US}{l}{RS}{US}{r}{RS}"), F.lit(f"{US}{l + r}{RS}")
         )
-    base = word_counts.filter(~F.col(word_col).rlike(f"[{US}{RS}]")).select(
+    base = _bracket_safe(word_counts, word_col, encoder).select(
         F.col(word_col).alias("word"),
         F.col(count_col).cast("bigint").alias("cnt"),
         enc.alias("__enc"),

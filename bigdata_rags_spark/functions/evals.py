@@ -314,14 +314,16 @@ def bradley_terry_ratings(
             .join(rb, "j")
             .groupBy("i")
             .agg(
+                # DIV returns bigint, so the quotient is re-widened to
+                # DECIMAL(38,0) BEFORE the sum — the oracle accumulates in
+                # HUGEINT, and a bigint SUM would overflow first at ~1.8e13
+                # judgments per (pair, model) (ADVICE r14 #3)
                 F.sum(
                     F.expr(
-                        "CAST(n_ij AS DECIMAL(38,0)) * 1000000000000"
-                        " DIV (ri + rj)"
+                        "CAST(CAST(n_ij AS DECIMAL(38,0)) * 1000000000000"
+                        " DIV (ri + rj) AS DECIMAL(38,0))"
                     )
-                )
-                .cast("decimal(38,0)")
-                .alias("s")
+                ).alias("s")
             )
         )
         raw = wins.join(s, "i").select(

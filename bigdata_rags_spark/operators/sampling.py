@@ -563,8 +563,14 @@ def curriculum_anneal_plan(
     domain key; the per-epoch weight chain and totals are domain-
     cardinality-sized expressions on that tiny frame.
     """
-    d = df.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    d = (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        # domain-cardinality rows feeding ~2 plan branches PER EPOCH (the
+        # per-epoch select + its totals agg): materialize once so the
+        # corpus groupBy provably runs once under any planner behavior
+        # (the CLAUDE.md multi-branch rule; ADVICE r14 #2)
+        .localCheckpoint()
     )
     epochs = []
     w = F.col("n_docs")

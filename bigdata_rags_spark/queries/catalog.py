@@ -595,7 +595,15 @@ _DRIVER_CHECKED: dict[str, int] = {
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 15: no existing-query expression changes yet this round.
+    # round 15 ADVICE fixes: byte-level BPE no longer drops \x1f/\x1e words
+    # (closed-alphabet guarantee now literal — new expression + oracle);
+    # Bradley-Terry micro-inverse SUM accumulates in DECIMAL(38,0) (same
+    # values at fixture scale, new expression); curriculum_anneal_plan's
+    # domain frame localCheckpoint'ed (plan change).
+    "bpe_byte_encode_docs",
+    "bpe_byte_roundtrip",
+    "eval_bradley_terry",
+    "curriculum_anneal_plan",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

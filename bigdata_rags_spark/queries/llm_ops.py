@@ -8247,7 +8247,6 @@ def _bpe_byte_blocks(n_merges: int = 8) -> str:
          regexp_replace(upper(hex(encode(token))), '(..)', '{US}\\1{RS}', 'g')
            || '{US}</w>{RS}' AS enc
   FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
-  WHERE NOT regexp_matches(token, '[{US}{RS}]')
   GROUP BY token
 )"""
     ]
@@ -8414,9 +8413,10 @@ def bpe_byte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     enc = bpe_encode_documents_bytes(docs, rules).localCheckpoint()
     dec = decode_byte_token_ids(enc, byte_vocab(spark, rules))
-    # audit target = the ENCODED word stream (words carrying the bracket
-    # control chars are excluded from segmentation in both engines)
-    orig = toks.filter(~F.col("word").rlike("[\x1f\x1e]")).groupBy("doc_id").agg(
+    # audit target = the FULL word stream: the byte-level encoder hex-
+    # renders every byte, so no word is bracket-unsafe and none is dropped
+    # (ADVICE r14 #1 — the closed-alphabet guarantee now holds literally)
+    orig = toks.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("wpos", "word"))),

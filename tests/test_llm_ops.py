@@ -3248,6 +3248,27 @@ def test_byte_bpe_encodes_out_of_alphabet_serving_text(spark):
     assert dec["decoded"] == "naïve café 東京 🚀"
 
 
+def test_byte_bpe_keeps_bracket_delimiter_words(spark):
+    """ADVICE r14 #1: words containing the \\x1f/\\x1e symbol delimiters
+    hex-encode under the byte-level encoder (bytes '1F'/'1E' can never
+    collide with the raw delimiter chars), so they must NOT be filtered —
+    the closed-alphabet lossless guarantee covers literally any input."""
+    from bigdata_rags_spark.functions.bpe import (
+        bpe_encode_documents_bytes,
+        byte_vocab,
+        decode_byte_token_ids,
+    )
+
+    weird = "a\x1fb c\x1ed plain"
+    docs = spark.createDataFrame([(1, weird)], ["doc_id", "text"])
+    rules = _byte_rules(spark, docs)
+    enc = bpe_encode_documents_bytes(docs, rules).localCheckpoint()
+    row = enc.collect()[0]
+    assert row["n_words"] == 3  # the delimiter-carrying words survive encode
+    dec = decode_byte_token_ids(enc, byte_vocab(spark, rules)).collect()[0]
+    assert dec["decoded"] == weird
+
+
 def test_curriculum_anneal_plan_flattens_toward_uniform(spark):
     """Epoch 1 = natural distribution; each later epoch's sqrt must raise
     the SMALL domains' sampling rate monotonically (flattening toward
