@@ -241,6 +241,8 @@ HEADLINE = [
     "embedding_matryoshka_funnel_topk",
     "tokenizer_fertility_report",
     "quality_aware_dedup_keepers",
+    # r15 additions
+    "curation_funnel_capstone",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -1,0 +1,272 @@
+"""Pretraining-data curation capstone: the full raw-pages -> packed-tokens
+funnel as ONE composed plan (VERDICT r14 next #2 — the curation tier's
+`rag_capstone_retrieval`).
+
+Every stage is an operator this repo already ships and oracle-checks on its
+own; this module proves they COMPOSE: HTML extraction
+(`functions/text.html_extract_text`) -> stopword language ID
+(`functions/text.stopword_hits`) -> trained NB quality keep
+(`quality.nb_fit_weights` / `nb_score_docs`) -> exact + prefix dedup keepers
+(`dedup/exact.py` key rules) -> benchmark n-gram decontamination
+(the `benchmark_decontamination` rule) -> UniMax temperature mixture quota
+(`operators/sampling.temperature_mixing_plan` turned into a hard per-domain
+selection) -> GPT-style sequence packing
+(`operators/sampling.sequence_packing_plan` totals).
+
+Extension beyond the reference (SURVEY.md §2 extension tier): the reference
+is a relational ETL (`dag-transform.py`) with no text surface; this is the
+LLM-pipeline composition a 100 TB curation run actually executes.
+
+100-TB shape: the page payload is scanned ONCE — every per-doc signal
+(token count, predicted language, content hash, prefix key, NB bucket sums,
+probe-shingle hits) reduces to (doc_id, small ints/hashes) in that pass, and
+the funnel itself is id-level algebra on ONE localCheckpoint'ed feature
+frame (the CLAUDE.md multi-branch rule: seven stage consumers read it).
+The only exchanges after featurization are id- or key-level: two dedup
+windows sharing nothing wider than a 32-hex key, a domain-cardinality quota
+agg, and the per-shard packing prefix sum.  Text never crosses an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_rags_spark.functions.text import (
+    STOPWORDS,
+    content_hash,
+    html_extract_text,
+    stopword_hits,
+    word_shingles,
+    ws_tokens,
+)
+from bigdata_rags_spark.quality import nb_fit_weights, nb_score_docs
+
+#: (stage int, stage_name) rows of the funnel report, in order.
+FUNNEL_STAGES = (
+    (0, "extracted"),
+    (1, "langid"),
+    (2, "quality"),
+    (3, "dedup"),
+    (4, "decontaminated"),
+    (5, "mixture_quota"),
+    (6, "packed_sequences"),
+)
+
+
+def _predicted_lang(toks) -> F.Column:
+    """The `langid_stopword_heuristic` decision rule, inlined on a token
+    array column: argmax of per-language stopword hits with the fixed
+    en>es>fr>de tie order, 'unknown' when every list misses."""
+    hits = {g: stopword_hits(toks, STOPWORDS[g]) for g in ("en", "es", "fr", "de")}
+    zero = (
+        (hits["en"] == 0) & (hits["es"] == 0) & (hits["fr"] == 0) & (hits["de"] == 0)
+    )
+    return (
+        F.when(zero, "unknown")
+        .when(
+            (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["de"]),
+            "en",
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] >= hits["de"]), "es")
+        .when(hits["fr"] >= hits["de"], "fr")
+        .otherwise("de")
+    )
+
+
+def curation_funnel_report(
+    pages: DataFrame,
+    probe_below: int = 5,
+    seq_len: int = 512,
+    n_shards: int = 4,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    prefix_k: int = 8,
+    decon_k: int = 3,
+    decon_max_hits: int = 2,
+) -> DataFrame:
+    """Run the full curation funnel over raw pages (doc_id, lang, source,
+    html) and return the per-stage survivor report: (stage int, stage_name,
+    n_docs bigint, n_tokens bigint).
+
+    Stages (each a filter on the previous stage's survivors):
+      0 extracted        — HTML -> visible text; n_tokens = extracted tokens
+      1 langid           — stopword-heuristic language != 'unknown'
+      2 quality          — trained-NB score >= 0 (fit on the even-doc_id
+                           extracted seed split, y = lang == 'en')
+      3 dedup            — doc is BOTH the min-id exact keeper (normalized
+                           content hash) and the min-id prefix-``prefix_k``
+                           keeper, among stage-2 survivors
+      4 decontaminated   — doc_id >= ``probe_below`` (the benchmark probe
+                           docs leave the corpus) and < ``decon_max_hits``
+                           distinct ``decon_k``-gram shingles shared with
+                           the probe set
+      5 mixture_quota    — UniMax temperature quota per source over stage-4
+                           survivors: alloc = least(n_d, (total *
+                           budget_num DIV budget_den) * floor(sqrt(n_d))
+                           DIV w_total); keep the ``alloc`` lowest
+                           md5('quota:'||id) ranks per source
+      6 packed_sequences — GPT-style packing of the survivors: n_docs =
+                           total ``seq_len``-token sequences (per-shard
+                           ceil), n_tokens = packed tokens (doc tokens + 1
+                           EOS each)
+
+    Correctness conventions: every gate is integer/hash arithmetic (the
+    module's hash-parity contract); docs with no NB-scorable tokens score
+    0 (kept) via the COALESCE rule, identically in the oracle.
+    """
+    ext = pages.select(
+        "doc_id",
+        "lang",
+        "source",
+        html_extract_text(F.col("html")).alias("text"),
+    )
+    toks = ws_tokens(F.col("text"))
+    sig = ext.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        _predicted_lang(toks).alias("predicted_lang"),
+        content_hash(F.col("text")).alias("content_hash"),
+        F.md5(F.array_join(F.slice(toks, 1, prefix_k), " ")).alias("prefix_key"),
+    )
+    # trained NB quality: fit on the even-id extracted seed, score everyone
+    seed = ext.filter(F.col("doc_id") % 2 == 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"), "text"
+    )
+    scores = nb_score_docs(ext, nb_fit_weights(seed)).select("doc_id", "score_micro")
+    # benchmark decontamination signal (probe set = doc_id < probe_below)
+    sh = ext.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(ws_tokens(F.col("text")), decon_k))).alias(
+            "shingle"
+        ),
+    )
+    probes = sh.filter(F.col("doc_id") < probe_below).select("shingle").distinct()
+    contam = (
+        sh.filter(F.col("doc_id") >= probe_below)
+        .join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    # ONE featurized id-level frame serves all seven stage consumers
+    # (multi-branch rule: checkpoint, don't rely on exchange reuse)
+    feat = (
+        sig.join(scores, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_toks",
+            "predicted_lang",
+            "content_hash",
+            "prefix_key",
+            F.coalesce(F.col("score_micro"), F.lit(0)).cast("bigint").alias(
+                "score_micro"
+            ),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .localCheckpoint()
+    )
+
+    s1 = feat.filter(F.col("predicted_lang") != "unknown")
+    s2 = s1.filter(F.col("score_micro") >= 0)
+    wch = Window.partitionBy("content_hash")
+    wpk = Window.partitionBy("prefix_key")
+    s3 = (
+        s2.withColumn("__mch", F.min("doc_id").over(wch))
+        .withColumn("__mpk", F.min("doc_id").over(wpk))
+        .filter((F.col("doc_id") == F.col("__mch")) & (F.col("doc_id") == F.col("__mpk")))
+        .drop("__mch", "__mpk")
+    )
+    s4 = s3.filter(
+        (F.col("doc_id") >= probe_below) & (F.col("n_contaminated") < decon_max_hits)
+    ).localCheckpoint()  # feeds quota agg + rank + its report row
+
+    q = s4.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    q = q.withColumn("w", F.floor(F.sqrt(F.col("n_d"))).cast("bigint"))
+    qt = q.agg(
+        F.sum("n_d").cast("bigint").alias("total"),
+        F.sum("w").cast("bigint").alias("w_total"),
+    )
+    qa = q.crossJoin(F.broadcast(qt)).select(
+        "source",
+        F.least(
+            F.col("n_d"),
+            F.expr(f"(total * {budget_num} DIV {budget_den}) * w DIV w_total"),
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+    )
+    s5 = (
+        s4.withColumn("__rk", rk)
+        .join(F.broadcast(qa), "source")
+        .filter(F.col("__rk") <= F.col("alloc"))
+        .drop("__rk", "alloc")
+        .localCheckpoint()  # feeds packing aggs + its report row
+    )
+
+    # packing totals: shard streams of (n_toks + 1) cut into seq_len chunks
+    p = s5.select(
+        (F.col("n_toks") + 1).cast("bigint").alias("nt"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n_shards
+        ).alias("shard"),
+    )
+    packed = (
+        p.groupBy("shard")
+        .agg(F.sum("nt").cast("bigint").alias("st"))
+        .agg(
+            F.coalesce(F.sum(F.expr(f"(st + {seq_len - 1}) DIV {seq_len}")), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.coalesce(F.sum("st"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+    def stage_row(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+
+    report = stage_row(feat, 0, "extracted")
+    for stage, name, frame in (
+        (1, "langid", s1),
+        (2, "quality", s2),
+        (3, "dedup", s3),
+        (4, "decontaminated", s4),
+        (5, "mixture_quota", s5),
+    ):
+        report = report.unionByName(stage_row(frame, stage, name))
+    return report.unionByName(
+        packed.select(
+            F.lit(6).cast("int").alias("stage"),
+            F.lit("packed_sequences").alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

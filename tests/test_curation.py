@@ -1,0 +1,129 @@
+"""Planted-corpus tests for the curation capstone funnel
+(`pipelines/curation.py`): every gate must provably remove at least one
+document, for a known reason (VERDICT r14 next #2's done-criterion).
+
+The planted word inventory is NB-bucket-collision-checked: seed stopwords
+occupy disjoint md5%64 buckets per class (bucket 1 is shared by 'a'/'el',
+so neither appears in seed text), filler words hash outside every seed
+bucket, and the two seed classes carry EQUAL token mass (18 vs 18) so
+unseen-word buckets weigh exactly 0 — making each planted doc's NB score
+sign hand-computable.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+# class-1 (en) and class-0 (es) seed stopwords — bucket-disjoint by design
+_EN = ["the", "and", "of", "to", "in", "is", "it", "you", "that"]
+_ES = ["la", "que", "un", "ser", "no", "se", "de", "y", "en"]
+# filler words verified to hash outside every seed bucket
+_FILLERS = [
+    "quick", "fox", "extra", "tail", "arrive", "alpha", "gamma", "delta",
+    "epsilon", "runs", "today", "now", "kiwi", "mango", "cherry", "lemon",
+    "melon", "peach", "pear", "lime", "maple", "cedar", "birch", "pine",
+    "river", "storm", "ember", "mist", "dawn",
+]
+
+_T13 = "the quick fox and in of to is that now"
+
+_ROWS = [
+    # probes (doc_id < 5) double as NB seed (even ids): 2 en + later 1 es
+    (0, "en", "srcA", "alpha gamma delta epsilon the and of to in"),
+    (2, "es", "srcA", "la que un ser no se de y en"),
+    (4, "en", "srcA", "the and of to in is it you that"),
+    # es seed outside the probe range (drops at quality: all class-0 tokens)
+    (6, "es", "srcA", "que la un ser no se de y en"),
+    # contaminated: shares 3 distinct 3-gram shingles with probe doc 0
+    (7, "en", "srcA", "alpha gamma delta epsilon the fox runs today now quick"),
+    # no stopwords from any list -> langid 'unknown'
+    (9, "zh", "srcA", "中文 文本 测试 数据 文档 示例 内容 样本 语料 资料"),
+    # all class-0 tokens -> negative NB score (passes langid as 'es')
+    (11, "es", "srcA", "la que un ser no la que un ser no"),
+    (13, "en", "srcA", _T13),
+    (15, "en", "srcA", _T13),  # exact duplicate of 13 -> dies at dedup
+    # same FIRST-8 tokens as 13, different tail -> prefix dup, dies at dedup
+    (17, "en", "srcA", "the quick fox and in of to is extra tail arrive"),
+    # clean survivors, all 10 tokens, distinct prefixes, exactly one probe
+    # shingle hit each ('the and of')
+    (19, "en", "srcA", "the and of kiwi mango in to is it cherry"),
+    (21, "en", "srcA", "the and of lemon melon in to is it peach"),
+    (23, "en", "srcA", "the and of pear lime in to is it maple"),
+    (25, "en", "srcA", "the and of cedar birch in to is it pine"),
+    (27, "en", "srcA", "the and of river storm in to is it ember"),
+    (31, "en", "srcB", "the and of mist dawn in to is it arrive"),
+    (33, "en", "srcB", "the and of extra tail in to is it runs"),
+]
+
+
+def _bucket(w: str) -> int:
+    return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % 64
+
+
+def test_planted_word_buckets_are_collision_free():
+    """Precondition the score-sign reasoning relies on: seed classes in
+    disjoint buckets, fillers outside every seed bucket, equal seed mass."""
+    en_b = {_bucket(w) for w in _EN}
+    es_b = {_bucket(w) for w in _ES}
+    assert not (en_b & es_b)
+    seed_b = en_b | es_b
+    assert all(_bucket(w) not in seed_b for w in _FILLERS)
+    assert len(_EN) == len(_ES)  # equal class token mass x2 seed docs each
+
+
+def _pages(spark):
+    docs = spark.createDataFrame(_ROWS, ["doc_id", "lang", "source", "text"])
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit(
+                "<html><head><title></title><style>p{color:red}</style>"
+                "<script>var x = 1 < 2;</script></head><body>"
+                "<!-- boilerplate --><p>"
+            ),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+
+
+def test_curation_funnel_every_gate_drops(spark):
+    from bigdata_rags_spark.pipelines.curation import curation_funnel_report
+
+    rep = {
+        r["stage"]: r
+        for r in curation_funnel_report(_pages(spark)).collect()
+    }
+    n = {s: rep[s]["n_docs"] for s in range(7)}
+    # stage 0: extraction preserved every doc and stripped all markup
+    assert n[0] == len(_ROWS)
+    assert rep[0]["n_tokens"] == sum(len(t.split()) for *_, t in _ROWS)
+    # langid drops exactly the zh doc
+    assert n[1] == n[0] - 1
+    # quality drops exactly the three all-class-0 docs (2, 6, 11)
+    assert n[2] == n[1] - 3
+    # dedup drops the exact dup (15) AND the prefix dup (17)
+    assert n[3] == n[2] - 2
+    # decontamination drops the two surviving probes (0, 4) + the
+    # contaminated doc (7)
+    assert n[4] == n[3] - 3
+    # survivors: 13,19,21,23,25,27 (srcA) + 31,33 (srcB); quota
+    # total=8 budget=4, srcA w=2 srcB w=1 -> alloc 2+1
+    assert n[4] == 8
+    assert n[5] == 3
+    assert rep[5]["n_tokens"] == 30  # all survivor docs are 10 tokens
+    # packing: 3 docs * (10 + 1 EOS); sequence count bounded by shard count
+    assert rep[6]["n_tokens"] == 33
+    assert 1 <= n[6] <= 3
+
+
+def test_curation_funnel_empty_corpus_packs_zero(spark):
+    from bigdata_rags_spark.pipelines.curation import curation_funnel_report
+
+    empty = _pages(spark).filter(F.col("doc_id") < 0)
+    rep = {r["stage"]: r for r in curation_funnel_report(empty).collect()}
+    assert rep[0]["n_docs"] == 0 and rep[0]["n_tokens"] == 0
+    assert rep[6]["n_docs"] == 0 and rep[6]["n_tokens"] == 0
