@@ -243,6 +243,7 @@ HEADLINE = [
     "quality_aware_dedup_keepers",
     # r15 additions
     "curation_funnel_capstone",
+    "ann_filtered_serving_report",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -8993,3 +8993,150 @@ def curation_funnel_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return curation_funnel_report(pages)
+
+
+# round-15: filtered (metadata-constrained) ANN serving ----------------------
+
+
+def _filtered_ann_oracle(
+    preds: tuple[tuple[str, str], ...] = (
+        ("lang=en", "SELECT doc_id FROM documents WHERE lang = 'en'"),
+        ("source=src0", "SELECT doc_id FROM documents WHERE source = 'src0'"),
+    ),
+    k: int = 10,
+    n_queries: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """Pre-filter vs post-filter ANN replay: each predicate's prefilter
+    pass is `_ivfpq_oracle` with the eligible-id subquery as
+    ``corpus_pred``; the postfilter pass filters ONE shared unfiltered
+    serve; exact truth and scanned-candidate counts replay per predicate
+    from a shared cell-assignment CTE.  Everything expensive is
+    ``AS MATERIALIZED`` (DuckDB re-inlines CTEs per reference — the r13
+    rag-capstone lesson)."""
+    from bigdata_rags_spark.similarity.ivf import fixed_centroids
+
+    cents = fixed_centroids(64, n_cells)
+    cell_sims = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for c in cents
+    )
+    blocks = [
+        f"""post_raw AS MATERIALIZED ({_ivfpq_oracle(k=k, n_queries=n_queries, n_cells=n_cells, n_probe=n_probe)}),
+ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cellr AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id,
+           CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
+           unnest([{cell_sims}]) AS sim
+    FROM ev
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+),
+qprobes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id,
+           CAST(unnest(range(0, {n_cells})) AS INT) AS cell,
+           unnest([{cell_sims}]) AS sim
+    FROM ev WHERE vec_id < {n_queries}
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) <= {n_probe}
+),
+qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {n_queries})"""
+    ]
+    selects = []
+    for i, (label, elig_sql) in enumerate(preds):
+        pred = f"vec_id IN ({elig_sql})"
+        blocks.append(
+            f"""elig{i} AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE {pred}),
+pre{i} AS MATERIALIZED (
+  SELECT query_id, neighbor_id
+  FROM ({_ivfpq_oracle(k=k, n_queries=n_queries, n_cells=n_cells, n_probe=n_probe, corpus_pred=pred)})
+),
+post{i} AS (
+  SELECT query_id, neighbor_id FROM post_raw
+  WHERE neighbor_id IN (SELECT vec_id FROM elig{i})
+),
+exact{i} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, c.v) /
+               NULLIF(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)), 0), 6) DESC,
+               c.vec_id) AS r
+    FROM (SELECT vec_id, v FROM ev WHERE vec_id < {n_queries}) q
+    CROSS JOIN (SELECT e.vec_id, e.v FROM ev e JOIN elig{i} g USING (vec_id)) c
+    WHERE c.vec_id != q.vec_id
+  ) WHERE r <= {k}
+),
+prescan{i} AS (
+  SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS scanned_rows
+  FROM cellr a JOIN elig{i} g USING (vec_id)
+  JOIN qprobes p ON p.cell = a.cell
+  WHERE a.vec_id != p.query_id GROUP BY 1
+),
+postscan{i} AS (
+  SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS scanned_rows
+  FROM cellr a JOIN qprobes p ON p.cell = a.cell
+  WHERE a.vec_id != p.query_id GROUP BY 1
+)"""
+        )
+        for mode in ("pre", "post"):
+            selects.append(
+                f"""SELECT '{label}' AS pred, '{mode}filter' AS mode, q.query_id,
+       CAST(COALESCE(nr.n_results, 0) AS BIGINT) AS n_results,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000000 // {k} AS BIGINT) AS recall_micro,
+       CAST(COALESCE(sc.scanned_rows, 0) AS BIGINT) AS scanned_rows
+FROM qids q
+LEFT JOIN (SELECT query_id, COUNT(*) AS n_results FROM {mode}{i} GROUP BY 1) nr
+  ON nr.query_id = q.query_id
+LEFT JOIN (SELECT r.query_id, COUNT(*) AS n_hits
+           FROM {mode}{i} r JOIN exact{i} x
+             ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+           GROUP BY 1) h ON h.query_id = q.query_id
+LEFT JOIN {mode}scan{i} sc ON sc.query_id = q.query_id"""
+            )
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@_llm("ann_filtered_serving_report", _filtered_ann_oracle())
+def ann_filtered_serving_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN serving — "top-k WHERE lang='en'" / "... WHERE
+    source='src0'" — comparing the two strategies every production vector
+    store weighs (`similarity/pq.ivfpq_filtered_serving_report`, VERDICT
+    r14 next #3): PREFILTER scores only metadata-eligible codes (recall
+    holds, but the predicate must reach the index scan), POSTFILTER
+    filters the unfiltered top-k after serving (no index change, but a
+    selective predicate STARVES the result set: at src0's 5% selectivity
+    the unfiltered top-10 rarely contains 10 eligible rows and there is
+    no recovery short of re-serving).  Per (predicate, mode, query):
+    n_results (the starvation axis), recall@10 vs the EXACT filtered
+    truth, and scanned_rows (the cost axis — eligible-in-probed-cells vs
+    all-in-probed-cells).  100 TB: both modes keep bucket pruning; the
+    report is what decides whether predicate columns belong IN the codes
+    table."""
+    from bigdata_rags_spark.similarity.pq import (
+        ivfpq_filtered_serving_report,
+        ivfpq_search_rerank,
+    )
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    # the corpus feeds encode/assign/rerank branches in BOTH modes plus the
+    # exact truth — one materialization serves them all
+    corpus = e.select("vec_id", "embedding").localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") < 10)
+    # the unfiltered serve is predicate-independent: pay for it once and
+    # materialize (it feeds one postfilter branch per predicate)
+    unfiltered = ivfpq_search_rerank(
+        queries, corpus, k=10, n_probe=4, shortlist=50
+    ).localCheckpoint()
+    out = None
+    for label, col, val in (("lang=en", "lang", "en"), ("source=src0", "source", "src0")):
+        elig = docs.filter(F.col(col) == val).select(F.col("doc_id").alias("vec_id"))
+        rep = ivfpq_filtered_serving_report(
+            queries, corpus, elig, k=10, n_probe=4, shortlist=50,
+            unfiltered_topk=unfiltered,
+        ).select(F.lit(label).alias("pred"), "*")
+        out = rep if out is None else out.unionByName(rep)
+    return out

@@ -390,3 +390,45 @@ def test_compact_recovers_from_drop_rename_crash_window(spark, sf_smoke, _drop_t
         assert got == expected
     finally:
         drop_managed_table(spark, "t_ann_crash_codes__compacting")
+
+
+def test_filtered_serving_postfilter_starves_prefilter_does_not(spark):
+    """VERDICT r14 next #3's done-criterion: under a selective predicate
+    whose eligible vectors are NOT in the unfiltered top-k, postfilter
+    provably starves (n_results < k) while prefilter returns a full k —
+    and prefilter scans strictly fewer candidates."""
+    from bigdata_rags_spark.similarity.pq import ivfpq_filtered_serving_report
+
+    dim, k = 64, 10
+
+    def vec(main: float, alt_idx: int, alt: float) -> list[float]:
+        v = [0.0] * dim
+        v[0] = main
+        if alt:
+            v[alt_idx] = alt
+        return v
+
+    # 15 ineligible vectors essentially parallel to the query, 12 eligible
+    # ones slightly rotated — the unfiltered top-10 is all-ineligible
+    corpus_rows = [(i, vec(1.0, 1, 0.001 * i)) for i in range(1, 16)]
+    corpus_rows += [(i, vec(1.0, 2, 0.15)) for i in range(16, 28)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id bigint, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1000, vec(1.0, 0, 0.0))], "vec_id bigint, embedding array<double>"
+    )
+    elig = spark.createDataFrame([(i,) for i in range(16, 28)], "vec_id bigint")
+    rep = {
+        r["mode"]: r
+        for r in ivfpq_filtered_serving_report(
+            queries, corpus, elig, k=k, n_probe=4, shortlist=50
+        ).collect()
+    }
+    assert rep["postfilter"]["n_results"] < k  # starved
+    assert rep["prefilter"]["n_results"] == k  # recovered by pre-filtering
+    assert rep["prefilter"]["recall_micro"] > rep["postfilter"]["recall_micro"]
+    assert rep["prefilter"]["scanned_rows"] < rep["postfilter"]["scanned_rows"]
+    # exact filtered truth is the top-10 of the 12 eligible: prefilter
+    # should recover it fully here (shortlist covers every eligible code)
+    assert rep["prefilter"]["recall_micro"] == 1_000_000
