@@ -244,6 +244,7 @@ HEADLINE = [
     # r15 additions
     "curation_funnel_capstone",
     "ann_filtered_serving_report",
+    "lsh_bucket_skew_preflight",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -9140,3 +9140,111 @@ def ann_filtered_serving_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("pred"), "*")
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+# round-15: LSH bucket-skew pre-flight ---------------------------------------
+
+
+def _lsh_skew_oracle(
+    n_planes: int = 8, n_tables: int = 4, probe_bits: int = 2, dim: int = 64
+) -> str:
+    """Replay of `similarity/knn.lsh_bucket_skew_report` over BOTH
+    featurizations: the shared featurizer CTEs, raw + idf sparse weights,
+    dense vectors, the same md5 plane-literal signatures, and the
+    histogram-times-mask-literal exact candidate pricing."""
+    from bigdata_rags_spark.similarity.knn import probe_masks
+
+    sig_cols = _lsh_sig_sql(n_planes, n_tables, dim)
+    masks = [m for m in probe_masks(n_planes, probe_bits) if m != 0]
+    n_masks = len(masks) + 1
+    mask_list = ", ".join(str(m) for m in masks)
+    sig_unions = []
+    for variant, rel in (("raw", "vr"), ("idf", "vi")):
+        for t in range(n_tables):
+            sig_unions.append(
+                f"SELECT '{variant}' AS variant, {t} AS tbl, sig{t} AS sig FROM {rel}"
+            )
+    return f"""
+WITH feats AS {_SQL_FEATS},
+swr AS ({_SQL_SPARSE_FEATURES}),
+swi AS ({_SQL_SPARSE_FEATURES_IDF}),
+dr AS (
+  SELECT d.doc_id AS vec_id,
+         list(CAST(COALESCE(swr.weight, 0) AS DOUBLE) ORDER BY g.range) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(0, {dim}) g
+  LEFT JOIN swr ON swr.doc_id = d.doc_id AND swr.bucket = g.range
+  GROUP BY d.doc_id
+),
+di AS (
+  SELECT d.doc_id AS vec_id,
+         list(CAST(COALESCE(swi.weight, 0) AS DOUBLE) ORDER BY g.range) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(0, {dim}) g
+  LEFT JOIN swi ON swi.doc_id = d.doc_id AND swi.bucket = g.range
+  GROUP BY d.doc_id
+),
+vr AS (SELECT vec_id, {", ".join(sig_cols)} FROM dr),
+vi AS (SELECT vec_id, {", ".join(sig_cols)} FROM di),
+sigs AS ({" UNION ALL ".join(sig_unions)}),
+hist AS MATERIALIZED (
+  SELECT variant, tbl, sig, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sigs GROUP BY 1, 2, 3
+),
+crossp AS (
+  SELECT h1.variant, h1.tbl, CAST(SUM(h1.n * h2.n) // 2 AS BIGINT) AS cross_pairs
+  FROM hist h1
+  CROSS JOIN (SELECT unnest([{mask_list}]) AS m) mk
+  JOIN hist h2 ON h2.variant = h1.variant AND h2.tbl = h1.tbl
+              AND h2.sig = xor(h1.sig, mk.m)
+  GROUP BY 1, 2
+),
+eq AS (
+  SELECT variant, tbl,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(MAX(n) AS BIGINT) AS max_bucket,
+         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS eq_pair_cost
+  FROM hist GROUP BY 1, 2
+)
+SELECT e.variant, e.tbl, e.n_docs, e.n_buckets, e.max_bucket,
+       CAST(CASE WHEN e.eq_pair_cost > 0
+                 THEN (e.max_bucket * (e.max_bucket - 1) // 2) * 1000000 // e.eq_pair_cost
+                 ELSE 0 END AS BIGINT) AS hottest_share_micro,
+       e.eq_pair_cost,
+       CAST(COALESCE(c.cross_pairs, 0) + e.eq_pair_cost AS BIGINT) AS probed_pair_cost,
+       CAST(e.n_docs * e.n_docs * {n_masks} // {2 ** (n_planes + 1)} AS BIGINT)
+         AS uniform_floor,
+       CAST((COALESCE(c.cross_pairs, 0) + e.eq_pair_cost) * 1000000
+            // GREATEST(e.n_docs * e.n_docs * {n_masks} // {2 ** (n_planes + 1)}, 1)
+            AS BIGINT) AS skew_ratio_micro
+FROM eq e LEFT JOIN crossp c ON c.variant = e.variant AND c.tbl = e.tbl
+"""
+
+
+@_llm("lsh_bucket_skew_preflight", _lsh_skew_oracle())
+def lsh_bucket_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-join bucket-skew PRE-FLIGHT (`similarity/knn.
+    lsh_bucket_skew_report`, VERDICT r14 next #4): price the LSH pair
+    join for BOTH text featurizations — the demoted raw-count vectors and
+    the serving idf vectors — from their signature-bucket histograms
+    alone, before any pair join runs.  The probed candidate volume is an
+    exact histogram self-join over the literal probe masks (never a
+    corpus-sized join), so the report reproduces the r14 demotion
+    evidence (raw-count candidate volume multiples above the idf
+    sibling's near-floor volume) as a hash-checked query instead of a
+    bench autopsy.  Per (variant, table): occupancy stats, hottest-bucket
+    candidate share, exact-equality and multi-probe pair costs, the
+    uncorrelated-vector uniform floor, and the skew ratio."""
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.similarity.knn import lsh_bucket_skew_report
+
+    docs = _docs_parallel(spark, sf_dir)
+    out = None
+    for variant, idf in (("raw", False), ("idf", True)):
+        vecs = hashed_doc_vectors(docs, dim=64, idf=idf)
+        rep = lsh_bucket_skew_report(vecs, n_planes=8, n_tables=4, probe_bits=2).select(
+            F.lit(variant).alias("variant"), "*"
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

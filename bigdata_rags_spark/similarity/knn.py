@@ -712,3 +712,118 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", "rank")
     )
+
+
+def lsh_bucket_skew_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_bits: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH/banded-join bucket-skew PRE-FLIGHT (VERDICT r14 next #4): price
+    a signature table's pair join BEFORE running it, from the bucket
+    histogram alone.
+
+    The round-14 demotion (`text_hashed_near_dups`) showed that the skew
+    which actually bites banded joins is data-correlated SIGNATURE-BUCKET
+    skew — invisible to equi-join key audits (`join_key_skew_report`) and
+    to wall-clock until the join runs.  But the multi-probe candidate
+    volume is an exact function of the per-table bucket histogram: with
+    occupancies n_s and probe masks M (Hamming weight <= probe_bits),
+
+        probed_pairs = sum_{m in M, m != 0} sum_s n_s * n_{s XOR m} / 2
+                       + sum_s C(n_s, 2)
+
+    so one histogram self-join over the <= C(planes, <=2) literal masks —
+    at most 2^planes rows per table, NEVER a corpus-sized join — prices
+    the pair join exactly.  This is the query that would have predicted
+    the r14 demotion without burning bench rounds.
+
+    Returns one row per table: (tbl, n_docs, n_buckets, max_bucket,
+    hottest_share_micro = C(max,2)*1e6 DIV eq_pair_cost, eq_pair_cost =
+    sum C(n_s,2), probed_pair_cost, uniform_floor = N^2*|M| DIV 2^(p+1)
+    — the uncorrelated-vector expectation — and skew_ratio_micro =
+    probed_pair_cost*1e6 DIV max(floor,1)).  All integer arithmetic.
+
+    100 TB: the histogram is one groupBy per table on an 8-24-bit key;
+    the mask join touches <= 2^planes * |M| rows.  Run this before any
+    banded pair join; a skew_ratio well above 1e6 says fix the
+    featurization (e.g. idf-decorrelate), not the partitioning —
+    SCALE.md round-14: no partitioning knob fixes data-correlated bucket
+    skew.
+    """
+    base = df.select(as_double_array(F.col(vec_col)).alias("v"))
+    sigs = None
+    for t in range(n_tables):
+        planes = _deterministic_hyperplanes(
+            dim, n_planes, seed=f"lsh{t}" if t else "lsh"
+        )
+        s = base.select(
+            F.lit(t).cast("int").alias("tbl"),
+            signature_col(F.col("v"), planes).cast("bigint").alias("sig"),
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+    # per-(table, signature) occupancy: feeds the eq-cost agg AND both
+    # sides of the mask join (multi-branch rule -> materialize once)
+    hist = (
+        sigs.groupBy("tbl", "sig")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    masks = [m for m in probe_masks(n_planes, probe_bits) if m != 0]
+    cross = (
+        hist.select(
+            "tbl", "sig", "n", F.explode(F.array(*[F.lit(m) for m in masks])).alias("m")
+        )
+        .withColumn("probe_sig", F.expr("sig ^ m").cast("bigint"))
+        .join(
+            hist.select(
+                F.col("tbl"), F.col("sig").alias("probe_sig"), F.col("n").alias("n2")
+            ),
+            ["tbl", "probe_sig"],
+        )
+        .groupBy("tbl")
+        # the cross sum is even by symmetry ((s, s^m) and (s^m, s) both
+        # contribute), so integer DIV 2 is exact — and stays off the float
+        # grid (oracle-parity rule: never divide-then-truncate in float)
+        .agg(F.expr("sum(n * n2) DIV 2").cast("bigint").alias("cross_pairs"))
+    )
+    eq = hist.groupBy("tbl").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("eq_pair_cost"),
+    )
+    n_masks = len(masks) + 1
+    return (
+        eq.join(cross, "tbl", "left")
+        .select(
+            "tbl",
+            "n_docs",
+            "n_buckets",
+            "max_bucket",
+            F.expr(
+                "CASE WHEN eq_pair_cost > 0 THEN"
+                " (max_bucket * (max_bucket - 1) DIV 2) * 1000000 DIV eq_pair_cost"
+                " ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("hottest_share_micro"),
+            "eq_pair_cost",
+            (F.coalesce(F.col("cross_pairs"), F.lit(0)) + F.col("eq_pair_cost"))
+            .cast("bigint")
+            .alias("probed_pair_cost"),
+            F.expr(f"n_docs * n_docs * {n_masks} DIV {2 ** (n_planes + 1)}")
+            .cast("bigint")
+            .alias("uniform_floor"),
+        )
+        .withColumn(
+            "skew_ratio_micro",
+            F.expr(
+                "probed_pair_cost * 1000000 DIV greatest(uniform_floor, 1)"
+            ).cast("bigint"),
+        )
+    )

@@ -3436,3 +3436,71 @@ def test_quality_aware_keepers_picks_best_scored_member(spark):
     )
     r2 = quality_aware_keepers(docs, tie).collect()[0]
     assert r2["keeper_id"] == 1 and r2["quality_upgraded"] == 0
+
+
+def _skew_vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_lsh_skew_preflight_prices_pair_join_exactly(spark):
+    """The histogram-times-mask formula must equal the brute-force count of
+    (a < b) pairs at signature Hamming <= probe_bits, per table."""
+    from itertools import combinations
+
+    from bigdata_rags_spark.similarity.knn import (
+        _deterministic_hyperplanes,
+        lsh_bucket_skew_report,
+        signature_col,
+    )
+    from pyspark.sql import functions as F
+
+    # deterministic varied vectors: index-derived components, mixed signs
+    rows = [
+        (i, [((i * 31 + d * 17) % 19) - 9.0 for d in range(64)]) for i in range(60)
+    ]
+    df = _skew_vecs(spark, rows)
+    rep = {r["tbl"]: r for r in lsh_bucket_skew_report(df, n_planes=8).collect()}
+    for t in range(4):
+        planes = _deterministic_hyperplanes(64, 8, seed=f"lsh{t}" if t else "lsh")
+        sigs = [
+            r["s"]
+            for r in df.select(
+                signature_col(F.col("embedding"), planes).alias("s")
+            ).collect()
+        ]
+        brute = sum(
+            1
+            for a, b in combinations(sigs, 2)
+            if bin(a ^ b).count("1") <= 2
+        )
+        assert rep[t]["probed_pair_cost"] == brute, (t, rep[t], brute)
+
+
+def test_lsh_skew_preflight_flags_degenerate_bucket(spark):
+    """All-identical vectors collapse into one bucket per table: the
+    pre-flight must price the full C(N,2) quadratic blowup and a skew
+    ratio far above the uniform floor."""
+    from bigdata_rags_spark.similarity.knn import lsh_bucket_skew_report
+
+    n = 40
+    df = _skew_vecs(spark, [(i, [1.0] * 64) for i in range(n)])
+    for r in lsh_bucket_skew_report(df, n_planes=8).collect():
+        assert r["n_buckets"] == 1 and r["max_bucket"] == n
+        assert r["eq_pair_cost"] == n * (n - 1) // 2
+        assert r["probed_pair_cost"] == n * (n - 1) // 2
+        assert r["hottest_share_micro"] == 1_000_000
+        assert r["skew_ratio_micro"] > 5_000_000  # >> 1e6 == at-floor
+
+
+def test_lsh_skew_preflight_raw_exceeds_idf_on_fixture(spark):
+    """The r14 demotion, as a query: the raw-count featurization's
+    predicted probed-pair cost must exceed the idf featurization's on the
+    real documents fixture, for every table."""
+    from bigdata_rags_spark.queries.llm_ops import lsh_bucket_skew_preflight
+
+    rows = lsh_bucket_skew_preflight(spark, "/root/testdata/sf0.001").collect()
+    raw = {r["tbl"]: r["probed_pair_cost"] for r in rows if r["variant"] == "raw"}
+    idf = {r["tbl"]: r["probed_pair_cost"] for r in rows if r["variant"] == "idf"}
+    assert set(raw) == set(idf) == {0, 1, 2, 3}
+    for t in raw:
+        assert raw[t] > idf[t], (t, raw[t], idf[t])
