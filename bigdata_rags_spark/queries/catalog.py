@@ -604,6 +604,12 @@ _RECHECK: tuple[str, ...] = (
     "bpe_byte_roundtrip",
     "eval_bradley_terry",
     "curriculum_anneal_plan",
+    # banded-Hamming family rerouted through dedup/hamming.py (plan change;
+    # audio/image hash frames now localCheckpoint'ed)
+    "image_phash_near_dups",
+    "audio_fingerprint_near_dups",
+    "video_temporal_near_dups",
+    "multimodal_capstone_retrieval",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

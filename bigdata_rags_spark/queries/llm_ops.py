@@ -2007,14 +2007,6 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16-bit keys + one 15-bit key per 63-bit half.  32k-65k values per band
 # keeps banded candidate volume ~N^2/49152 (VERDICT r10 #2 — the 8-bit
 # predecessor was N^2/256).
-_FP126_BANDS = [
-    *[(k, f"(fp_lo >> {16 * k}) & 65535") for k in range(3)],
-    (3, "(fp_lo >> 48) & 32767"),
-    *[(4 + k, f"(fp_hi >> {16 * k}) & 65535") for k in range(3)],
-    (7, "(fp_hi >> 48) & 32767"),
-]
-
-
 @_llm(
     "audio_fingerprint_near_dups",
     """
@@ -2065,50 +2057,17 @@ def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 63-bit predecessor's 256-value bands were N^2/256 — quadratic in
     practice); widen the fingerprint further (more frames) as the corpus
     grows — the same knob as every banded sketch here."""
+    from bigdata_rags_spark.dedup.hamming import FP126_BAND_EXPRS, banded_hamming_pairs
     from bigdata_rags_spark.multimodal.codecs import (
         attach_wav_payload,
         audio_fingerprint126,
     )
 
     docs = _docs_parallel(spark, sf_dir)
-    h = audio_fingerprint126(attach_wav_payload(docs))
-    bands = h.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(band).alias("band"), F.expr(key_sql).alias("key"))
-                    for band, key_sql in _FP126_BANDS
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    fa = h.select(
-        F.col("doc_id").alias("doc_a"), F.col("fp_lo").alias("lo_a"), F.col("fp_hi").alias("hi_a")
-    )
-    fb = h.select(
-        F.col("doc_id").alias("doc_b"), F.col("fp_lo").alias("lo_b"), F.col("fp_hi").alias("hi_b")
-    )
-    hamming = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
-        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
-    )
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .filter(hamming <= 7)
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-    )
+    # localCheckpoint: four-branch consumer (both explode sides, both
+    # verify sides) behind the Arrow WAV-decode subtree
+    h = audio_fingerprint126(attach_wav_payload(docs)).localCheckpoint()
+    return banded_hamming_pairs(h, ["fp_lo", "fp_hi"], FP126_BAND_EXPRS)
 
 
 @_llm(
@@ -4169,56 +4128,17 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
+    from bigdata_rags_spark.dedup.hamming import banded_hamming_pairs
+
     docs = _docs_parallel(spark, sf_dir)
-    # cache: the hash frame feeds the band explode twice and both verify
-    # sides; without it the (python-codec) hash pipeline would run 4x
+    # localCheckpoint: the banded join reads the hash frame from FOUR
+    # branches (both explode sides, both verify sides); a lazy cache does
+    # not protect multi-branch reuse (the round-8/round-12 lesson), and the
+    # python-codec hash pipeline is the expensive subtree here
     h = image_ahash128(
         resize_images(attach_png_payload(docs), out_w=16, out_h=8)
-    ).cache()
-    return _hamming128_banded_pairs(h)
-
-
-def _hamming128_banded_pairs(h: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """Shared tail of the 128-bit Hamming near-dup family (image aHash,
-    video temporal fingerprint): band the four 32-bit words ``w0..w3``
-    into 8 keys of 16 bits, equi-join on (band, key), verify candidates
-    with the exact four-word bit_count — pigeonhole-exact for
-    ``max_hamming <= 7`` with 8 bands.  Candidate volume ~N^2/65536 for
-    non-matching pairs; hashes are 4 ints/row so nothing wide ever crosses
-    an exchange."""
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(f"shiftright(w{b // 2}, {16 * (b % 2)}) & 65535").alias("key"),
-        )
-        for b in range(8)
-    ]
-    exploded = h.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
-        "doc_id", "bk.band", "bk.key"
-    )
-    cand = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    ha = h.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"w{j}").alias(f"a{j}") for j in range(4)]
-    )
-    hb = h.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"w{j}").alias(f"b{j}") for j in range(4)]
-    )
-    dist = " + ".join(f"bit_count(a{j} ^ b{j})" for j in range(4))
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .withColumn("hamming", F.expr(dist).cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    ).localCheckpoint()
+    return banded_hamming_pairs(h)
 
 
 def _video_fp_words_sql() -> str:
@@ -4287,11 +4207,13 @@ def video_temporal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.hex(F.col("text").cast("binary")).cast("binary").alias("payload")
     )
+    from bigdata_rags_spark.dedup.hamming import banded_hamming_pairs
+
     # localCheckpoint, not cache: the banded join reads the fingerprint
     # frame from FOUR branches (both explode sides, both verify sides) and
     # a lazy cache does not protect multi-branch reuse (the round-8 lesson)
     h = video_temporal_fingerprint128(payload).localCheckpoint()
-    return _hamming128_banded_pairs(h)
+    return banded_hamming_pairs(h)
 
 
 def _phash_edges_sql() -> str:
@@ -8115,63 +8037,6 @@ def contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal capstone: retrieve documents BY IMAGE (VERDICT r13 next #3) ------
 
 
-def _hamming128_banded_probe(
-    qh: DataFrame, ch: DataFrame, max_hamming: int = 7, k: int = 5
-) -> DataFrame:
-    """Asymmetric banded-Hamming ANN probe — the QUERY-vs-CORPUS serving
-    form of ``_hamming128_banded_pairs``: band both sides' 128-bit hashes
-    into 8 keys of 16 bits, equi-join query bands against corpus bands,
-    verify candidates with the exact four-word bit_count, keep each
-    query's top ``k`` hits at hamming <= ``max_hamming``.  Pigeonhole-
-    exact for ``max_hamming <= 7``: every qualifying (query, match) pair
-    shares an untouched band, so the probe equals the all-pairs predicate
-    the oracle states directly.  Scale: candidates ~|Q| x N/65536 per
-    band, hashes are 4 ints/row, the per-query window runs on verified
-    hits only (already <= corpus near-dup density)."""
-    def band_keys(h: DataFrame, idcol: str) -> DataFrame:
-        bands = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"shiftright(w{b // 2}, {16 * (b % 2)}) & 65535").alias("key"),
-            )
-            for b in range(8)
-        ]
-        return h.select(
-            F.col("doc_id").alias(idcol), F.explode(F.array(*bands)).alias("bk")
-        ).select(idcol, "bk.band", "bk.key")
-
-    cand = (
-        band_keys(qh, "query_doc")
-        .join(band_keys(ch, "match_doc"), ["band", "key"])
-        .filter(F.col("query_doc") != F.col("match_doc"))
-        .select("query_doc", "match_doc")
-        .distinct()
-    )
-    ha = qh.select(
-        F.col("doc_id").alias("query_doc"),
-        *[F.col(f"w{j}").alias(f"a{j}") for j in range(4)],
-    )
-    hb = ch.select(
-        F.col("doc_id").alias("match_doc"),
-        *[F.col(f"w{j}").alias(f"b{j}") for j in range(4)],
-    )
-    from pyspark.sql import Window
-
-    dist = " + ".join(f"bit_count(a{j} ^ b{j})" for j in range(4))
-    verified = (
-        cand.join(ha, "query_doc")
-        .join(hb, "match_doc")
-        .withColumn("hamming", F.expr(dist).cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    w = Window.partitionBy("query_doc").orderBy("hamming", "match_doc")
-    return (
-        verified.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_doc", "rank", "match_doc", "hamming")
-    )
-
-
 def _multimodal_capstone_oracle(max_hamming: int = 7, k: int = 5) -> str:
     """One-statement replay of the image capstone chain: synthesized-PNG
     decode -> 16x8 aHash words (``_phash_words_sql``) -> query subset ->
@@ -8223,7 +8088,9 @@ def multimodal_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame
     h = image_ahash128(
         resize_images(attach_png_payload(docs), out_w=16, out_h=8)
     ).localCheckpoint()
-    hits = _hamming128_banded_probe(
+    from bigdata_rags_spark.dedup.hamming import banded_hamming_probe
+
+    hits = banded_hamming_probe(
         h.filter(F.col("doc_id") % 10 == 0), h, max_hamming=7, k=5
     )
     meta = docs.select(

@@ -432,7 +432,7 @@ def test_multimodal_capstone_probe_finds_planted_identical_image(spark):
         image_ahash128,
         resize_images,
     )
-    from bigdata_rags_spark.queries.llm_ops import _hamming128_banded_probe
+    from bigdata_rags_spark.dedup.hamming import banded_hamming_probe
 
     rows = [
         (1000, 57),   # query
@@ -445,14 +445,77 @@ def test_multimodal_capstone_probe_finds_planted_identical_image(spark):
     h = image_ahash128(
         resize_images(attach_png_payload(docs), out_w=16, out_h=8)
     ).localCheckpoint()
-    hits = _hamming128_banded_probe(
+    hits = banded_hamming_probe(
         h.filter(F.col("doc_id") == 1000), h, max_hamming=7, k=5
     ).collect()
     assert len(hits) >= 1
     top = next(r for r in hits if r["rank"] == 1)
     assert (top["match_doc"], top["hamming"]) == (1256, 0)
     # symmetry: the twin as query finds the original at rank 1
-    back = _hamming128_banded_probe(
+    back = banded_hamming_probe(
         h.filter(F.col("doc_id") == 1256), h, max_hamming=7, k=5
     ).collect()
     assert next(r for r in back if r["rank"] == 1)["match_doc"] == 1000
+
+
+def test_banded_hamming_rejects_lossy_threshold(spark):
+    """The pigeonhole guarantee is a precondition, not a hope: asking for
+    max_hamming > bands-1 must raise instead of silently going lossy."""
+    import pytest as _pytest
+
+    from bigdata_rags_spark.dedup.hamming import (
+        banded_hamming_pairs,
+        banded_hamming_probe,
+    )
+
+    h = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)], ["doc_id", "w0", "w1", "w2", "w3"]
+    )
+    with _pytest.raises(ValueError):
+        banded_hamming_pairs(h, max_hamming=8)
+    with _pytest.raises(ValueError):
+        banded_hamming_probe(h, h, max_hamming=8)
+
+
+def test_banded_hamming_pairs_equals_brute_force(spark):
+    """The banded plan must equal the all-pairs Hamming predicate on a
+    corpus with planted near/far pairs, for both the 128-bit w0..w3 layout
+    and the 126-bit audio layout."""
+    from itertools import combinations
+
+    from bigdata_rags_spark.dedup.hamming import (
+        FP126_BAND_EXPRS,
+        banded_hamming_pairs,
+    )
+
+    rows = [
+        (1, 0b1111, 0, 0, 0),
+        (2, 0b1011, 0, 0, 0),          # hamming 1 from doc 1
+        (3, 0, 0xFFFF, 0, 0),          # far from 1/2
+        (4, 0, 0xFF1F, 0, 0),          # hamming 3 from doc 3
+        (5, 123456, 654321, 111, 222), # isolated
+    ]
+    h = spark.createDataFrame(rows, ["doc_id", "w0", "w1", "w2", "w3"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in banded_hamming_pairs(h).collect()
+    }
+    exp = {}
+    for (ia, *wa), (ib, *wb) in combinations(rows, 2):
+        d = sum(bin(a ^ b).count("1") for a, b in zip(wa, wb))
+        if d <= 7:
+            exp[(ia, ib)] = d
+    assert got == exp
+    # audio layout: same contract over (fp_lo, fp_hi)
+    arows = [(1, 0b111, 0), (2, 0b100, 0), (3, 1 << 50, 1 << 40)]
+    ah = spark.createDataFrame(arows, ["doc_id", "fp_lo", "fp_hi"])
+    agot = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in banded_hamming_pairs(ah, ["fp_lo", "fp_hi"], FP126_BAND_EXPRS).collect()
+    }
+    aexp = {}
+    for (ia, la, hb_), (ib, lb, hb2) in combinations(arows, 2):
+        d = bin(la ^ lb).count("1") + bin(hb_ ^ hb2).count("1")
+        if d <= 7:
+            aexp[(ia, ib)] = d
+    assert agot == aexp
