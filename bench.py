@@ -245,6 +245,7 @@ HEADLINE = [
     "curation_funnel_capstone",
     "ann_filtered_serving_report",
     "lsh_bucket_skew_preflight",
+    "audio_capstone_retrieval",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

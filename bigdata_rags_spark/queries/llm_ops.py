@@ -2003,14 +2003,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 8 pigeonhole bands over the 126-bit (fp_lo, fp_hi) fingerprint: three
-# 16-bit keys + one 15-bit key per 63-bit half.  32k-65k values per band
-# keeps banded candidate volume ~N^2/49152 (VERDICT r10 #2 — the 8-bit
-# predecessor was N^2/256).
-@_llm(
-    "audio_fingerprint_near_dups",
-    """
-WITH d AS (SELECT doc_id, GREATEST(LEAST(n_chars, 256), 1) AS n FROM documents),
+def _audio_fp_words_sql() -> str:
+    """CTE chain computing the 126-bit audio fingerprint ``fps(doc_id,
+    fp_lo, fp_hi)`` — the symbolic replay of
+    ``multimodal/codecs.audio_fingerprint126`` over the synthesized WAV
+    payload (per-sample a = abs((doc_id*31 + i*25173) % 65536 - 32768),
+    127 frames, energy-transition bits).  Shared by the near-dup pair
+    oracle and the retrieve-BY-AUDIO capstone."""
+    return """d AS (SELECT doc_id, GREATEST(LEAST(n_chars, 256), 1) AS n FROM documents),
 s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
 p AS (SELECT doc_id, CAST(i * 127 // n AS INT) AS f,
              abs((doc_id * 31 + i * 25173) % 65536 - 32768) AS a
@@ -2035,12 +2035,26 @@ fps AS (
                        THEN b * (CAST(1 AS BIGINT) << (f - 63)) ELSE 0 END) AS BIGINT)
            AS fp_hi
   FROM bits GROUP BY doc_id
+)"""
+
+
+_SQL_FP126_DIST = (
+    "bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))"
 )
+
+
+# 8 pigeonhole bands over the 126-bit (fp_lo, fp_hi) fingerprint: three
+# 16-bit keys + one 15-bit key per 63-bit half.  32k-65k values per band
+# keeps banded candidate volume ~N^2/49152 (VERDICT r10 #2 — the 8-bit
+# predecessor was N^2/256).
+@_llm(
+    "audio_fingerprint_near_dups",
+    f"""
+WITH {_audio_fp_words_sql()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.fp_lo, b.fp_lo))
-            + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
+       CAST({_SQL_FP126_DIST} AS INT) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) <= 7
+WHERE {_SQL_FP126_DIST} <= 7
 """,
 )
 def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9115,3 +9129,69 @@ def lsh_bucket_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+# round-15: audio capstone — retrieve documents BY AUDIO CLIP -----------------
+
+
+def _audio_capstone_oracle(max_hamming: int = 7, k: int = 5) -> str:
+    """One-statement replay of the audio capstone chain: synthesized-WAV
+    decode -> 126-bit fingerprint (``_audio_fp_words_sql``) -> query
+    subset -> Hamming <= 7 hits (the banded probe is pigeonhole-EQUAL to
+    this predicate) -> per-query top-k -> document metadata join."""
+    return f"""
+WITH {_audio_fp_words_sql()},
+q AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
+scored AS (
+  SELECT a.doc_id AS query_doc, b.doc_id AS match_doc,
+         CAST({_SQL_FP126_DIST} AS INT) AS hamming
+  FROM q a JOIN fps b ON b.doc_id != a.doc_id
+  WHERE {_SQL_FP126_DIST} <= {max_hamming}
+),
+topk AS (
+  SELECT query_doc, match_doc, hamming,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+              ORDER BY hamming, match_doc) AS INT) AS rank
+  FROM scored QUALIFY rank <= {k}
+)
+SELECT t.query_doc, t.rank, t.match_doc, t.hamming,
+       dd.lang AS match_lang, CAST(dd.n_chars AS BIGINT) AS match_chars
+FROM topk t JOIN documents dd ON dd.doc_id = t.match_doc
+"""
+
+
+@_llm("audio_capstone_retrieval", _audio_capstone_oracle())
+def audio_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL CAPSTONE, audio edition — retrieve documents BY AUDIO
+    CLIP end to end (VERDICT r14 next #7, mirroring
+    `multimodal_capstone_retrieval`): attach genuine RIFF/WAVE payloads ->
+    Arrow decode -> 126-bit frame-energy-transition fingerprint
+    (`multimodal/codecs.audio_fingerprint126`) -> the SHARED banded-
+    Hamming ANN probe (`dedup/hamming.banded_hamming_probe`, 126-bit
+    band layout; every 10th document's clip queries the corpus, exact
+    bit_count verify at hamming <= 7, per-query top-5) -> hits join back
+    to `documents` metadata.  The probe is pigeonhole-exact, so one
+    oracle statement replays decode -> fingerprint -> ANN -> join.
+    Scale: clips reduce to 2 bigints after one Arrow pass; the
+    fingerprint frame is localCheckpoint'ed (4-branch consumer);
+    candidates ~|Q| x N/49152 per band."""
+    from bigdata_rags_spark.dedup.hamming import FP126_BAND_EXPRS, banded_hamming_probe
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_wav_payload,
+        audio_fingerprint126,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    h = audio_fingerprint126(attach_wav_payload(docs)).localCheckpoint()
+    hits = banded_hamming_probe(
+        h.filter(F.col("doc_id") % 10 == 0), h,
+        ["fp_lo", "fp_hi"], FP126_BAND_EXPRS, max_hamming=7, k=5,
+    )
+    meta = docs.select(
+        F.col("doc_id").alias("match_doc"),
+        F.col("lang").alias("match_lang"),
+        F.col("n_chars").cast("bigint").alias("match_chars"),
+    )
+    return hits.join(meta, "match_doc").select(
+        "query_doc", "rank", "match_doc", "hamming", "match_lang", "match_chars"
+    )

@@ -519,3 +519,37 @@ def test_banded_hamming_pairs_equals_brute_force(spark):
         if d <= 7:
             aexp[(ia, ib)] = d
     assert agot == aexp
+
+
+def test_audio_probe_retrieves_identical_clip(spark):
+    """Audio-capstone needle (VERDICT r14 next #7's done-criterion): two
+    docs whose synthesized WAV params collide EXACTLY — a = abs((doc_id*31
+    + i*25173) % 65536 - 32768), so doc_id and doc_id + 65536 with equal
+    n_chars produce identical clips — must find each other at rank 1 /
+    hamming 0, in both directions."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.hamming import (
+        FP126_BAND_EXPRS,
+        banded_hamming_probe,
+    )
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_wav_payload,
+        audio_fingerprint126,
+    )
+
+    rows = [
+        (1000, 57),    # query clip
+        (66536, 57),   # planted twin: 1000 + 65536, same n_chars
+        (2001, 91),
+        (3002, 33),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    h = audio_fingerprint126(attach_wav_payload(docs)).localCheckpoint()
+    for qid, twin in ((1000, 66536), (66536, 1000)):
+        hits = banded_hamming_probe(
+            h.filter(F.col("doc_id") == qid), h,
+            ["fp_lo", "fp_hi"], FP126_BAND_EXPRS, max_hamming=7, k=5,
+        ).collect()
+        top = next(r for r in hits if r["rank"] == 1)
+        assert (top["match_doc"], top["hamming"]) == (twin, 0)
