@@ -246,6 +246,7 @@ HEADLINE = [
     "ann_filtered_serving_report",
     "lsh_bucket_skew_preflight",
     "audio_capstone_retrieval",
+    "cross_modal_dedup_gate",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -270,3 +270,58 @@ def curation_funnel_report(
             "n_tokens",
         )
     )
+
+
+def cross_modal_image_gate(
+    h: DataFrame,
+    docs: DataFrame,
+    prefix_k: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """CROSS-MODAL dedup gate (VERDICT r14 next #6): drop documents whose
+    attached IMAGE is a near-dup of a lower-id kept document's image, even
+    when their text differs — the image-level re-post case text dedup
+    misses (same meme/photo, new caption).
+
+    ``h`` is a 128-bit image-hash frame (doc_id, w0..w3) — the
+    `multimodal/codecs.image_ahash128` output; ``docs`` carries (doc_id,
+    text).  Image near-dup pairs come from the shared banded-Hamming join,
+    clusters from connected components, and the keeper is each cluster's
+    min id (the `fuzzy_dedup_surviving_docs` survival rule applied to the
+    image modality).  Returns the DROPPED set: (doc_id, image_keeper_id,
+    caught_by_text int) where caught_by_text = 1 iff text prefix-dedup
+    would have caught the doc anyway — 0 rows are the gate's novel
+    catches, the report a pipeline reviews before enabling the gate.
+
+    100 TB shape: pairs are band-bounded (never all-pairs), CC is the
+    3-tier label-propagation contract (`dedup/clusters.py`), and the text
+    side reduces to a 32-hex prefix key before its window — images and
+    text never cross an exchange."""
+    from bigdata_rags_spark.dedup.clusters import connected_components
+    from bigdata_rags_spark.dedup.hamming import banded_hamming_pairs
+
+    edges = banded_hamming_pairs(h, max_hamming=max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    clusters = connected_components(edges)
+    img_losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.col("cluster_id").alias("image_keeper_id")
+    )
+    toks = ws_tokens(F.col("text"))
+    pk = docs.select(
+        "doc_id", F.md5(F.array_join(F.slice(toks, 1, prefix_k), " ")).alias("pk")
+    )
+    wp = Window.partitionBy("pk")
+    text_losers = (
+        pk.withColumn("__min", F.min("doc_id").over(wp))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wp))
+        .filter((F.col("__cnt") > 1) & (F.col("doc_id") != F.col("__min")))
+        .select("doc_id")
+    )
+    return img_losers.join(
+        text_losers.withColumn("__t", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "image_keeper_id",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("int").alias("caught_by_text"),
+    )

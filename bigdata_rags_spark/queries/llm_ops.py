@@ -9195,3 +9195,78 @@ def audio_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(meta, "match_doc").select(
         "query_doc", "rank", "match_doc", "hamming", "match_lang", "match_chars"
     )
+
+
+# round-15: cross-modal dedup gate -------------------------------------------
+
+
+def _cross_modal_gate_oracle(prefix_k: int = 8) -> str:
+    """Replay of the cross-modal gate: image aHash words
+    (``_phash_words_sql``), hamming <= 7 edges, recursive-CTE connected
+    components (min-id keeper), text prefix-dup losers, left-join flag."""
+    return f"""
+WITH RECURSIVE {_phash_edges_sql()},
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT e.u, reach.r FROM und e JOIN reach ON reach.u = e.v
+),
+cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+img_losers AS (
+  SELECT doc_id, cluster_id AS image_keeper_id FROM cl WHERE doc_id != cluster_id
+),
+pk AS (
+  SELECT doc_id, md5(array_to_string(({_SQL_TOKS})[1:{prefix_k}], ' ')) AS k
+  FROM documents
+),
+pc AS (SELECT k, MIN(doc_id) AS keeper, COUNT(*) AS c FROM pk GROUP BY 1),
+tl AS (
+  SELECT pk.doc_id FROM pk JOIN pc USING (k)
+  WHERE pc.c > 1 AND pk.doc_id != pc.keeper
+)
+SELECT il.doc_id, il.image_keeper_id,
+       CAST(CASE WHEN tl.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS caught_by_text,
+       d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM img_losers il
+JOIN documents d ON d.doc_id = il.doc_id
+LEFT JOIN tl ON tl.doc_id = il.doc_id
+"""
+
+
+@_llm("cross_modal_dedup_gate", _cross_modal_gate_oracle())
+def cross_modal_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL curation gate (`pipelines/curation.
+    cross_modal_image_gate`, VERDICT r14 next #6): documents whose
+    attached IMAGE is a near-dup of a lower-id kept document's image are
+    dropped even when their text differs — the image-level re-post case
+    (same meme/photo, new caption) that text dedup structurally misses.
+    Image pairs come from the shared banded-Hamming join
+    (`dedup/hamming.banded_hamming_pairs`), clusters from connected
+    components with min-id keepers, and every dropped doc is flagged with
+    whether text prefix-dedup would have caught it anyway —
+    caught_by_text = 0 rows are the gate's novel catches, the evidence a
+    pipeline reviews before composing modalities into
+    `corpus_training_selection`."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_png_payload,
+        image_ahash128,
+        resize_images,
+    )
+    from bigdata_rags_spark.pipelines.curation import cross_modal_image_gate
+
+    docs = _docs_parallel(spark, sf_dir)
+    # four-branch consumer (both band-explode sides, both verify sides)
+    # behind the python-codec hash pipeline
+    h = image_ahash128(
+        resize_images(attach_png_payload(docs), out_w=16, out_h=8)
+    ).localCheckpoint()
+    gate = cross_modal_image_gate(h, docs.select("doc_id", "text"))
+    meta = docs.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return gate.join(meta, "doc_id").select(
+        "doc_id", "image_keeper_id", "caught_by_text", "lang", "n_chars"
+    )

@@ -127,3 +127,39 @@ def test_curation_funnel_empty_corpus_packs_zero(spark):
     rep = {r["stage"]: r for r in curation_funnel_report(empty).collect()}
     assert rep[0]["n_docs"] == 0 and rep[0]["n_tokens"] == 0
     assert rep[6]["n_docs"] == 0 and rep[6]["n_tokens"] == 0
+
+
+def test_cross_modal_gate_drops_same_image_different_caption(spark):
+    """VERDICT r14 next #6's done-criterion: a doc whose attached image is
+    identical to a lower-id doc's (doc_id + 256 -> same planted PNG) but
+    whose CAPTION differs must be dropped with caught_by_text = 0 (text
+    dedup misses it); a doc that ALSO shares its 8-token text prefix with
+    the keeper flags caught_by_text = 1; docs with unique images survive."""
+    from bigdata_rags_spark.multimodal.codecs import (
+        attach_png_payload,
+        image_ahash128,
+        resize_images,
+    )
+    from bigdata_rags_spark.pipelines.curation import cross_modal_image_gate
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        # (doc_id, n_chars, text): PNG = f(doc_id % 256 effects, n_chars)
+        (1000, 57, base),
+        (1256, 57, "totally different caption words here entirely new text"),
+        (1512, 57, base + " trailing extra tail"),  # same image AND same prefix-8
+        (2001, 91, "unique image unrelated content survives the gate fine"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_chars", "text"])
+    h = image_ahash128(
+        resize_images(attach_png_payload(docs), out_w=16, out_h=8)
+    ).localCheckpoint()
+    out = {
+        r["doc_id"]: r
+        for r in cross_modal_image_gate(h, docs.select("doc_id", "text")).collect()
+    }
+    assert set(out) == {1256, 1512}  # keeper 1000 and unique 2001 survive
+    assert out[1256]["image_keeper_id"] == 1000
+    assert out[1256]["caught_by_text"] == 0  # the novel cross-modal catch
+    assert out[1512]["image_keeper_id"] == 1000
+    assert out[1512]["caught_by_text"] == 1  # text prefix-dedup also catches
