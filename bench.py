@@ -247,6 +247,8 @@ HEADLINE = [
     "lsh_bucket_skew_preflight",
     "audio_capstone_retrieval",
     "cross_modal_dedup_gate",
+    "gate_agreement_kappa",
+    "quality_threshold_ablation",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
@@ -342,8 +344,21 @@ def main() -> None:
         "events_hourly_value_percentiles",
         "multimodal_wav_features",
     )
+    # Recent-round additions (r14 onward) join the median set too (VERDICT
+    # r14 #8): next round's per-query comparisons then start from medians
+    # instead of single warm samples for every query newer than the r13
+    # baseline window.
+    recent = HEADLINE[HEADLINE.index("rm3_expansion_search"):]
     heavy = sorted(rest, key=lambda n: warm[n], reverse=True)[:10]
-    heavy = list(dict.fromkeys([*heavy, *(n for n in watch if n in rest)]))
+    heavy = list(
+        dict.fromkeys(
+            [
+                *heavy,
+                *(n for n in watch if n in rest),
+                *(n for n in recent if n in rest),
+            ]
+        )
+    )
     extra_passes = [run_pass(heavy) for _ in range(2)]
     for n in heavy:
         warm_med[n] = sorted([warm[n], extra_passes[0][n], extra_passes[1][n]])[1]

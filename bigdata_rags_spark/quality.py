@@ -511,3 +511,81 @@ def nb_calibration_bins(
         )
         .select("bin", "n_docs", "n_pos", "mean_prob_micro", "emp_rate_micro", "gap_micro")
     )
+
+
+def binary_agreement_report(flags: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Cohen's kappa between two binary keep/drop gates — ONE row:
+    (n, n11, n10, n01, n00, po_micro, pe_micro, kappa_milli).  All integer
+    arithmetic (micro agreement rates, milli kappa); truncation-toward-zero
+    division agrees between Spark DIV and DuckDB // for either sign, so
+    negative kappa is hash-safe.  kappa_milli is NULL when chance
+    agreement is exactly 1 (both gates constant) — the undefined case.
+
+    The gate-stacking audit (`gate_agreement_kappa`): kappa near 0 means
+    the gates cut complementary subsets (stacking changes the corpus);
+    near 1000 means one gate is redundant.  Scale: input is an id-level
+    flag frame; this is one global aggregate."""
+    j = flags.select(
+        F.col(a_col).cast("int").alias("a"), F.col(b_col).cast("int").alias("b")
+    )
+    cm = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    rates = cm.select(
+        "*",
+        F.expr("(n11 + n00) * 1000000 DIV n").cast("bigint").alias("po_micro"),
+        F.expr(
+            "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000"
+            " DIV (n * n)"
+        )
+        .cast("bigint")
+        .alias("pe_micro"),
+    )
+    return rates.select(
+        "n", "n11", "n10", "n01", "n00", "po_micro", "pe_micro",
+        F.expr("(po_micro - pe_micro) * 1000 DIV nullif(1000000 - pe_micro, 0)")
+        .cast("bigint")
+        .alias("kappa_milli"),
+    )
+
+
+def score_threshold_ablation(
+    scored: DataFrame,
+    thresholds: tuple[int, ...],
+    score_col: str = "mean_micro",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Keep-rate / token-mass curve over candidate gate thresholds (the
+    FineWeb-Edu-style "where do we cut" ablation): per threshold, the
+    documents and token mass with ``score_col`` >= threshold, plus the
+    integer-micro token share of the scored corpus.  One |thresholds| x
+    rows cross join aggregated immediately — output is |thresholds| rows."""
+    m = scored.select(
+        F.col(score_col).cast("bigint").alias("__s"),
+        F.col(tokens_col).cast("bigint").alias("__t"),
+    )
+    tot = m.agg(F.sum("__t").cast("bigint").alias("__total"))
+    spark = scored.sparkSession
+    thr = spark.createDataFrame([(int(t),) for t in thresholds], "thr_micro bigint")
+    kept = F.when(F.col("__s") >= F.col("thr_micro"), 1).otherwise(0)
+    return (
+        thr.crossJoin(m)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("thr_micro")
+        .agg(
+            F.coalesce(F.sum(kept), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.sum(kept * F.col("__t")), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.expr(
+                "coalesce(sum(CASE WHEN __s >= thr_micro THEN __t ELSE 0 END), 0)"
+                " * 1000000 DIV max(__total)"
+            )
+            .cast("bigint")
+            .alias("token_share_micro"),
+        )
+    )

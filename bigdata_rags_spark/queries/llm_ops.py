@@ -9270,3 +9270,183 @@ def cross_modal_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate.join(meta, "doc_id").select(
         "doc_id", "image_keeper_id", "caught_by_text", "lang", "n_chars"
     )
+
+
+# round-15 extension ring: gate agreement, threshold ablation -----------------
+
+
+_SQL_GOPHER_KEEP = f"""gt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+guni AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM gt) GROUP BY 1, 2
+),
+gus AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_c
+  FROM guni GROUP BY 1
+),
+gbt AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+  FROM gt
+),
+gbi AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM gbt) GROUP BY 1, 2
+),
+gbs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bc
+  FROM gbi GROUP BY 1
+),
+gk AS (
+  SELECT gus.doc_id,
+         CAST(CASE WHEN n_words >= 30
+                    AND ROUND(top_c / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) <= 0.15
+                    AND ROUND(n_distinct / CAST(NULLIF(n_words, 0) AS DOUBLE), 6) >= 0.35
+                    AND COALESCE(ROUND(top_bc / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 6), 0.0) <= 0.08
+               THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+  FROM gus LEFT JOIN gbs ON gus.doc_id = gbs.doc_id
+)"""
+
+
+@_llm(
+    "gate_agreement_kappa",
+    f"""
+WITH {_nb_ctes()},
+dtoks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+dbuck AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
+  FROM dtoks
+),
+dsc AS (
+  SELECT doc_id, CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM dbuck JOIN wts USING (b) GROUP BY doc_id
+),
+{_SQL_GOPHER_KEEP},
+j AS (
+  SELECT gk.doc_id,
+         CASE WHEN COALESCE(dsc.score_micro, 0) >= 0 THEN 1 ELSE 0 END AS nb_keep,
+         gk.gopher_keep
+  FROM gk LEFT JOIN dsc ON dsc.doc_id = gk.doc_id
+),
+cm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nb_keep * gopher_keep) AS BIGINT) AS n11,
+         CAST(SUM(nb_keep * (1 - gopher_keep)) AS BIGINT) AS n10,
+         CAST(SUM((1 - nb_keep) * gopher_keep) AS BIGINT) AS n01,
+         CAST(SUM((1 - nb_keep) * (1 - gopher_keep)) AS BIGINT) AS n00
+  FROM j
+),
+krates AS (
+  SELECT *,
+         CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
+         CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000
+              // (n * n) AS BIGINT) AS pe_micro
+  FROM cm
+)
+SELECT n, n11, n10, n01, n00, po_micro, pe_micro,
+       CAST((po_micro - pe_micro) * 1000 // NULLIF(1000000 - pe_micro, 0) AS BIGINT)
+         AS kappa_milli
+FROM krates
+""",
+)
+def gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-GATE AGREEMENT audit — Cohen's kappa between the two
+    independent keep/drop gates this repo ships (the trained NB classifier,
+    `quality.nb_score_docs` keep = score >= 0, and the Gopher
+    repetition/diversity rules, `quality.repetition_quality` keep_flag):
+    the calibration report a curation pipeline reads before stacking gates
+    — kappa near 0 means the gates are complementary (stacking changes the
+    corpus), kappa near 1 means one is redundant.  Confusion counts, raw
+    and expected agreement, and chance-corrected kappa, all in integer
+    micro/milli (truncation-toward-zero division agrees between engines
+    for either sign).  Docs with no NB-scorable tokens take score 0
+    (kept), the `curation_funnel_capstone` COALESCE rule.
+
+    Scale: both gates are existing one-scan aggregations; the agreement
+    join is id-keyed and the output is ONE row."""
+    from bigdata_rags_spark.quality import (
+        binary_agreement_report,
+        nb_fit_weights,
+        nb_score_docs,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    weights = nb_fit_weights(_nb_seed(spark, sf_dir))
+    nb = nb_score_docs(docs, weights).select("doc_id", "score_micro")
+    gopher = repetition_quality(docs).select("doc_id", "keep_flag")
+    flags = gopher.join(nb, "doc_id", "left").select(
+        F.when(F.coalesce(F.col("score_micro"), F.lit(0)) >= 0, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.col("keep_flag").cast("int").alias("b"),
+    )
+    return binary_agreement_report(flags)
+
+
+# calibrated to the fixture's per-token score spread (sf0.01 deciles:
+# p10 -9550 / median -1068 / p90 +8507) so every threshold cuts a real
+# subset — the vacuous-oracle rule
+_ABLATION_THRESHOLDS = (-10000, -5000, 0, 5000, 10000)
+
+
+@_llm(
+    "quality_threshold_ablation",
+    f"""
+WITH {_nb_ctes()},
+dtoks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+dbuck AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
+  FROM dtoks
+),
+dsc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM dbuck JOIN wts USING (b) GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id, n_tokens,
+         CAST((score_micro + 1000000 * n_tokens) // n_tokens - 1000000 AS BIGINT)
+           AS mean_micro
+  FROM dsc
+),
+atot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM m),
+thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _ABLATION_THRESHOLDS)}]) AS BIGINT)
+          AS thr_micro)
+SELECT t.thr_micro,
+       CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN m.n_tokens ELSE 0 END), 0)
+            AS BIGINT) AS tokens_kept,
+       CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN m.n_tokens ELSE 0 END), 0)
+            * 1000000 // MAX(atot.total_tokens) AS BIGINT) AS token_share_micro
+FROM thr t CROSS JOIN m CROSS JOIN atot
+GROUP BY t.thr_micro
+""",
+)
+def quality_threshold_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-THRESHOLD ablation (the FineWeb-Edu-style "where do we
+    cut" report): for each candidate per-token NB score threshold, the
+    documents and token mass that survive — the keep-rate/quality
+    tradeoff curve a pipeline reads before fixing the gate, the ablation
+    companion of `quality_nb_calibration` (which audits probability
+    calibration at a FIXED gate).  Thresholds are integer micro on the
+    per-token mean score; token shares integer micro of the scorable
+    corpus.  Docs with no scorable tokens have no mean and are excluded
+    from both numerator and denominator (documented; the capstone's
+    COALESCE-keep rule applies to gating, not to this measurement curve).
+
+    Scale: ONE score pass (explode -> broadcast-weights join -> per-doc
+    sum), then a |thresholds| x docs literal cross join that aggregates
+    immediately — the output is |thresholds| rows."""
+    from bigdata_rags_spark.quality import (
+        nb_fit_weights,
+        nb_score_docs,
+        score_threshold_ablation,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    weights = nb_fit_weights(_nb_seed(spark, sf_dir))
+    m = nb_score_docs(docs, weights).select("doc_id", "n_tokens", "mean_micro")
+    return score_threshold_ablation(m, _ABLATION_THRESHOLDS)

@@ -3504,3 +3504,39 @@ def test_lsh_skew_preflight_raw_exceeds_idf_on_fixture(spark):
     assert set(raw) == set(idf) == {0, 1, 2, 3}
     for t in raw:
         assert raw[t] > idf[t], (t, raw[t], idf[t])
+
+
+def test_binary_agreement_kappa_endpoints(spark):
+    """Planted endpoints of the kappa scale: identical mixed gates -> 1000,
+    perfectly inverted 50/50 gates -> -1000, one-constant gate -> NULL."""
+    from bigdata_rags_spark.quality import binary_agreement_report
+
+    same = spark.createDataFrame([(1, 1), (0, 0), (1, 1), (0, 0)], ["a", "b"])
+    r = binary_agreement_report(same).collect()[0]
+    assert (r["po_micro"], r["kappa_milli"]) == (1_000_000, 1000)
+    inv = spark.createDataFrame([(1, 0), (0, 1), (1, 0), (0, 1)], ["a", "b"])
+    r = binary_agreement_report(inv).collect()[0]
+    assert (r["po_micro"], r["kappa_milli"]) == (0, -1000)
+    const = spark.createDataFrame([(1, 1), (1, 1)], ["a", "b"])
+    r = binary_agreement_report(const).collect()[0]
+    assert r["kappa_milli"] is None  # chance agreement == 1: undefined
+
+
+def test_score_threshold_ablation_hand_computed(spark):
+    """Hand-checkable 3-doc curve: monotone keep counts, exact token
+    shares, empty tail."""
+    from bigdata_rags_spark.quality import score_threshold_ablation
+
+    m = spark.createDataFrame(
+        [(1, 10, -5000), (2, 30, 0), (3, 60, 7000)],
+        ["doc_id", "n_tokens", "mean_micro"],
+    )
+    out = {
+        r["thr_micro"]: r
+        for r in score_threshold_ablation(m, (-10000, 0, 5000, 10000)).collect()
+    }
+    assert out[-10000]["n_kept"] == 3 and out[-10000]["token_share_micro"] == 1_000_000
+    assert out[0]["n_kept"] == 2 and out[0]["tokens_kept"] == 90
+    assert out[0]["token_share_micro"] == 900_000
+    assert out[5000]["n_kept"] == 1 and out[5000]["tokens_kept"] == 60
+    assert out[10000]["n_kept"] == 0 and out[10000]["token_share_micro"] == 0
