@@ -8996,10 +8996,7 @@ def ann_filtered_serving_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-in-probed-cells).  100 TB: both modes keep bucket pruning; the
     report is what decides whether predicate columns belong IN the codes
     table."""
-    from bigdata_rags_spark.similarity.pq import (
-        ivfpq_filtered_serving_report,
-        ivfpq_search_rerank,
-    )
+    from bigdata_rags_spark.similarity.pq import ivfpq_filtered_serving_report
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
@@ -9007,20 +9004,20 @@ def ann_filtered_serving_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact truth — one materialization serves them all
     corpus = e.select("vec_id", "embedding").localCheckpoint()
     queries = corpus.filter(F.col("vec_id") < 10)
-    # the unfiltered serve is predicate-independent: pay for it once and
-    # materialize (it feeds one postfilter branch per predicate)
-    unfiltered = ivfpq_search_rerank(
-        queries, corpus, k=10, n_probe=4, shortlist=50
-    ).localCheckpoint()
-    out = None
-    for label, col, val in (("lang=en", "lang", "en"), ("source=src0", "source", "src0")):
-        elig = docs.filter(F.col(col) == val).select(F.col("doc_id").alias("vec_id"))
-        rep = ivfpq_filtered_serving_report(
-            queries, corpus, elig, k=10, n_probe=4, shortlist=50,
-            unfiltered_topk=unfiltered,
-        ).select(F.lit(label).alias("pred"), "*")
-        out = rep if out is None else out.unionByName(rep)
-    return out
+    # dict form: both predicates share ONE corpus encode, ONE cell
+    # assignment, and ONE unfiltered serve (the r15 bench audit found the
+    # per-predicate form re-encoding the corpus 3x — 16.2 s warm)
+    preds = {
+        "lang=en": docs.filter(F.col("lang") == "en").select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "source=src0": docs.filter(F.col("source") == "src0").select(
+            F.col("doc_id").alias("vec_id")
+        ),
+    }
+    return ivfpq_filtered_serving_report(
+        queries, corpus, preds, k=10, n_probe=4, shortlist=50
+    )
 
 
 # round-15: LSH bucket-skew pre-flight ---------------------------------------

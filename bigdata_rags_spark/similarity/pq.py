@@ -363,6 +363,8 @@ def ivfpq_search_rerank(
     shortlist: int = 50,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ combined serving — FAISS's production IVFPQ shape (Jégou et
     al. 2011 §V): the coarse quantizer prunes WHICH corpus vectors are
@@ -373,6 +375,12 @@ def ivfpq_search_rerank(
     parts (``similarity/ivf.py`` cell assignment, ``pq_adc_topk``
     scoring), so the full pipeline stays value-hash exact with fixed
     codebooks.
+
+    ``encoded`` / ``assignments`` optionally supply a precomputed
+    ``pq_encode(corpus, books)`` frame (id, m, code) and cell-assignment
+    frame (cid, cell) so multi-pass callers (the filtered-serving report
+    runs 2-3 serves over subsets of one corpus) encode the corpus ONCE —
+    when None the plan is unchanged.
 
     100 TB shape: corpus is read once to (cell, m, code) rows — the index
     build; serving shuffles NOTHING corpus-sized (probes and the LUT
@@ -389,8 +397,10 @@ def ivfpq_search_rerank(
     cvec = corpus.select(
         F.col("vec_id").alias("cid"), as_double_array(F.col("embedding")).alias("cv")
     )
-    asg = cvec.select(
-        "cid", _nearest_cells(F.col("cv"), cents, 1)[0].alias("cell")
+    asg = (
+        assignments
+        if assignments is not None
+        else cvec.select("cid", _nearest_cells(F.col("cv"), cents, 1)[0].alias("cell"))
     )
     qvec = queries.select(
         F.col("vec_id").alias("query_id"), as_double_array(F.col("embedding")).alias("qv")
@@ -400,7 +410,7 @@ def ivfpq_search_rerank(
         F.explode(_nearest_cells(F.col("qv"), cents, n_probe)).alias("cell"),
     )
 
-    codes = pq_encode(corpus, books).join(
+    codes = (encoded if encoded is not None else pq_encode(corpus, books)).join(
         asg.select(F.col("cid").alias("id"), "cell"), "id"
     )
     lut = pq_lut(queries, books)
@@ -606,11 +616,20 @@ def ivfpq_index_serve(
     shortlist: int = 50,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    eligible_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a PERSISTED IVFPQ index (``build_ivfpq_index``)
     — no corpus encode in the plan, value-hash identical to the on-the-fly
     ``ivfpq_search_rerank`` (asserted by the ``embedding_ivfpq_index_serve``
     oracle, which is the same SQL as the on-the-fly sibling's).
+
+    ``eligible_ids`` (optional 1-column id frame) serves the FILTERED
+    form "top-k WHERE <metadata predicate>" by PRE-FILTERING: the
+    eligible set semi-joins the codes scan before ADC, composing with —
+    never replacing — bucket pruning, so the shortlist is drawn from
+    eligible candidates only (no post-filter starvation; the tradeoff is
+    measured by `ivfpq_filtered_serving_report`).  When None the plan is
+    byte-identical to the unfiltered serve.
 
     Serving shape, in scan order:
     1. probe cells for each query (codegen'd literal projection, query side
@@ -656,6 +675,16 @@ def ivfpq_index_serve(
     codes = spark.table(f"{table_prefix}_codes").filter(
         F.col("cell").isin(probe_cells)
     )
+    if eligible_ids is not None:
+        # pre-filter serving: the predicate composes with bucket pruning
+        # (cells first, then the id semi-join on the pruned scan)
+        codes = codes.join(
+            eligible_ids.select(
+                F.col(eligible_ids.columns[0]).alias("id")
+            ),
+            "id",
+            "left_semi",
+        )
     tomb_table = f"{table_prefix}_tombstones"
     if spark.catalog.tableExists(tomb_table):
         # logical deletes (delete_from_ivfpq_index): broadcast anti-join on
@@ -1044,7 +1073,7 @@ def ivfpq_tuning_report(
 def ivfpq_filtered_serving_report(
     queries: DataFrame,
     corpus: DataFrame,
-    eligible_ids: DataFrame,
+    eligible_ids: DataFrame | dict[str, DataFrame],
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
@@ -1057,9 +1086,12 @@ def ivfpq_filtered_serving_report(
     WHERE <metadata predicate>" both ways every production vector store
     weighs, and report the recall/cost tradeoff per query.
 
+    ``eligible_ids`` may be a dict {label: id-frame}: all predicates then
+    share ONE corpus encode, ONE cell assignment, and ONE unfiltered
+    serve, and the output gains a leading ``pred`` label column.
     ``unfiltered_topk`` optionally supplies a precomputed unfiltered serve
-    (query_id, neighbor_id, similarity, rank) so multi-predicate reports
-    pay for the full-corpus pass ONCE — it is predicate-independent.
+    (query_id, neighbor_id, similarity, rank) — it is predicate-
+    independent.
 
     - ``prefilter``: the predicate restricts the INDEXED corpus before
       scoring (only eligible codes are ADC-scored, the shortlist is drawn
@@ -1094,24 +1126,26 @@ def ivfpq_filtered_serving_report(
 
     cents = centroids if centroids is not None else fixed_centroids(64, n_cells)
     books = codebooks if codebooks is not None else pq_codebooks()
-    elig = eligible_ids.select(F.col(eligible_ids.columns[0]).alias("vec_id"))
-    corpus_elig = corpus.join(elig, "vec_id", "left_semi")
+    preds = (
+        eligible_ids
+        if isinstance(eligible_ids, dict)
+        else {None: eligible_ids}
+    )
 
-    pre = ivfpq_search_rerank(
-        queries, corpus_elig, k=k, n_cells=n_cells, n_probe=n_probe,
-        shortlist=shortlist, centroids=cents, codebooks=books,
-    ).select("query_id", "neighbor_id")
+    # encode + cell-assign the corpus ONCE (the 256-dot-product encode is
+    # the expensive stage; every predicate's serve modes and cost counts
+    # read from these two frames — multi-branch rule: materialize)
+    enc = pq_encode(corpus, books).localCheckpoint()
+    asg = corpus.select(
+        F.col("vec_id").alias("cid"),
+        _nearest_cells(as_double_array(F.col("embedding")), cents, 1)[0].alias("cell"),
+    ).localCheckpoint()
     if unfiltered_topk is None:
         unfiltered_topk = ivfpq_search_rerank(
             queries, corpus, k=k, n_cells=n_cells, n_probe=n_probe,
             shortlist=shortlist, centroids=cents, codebooks=books,
+            encoded=enc, assignments=asg,
         )
-    post = unfiltered_topk.join(
-        elig.select(F.col("vec_id").alias("neighbor_id")), "neighbor_id", "left_semi"
-    ).select("query_id", "neighbor_id")
-    exact = brute_force_topk(queries, corpus_elig, k=k).select(
-        "query_id", "neighbor_id"
-    )
 
     # scanned-candidate cost: corpus rows whose cell lands in the query's
     # probed cells (excluding self) — what ADC actually prices per mode
@@ -1123,15 +1157,10 @@ def ivfpq_filtered_serving_report(
         "query_id", F.explode(_nearest_cells(F.col("qv"), cents, n_probe)).alias("cell")
     )
 
-    def scanned(c: DataFrame) -> DataFrame:
-        asg = c.select(
-            F.col("vec_id").alias("neighbor_id"),
-            _nearest_cells(as_double_array(F.col("embedding")), cents, 1)[0].alias(
-                "cell"
-            ),
-        )
+    def scanned(a: DataFrame) -> DataFrame:
         return (
-            asg.join(F.broadcast(probes), "cell")
+            a.select(F.col("cid").alias("neighbor_id"), "cell")
+            .join(F.broadcast(probes), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("scanned_rows"))
@@ -1139,7 +1168,7 @@ def ivfpq_filtered_serving_report(
 
     qids = queries.select(F.col("vec_id").alias("query_id"))
 
-    def mode_report(res: DataFrame, cost: DataFrame, mode: str) -> DataFrame:
+    def mode_report(res, cost, exact, mode: str) -> DataFrame:
         nres = res.groupBy("query_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_results")
         )
@@ -1168,6 +1197,33 @@ def ivfpq_filtered_serving_report(
             )
         )
 
-    return mode_report(pre, scanned(corpus_elig), "prefilter").unionByName(
-        mode_report(post, scanned(corpus), "postfilter")
-    )
+    out = None
+    for label, elig_df in preds.items():
+        elig = elig_df.select(F.col(elig_df.columns[0]).alias("vec_id"))
+        corpus_elig = corpus.join(elig, "vec_id", "left_semi")
+        enc_elig = enc.join(
+            elig.select(F.col("vec_id").alias("id")), "id", "left_semi"
+        )
+        asg_elig = asg.join(
+            elig.select(F.col("vec_id").alias("cid")), "cid", "left_semi"
+        )
+        pre = ivfpq_search_rerank(
+            queries, corpus_elig, k=k, n_cells=n_cells, n_probe=n_probe,
+            shortlist=shortlist, centroids=cents, codebooks=books,
+            encoded=enc_elig, assignments=asg_elig,
+        ).select("query_id", "neighbor_id")
+        post = unfiltered_topk.join(
+            elig.select(F.col("vec_id").alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        ).select("query_id", "neighbor_id")
+        exact = brute_force_topk(queries, corpus_elig, k=k).select(
+            "query_id", "neighbor_id"
+        )
+        rep = mode_report(pre, scanned(asg_elig), exact, "prefilter").unionByName(
+            mode_report(post, scanned(asg), exact, "postfilter")
+        )
+        if label is not None:
+            rep = rep.select(F.lit(label).alias("pred"), "*")
+        out = rep if out is None else out.unionByName(rep)
+    return out

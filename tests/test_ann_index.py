@@ -432,3 +432,39 @@ def test_filtered_serving_postfilter_starves_prefilter_does_not(spark):
     # exact filtered truth is the top-10 of the 12 eligible: prefilter
     # should recover it fully here (shortlist covers every eligible code)
     assert rep["prefilter"]["recall_micro"] == 1_000_000
+
+
+def test_persisted_index_filtered_serve_matches_filtered_corpus(spark):
+    """ivfpq_index_serve(eligible_ids=...) — pre-filter on the PERSISTED
+    index — must equal serving an index built over only the eligible
+    corpus (same quantizers), and the unfiltered serve must be unchanged
+    by the new parameter's default."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.io.bucketing import drop_managed_table
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.pq import build_ivfpq_index, ivfpq_index_serve
+
+    e = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 3)
+    elig = e.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    for prefix in ("t_fserve_full", "t_fserve_elig"):
+        for s in ("codes", "vectors", "meta", "tombstones"):
+            drop_managed_table(spark, f"{prefix}_{s}")
+    build_ivfpq_index(e, table_prefix="t_fserve_full")
+    build_ivfpq_index(
+        e.join(elig, "vec_id", "left_semi"), table_prefix="t_fserve_elig"
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    filtered = sorted(
+        ivfpq_index_serve(
+            q, k=5, table_prefix="t_fserve_full", eligible_ids=elig
+        ).collect(),
+        key=key,
+    )
+    rebuilt = sorted(
+        ivfpq_index_serve(q, k=5, table_prefix="t_fserve_elig").collect(), key=key
+    )
+    assert [tuple(r) for r in filtered] == [tuple(r) for r in rebuilt]
+    assert filtered  # non-vacuous
+    assert all(r["neighbor_id"] % 2 == 0 for r in filtered)
