@@ -249,6 +249,7 @@ HEADLINE = [
     "cross_modal_dedup_gate",
     "gate_agreement_kappa",
     "quality_threshold_ablation",
+    "eval_paired_bootstrap_delta",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -407,3 +407,54 @@ def best_of_n(
             ((-F.col("best.nr")) - F.col("median_micro")).alias("margin_micro"),
         )
     )
+
+
+def paired_bootstrap_delta(
+    a_scores: DataFrame,
+    b_scores: DataFrame,
+    value_col: str,
+    id_col: str = "task_id",
+    n_replicates: int = 200,
+    salt: str = "bs",
+    lo_rank: int = 5,
+    hi_rank: int = 195,
+) -> DataFrame:
+    """PAIRED bootstrap comparison of two models on a shared task set —
+    the actual decision tool behind "is A better than B" (a per-model CI
+    overlap check throws away the pairing and loses most of the power;
+    the paired test resamples the per-task DIFFERENCE, so shared task
+    difficulty cancels).  Public method: paired bootstrap over per-task
+    deltas, here via the same deterministic Poisson(1) machinery as
+    ``poisson_bootstrap_ci`` — identical task hashing and mixer, so a
+    task draws the SAME weight for its delta as it would for either
+    model's score, which is exactly what "paired" means.
+
+    Inner join on ``id_col`` (tasks missing from either side drop — a
+    paired test is only defined on the intersection).  Returns ONE row:
+    (n_tasks, n_replicates, delta_micro — mean per-task A-B,
+    ci_lo_micro, ci_hi_micro, significant int — 1 iff the 95% interval
+    excludes zero).  Deltas may be negative; floor division truncates
+    toward zero identically in both engines."""
+    a = a_scores.select(
+        F.col(id_col).alias("task_id"), F.col(value_col).cast("bigint").alias("__a")
+    )
+    b = b_scores.select(
+        F.col(id_col).alias("task_id"), F.col(value_col).cast("bigint").alias("__b")
+    )
+    delta = a.join(b, "task_id").select(
+        "task_id", (F.col("__a") - F.col("__b")).cast("bigint").alias("delta")
+    )
+    ci = poisson_bootstrap_ci(
+        delta, "delta", id_col="task_id", n_replicates=n_replicates,
+        salt=salt, lo_rank=lo_rank, hi_rank=hi_rank,
+    )
+    return ci.select(
+        "n_tasks",
+        "n_replicates",
+        F.col("point_micro").alias("delta_micro"),
+        "ci_lo_micro",
+        "ci_hi_micro",
+        F.expr(
+            "CAST(CASE WHEN ci_lo_micro > 0 OR ci_hi_micro < 0 THEN 1 ELSE 0 END AS INT)"
+        ).alias("significant"),
+    )

@@ -5473,16 +5473,7 @@ def eval_self_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_vote(samples)
 
 
-def _bootstrap_ci_oracle(B: int = 200, lo: int = 5, hi: int = 195) -> str:
-    from bigdata_rags_spark.functions.evals import (
-        MIX_INC,
-        MIX_MULT,
-        MOD31,
-        poisson_weight_case_sql,
-    )
-
-    return f"""
-WITH s AS (
+_BOOTSTRAP_P_PASS1 = """s AS (
   SELECT l_orderkey AS task_id,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS correct
   FROM lineitem
@@ -5497,7 +5488,36 @@ p AS (
          CAST(1000000 - GREATEST(n_samples - n_correct, 0) * 1000000
               // n_samples AS BIGINT) AS v
   FROM a
-),
+)"""
+
+
+def _bootstrap_ci_oracle(
+    B: int = 200,
+    lo: int = 5,
+    hi: int = 195,
+    p_sql: str | None = None,
+    final_sql: str | None = None,
+) -> str:
+    """Poisson-bootstrap CI replay.  ``p_sql`` supplies the CTE chain
+    ending in ``p(task_id, v)`` (default: the pass@1 per-task metric);
+    ``final_sql`` overrides the closing SELECT (the paired-delta query
+    adds a significance flag) — the mixer/weight/rank CTEs in between are
+    shared verbatim with `functions/evals.poisson_bootstrap_ci`."""
+    from bigdata_rags_spark.functions.evals import (
+        MIX_INC,
+        MIX_MULT,
+        MOD31,
+        poisson_weight_case_sql,
+    )
+
+    if p_sql is None:
+        p_sql = _BOOTSTRAP_P_PASS1
+    if final_sql is None:
+        final_sql = f"""SELECT n_tasks, CAST({B} AS INT) AS n_replicates, point_micro,
+       ci_lo_micro, ci_hi_micro
+FROM pt CROSS JOIN bounds"""
+    return f"""
+WITH {p_sql},
 hh AS (
   SELECT v, CAST(('0x' || substr(md5('bs:' || CAST(task_id AS VARCHAR)), 1, 8))::BIGINT
          % {MOD31} AS BIGINT) AS h
@@ -5525,9 +5545,7 @@ pt AS (
          CAST(CAST(SUM(v) AS BIGINT) // COUNT(*) AS BIGINT) AS point_micro
   FROM p
 )
-SELECT n_tasks, CAST({B} AS INT) AS n_replicates, point_micro,
-       ci_lo_micro, ci_hi_micro
-FROM pt CROSS JOIN bounds
+{final_sql}
 """
 
 
@@ -9447,3 +9465,73 @@ def quality_threshold_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = nb_fit_weights(_nb_seed(spark, sf_dir))
     m = nb_score_docs(docs, weights).select("doc_id", "n_tokens", "mean_micro")
     return score_threshold_ablation(m, _ABLATION_THRESHOLDS)
+
+
+# round-15: paired bootstrap model comparison ---------------------------------
+
+
+def _paired_delta_p_sql(B: int = 200) -> str:
+    """CTE chain ending in ``p(task_id, v)`` where v = per-task pass@1
+    delta between model A (returnflag rule) and model B (linestatus
+    rule) — the two deterministic fixture 'models'."""
+    def pass1(name: str, cond: str) -> str:
+        return f"""s{name} AS (
+  SELECT l_orderkey AS task_id, CASE WHEN {cond} THEN 1 ELSE 0 END AS correct
+  FROM lineitem
+),
+a{name} AS (
+  SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(correct) AS BIGINT) AS n_correct
+  FROM s{name} GROUP BY 1
+),
+p{name} AS (
+  SELECT task_id,
+         CAST(1000000 - GREATEST(n_samples - n_correct, 0) * 1000000
+              // n_samples AS BIGINT) AS v
+  FROM a{name}
+)"""
+
+    return f"""{pass1('A', "l_returnflag = 'R'")},
+{pass1('B', "l_linestatus = 'F'")},
+p AS (
+  SELECT pA.task_id, CAST(pA.v - pB.v AS BIGINT) AS v
+  FROM pA JOIN pB USING (task_id)
+)"""
+
+
+@_llm(
+    "eval_paired_bootstrap_delta",
+    _bootstrap_ci_oracle(
+        p_sql=_paired_delta_p_sql(),
+        final_sql="""SELECT n_tasks, CAST(200 AS INT) AS n_replicates,
+       point_micro AS delta_micro, ci_lo_micro, ci_hi_micro,
+       CAST(CASE WHEN ci_lo_micro > 0 OR ci_hi_micro < 0 THEN 1 ELSE 0 END AS INT)
+         AS significant
+FROM pt CROSS JOIN bounds""",
+    ),
+)
+def eval_paired_bootstrap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED bootstrap comparison of two models on the shared task set
+    (`functions/evals.paired_bootstrap_delta`): resample the per-task
+    pass@1 DIFFERENCE with the same deterministic Poisson(1) machinery as
+    `eval_bootstrap_ci`, so shared task difficulty cancels — the "is A
+    actually better than B" decision tool a per-model CI overlap check
+    underpowers.  One row: task count, mean delta, exact rank-picked 95%
+    interval, and the significance flag (interval excludes zero).  Model
+    A/B are the two deterministic fixture scorers (returnflag /
+    linestatus rules).  Scale: one inner join on task id + the B x N
+    row-local Poisson expansion and one hash agg per replicate."""
+    from bigdata_rags_spark.functions.evals import paired_bootstrap_delta, pass_at_k
+
+    li = read_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    def scored(cond):
+        return pass_at_k(
+            li.select(
+                F.col("l_orderkey").alias("task_id"), cond.cast("int").alias("correct")
+            ),
+            ks=(1,),
+        )
+
+    a = scored(F.col("l_returnflag") == "R")
+    b = scored(F.col("l_linestatus") == "F")
+    return paired_bootstrap_delta(a, b, "pass1_micro", n_replicates=200)

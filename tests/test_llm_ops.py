@@ -3540,3 +3540,28 @@ def test_score_threshold_ablation_hand_computed(spark):
     assert out[0]["token_share_micro"] == 900_000
     assert out[5000]["n_kept"] == 1 and out[5000]["tokens_kept"] == 60
     assert out[10000]["n_kept"] == 0 and out[10000]["token_share_micro"] == 0
+
+
+def test_paired_bootstrap_delta_planted(spark):
+    """A strictly dominating model must yield a positive, significant
+    delta interval; identical models must yield exactly zero and
+    not-significant (every replicate's delta mean is 0)."""
+    from bigdata_rags_spark.functions.evals import paired_bootstrap_delta
+
+    rows = [(i, 800_000 if i % 2 else 600_000) for i in range(60)]
+    a = spark.createDataFrame(rows, ["task_id", "pass1_micro"])
+    b = spark.createDataFrame(
+        [(i, v - 200_000) for i, v in rows], ["task_id", "pass1_micro"]
+    )
+    r = paired_bootstrap_delta(a, b, "pass1_micro").collect()[0]
+    # per-task delta is constant 200k -> every replicate mean is exactly 200k
+    assert (r["delta_micro"], r["ci_lo_micro"], r["ci_hi_micro"]) == (
+        200_000, 200_000, 200_000,
+    )
+    assert r["significant"] == 1 and r["n_tasks"] == 60
+    same = paired_bootstrap_delta(a, a, "pass1_micro").collect()[0]
+    assert (same["delta_micro"], same["significant"]) == (0, 0)
+    # tasks outside the intersection are excluded (paired test contract)
+    b_missing = b.filter(b.task_id < 40)
+    r2 = paired_bootstrap_delta(a, b_missing, "pass1_micro").collect()[0]
+    assert r2["n_tasks"] == 40
