@@ -250,6 +250,7 @@ HEADLINE = [
     "gate_agreement_kappa",
     "quality_threshold_ablation",
     "eval_paired_bootstrap_delta",
+    "proximity_boosted_search",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

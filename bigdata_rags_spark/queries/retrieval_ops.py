@@ -730,3 +730,59 @@ def rm3_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rm3_expanded_search(
         docs, QUERY_TERMS, fb_k=10, n_expansion=10, alpha_micro=500_000, k=10
     )
+
+
+@query(
+    "proximity_boosted_search",
+    f"""
+WITH {_SQL_BM25_CORE},
+allpos AS (
+  SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) AS pos
+  FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+),
+pos AS (SELECT * FROM allpos WHERE token IN ({_TERMS_SQL})),
+lagged AS (
+  SELECT doc_id, pos, token,
+         LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS pt,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+  FROM pos
+),
+mind AS (
+  SELECT doc_id, CAST(MIN(pos - pp) AS BIGINT) AS min_pair_dist
+  FROM lagged WHERE token != pt GROUP BY doc_id
+),
+boosted AS (
+  SELECT b.doc_id, b.bm25, b.matched_terms,
+         CAST(COALESCE(m.min_pair_dist, 0) AS BIGINT) AS min_pair_dist,
+         CAST(CASE WHEN m.min_pair_dist IS NOT NULL
+                   THEN 2000 // m.min_pair_dist ELSE 0 END AS BIGINT)
+           AS prox_boost_milli,
+         CAST(FLOOR(b.bm25 * 1000) AS BIGINT)
+           + CAST(CASE WHEN m.min_pair_dist IS NOT NULL
+                       THEN 2000 // m.min_pair_dist ELSE 0 END AS BIGINT)
+           AS score_milli
+  FROM bm25 b LEFT JOIN mind m ON m.doc_id = b.doc_id
+)
+SELECT doc_id, bm25, matched_terms, min_pair_dist, prox_boost_milli, score_milli,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS INT) AS rnk
+FROM boosted
+QUALIFY rnk <= 10
+""",
+    tier=TIER_LLM,
+)
+def proximity_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-enhanced BM25 (`retrieval/bm25.proximity_boosted_search`):
+    the bag-of-words top-10 re-ranked with an exact positional boost —
+    min token distance between DIFFERING query terms via one LAG window
+    over the doc's matching positions (the closest differing pair is
+    always position-adjacent), boost = 2000 DIV distance milli, added to
+    FLOOR(bm25*1000).  The phrase-evidence refinement every lexical
+    engine ships next to plain BM25; positions never leave the row until
+    filtered to query terms."""
+    return proximity_boosted_search_impl(_docs_parallel(spark, sf_dir))
+
+
+def proximity_boosted_search_impl(docs: DataFrame) -> DataFrame:
+    from bigdata_rags_spark.retrieval.bm25 import proximity_boosted_search as pbs
+
+    return pbs(docs, QUERY_TERMS, k=10)

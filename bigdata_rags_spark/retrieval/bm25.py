@@ -442,3 +442,73 @@ def query_likelihood_scores(
     return _ranked_topk(
         scored, [F.col("ql_score").desc(), F.col("doc_id")], k
     ).select("doc_id", "ql_score", "matched_terms", F.col("rnk").cast("int").alias("rnk"))
+
+
+def proximity_boosted_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    bonus_num: int = 2000,
+) -> DataFrame:
+    """BM25 with a POSITIONAL proximity boost — the classic phrase/
+    proximity ranking refinement (Büttcher et al.'s proximity-enhanced
+    BM25 family, public): documents where distinct query terms occur
+    CLOSE together outrank bag-of-words ties, because `"stream join"` as
+    a phrase is stronger evidence than the words a page apart.
+
+    min_pair_dist = the minimum token-index distance between occurrences
+    of two DIFFERENT query terms.  Computed exactly with ONE window: sort
+    the doc's query-term positions, LAG one step, keep rows where the
+    term changed — the closest differing-term pair is always adjacent in
+    position order (if a closer non-adjacent pair existed, whatever sits
+    between its endpoints would form a yet-closer differing pair with one
+    of them).  boost_milli = bonus_num DIV min_pair_dist (0 when fewer
+    than two distinct terms match); score_milli = FLOOR(bm25 * 1000) +
+    boost_milli — explicit FLOOR on both engines (the r13 double->bigint
+    cast rule), rank by (score_milli DESC, doc_id).
+
+    Scale shape: positions come from one row-local posexplode filtered to
+    the query terms BEFORE any exchange (the inverted-index projection);
+    the window partitions by doc over only matching positions — per-doc
+    rows are query-term occurrences, not document length.
+    """
+    from pyspark.sql import Window
+
+    scored = bm25_all_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token").isin(query_terms))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    mind = (
+        pos.withColumn("pt", F.lag("token").over(w))
+        .withColumn("pp", F.lag("pos").over(w))
+        .filter(F.col("token") != F.col("pt"))
+        .groupBy("doc_id")
+        .agg(F.min(F.col("pos") - F.col("pp")).cast("bigint").alias("min_pair_dist"))
+    )
+    boosted = (
+        scored.join(mind, "doc_id", "left")
+        .withColumn(
+            "prox_boost_milli",
+            F.expr(
+                f"CASE WHEN min_pair_dist IS NOT NULL"
+                f" THEN {bonus_num} DIV min_pair_dist ELSE 0 END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "score_milli",
+            F.expr("CAST(FLOOR(bm25 * 1000) AS BIGINT) + prox_boost_milli"),
+        )
+    )
+    return _ranked_topk(
+        boosted, [F.col("score_milli").desc(), F.col("doc_id")], k
+    ).select(
+        "doc_id", "bm25", "matched_terms",
+        F.coalesce(F.col("min_pair_dist"), F.lit(0)).cast("bigint").alias(
+            "min_pair_dist"
+        ),
+        "prox_boost_milli", "score_milli", "rnk",
+    )

@@ -254,3 +254,39 @@ def test_rm3_alpha_zero_reduces_to_bm25_ranking(spark):
     assert [
         r["doc_id"] for r in sorted(rm3.collect(), key=lambda r: r["rnk"])
     ] == plain
+
+
+def test_proximity_boost_reranks_adjacent_terms(spark):
+    """A doc with ADJACENT query terms must outrank a doc with the same
+    term bag spread far apart (the phrase-evidence rule), and a doc
+    matching only one term gets zero boost."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.retrieval.bm25 import proximity_boosted_search
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, f"spark join {filler}"),                  # adjacent: dist 1
+        (2, f"spark {filler} join"),                  # spread: dist 41
+        (3, f"spark {filler}"),                       # single term: no boost
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           proximity_boosted_search(docs, ["spark", "join"], k=10).collect()}
+    assert out[1]["min_pair_dist"] == 1 and out[1]["prox_boost_milli"] == 2000
+    assert out[2]["min_pair_dist"] == 41 and out[2]["prox_boost_milli"] == 2000 // 41
+    assert out[3]["min_pair_dist"] == 0 and out[3]["prox_boost_milli"] == 0
+    # same term bag -> near-equal bm25; the boost must decide the order
+    assert out[1]["rnk"] < out[2]["rnk"] < out[3]["rnk"]
+
+
+def test_proximity_min_dist_is_exact_over_interleavings(spark):
+    """The LAG-adjacent rule must equal the true minimum differing-term
+    distance on an interleaved pattern (closest pair not first)."""
+    from bigdata_rags_spark.retrieval.bm25 import proximity_boosted_search
+
+    # positions: spark@0, spark@3, join@5, spark@6 -> min dist = 1 (5->6)
+    text = "spark x y spark z join spark"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = proximity_boosted_search(docs, ["spark", "join"], k=5).collect()[0]
+    assert r["min_pair_dist"] == 1
