@@ -251,6 +251,7 @@ HEADLINE = [
     "quality_threshold_ablation",
     "eval_paired_bootstrap_delta",
     "proximity_boosted_search",
+    "stupid_backoff_doc_scores",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -589,3 +589,96 @@ def score_threshold_ablation(
             .alias("token_share_micro"),
         )
     )
+
+
+def stupid_backoff_scores(
+    train_docs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha_num: int = 2,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale backoff that
+    replaces discounting with a fixed multiplier): score s(w_i | w_{i-1})
+    = c2(w_{i-1} w_i) / cprefix(w_{i-1}) when the bigram was seen in
+    TRAINING, else alpha * (c1(w_i) + 1) / (T + V) — backing off to the
+    add-one unigram with alpha = 0.4 (2/5).  This is the production fix
+    the MLE scorer (`bigram_lm_doc_scores`) lacks: an MLE bigram model
+    simply cannot score held-out text containing unseen bigrams, which is
+    ALL held-out text at corpus scale.
+
+    Train/score split follows the repo's seed convention: fit counts on
+    ``train_docs``, score ``docs`` (every doc — training docs back off
+    only on cross-split vocabulary).  Returns (doc_id, n_positions,
+    n_backoff, backoff_rate_micro, sb_cross_entropy) — the backoff rate
+    is itself the domain-shift signal (high rate = the doc's word
+    transitions are foreign to the training distribution).  Float policy:
+    the per-position -ln uses the same expression order in both engines
+    and the doc aggregate is ROUND(avg, 6) — the `bigram_lm_doc_scores`
+    precedent.  Sub-2-token docs produce no row.
+
+    100 TB: two training aggregations (bigram, unigram) with map-side
+    combine; scoring is one doc-bigram explode joined against the count
+    tables (broadcast under the vocabulary-join ceiling); one per-doc
+    hash agg.  No UDFs, no windows.
+    """
+    from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+    tb = train_docs.select(
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), 2)).alias("bigram")
+    )
+    c2 = tb.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cp = (
+        c2.withColumn("w1", F.split("bigram", " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c").cast("bigint").alias("cw"))
+    )
+    tu = train_docs.select(
+        F.explode(ws_tokens(F.col(text_col))).alias("w")
+    )
+    c1 = tu.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    totals = c1.agg(
+        F.sum("c1").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_tokens"),
+    )
+    sb = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(ws_tokens(F.col(text_col)), 2)).alias("bigram"),
+        )
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    )
+    scored = (
+        sb.join(F.broadcast(c2), "bigram", "left")
+        .join(F.broadcast(cp), "w1", "left")
+        .join(F.broadcast(c1.withColumnRenamed("w", "w2")), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    seen = F.col("c").isNotNull()
+    nll = F.when(
+        seen, -F.log(F.col("c").cast("double") / F.col("cw").cast("double"))
+    ).otherwise(
+        -F.log(
+            F.lit(alpha_num)
+            * (F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double")
+            / (F.lit(alpha_den) * (F.col("t_tokens") + F.col("v_tokens"))).cast(
+                "double"
+            )
+        )
+    )
+    return (
+        scored.withColumn("nll", nll)
+        .withColumn("backoff", (~seen).cast("bigint"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+            F.sum("backoff").cast("bigint").alias("n_backoff"),
+            F.expr("sum(backoff) * 1000000 DIV count(1)")
+            .cast("bigint")
+            .alias("backoff_rate_micro"),
+            F.round(F.avg("nll"), 6).alias("sb_cross_entropy"),
+        )
+    )

@@ -9535,3 +9535,77 @@ def eval_paired_bootstrap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = scored(F.col("l_returnflag") == "R")
     b = scored(F.col("l_linestatus") == "F")
     return paired_bootstrap_delta(a, b, "pass1_micro", n_replicates=200)
+
+
+# round-15: Stupid-Backoff held-out LM scoring --------------------------------
+
+
+@_llm(
+    "stupid_backoff_doc_scores",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+trb AS (
+  SELECT unnest(list_transform(
+    CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END,
+    i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM t WHERE doc_id % 8 = 0
+),
+c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM trb GROUP BY 1),
+cp AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c) AS BIGINT) AS cw
+  FROM c2 GROUP BY 1
+),
+tru AS (SELECT unnest(toks) AS w FROM t WHERE doc_id % 8 = 0),
+c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tru GROUP BY 1),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_tokens FROM c1),
+sbg AS (
+  SELECT doc_id, bigram,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+      CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END,
+      i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+    FROM t
+  )
+),
+sc AS (
+  SELECT s.doc_id,
+         CASE WHEN c2.c IS NOT NULL
+              THEN -ln(CAST(c2.c AS DOUBLE) / CAST(cp.cw AS DOUBLE))
+              ELSE -ln(2 * CAST(COALESCE(c1.c1, 0) + 1 AS DOUBLE)
+                       / CAST(5 * (tot.t_tokens + tot.v_tokens) AS DOUBLE)) END
+           AS nll,
+         CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM sbg s
+  LEFT JOIN c2 USING (bigram)
+  LEFT JOIN cp USING (w1)
+  LEFT JOIN c1 ON c1.w = s.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_positions,
+       CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(backoff) * 1000000 // COUNT(*) AS BIGINT) AS backoff_rate_micro,
+       ROUND(AVG(nll), 6) AS sb_cross_entropy
+FROM sc GROUP BY doc_id
+""",
+)
+def stupid_backoff_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (`quality.stupid_backoff_scores`;
+    Brants et al. 2007): counts fit on the doc_id % 8 == 0 training split,
+    EVERY doc scored — seen bigrams score by MLE, unseen ones back off to
+    alpha=0.4 times the add-one unigram, which is what lets a bigram LM
+    price held-out text at all (the MLE sibling `bigram_lm_doc_scores`
+    is structurally confined to its own training corpus).  Reports the
+    per-doc backoff rate — itself the domain-shift signal — next to the
+    cross-entropy.  Two training aggs + broadcast count joins + one
+    per-doc hash agg; no windows, no UDFs."""
+    from bigdata_rags_spark.quality import stupid_backoff_scores
+
+    docs = _docs_parallel(spark, sf_dir)
+    # 1/8 training split (not the usual even/odd): the fixture's template
+    # pool is repetitive enough that a half-split sees nearly every bigram
+    # (6/500 docs backed off); 1/8 puts 208/500 docs into the backoff
+    # regime — the held-out reality the operator exists for
+    return stupid_backoff_scores(docs.filter(F.col("doc_id") % 8 == 0), docs)

@@ -3565,3 +3565,25 @@ def test_paired_bootstrap_delta_planted(spark):
     b_missing = b.filter(b.task_id < 40)
     r2 = paired_bootstrap_delta(a, b_missing, "pass1_micro").collect()[0]
     assert r2["n_tasks"] == 40
+
+
+def test_stupid_backoff_scores_planted(spark):
+    """Seen bigrams score by MLE; unseen ones back off to 0.4 * add-one
+    unigram — hand-computed on a 2-doc corpus."""
+    import math
+
+    from bigdata_rags_spark.quality import stupid_backoff_scores
+
+    train = spark.createDataFrame([(0, "a b a b c")], ["doc_id", "text"])
+    # test doc: "a b" seen (c2=2, cprefix(a)=2 -> p=1), "b z" unseen
+    # (z unigram count 0 -> 0.4 * 1 / (T + V)), T=5 train tokens, V=3
+    score = spark.createDataFrame([(1, "a b z")], ["doc_id", "text"])
+    r = stupid_backoff_scores(train, score).collect()
+    row = {x["doc_id"]: x for x in r}[1]
+    assert row["n_positions"] == 2 and row["n_backoff"] == 1
+    assert row["backoff_rate_micro"] == 500_000
+    expected = round((-math.log(2 / 2) + -math.log(2 * 1 / (5 * (5 + 3)))) / 2, 6)
+    assert abs(row["sb_cross_entropy"] - expected) < 1e-9
+    # the training doc itself never backs off
+    trow = {x["doc_id"]: x for x in stupid_backoff_scores(train, train).collect()}[0]
+    assert trow["n_backoff"] == 0
