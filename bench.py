@@ -252,6 +252,7 @@ HEADLINE = [
     "eval_paired_bootstrap_delta",
     "proximity_boosted_search",
     "stupid_backoff_doc_scores",
+    "events_decayed_trending",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

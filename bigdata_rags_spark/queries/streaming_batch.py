@@ -1493,3 +1493,44 @@ def events_sliding_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("window_start_sec", "event_type", "n_events", "total_value", "rnk")
     )
+
+
+@_s(
+    "events_decayed_trending",
+    """
+WITH mx AS (SELECT MAX(epoch_ns(ts)) AS max_ns FROM events),
+w AS (
+  SELECT event_type,
+         (mx.max_ns - epoch_ns(ts)) // 86400000000000 AS age_days
+  FROM events CROSS JOIN mx
+),
+d AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(1000000000000 // (CAST(1 AS BIGINT) << LEAST(age_days, 40)))
+              AS BIGINT) AS decayed_weight
+  FROM w GROUP BY 1
+)
+SELECT event_type, n_events, decayed_weight,
+       CAST(ROW_NUMBER() OVER (ORDER BY decayed_weight DESC, event_type) AS INT)
+         AS decayed_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, event_type) AS INT)
+         AS raw_rank
+FROM d
+""",
+)
+def events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-DECAYED trending report — the half-life ranking every
+    feed/monitoring pipeline runs next to raw counts: each event
+    contributes 1e12 >> age_days (a one-day half-life as an exact integer
+    shift — 2^-age is a right shift, so the decay is bit-exact in any
+    engine, no float exp anywhere), aggregated per event type, ranked
+    against the raw-count ranking so recency re-ranks are visible
+    (decayed_rank != raw_rank rows).  The batch form of the decayed-count
+    state a streaming scorer keeps per key (state update: halve on day
+    rollover, +1e12 per event — O(1) bigint per key, the
+    `events_running_user_totals` contract).  Scale: one scan, one 1-row
+    broadcast max, one hash agg; the window ranks |event_type| rows."""
+    from bigdata_rags_spark.streaming.events import decayed_trending
+
+    return decayed_trending(read_events_batch(spark, sf_dir))

@@ -345,3 +345,47 @@ def interval_join_left(
     left event survives, null-extended when unmatched — the
     unattributed-clicks shape."""
     return interval_join(left, right, key, within, watermark, how="left_outer")
+
+
+def decayed_trending(events: DataFrame, half_life_ns: int = 86_400_000_000_000) -> DataFrame:
+    """Half-life-decayed trending per event type over a (ts_ns,
+    event_type) frame: each event weighs 1e12 >> floor(age / half_life)
+    — exponential decay as an exact integer right shift (no float exp,
+    bit-stable in every engine), age measured from the frame's max ts.
+    Returns (event_type, n_events, decayed_weight, decayed_rank,
+    raw_rank); decayed_rank != raw_rank rows are the recency re-ranks.
+    One scan + a 1-row broadcast max + one hash agg; the rank windows see
+    |event_type| rows.  Streaming form: per-key O(1) bigint state (halve
+    on period rollover, add 1e12 per event)."""
+    from pyspark.sql import Window
+
+    mx = events.agg(F.max("ts_ns").alias("max_ns"))
+    d = (
+        events.crossJoin(F.broadcast(mx))
+        .withColumn("age_p", F.expr(f"(max_ns - ts_ns) DIV {half_life_ns}"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.expr(
+                    "1000000000000 DIV shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(least(age_p, 40) AS INT))"
+                )
+            )
+            .cast("bigint")
+            .alias("decayed_weight"),
+        )
+    )
+    return d.select(
+        "event_type",
+        "n_events",
+        "decayed_weight",
+        F.row_number()
+        .over(Window.orderBy(F.col("decayed_weight").desc(), F.col("event_type")))
+        .cast("int")
+        .alias("decayed_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_events").desc(), F.col("event_type")))
+        .cast("int")
+        .alias("raw_rank"),
+    )

@@ -876,3 +876,25 @@ def test_stream_cdc_into_scd2_zone_builds_time_travelable_history(spark, tmp_pat
     cdc_upsert_zone_batch(b2, zone, key="k", change_ts_col="ts")
     after = sorted(map(tuple, spark.read.parquet(zone).collect()))
     assert after == before
+
+
+def test_decayed_trending_reranks_recent_type(spark):
+    """A type with fewer but RECENT events must outrank a type with more
+    but old events on the decayed axis, while raw rank says the
+    opposite; weights are the exact integer shift sum."""
+    from bigdata_rags_spark.streaming.events import decayed_trending
+
+    day = 86_400_000_000_000
+    rows = (
+        # 'old': 6 events, all 3 half-lives old -> 6 * (1e12 >> 3)
+        [(i, 10 * day - 3 * day, "old") for i in range(6)]
+        # 'fresh': 2 events at now -> 2 * 1e12
+        + [(100 + i, 10 * day, "fresh") for i in range(2)]
+    )
+    ev = spark.createDataFrame(rows, ["event_id", "ts_ns", "event_type"])
+    out = {r["event_type"]: r for r in decayed_trending(ev).collect()}
+    assert out["old"]["n_events"] == 6 and out["fresh"]["n_events"] == 2
+    assert out["fresh"]["decayed_weight"] == 2 * 10**12
+    assert out["old"]["decayed_weight"] == 6 * (10**12 >> 3)
+    assert out["fresh"]["decayed_rank"] == 1 and out["old"]["decayed_rank"] == 2
+    assert out["old"]["raw_rank"] == 1 and out["fresh"]["raw_rank"] == 2
