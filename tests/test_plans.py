@@ -547,3 +547,39 @@ def test_r13_queries_have_scale_safe_plans(spark, sf_smoke):
     }.items():
         p = _plan(REGISTRY[name].spark(spark, sf_smoke))
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
+
+
+def test_r15_queries_have_scale_safe_plans(spark, sf_smoke):
+    """Round-15 additions: the plan properties their docstrings claim."""
+    for name, pred in {
+        # curation capstone: id-level funnel — no cartesian, window dedup
+        # stages present, NB weight join broadcast
+        "curation_funnel_capstone": lambda p: "CartesianProduct" not in p
+        and "Window" in p,
+        # skew pre-flight: histogram/mask join is an equi-join on
+        # (tbl, probe_sig) — never a nested-loop pairing
+        "lsh_bucket_skew_preflight": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # cross-modal gate: banded equi-join + id-keyed flags
+        "cross_modal_dedup_gate": lambda p: "CartesianProduct" not in p,
+        # audio capstone: banded probe equi-join, metadata join by id
+        "audio_capstone_retrieval": lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        # proximity: positions filtered BEFORE the window (the pushed
+        # IN-filter must reach the scan side of the posexplode projection)
+        "proximity_boosted_search": lambda p: "CartesianProduct" not in p
+        and "Window" in p,
+        # stupid backoff: broadcast count-table joins, one hash agg
+        "stupid_backoff_doc_scores": lambda p: "CartesianProduct" not in p
+        and "BroadcastHashJoin" in p,
+        # paired bootstrap: row-local Poisson expansion + hash agg; the
+        # only nested-loop is the broadcast 1-row bounds/point combine
+        "eval_paired_bootstrap_delta": lambda p: "CartesianProduct" not in p,
+        # decayed trending: 1-row max broadcast + hash agg + tiny window
+        "events_decayed_trending": lambda p: "CartesianProduct" not in p
+        and "HashAggregate" in p,
+        # gate agreement: two aggregation subtrees + id join, ONE row out
+        "gate_agreement_kappa": lambda p: "CartesianProduct" not in p,
+    }.items():
+        p = _plan(REGISTRY[name].spark(spark, sf_smoke))
+        assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
