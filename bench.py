@@ -253,6 +253,7 @@ HEADLINE = [
     "proximity_boosted_search",
     "stupid_backoff_doc_scores",
     "events_decayed_trending",
+    "embedding_rocchio_confusion",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -9609,3 +9609,54 @@ def stupid_backoff_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (6/500 docs backed off); 1/8 puts 208/500 docs into the backoff
     # regime — the held-out reality the operator exists for
     return stupid_backoff_scores(docs.filter(F.col("doc_id") % 8 == 0), docs)
+
+
+# round-15: Rocchio label-coherence audit -------------------------------------
+
+
+@_llm(
+    "embedding_rocchio_confusion",
+    """
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, label, dim, CAST(FLOOR(val * 1000000) AS BIGINT) AS m
+  FROM dims
+),
+cents AS (
+  SELECT label AS clabel, dim, CAST(SUM(m) // COUNT(*) AS BIGINT) AS c
+  FROM m GROUP BY 1, 2
+),
+d2 AS (
+  SELECT m.vec_id, m.label, c.clabel,
+         CAST(SUM((m.m - c.c) * (m.m - c.c)) AS BIGINT) AS d2
+  FROM m JOIN cents c USING (dim) GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, clabel AS predicted_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT label, predicted_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM pred GROUP BY 1, 2
+""",
+)
+def embedding_rocchio_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label-coherence audit (`similarity/knn.
+    rocchio_label_confusion`): per-label centroids in exact integer
+    micro, every vector assigned to its nearest centroid by exact bigint
+    L2, confusion matrix out — the embedding-space "are these labels
+    real" check a pipeline runs before using labels as training signal
+    or stratification keys.  Completes the label surface next to
+    `embedding_norm_stats` / `embedding_label_centroids` (which describe
+    labels but never test their separability)."""
+    from bigdata_rags_spark.similarity.knn import rocchio_label_confusion
+
+    return rocchio_label_confusion(
+        read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    )

@@ -827,3 +827,55 @@ def lsh_bucket_skew_report(
             ).cast("bigint"),
         )
     )
+
+
+def rocchio_label_confusion(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) label-coherence audit over an embedding
+    table: fit one centroid per label, assign every vector to its nearest
+    centroid by exact L2, and report the confusion matrix — the
+    "are these labels separable in embedding space" check run before
+    trusting labels as training signal (diagonal mass = coherent labels;
+    an off-diagonal stripe = two labels sharing a region).
+
+    Engine-exact integer pipeline: components quantize to micro via
+    explicit FLOOR (the r13 double->bigint cast rule), centroid dims are
+    SUM DIV n (truncation-toward-zero in both engines, negative-safe),
+    distances are exact bigint squared-difference sums, and the argmin
+    ties to the smaller label.  Resubstitution assignment by design —
+    this is a coherence AUDIT, not a held-out classifier benchmark.
+
+    Returns (label, predicted_label, n_vecs).  Scale shape: one
+    posexplode scan -> per-(label, dim) hash agg for the centroids
+    (|labels| x dims rows — broadcast), one dim-keyed join scores
+    |vecs| x |labels| candidates, the per-vec argmin window sees
+    |labels| rows.  At huge label counts swap the window for
+    `local_topk_prefilter`."""
+    from pyspark.sql import Window
+
+    m = e.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "val"),
+    ).withColumn("m", F.expr("CAST(FLOOR(val * 1000000) AS BIGINT)"))
+    cents = m.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("CAST(SUM(m) DIV COUNT(1) AS BIGINT)").alias("c")
+    )
+    d2 = (
+        m.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.expr("(m - c) * (m - c)")).cast("bigint").alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    pred = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("predicted_label"))
+    )
+    return pred.groupBy("label", "predicted_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )

@@ -3587,3 +3587,31 @@ def test_stupid_backoff_scores_planted(spark):
     # the training doc itself never backs off
     trow = {x["doc_id"]: x for x in stupid_backoff_scores(train, train).collect()}[0]
     assert trow["n_backoff"] == 0
+
+
+def test_rocchio_confusion_separable_and_mislabeled(spark):
+    """Well-separated label clusters give a diagonal-only confusion; a
+    planted vector carrying label 0 inside cluster 1's region lands on
+    the off-diagonal (0 -> predicted 1)."""
+    from bigdata_rags_spark.similarity.knn import rocchio_label_confusion
+
+    def vec(axis, v=1.0):
+        e = [0.0] * 64
+        e[axis] = v
+        return e
+
+    rows = (
+        [(i, 0, vec(0, 1.0 + 0.01 * i)) for i in range(5)]
+        + [(10 + i, 1, vec(1, 1.0 + 0.01 * i)) for i in range(5)]
+        # mislabeled: label 0, but sits squarely in cluster 1
+        + [(99, 0, vec(1, 1.02))]
+    )
+    e = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<double>")
+    out = {
+        (r["label"], r["predicted_label"]): r["n_vecs"]
+        for r in rocchio_label_confusion(e).collect()
+    }
+    assert out[(1, 1)] == 5
+    assert out[(0, 0)] == 5
+    assert out[(0, 1)] == 1  # the mislabeled point crosses over
+    assert (1, 0) not in out
