@@ -138,3 +138,60 @@ def hashed_doc_vectors(
             ).alias("embedding"),
         )
     )
+
+
+def hashed_doc_vectors_raw_and_idf(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "feat",
+) -> DataFrame:
+    """BOTH featurizations from ONE corpus pass: (vec_id, embedding_raw,
+    embedding_idf) — the raw-count and idf-weighted vectors share the
+    explode, the df aggregate, and the (doc, bucket) groupBy, so a
+    consumer comparing the two (the bucket-skew pre-flight) pays one
+    featurization instead of two.  Weights are bucket-for-bucket
+    identical to the single-variant `hashed_doc_vectors` outputs."""
+    toks = ws_tokens(F.col(text_col))
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, word_shingles(toks, 2))).alias("feat"),
+    ).localCheckpoint()  # feeds the df aggregate AND the weights join
+    dfreq = (
+        feats.select("doc_id", "feat")
+        .distinct()
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    )
+    sign = _sign(F.col("feat"), salt)
+    sparse = (
+        feats.join(dfreq, "feat")
+        .groupBy("doc_id", _bucket(F.col("feat"), salt, dim).alias("bucket"))
+        .agg(
+            F.sum(sign).cast("bigint").alias("w_raw"),
+            F.sum(sign * F.expr("1000000 DIV __df")).cast("bigint").alias("w_idf"),
+        )
+    )
+    m = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "w_raw"))).alias("__mr"),
+        F.map_from_entries(F.collect_list(F.struct("bucket", "w_idf"))).alias("__mi"),
+    )
+
+    def dense(mcol: str):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(mcol, i.cast("int")), F.lit(0)).cast(
+                "double"
+            ),
+        )
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(m, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            dense("__mr").alias("embedding_raw"),
+            dense("__mi").alias("embedding_idf"),
+        )
+    )

@@ -9132,13 +9132,17 @@ def lsh_bucket_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench autopsy.  Per (variant, table): occupancy stats, hottest-bucket
     candidate share, exact-equality and multi-probe pair costs, the
     uncorrelated-vector uniform floor, and the skew ratio."""
-    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors
+    from bigdata_rags_spark.functions.featurize import hashed_doc_vectors_raw_and_idf
     from bigdata_rags_spark.similarity.knn import lsh_bucket_skew_report
 
     docs = _docs_parallel(spark, sf_dir)
+    # ONE featurization pass serves both variants (explode + df agg +
+    # bucket groupBy shared); the vector frame feeds 8 signature
+    # projections -> materialize (multi-branch rule)
+    both = hashed_doc_vectors_raw_and_idf(docs, dim=64).localCheckpoint()
     out = None
-    for variant, idf in (("raw", False), ("idf", True)):
-        vecs = hashed_doc_vectors(docs, dim=64, idf=idf)
+    for variant, col in (("raw", "embedding_raw"), ("idf", "embedding_idf")):
+        vecs = both.select("vec_id", F.col(col).alias("embedding"))
         rep = lsh_bucket_skew_report(vecs, n_planes=8, n_tables=4, probe_bits=2).select(
             F.lit(variant).alias("variant"), "*"
         )

@@ -3615,3 +3615,23 @@ def test_rocchio_confusion_separable_and_mislabeled(spark):
     assert out[(0, 0)] == 5
     assert out[(0, 1)] == 1  # the mislabeled point crosses over
     assert (1, 0) not in out
+
+
+def test_dual_featurizer_matches_single_variants(spark):
+    """hashed_doc_vectors_raw_and_idf must equal the two single-variant
+    featurizers bucket-for-bucket."""
+    from bigdata_rags_spark.functions.featurize import (
+        hashed_doc_vectors,
+        hashed_doc_vectors_raw_and_idf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "beta beta delta"), (3, "")],
+        ["doc_id", "text"],
+    )
+    both = {r["vec_id"]: r for r in hashed_doc_vectors_raw_and_idf(docs).collect()}
+    raw = {r["vec_id"]: r for r in hashed_doc_vectors(docs).collect()}
+    idf = {r["vec_id"]: r for r in hashed_doc_vectors(docs, idf=True).collect()}
+    for i in (1, 2, 3):
+        assert both[i]["embedding_raw"] == raw[i]["embedding"], i
+        assert both[i]["embedding_idf"] == idf[i]["embedding"], i
