@@ -253,19 +253,16 @@ def curation_funnel_report(
             F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
 
-    report = stage_row(feat, 0, "extracted")
-    for stage, name, frame in (
-        (1, "langid", s1),
-        (2, "quality", s2),
-        (3, "dedup", s3),
-        (4, "decontaminated", s4),
-        (5, "mixture_quota", s5),
-    ):
-        report = report.unionByName(stage_row(frame, stage, name))
+    frames = {0: feat, 1: s1, 2: s2, 3: s3, 4: s4, 5: s5}
+    report = None
+    for stage, name in FUNNEL_STAGES[:-1]:
+        row = stage_row(frames[stage], stage, name)
+        report = row if report is None else report.unionByName(row)
+    final_stage, final_name = FUNNEL_STAGES[-1]
     return report.unionByName(
         packed.select(
-            F.lit(6).cast("int").alias("stage"),
-            F.lit("packed_sequences").alias("stage_name"),
+            F.lit(final_stage).cast("int").alias("stage"),
+            F.lit(final_name).alias("stage_name"),
             "n_docs",
             "n_tokens",
         )

@@ -573,7 +573,11 @@ def score_threshold_ablation(
     thr = spark.createDataFrame([(int(t),) for t in thresholds], "thr_micro bigint")
     kept = F.when(F.col("__s") >= F.col("thr_micro"), 1).otherwise(0)
     return (
-        thr.crossJoin(m)
+        # broadcast the |thresholds|-row ladder: without the hint this
+        # crossJoin plans as a real CartesianProduct (caught by the
+        # registry-wide plan guard)
+        F.broadcast(thr)
+        .crossJoin(m)
         .crossJoin(F.broadcast(tot))
         .groupBy("thr_micro")
         .agg(
