@@ -254,6 +254,7 @@ HEADLINE = [
     "stupid_backoff_doc_scores",
     "events_decayed_trending",
     "embedding_rocchio_confusion",
+    "incremental_curation_funnel",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

@@ -322,3 +322,240 @@ def cross_modal_image_gate(
         "image_keeper_id",
         F.coalesce(F.col("__t"), F.lit(0)).cast("int").alias("caught_by_text"),
     )
+
+
+def incremental_curation_funnel_report(
+    batch_pages: DataFrame,
+    stored_docs: DataFrame,
+    probe_below: int = 5,
+    seq_len: int = 512,
+    n_shards: int = 4,
+    budget_num: int = 1,
+    budget_den: int = 1,
+    prefix_k: int = 8,
+    decon_k: int = 3,
+    decon_max_hits: int = 2,
+) -> DataFrame:
+    """INCREMENTAL curation funnel — the production shape of
+    `curation_funnel_report`: a NEW crawl batch (raw HTML pages) is
+    curated AGAINST the accumulated kept corpus instead of in isolation
+    (daily increments never re-curate the store).  Same stage ladder and
+    report schema, batch-only survivor counts:
+
+      0 extracted        — batch HTML -> text
+      1 langid           — stopword heuristic != 'unknown'
+      2 quality          — scored with the STORE's classifier (NB fit on
+                           the stored even-id seed — frozen-model rule:
+                           an increment never refits the gate it is
+                           judged by, the two-widths discipline of the
+                           incremental ANN family)
+      3 dedup            — batch doc dies if its content hash OR prefix
+                           key already exists in the STORE (the store's
+                           compact key index is the only stored state the
+                           gate reads — text never ships), or if it is
+                           not the min-id keeper of its intra-batch
+                           cluster (both key families)
+      4 decontaminated   — probe set = doc_id < ``probe_below`` over
+                           store + batch (the benchmark is global)
+      5 mixture_quota    — UniMax allocation on COMBINED per-source
+                           counts (stored + batch survivors); the store
+                           consumes its share first, the batch keeps at
+                           most alloc_d - stored_d docs per source (the
+                           store is already-kept mass, never re-sampled).
+                           Default budget 1/1 = one epoch over the
+                           combined corpus: with tighter budgets a mature
+                           store saturates every source's allocation and
+                           the increment legitimately keeps nothing
+      6 packed_sequences — the surviving increment packed for training
+
+    ``stored_docs`` carries (doc_id, lang, source, text).  100-TB shape:
+    the store contributes ONE pass producing id-level keys, seed-split NB
+    counts, probe shingles, and per-source counts — all compact
+    aggregates a real store would persist; the batch side is the capstone
+    plan.  No stage joins batch text against store text.
+    """
+    ext = batch_pages.select(
+        "doc_id", "lang", "source", html_extract_text(F.col("html")).alias("text")
+    )
+    toks = ws_tokens(F.col("text"))
+    sig = ext.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        _predicted_lang(toks).alias("predicted_lang"),
+        content_hash(F.col("text")).alias("content_hash"),
+        F.md5(F.array_join(F.slice(toks, 1, prefix_k), " ")).alias("prefix_key"),
+    )
+    # the STORE's frozen classifier: fit on stored even-id seed only
+    seed = stored_docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"), "text"
+    )
+    scores = nb_score_docs(ext, nb_fit_weights(seed)).select("doc_id", "score_micro")
+    # global probe set (store + batch) -> batch contamination hits
+    stoks = ws_tokens(F.col("text"))
+    all_sh = stored_docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(stoks, decon_k))).alias("shingle"),
+    ).unionByName(
+        ext.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(ws_tokens(F.col("text")), decon_k))).alias(
+                "shingle"
+            ),
+        )
+    )
+    probes = all_sh.filter(F.col("doc_id") < probe_below).select("shingle").distinct()
+    contam = (
+        ext.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(ws_tokens(F.col("text")), decon_k))
+            ).alias("shingle"),
+        )
+        .filter(F.col("doc_id") >= probe_below)
+        .join(F.broadcast(probes), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    # the store's compact state: dedup key index + per-source kept counts
+    stoks2 = ws_tokens(F.col("text"))
+    store_keys = stored_docs.select(
+        content_hash(F.col("text")).alias("content_hash"),
+        F.md5(F.array_join(F.slice(stoks2, 1, prefix_k), " ")).alias("prefix_key"),
+    ).localCheckpoint()  # feeds two anti-join branches
+    store_counts = stored_docs.groupBy(F.col("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("stored_d")
+    )
+
+    feat = (
+        sig.join(scores, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            "predicted_lang",
+            "content_hash",
+            "prefix_key",
+            F.coalesce(F.col("score_micro"), F.lit(0)).cast("bigint").alias(
+                "score_micro"
+            ),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .localCheckpoint()
+    )
+    s1 = feat.filter(F.col("predicted_lang") != "unknown")
+    s2 = s1.filter(F.col("score_micro") >= 0)
+    # vs-store first (anti-joins on the key index), then intra-batch keepers
+    s3v = s2.join(
+        store_keys.select("content_hash").distinct(), "content_hash", "left_anti"
+    ).join(store_keys.select("prefix_key").distinct(), "prefix_key", "left_anti")
+    wch = Window.partitionBy("content_hash")
+    wpk = Window.partitionBy("prefix_key")
+    s3 = (
+        s3v.withColumn("__mch", F.min("doc_id").over(wch))
+        .withColumn("__mpk", F.min("doc_id").over(wpk))
+        .filter(
+            (F.col("doc_id") == F.col("__mch")) & (F.col("doc_id") == F.col("__mpk"))
+        )
+        .drop("__mch", "__mpk")
+    )
+    s4 = s3.filter(
+        (F.col("doc_id") >= probe_below) & (F.col("n_contaminated") < decon_max_hits)
+    ).localCheckpoint()
+
+    # combined UniMax quota: store consumes its share first
+    batch_counts = s4.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("batch_d")
+    )
+    q = (
+        store_counts.join(batch_counts, "source", "outer")
+        .select(
+            "source",
+            F.coalesce(F.col("stored_d"), F.lit(0)).cast("bigint").alias("stored_d"),
+            F.coalesce(F.col("batch_d"), F.lit(0)).cast("bigint").alias("batch_d"),
+        )
+        .withColumn("n_total", F.expr("stored_d + batch_d"))
+        .withColumn("w", F.floor(F.sqrt(F.col("n_total"))).cast("bigint"))
+    )
+    qt = q.agg(
+        F.sum("n_total").cast("bigint").alias("total"),
+        F.sum("w").cast("bigint").alias("w_total"),
+    )
+    qa = q.crossJoin(F.broadcast(qt)).select(
+        "source",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.col("n_total"),
+                F.expr(f"(total * {budget_num} DIV {budget_den}) * w DIV w_total"),
+            )
+            - F.col("stored_d"),
+        )
+        .cast("bigint")
+        .alias("batch_alloc"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+    )
+    s5 = (
+        s4.withColumn("__rk", rk)
+        .join(F.broadcast(qa), "source")
+        .filter(F.col("__rk") <= F.col("batch_alloc"))
+        .drop("__rk", "batch_alloc")
+        .localCheckpoint()
+    )
+    p = s5.select(
+        (F.col("n_toks") + 1).cast("bigint").alias("nt"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n_shards
+        ).alias("shard"),
+    )
+    packed = (
+        p.groupBy("shard")
+        .agg(F.sum("nt").cast("bigint").alias("st"))
+        .agg(
+            F.coalesce(F.sum(F.expr(f"(st + {seq_len - 1}) DIV {seq_len}")), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.coalesce(F.sum("st"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+    def stage_row(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+
+    frames = {0: feat, 1: s1, 2: s2, 3: s3, 4: s4, 5: s5}
+    report = None
+    for stage, name in FUNNEL_STAGES[:-1]:
+        row = stage_row(frames[stage], stage, name)
+        report = row if report is None else report.unionByName(row)
+    final_stage, final_name = FUNNEL_STAGES[-1]
+    return report.unionByName(
+        packed.select(
+            F.lit(final_stage).cast("int").alias("stage"),
+            F.lit(final_name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

@@ -9664,3 +9664,203 @@ def embedding_rocchio_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rocchio_label_confusion(
         read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     )
+
+
+# round-15: INCREMENTAL curation funnel ---------------------------------------
+
+
+def _incremental_funnel_oracle(probe_below=5, seq_len=512, n_shards=4, prefix_k=8,
+               budget_num=1, budget_den=1, decon_max_hits=2):
+    """Replay of the incremental funnel (`pipelines/curation.
+    incremental_curation_funnel_report`): stored = doc_id % 3 != 0 raw
+    docs, batch = doc_id % 3 == 0 wrapped pages; the NB fit re-roots on
+    the STORED split (frozen-model rule), dedup anti-sets come from the
+    store's key index, probes span store + batch, and the UniMax quota
+    runs on combined counts with the store consuming its share first
+    (budget 1/1 = one combined epoch — tighter budgets saturate on the
+    store and the increment keeps nothing)."""
+    return f"""
+WITH stored AS (SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 3 != 0),
+h AS (SELECT doc_id, lang, source, {_SQL_CURATION_WRAP} AS html
+      FROM documents WHERE doc_id % 3 = 0),
+ext AS (SELECT doc_id, lang, source, {_SQL_HTML_EXTRACT} AS text FROM h),
+et AS (SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM ext),
+{_nb_ctes(rel="stored")},
+lhits AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         {_sql_hits('en')} AS en_hits, {_sql_hits('es')} AS es_hits,
+         {_sql_hits('fr')} AS fr_hits, {_sql_hits('de')} AS de_hits
+  FROM et
+),
+lid AS (
+  SELECT doc_id, n_toks,
+         CASE
+           WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'unknown'
+           WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+           WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+           WHEN fr_hits >= de_hits THEN 'fr'
+           ELSE 'de'
+         END AS predicted_lang
+  FROM lhits
+),
+dbuck AS (
+  SELECT doc_id, (('0x' || substr(md5(token), 1, 4))::INTEGER % 64) AS b
+  FROM (SELECT doc_id, unnest(toks) AS token FROM et)
+),
+dsc AS (
+  SELECT doc_id, CAST(SUM(w_micro) AS BIGINT) AS score_micro
+  FROM dbuck JOIN wts USING (b) GROUP BY doc_id
+),
+keys AS (
+  SELECT e.doc_id, md5({_SQL_NORM}) AS content_hash,
+         md5(array_to_string(t.toks[1:{prefix_k}], ' ')) AS prefix_key
+  FROM ext e JOIN et t ON e.doc_id = t.doc_id
+),
+skeys AS (
+  SELECT md5({_SQL_NORM}) AS content_hash,
+         md5(array_to_string(({_SQL_TOKS})[1:{prefix_k}], ' ')) AS prefix_key
+  FROM stored
+),
+ash AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1) ELSE [] END,
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM stored
+        UNION ALL SELECT doc_id, toks FROM et)
+),
+probes AS (SELECT DISTINCT shingle FROM ash WHERE doc_id < {probe_below}),
+bsh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1) ELSE [] END,
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM et
+),
+contam AS (
+  SELECT bsh.doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM bsh JOIN probes USING (shingle) WHERE bsh.doc_id >= {probe_below}
+  GROUP BY bsh.doc_id
+),
+feat AS (
+  SELECT et.doc_id, et.source, lid.n_toks, lid.predicted_lang,
+         k.content_hash, k.prefix_key,
+         COALESCE(dsc.score_micro, 0) AS score_micro,
+         COALESCE(c.hits, 0) AS hits
+  FROM et
+  JOIN lid ON lid.doc_id = et.doc_id
+  JOIN keys k ON k.doc_id = et.doc_id
+  LEFT JOIN dsc ON dsc.doc_id = et.doc_id
+  LEFT JOIN contam c ON c.doc_id = et.doc_id
+),
+s1 AS (SELECT * FROM feat WHERE predicted_lang != 'unknown'),
+s2 AS (SELECT * FROM s1 WHERE score_micro >= 0),
+s3v AS (
+  SELECT * FROM s2
+  WHERE content_hash NOT IN (SELECT content_hash FROM skeys)
+    AND prefix_key NOT IN (SELECT prefix_key FROM skeys)
+),
+s3 AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS mch,
+              MIN(doc_id) OVER (PARTITION BY prefix_key) AS mpk
+    FROM s3v
+  ) WHERE doc_id = mch AND doc_id = mpk
+),
+s4 AS (SELECT * FROM s3 WHERE doc_id >= {probe_below} AND hits < {decon_max_hits}),
+scnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS stored_d FROM stored GROUP BY 1),
+bcnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS batch_d FROM s4 GROUP BY 1),
+q AS (
+  SELECT COALESCE(scnt.source, bcnt.source) AS source,
+         COALESCE(stored_d, 0) AS stored_d,
+         COALESCE(batch_d, 0) AS batch_d,
+         COALESCE(stored_d, 0) + COALESCE(batch_d, 0) AS n_total,
+         CAST(floor(sqrt(COALESCE(stored_d, 0) + COALESCE(batch_d, 0))) AS BIGINT) AS w
+  FROM scnt FULL OUTER JOIN bcnt ON scnt.source = bcnt.source
+),
+qt AS (SELECT CAST(SUM(n_total) AS BIGINT) AS total,
+              CAST(SUM(w) AS BIGINT) AS w_total FROM q),
+qa AS (
+  SELECT source,
+         GREATEST(0, LEAST(n_total,
+             (total * {budget_num} // {budget_den}) * w // w_total) - stored_d)
+           AS batch_alloc
+  FROM q, qt
+),
+r5 AS (
+  SELECT s4.*, ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM s4
+),
+s5 AS (SELECT r5.* FROM r5 JOIN qa USING (source) WHERE rk <= qa.batch_alloc),
+p AS (
+  SELECT n_toks + 1 AS nt,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {n_shards} AS shard
+  FROM s5
+),
+pk AS (SELECT shard, CAST(SUM(nt) AS BIGINT) AS st FROM p GROUP BY shard),
+packed AS (
+  SELECT CAST(COALESCE(SUM((st + {seq_len - 1}) // {seq_len}), 0) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(st), 0) AS BIGINT) AS n_tokens
+  FROM pk
+)
+SELECT CAST(0 AS INT) AS stage, 'extracted' AS stage_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM feat
+UNION ALL
+SELECT 1, 'langid', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s1
+UNION ALL
+SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s3
+UNION ALL
+SELECT 4, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s4
+UNION ALL
+SELECT 5, 'mixture_quota', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s5
+UNION ALL
+SELECT 6, 'packed_sequences', n_docs, n_tokens FROM packed
+"""
+
+
+@_llm("incremental_curation_funnel", _incremental_funnel_oracle())
+def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation funnel (`pipelines/curation.
+    incremental_curation_funnel_report`) — the production form of
+    `curation_funnel_capstone`: a new crawl batch (doc_id % 3 == 0,
+    wrapped as raw HTML pages) is curated AGAINST the accumulated kept
+    corpus (doc_id % 3 != 0) instead of in isolation.  The store
+    contributes only the compact state a real store persists — its NB
+    seed counts (frozen classifier), its dedup KEY index (batch text is
+    never joined against store text), the global probe-shingle set, and
+    per-source kept counts that consume the UniMax allocation first.
+    Every stage non-vacuous at sf0.01: 167 -> 153 -> 53 -> 49 -> 44 ->
+    25 batch keepers -> 4 packed sequences.  Completes the incremental
+    family (minhash/semantic/winnow/ppjoin/ANN ingest) at the FUNNEL
+    level."""
+    from bigdata_rags_spark.pipelines.curation import (
+        incremental_curation_funnel_report,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    stored = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "lang", "source", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit(
+                "<html><head><title></title><style>p{color:red}</style>"
+                "<script>var x = 1 < 2;</script></head><body>"
+                "<!-- boilerplate --><p>"
+            ),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    return incremental_curation_funnel_report(batch, stored)

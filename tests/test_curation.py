@@ -163,3 +163,68 @@ def test_cross_modal_gate_drops_same_image_different_caption(spark):
     assert out[1256]["caught_by_text"] == 0  # the novel cross-modal catch
     assert out[1512]["image_keeper_id"] == 1000
     assert out[1512]["caught_by_text"] == 1  # text prefix-dedup also catches
+
+
+def test_incremental_funnel_gates_against_store(spark):
+    """The incremental funnel's store-aware behaviors, each planted:
+    vs-store exact dup dies, vs-store prefix dup dies, the frozen
+    store-fit classifier drops class-0 batch docs, global probes
+    decontaminate the batch, and the UniMax quota is partially consumed
+    by the store (srcB: combined alloc 4, stored 3 -> only 1 of 2 batch
+    survivors kept)."""
+    from bigdata_rags_spark.pipelines.curation import (
+        incremental_curation_funnel_report,
+    )
+
+    t_store = "the quick fox and in of to is that now"
+    stored = spark.createDataFrame(
+        [
+            (2, "en", "srcA", "the and of to in is it you that"),   # seed y=1, probe
+            (4, "es", "srcA", "la que un ser no se de y en"),       # seed y=0, probe
+            (6, "en", "srcA", t_store),
+            (8, "en", "srcB", "the and of kiwi mango in to is it cherry"),
+            (10, "en", "srcB", "the and of lemon melon in to is it peach"),
+            (12, "en", "srcB", "the and of pear lime in to is it maple"),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    )
+    batch_rows = [
+        (7, "en", "srcA", t_store),                                  # vs-store exact dup
+        (9, "en", "srcA", "the quick fox and in of to is extra tail arrive"),  # vs-store prefix dup
+        (11, "en", "srcA", "the and of river storm in to is it ember"),        # novel
+        (13, "en", "srcB", "the and of mist dawn in to is it arrive"),         # novel
+        (15, "zh", "srcA", "中文 文本 测试 数据 文档 示例 内容 样本 语料 资料"),  # langid
+        (17, "es", "srcA", "la que un ser no la que un ser no"),     # frozen NB drops
+        (19, "en", "srcA", "the and of to in fox runs today now quick"),  # contaminated
+        (21, "en", "srcB", "the and of extra tail in to is it runs"),     # novel srcB
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, ["doc_id", "lang", "source", "text"]
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit(
+                "<html><head><title></title><style>p{color:red}</style>"
+                "<script>var x = 1 < 2;</script></head><body>"
+                "<!-- boilerplate --><p>"
+            ),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    rep = {
+        r["stage"]: r
+        for r in incremental_curation_funnel_report(batch, stored).collect()
+    }
+    n = {s: rep[s]["n_docs"] for s in range(7)}
+    assert n[0] == 8
+    assert n[1] == 7   # zh dropped
+    assert n[2] == 6   # frozen classifier drops the class-0 doc
+    assert n[3] == 4   # exact + prefix vs-store drops
+    assert n[4] == 3   # global-probe contamination drop
+    # quota: srcA combined 4 (3 stored + 1), w=2; srcB combined 5 (3 + 2),
+    # w=2; total 9, budget 9 -> alloc srcA 4, srcB 4 -> batch keeps 1 + 1
+    assert n[5] == 2
+    assert rep[6]["n_tokens"] == 22  # 2 survivors x (10 tokens + EOS)
