@@ -255,6 +255,7 @@ HEADLINE = [
     "events_decayed_trending",
     "embedding_rocchio_confusion",
     "incremental_curation_funnel",
+    "cross_modal_training_selection",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
