@@ -146,8 +146,8 @@ def poisson_bootstrap_ci(
     id_col: str = "task_id",
     n_replicates: int = 200,
     salt: str = "bs",
-    lo_rank: int = 5,
-    hi_rank: int = 195,
+    lo_rank: int | None = None,
+    hi_rank: int | None = None,
 ) -> DataFrame:
     """Bootstrap confidence interval for a per-task metric via the POISSON
     bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for Massive
@@ -165,8 +165,11 @@ def poisson_bootstrap_ci(
     pushed through the exact integer Poisson(1) inverse-CDF thresholds
     (``POISSON1_THRESHOLDS`` — shared verbatim with the oracle); replicate
     means are bigint floor-division micro values; the CI bounds are exact
-    RANK PICKS over the B sorted means (lo_rank/hi_rank, defaults the
-    2.5%/97.5% ranks for B=200), never interpolated.
+    RANK PICKS over the B sorted means (lo_rank/hi_rank, derived as the
+    floor 2.5%/97.5% ranks of n_replicates when not given — 5/195 at
+    B=200 — and validated against B so a custom replicate count cannot
+    silently produce a wrong-coverage or NULL interval, ADVICE r15 #4),
+    never interpolated.
 
     Returns ONE row: (n_tasks, n_replicates, point_micro — the full-sample
     mean, ci_lo_micro, ci_hi_micro).  Replicates whose total weight is 0
@@ -175,6 +178,19 @@ def poisson_bootstrap_ci(
     rows."""
     from pyspark.sql import Window
 
+    # derive the 95% rank picks from B when not given (floor 2.5%/97.5%
+    # ranks: 5/195 at the B=200 default) and validate explicit ranks —
+    # hi_rank > B would silently yield a NULL bound that still feeds a
+    # "significant" flag downstream (ADVICE r15 #4)
+    if lo_rank is None:
+        lo_rank = max(1, (25 * n_replicates) // 1000)
+    if hi_rank is None:
+        hi_rank = max(lo_rank, (975 * n_replicates) // 1000)
+    if not (1 <= lo_rank <= hi_rank <= n_replicates):
+        raise ValueError(
+            f"rank picks out of range: need 1 <= lo_rank <= hi_rank <= "
+            f"n_replicates, got lo={lo_rank} hi={hi_rank} B={n_replicates}"
+        )
     # one narrow row per task — hashed ONCE — feeding BOTH the replicate
     # expansion and the point estimate; materialized per the repo-wide
     # multi-branch rule
@@ -416,8 +432,8 @@ def paired_bootstrap_delta(
     id_col: str = "task_id",
     n_replicates: int = 200,
     salt: str = "bs",
-    lo_rank: int = 5,
-    hi_rank: int = 195,
+    lo_rank: int | None = None,
+    hi_rank: int | None = None,
 ) -> DataFrame:
     """PAIRED bootstrap comparison of two models on a shared task set —
     the actual decision tool behind "is A better than B" (a per-model CI

@@ -524,7 +524,11 @@ def binary_agreement_report(flags: DataFrame, a_col: str = "a", b_col: str = "b"
     The gate-stacking audit (`gate_agreement_kappa`): kappa near 0 means
     the gates cut complementary subsets (stacking changes the corpus);
     near 1000 means one gate is redundant.  Scale: input is an id-level
-    flag frame; this is one global aggregate."""
+    flag frame; this is one global aggregate.  The pe_micro pairwise
+    products route through DECIMAL(38,0) (HUGEINT in the oracle): the
+    marginal-product sum reaches ~2*n^2, so the *1e6 multiply overflows
+    bigint at n ~ 2.1M rows under the ANSI session — the eval_bradley_terry
+    overflow class (ADVICE r15 #1)."""
     j = flags.select(
         F.col(a_col).cast("int").alias("a"), F.col(b_col).cast("int").alias("b")
     )
@@ -539,8 +543,9 @@ def binary_agreement_report(flags: DataFrame, a_col: str = "a", b_col: str = "b"
         "*",
         F.expr("(n11 + n00) * 1000000 DIV n").cast("bigint").alias("po_micro"),
         F.expr(
-            "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000"
-            " DIV (n * n)"
+            "(CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n)"
         )
         .cast("bigint")
         .alias("pe_micro"),
@@ -563,7 +568,9 @@ def score_threshold_ablation(
     FineWeb-Edu-style "where do we cut" ablation): per threshold, the
     documents and token mass with ``score_col`` >= threshold, plus the
     integer-micro token share of the scored corpus.  One |thresholds| x
-    rows cross join aggregated immediately — output is |thresholds| rows."""
+    rows cross join aggregated immediately — output is |thresholds| rows
+    ALWAYS: an empty scored frame emits the full ladder with zero counts
+    (the ladder left-joins the aggregate, ADVICE r15 #3)."""
     m = scored.select(
         F.col(score_col).cast("bigint").alias("__s"),
         F.col(tokens_col).cast("bigint").alias("__t"),
@@ -572,7 +579,7 @@ def score_threshold_ablation(
     spark = scored.sparkSession
     thr = spark.createDataFrame([(int(t),) for t in thresholds], "thr_micro bigint")
     kept = F.when(F.col("__s") >= F.col("thr_micro"), 1).otherwise(0)
-    return (
+    agg = (
         # broadcast the |thresholds|-row ladder: without the hint this
         # crossJoin plans as a real CartesianProduct (caught by the
         # registry-wide plan guard)
@@ -592,6 +599,17 @@ def score_threshold_ablation(
             .cast("bigint")
             .alias("token_share_micro"),
         )
+    )
+    # empty input: the crossJoin aggregate collapses to 0 groups, so the
+    # ladder re-enters via LEFT join and every count coalesces to 0 —
+    # the docstring's "|thresholds| rows" contract is now literal
+    return thr.join(agg, "thr_micro", "left").select(
+        "thr_micro",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("bigint").alias("tokens_kept"),
+        F.coalesce(F.col("token_share_micro"), F.lit(0))
+        .cast("bigint")
+        .alias("token_share_micro"),
     )
 
 

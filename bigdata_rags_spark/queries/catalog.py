@@ -311,50 +311,17 @@ _DRIVER_CHECKED: dict[str, int] = {
     # --- last driver row: round 2 ---
     "approx_count_distinct_orders": 2,
     "approx_percentile_prices": 2,
-    # --- last driver row: round 4 ---
-    "embedding_ivf_topk": 4,
-    "embedding_near_dup_pairs": 4,
-    "multimodal_audio_features": 4,
-    "multimodal_image_features": 4,
     # --- last driver row: round 7 ---
     "zone_compaction_invariant": 7,
     # --- last driver row: round 8 ---
     "embedding_pq_trained_rerank": 8,
     # --- last driver row: round 9 ---
-    "asof_join_events_orders": 9,
     "bm25_keyword_search": 9,
-    "cube_returnflag_linestatus": 9,
-    "date_functions_orders": 9,
     "document_chunking": 9,
     "events_json_extraction": 9,
     "events_pii_redaction": 9,
     "events_segment_enrichment": 9,
-    "events_sliding_halfhour": 9,
-    "events_tumbling_hourly": 9,
-    "events_user_sessions": 9,
-    "gopher_quality_filters": 9,
     "hybrid_rag_search": 9,
-    "incremental_dedup_new_docs": 9,
-    "minhash_jaccard_estimates": 9,
-    "minhash_lsh_candidates": 9,
-    "multimodal_wav_features": 9,
-    "near_dup_candidate_eval": 9,
-    "ngram_containment_pairs": 9,
-    "rollup_status_priority": 9,
-    "set_ops_nation_membership": 9,
-    "string_functions_parts": 9,
-    "tpch_q12_priority_by_returnflag": 9,
-    "tpch_q15_top_supplier": 9,
-    "tpch_q17_small_quantity_revenue": 9,
-    "tpch_q19_disjunctive_predicates": 9,
-    "tpch_q1_pricing_summary": 9,
-    "tpch_q20_concentrated_suppliers": 9,
-    "tpch_q21_sole_blamed_supplier": 9,
-    "tpch_q22_dormant_rich_customers": 9,
-    "tpch_q8_market_share": 9,
-    "window_lag_running_sum": 9,
-    "window_rank_orders_in_segment": 9,
-    "winsorized_price_stats": 9,
     # --- last driver row: round 10 ---
     "benchmark_decontamination": 10,
     "bpe_merge_training": 10,
@@ -402,7 +369,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "window_trailing_7d_range_frame": 10,
     "zone_snapshot_diff": 10,
     # --- last driver row: round 11 ---
-    "audio_fingerprint_near_dups": 11,
     "balanced_corpus_quota": 11,
     "bigram_lm_doc_scores": 11,
     "collect_sorted_lists": 11,
@@ -424,7 +390,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "events_time_weighted_value": 11,
     "fuzzy_dedup_surviving_docs": 11,
     "hash_functions_documents": 11,
-    "image_phash_near_dups": 11,
     "incremental_winnow_dedup": 11,
     "multimodal_png_resize_features": 11,
     "near_dup_graph_clustering": 11,
@@ -486,10 +451,8 @@ _DRIVER_CHECKED: dict[str, int] = {
     "snapshot_drift_report": 12,
     "source_pair_overlap_kmv": 12,
     "text_hashed_idf_near_dups": 12,
-    "text_hashed_near_dups": 12,
     "unigram_encode_docs": 12,
     "url_canonical_dedup": 12,
-    "video_temporal_near_dups": 12,
     "vocab_coverage_curve": 12,
     "wordpiece_encode_docs": 12,
     # --- last driver row: round 13 ---
@@ -544,11 +507,8 @@ _DRIVER_CHECKED: dict[str, int] = {
     "agg_suite_by_segment": 14,
     "anti_join_customers_no_orders": 14,
     "attack_shape_metrics": 14,
-    "bpe_byte_encode_docs": 14,
-    "bpe_byte_roundtrip": 14,
     "contrastive_negatives_sample": 14,
     "corpus_health_by_lang": 14,
-    "curriculum_anneal_plan": 14,
     "defense_shape_metrics": 14,
     "discipline_shape_metrics": 14,
     "distinct_nation_segments": 14,
@@ -559,7 +519,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "domain_psl_extraction": 14,
     "domain_quota_selection": 14,
     "embedding_matryoshka_funnel_topk": 14,
-    "eval_bradley_terry": 14,
     "events_sliding_topk_types": 14,
     "filter_pushdown_highvalue": 14,
     "flagship_revenue_by_nation": 14,
@@ -571,7 +530,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "langid_stopword_heuristic": 14,
     "left_join_customer_orders": 14,
     "length_weighted_sample_docs": 14,
-    "multimodal_capstone_retrieval": 14,
     "multimodal_video_framesample": 14,
     "projection_rename_quoted": 14,
     "quality_aware_dedup_keepers": 14,
@@ -591,25 +549,69 @@ _DRIVER_CHECKED: dict[str, int] = {
     "training_mixture_plan": 14,
     "unigram_lm_doc_scores": 14,
     "zone_time_travel_read": 14,
+    # --- last driver row: round 15 ---
+    "ann_filtered_serving_report": 15,
+    "asof_join_events_orders": 15,
+    "audio_capstone_retrieval": 15,
+    "audio_fingerprint_near_dups": 15,
+    "bpe_byte_encode_docs": 15,
+    "bpe_byte_roundtrip": 15,
+    "cross_modal_dedup_gate": 15,
+    "cross_modal_training_selection": 15,
+    "cube_returnflag_linestatus": 15,
+    "curation_funnel_capstone": 15,
+    "curriculum_anneal_plan": 15,
+    "date_functions_orders": 15,
+    "embedding_rocchio_confusion": 15,
+    "eval_bradley_terry": 15,
+    "eval_paired_bootstrap_delta": 15,
+    "events_decayed_trending": 15,
+    "events_sliding_halfhour": 15,
+    "events_tumbling_hourly": 15,
+    "events_user_sessions": 15,
+    "gate_agreement_kappa": 15,
+    "gopher_quality_filters": 15,
+    "image_phash_near_dups": 15,
+    "incremental_curation_funnel": 15,
+    "incremental_dedup_new_docs": 15,
+    "lsh_bucket_skew_preflight": 15,
+    "minhash_jaccard_estimates": 15,
+    "minhash_lsh_candidates": 15,
+    "multimodal_capstone_retrieval": 15,
+    "multimodal_wav_features": 15,
+    "near_dup_candidate_eval": 15,
+    "ngram_containment_pairs": 15,
+    "proximity_boosted_search": 15,
+    "quality_threshold_ablation": 15,
+    "rollup_status_priority": 15,
+    "set_ops_nation_membership": 15,
+    "string_functions_parts": 15,
+    "stupid_backoff_doc_scores": 15,
+    "tpch_q12_priority_by_returnflag": 15,
+    "tpch_q15_top_supplier": 15,
+    "tpch_q17_small_quantity_revenue": 15,
+    "tpch_q19_disjunctive_predicates": 15,
+    "tpch_q1_pricing_summary": 15,
+    "tpch_q20_concentrated_suppliers": 15,
+    "tpch_q21_sole_blamed_supplier": 15,
+    "tpch_q22_dormant_rich_customers": 15,
+    "tpch_q8_market_share": 15,
+    "video_temporal_near_dups": 15,
+    "window_lag_running_sum": 15,
+    "window_rank_orders_in_segment": 15,
+    "winsorized_price_stats": 15,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
 _RECHECK: tuple[str, ...] = (
-    # round 15 ADVICE fixes: byte-level BPE no longer drops \x1f/\x1e words
-    # (closed-alphabet guarantee now literal — new expression + oracle);
-    # Bradley-Terry micro-inverse SUM accumulates in DECIMAL(38,0) (same
-    # values at fixture scale, new expression); curriculum_anneal_plan's
-    # domain frame localCheckpoint'ed (plan change).
-    "bpe_byte_encode_docs",
-    "bpe_byte_roundtrip",
-    "eval_bradley_terry",
-    "curriculum_anneal_plan",
-    # banded-Hamming family rerouted through dedup/hamming.py (plan change;
-    # audio/image hash frames now localCheckpoint'ed)
-    "image_phash_near_dups",
-    "audio_fingerprint_near_dups",
-    "video_temporal_near_dups",
-    "multimodal_capstone_retrieval",
+    # round 16 ADVICE fixes (expression changes, mirrored in the oracle):
+    # kappa's pe_micro pairwise products widened to DECIMAL(38,0);
+    # skew pre-flight's N^2-scale floor/ratio products widened likewise;
+    # threshold ablation left-joins the ladder so empty input emits
+    # |thresholds| zero rows (docstring contract now literal).
+    "gate_agreement_kappa",
+    "lsh_bucket_skew_preflight",
+    "quality_threshold_ablation",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

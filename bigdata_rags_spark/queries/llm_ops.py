@@ -9111,15 +9111,19 @@ eq AS (
   FROM hist GROUP BY 1, 2
 )
 SELECT e.variant, e.tbl, e.n_docs, e.n_buckets, e.max_bucket,
+       -- N^2-scale products in HUGEINT (== Spark DECIMAL(38,0)), the
+       -- ADVICE r15 #2 overflow fix
        CAST(CASE WHEN e.eq_pair_cost > 0
-                 THEN (e.max_bucket * (e.max_bucket - 1) // 2) * 1000000 // e.eq_pair_cost
+                 THEN (CAST(e.max_bucket AS HUGEINT) * (e.max_bucket - 1) // 2)
+                      * 1000000 // e.eq_pair_cost
                  ELSE 0 END AS BIGINT) AS hottest_share_micro,
        e.eq_pair_cost,
        CAST(COALESCE(c.cross_pairs, 0) + e.eq_pair_cost AS BIGINT) AS probed_pair_cost,
-       CAST(e.n_docs * e.n_docs * {n_masks} // {2 ** (n_planes + 1)} AS BIGINT)
-         AS uniform_floor,
-       CAST((COALESCE(c.cross_pairs, 0) + e.eq_pair_cost) * 1000000
-            // GREATEST(e.n_docs * e.n_docs * {n_masks} // {2 ** (n_planes + 1)}, 1)
+       CAST(CAST(e.n_docs AS HUGEINT) * e.n_docs * {n_masks} // {2 ** (n_planes + 1)}
+            AS BIGINT) AS uniform_floor,
+       CAST(CAST(COALESCE(c.cross_pairs, 0) + e.eq_pair_cost AS HUGEINT) * 1000000
+            // GREATEST(CAST(e.n_docs AS HUGEINT) * e.n_docs * {n_masks}
+                        // {2 ** (n_planes + 1)}, 1)
             AS BIGINT) AS skew_ratio_micro
 FROM eq e LEFT JOIN crossp c ON c.variant = e.variant AND c.tbl = e.tbl
 """
@@ -9364,10 +9368,13 @@ cm AS (
   FROM j
 ),
 krates AS (
+  -- pe pairwise products in HUGEINT (== Spark DECIMAL(38,0)): the
+  -- marginal-product sum is ~2*n^2, bigint overflows at n ~ 2.1M
   SELECT *,
          CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
-         CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000
-              // (n * n) AS BIGINT) AS pe_micro
+         CAST((CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+               + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) * 1000000
+              // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro
   FROM cm
 )
 SELECT n, n11, n10, n01, n00, po_micro, pe_micro,
@@ -9439,16 +9446,26 @@ m AS (
 atot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM m),
 thr AS (SELECT CAST(unnest([{", ".join(str(t) for t in _ABLATION_THRESHOLDS)}]) AS BIGINT)
-          AS thr_micro)
+          AS thr_micro),
+abl AS (
+  SELECT t.thr_micro,
+         CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_kept,
+         CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN m.n_tokens ELSE 0 END), 0)
+              AS BIGINT) AS tokens_kept,
+         CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN m.n_tokens ELSE 0 END), 0)
+              * 1000000 // MAX(atot.total_tokens) AS BIGINT) AS token_share_micro
+  FROM thr t CROSS JOIN m CROSS JOIN atot
+  GROUP BY t.thr_micro
+)
+-- the ladder LEFT JOINs the aggregate so an empty scored frame still
+-- emits |thresholds| zero rows (ADVICE r15 #3, mirrors
+-- quality.score_threshold_ablation)
 SELECT t.thr_micro,
-       CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN 1 ELSE 0 END), 0)
-            AS BIGINT) AS n_kept,
-       CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN m.n_tokens ELSE 0 END), 0)
-            AS BIGINT) AS tokens_kept,
-       CAST(COALESCE(SUM(CASE WHEN m.mean_micro >= t.thr_micro THEN m.n_tokens ELSE 0 END), 0)
-            * 1000000 // MAX(atot.total_tokens) AS BIGINT) AS token_share_micro
-FROM thr t CROSS JOIN m CROSS JOIN atot
-GROUP BY t.thr_micro
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(a.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       CAST(COALESCE(a.token_share_micro, 0) AS BIGINT) AS token_share_micro
+FROM thr t LEFT JOIN abl a USING (thr_micro)
 """,
 )
 def quality_threshold_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:

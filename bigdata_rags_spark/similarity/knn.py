@@ -805,9 +805,14 @@ def lsh_bucket_skew_report(
             "n_docs",
             "n_buckets",
             "max_bucket",
+            # the N^2-scale products route through DECIMAL(38,0) (HUGEINT in
+            # the oracle): bigint overflows the uniform floor at ~5e8 docs
+            # and the micro multiplies at ~9.2e12 pairs — counter to the
+            # operator's 100-TB pre-flight framing (ADVICE r15 #2)
             F.expr(
                 "CASE WHEN eq_pair_cost > 0 THEN"
-                " (max_bucket * (max_bucket - 1) DIV 2) * 1000000 DIV eq_pair_cost"
+                " CAST(CAST(max_bucket AS DECIMAL(38,0)) * (max_bucket - 1)"
+                " DIV 2 AS DECIMAL(38,0)) * 1000000 DIV eq_pair_cost"
                 " ELSE 0 END"
             )
             .cast("bigint")
@@ -816,14 +821,18 @@ def lsh_bucket_skew_report(
             (F.coalesce(F.col("cross_pairs"), F.lit(0)) + F.col("eq_pair_cost"))
             .cast("bigint")
             .alias("probed_pair_cost"),
-            F.expr(f"n_docs * n_docs * {n_masks} DIV {2 ** (n_planes + 1)}")
+            F.expr(
+                f"CAST(n_docs AS DECIMAL(38,0)) * n_docs * {n_masks}"
+                f" DIV {2 ** (n_planes + 1)}"
+            )
             .cast("bigint")
             .alias("uniform_floor"),
         )
         .withColumn(
             "skew_ratio_micro",
             F.expr(
-                "probed_pair_cost * 1000000 DIV greatest(uniform_floor, 1)"
+                "CAST(probed_pair_cost AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(uniform_floor, 1)"
             ).cast("bigint"),
         )
     )

@@ -3542,6 +3542,60 @@ def test_score_threshold_ablation_hand_computed(spark):
     assert out[10000]["n_kept"] == 0 and out[10000]["token_share_micro"] == 0
 
 
+def test_binary_agreement_kappa_wide_counts_no_overflow(spark):
+    """ADVICE r15 #1: the pe_micro marginal products must survive n large
+    enough that bigint arithmetic would overflow ((n-1)^2 * 1e6 > 2^63
+    at n = 4M with near-constant gates) — DECIMAL(38,0) keeps the ANSI
+    session from erroring and the value exact."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.quality import binary_agreement_report
+
+    n = 4_000_000
+    flags = spark.range(n).select(
+        F.expr("CASE WHEN id = 0 THEN 0 ELSE 1 END").alias("a"),
+        F.expr("CASE WHEN id = 1 THEN 0 ELSE 1 END").alias("b"),
+    )
+    r = binary_agreement_report(flags).collect()[0]
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (n, n - 2, 1, 1, 0)
+    po = (n - 2) * 1_000_000 // n
+    pe = ((n - 1) * (n - 1) + 1) * 1_000_000 // (n * n)
+    assert (r["po_micro"], r["pe_micro"]) == (po, pe)
+    assert r["kappa_milli"] == (po - pe) * 1000 // (1_000_000 - pe)
+
+
+def test_score_threshold_ablation_empty_input_emits_full_ladder(spark):
+    """ADVICE r15 #3: an empty scored frame must still emit |thresholds|
+    rows, all counts zero — the docstring contract, now via the ladder
+    left-join."""
+    from bigdata_rags_spark.quality import score_threshold_ablation
+
+    m = spark.createDataFrame([], "doc_id bigint, n_tokens bigint, mean_micro bigint")
+    rows = score_threshold_ablation(m, (-10000, 0, 5000)).collect()
+    assert sorted(r["thr_micro"] for r in rows) == [-10000, 0, 5000]
+    for r in rows:
+        assert (r["n_kept"], r["tokens_kept"], r["token_share_micro"]) == (0, 0, 0)
+
+
+def test_bootstrap_rank_picks_derived_and_validated(spark):
+    """ADVICE r15 #4: lo/hi ranks derive from n_replicates when omitted
+    (floor 2.5%/97.5% — 5/195 at B=200, 1/39 at B=40) and explicit ranks
+    beyond B raise instead of silently yielding a NULL bound."""
+    import pytest as _pytest
+
+    from bigdata_rags_spark.functions.evals import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1_000_001) for i in range(20)], ["task_id", "score"]
+    )
+    # B=40: derived ranks are 1/39 — both bounds must be real picks
+    r = poisson_bootstrap_ci(df, "score", n_replicates=40).collect()[0]
+    assert r["ci_lo_micro"] is not None and r["ci_hi_micro"] is not None
+    assert r["ci_lo_micro"] <= r["ci_hi_micro"]
+    with _pytest.raises(ValueError, match="rank picks out of range"):
+        poisson_bootstrap_ci(df, "score", n_replicates=40, lo_rank=5, hi_rank=195)
+
+
 def test_paired_bootstrap_delta_planted(spark):
     """A strictly dominating model must yield a positive, significant
     delta interval; identical models must yield exactly zero and
