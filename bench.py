@@ -256,6 +256,9 @@ HEADLINE = [
     "embedding_rocchio_confusion",
     "incremental_curation_funnel",
     "cross_modal_training_selection",
+    # r16 additions
+    "ann_predicate_serving",
+    "video_capstone_retrieval",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so
@@ -363,6 +366,11 @@ def main() -> None:
                 *heavy,
                 *(n for n in watch if n in rest),
                 *(n for n in recent if n in rest),
+                # VERDICT r15 #5: EVERY query whose warm pass reads >= 4 s
+                # rides median-of-3 — r15 burned judge cycles proving two
+                # 1.5-1.6x single-pass deltas (eval_bradley_terry,
+                # rag_capstone) were host noise; medians make that free
+                *(n for n in rest if warm[n] >= 4.0),
             ]
         )
     )

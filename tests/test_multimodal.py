@@ -521,6 +521,36 @@ def test_banded_hamming_pairs_equals_brute_force(spark):
     assert agot == aexp
 
 
+def test_video_probe_retrieves_identical_clip(spark):
+    """Video-capstone needle (VERDICT r15 next #3's done-criterion): two
+    docs with byte-identical clip payloads (the temporal fingerprint is a
+    pure function of the hex payload) must find each other at rank 1 /
+    hamming 0, in both directions — through the SHARED banded probe in its
+    default 128-bit w0..w3 layout."""
+    from pyspark.sql import functions as F
+
+    from bigdata_rags_spark.dedup.hamming import banded_hamming_probe
+    from bigdata_rags_spark.multimodal.codecs import video_temporal_fingerprint128
+
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        (70, "the quick brown fox jumps over the lazy dog again and again"),
+        (21, "completely different clip content with other byte statistics"),
+        (32, "a third unrelated clip whose segments sum to something else"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    payload = docs.select(
+        "doc_id", F.hex(F.col("text").cast("binary")).cast("binary").alias("payload")
+    )
+    h = video_temporal_fingerprint128(payload).localCheckpoint()
+    for qid, twin in ((10, 70), (70, 10)):
+        hits = banded_hamming_probe(
+            h.filter(F.col("doc_id") == qid), h, max_hamming=7, k=5
+        ).collect()
+        top = next(r for r in hits if r["rank"] == 1)
+        assert (top["match_doc"], top["hamming"]) == (twin, 0)
+
+
 def test_audio_probe_retrieves_identical_clip(spark):
     """Audio-capstone needle (VERDICT r14 next #7's done-criterion): two
     docs whose synthesized WAV params collide EXACTLY — a = abs((doc_id*31
