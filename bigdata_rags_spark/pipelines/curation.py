@@ -374,6 +374,77 @@ def incremental_curation_funnel_report(
     aggregates a real store would persist; the batch side is the capstone
     plan.  No stage joins batch text against store text.
     """
+    _, frames, packed = _incremental_funnel(
+        batch_pages, stored_docs, probe_below, seq_len, n_shards,
+        budget_num, budget_den, prefix_k, decon_k, decon_max_hits,
+    )
+
+    def stage_row(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+
+    report = None
+    for stage, name in FUNNEL_STAGES[:-1]:
+        row = stage_row(frames[stage], stage, name)
+        report = row if report is None else report.unionByName(row)
+    final_stage, final_name = FUNNEL_STAGES[-1]
+    return report.unionByName(
+        packed.select(
+            F.lit(final_stage).cast("int").alias("stage"),
+            F.lit(final_name).alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+def incremental_curation_keepers(
+    batch_pages: DataFrame,
+    stored_docs: DataFrame,
+    probe_below: int = 5,
+    seq_len: int = 512,
+    n_shards: int = 4,
+    budget_num: int = 1,
+    budget_den: int = 1,
+    prefix_k: int = 8,
+    decon_k: int = 3,
+    decon_max_hits: int = 2,
+) -> DataFrame:
+    """The KEEPER set of one increment — exactly the documents
+    `incremental_curation_funnel_report` counts at stage 5
+    (mixture_quota), carried as (doc_id, lang, source, text) so they can
+    be appended to the kept store.  Shares the funnel's stage frames
+    (`_incremental_funnel`) with the report, so the counted survivors and
+    the stored survivors can never drift apart."""
+    ext, frames, _ = _incremental_funnel(
+        batch_pages, stored_docs, probe_below, seq_len, n_shards,
+        budget_num, budget_den, prefix_k, decon_k, decon_max_hits,
+    )
+    return frames[5].select("doc_id").join(ext, "doc_id").select(
+        "doc_id", "lang", "source", "text"
+    )
+
+
+def _incremental_funnel(
+    batch_pages: DataFrame,
+    stored_docs: DataFrame,
+    probe_below: int,
+    seq_len: int,
+    n_shards: int,
+    budget_num: int,
+    budget_den: int,
+    prefix_k: int,
+    decon_k: int,
+    decon_max_hits: int,
+):
+    """Stage frames of the incremental funnel — the shared body of
+    `incremental_curation_funnel_report` (counts) and
+    `incremental_curation_keepers` (surviving documents).  Returns
+    (ext, {stage: frame}, packed)."""
     ext = batch_pages.select(
         "doc_id", "lang", "source", html_extract_text(F.col("html")).alias("text")
     )
@@ -536,26 +607,5 @@ def incremental_curation_funnel_report(
             F.coalesce(F.sum("st"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
     )
-
-    def stage_row(df: DataFrame, stage: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
-        )
-
     frames = {0: feat, 1: s1, 2: s2, 3: s3, 4: s4, 5: s5}
-    report = None
-    for stage, name in FUNNEL_STAGES[:-1]:
-        row = stage_row(frames[stage], stage, name)
-        report = row if report is None else report.unionByName(row)
-    final_stage, final_name = FUNNEL_STAGES[-1]
-    return report.unionByName(
-        packed.select(
-            F.lit(final_stage).cast("int").alias("stage"),
-            F.lit(final_name).alias("stage_name"),
-            "n_docs",
-            "n_tokens",
-        )
-    )
+    return ext, frames, packed

@@ -103,6 +103,89 @@ def stream_vectors_into_ivfpq(
     )
 
 
+#: schema of the accumulated kept-corpus store maintained by
+#: ``curate_crawl_batch`` (plus the ``batch_id`` partition column on disk).
+KEPT_STORE_SCHEMA = "doc_id bigint, lang string, source string, text string"
+
+
+def curate_crawl_batch(
+    batch_pages: DataFrame,
+    store_path: str,
+    batch_id: int,
+    **funnel_params,
+) -> None:
+    """One crawl micro-batch's curation INTO the accumulated kept store —
+    the streaming composition of `pipelines/curation.
+    incremental_curation_funnel_report` (VERDICT r15 next #2): curate the
+    batch's raw HTML pages against the store's current contents
+    (frozen store-fit classifier, vs-store key-index dedup, combined
+    UniMax quota — the batch funnel's exact math, via the shared
+    `incremental_curation_keepers`), then land the surviving documents in
+    the store.  Also the right call for BATCH increments; the streaming
+    sink below is just this per trigger.
+
+    Exactly-once contract (foreachBatch is at-least-once): the store is
+    parquet PARTITIONED BY ``batch_id`` and each batch writes its keepers
+    with dynamic partition overwrite — a REPLAYED micro-batch first reads
+    the store EXCLUDING its own partition (so it curates against exactly
+    the state its first attempt saw; batches replay in checkpoint order,
+    so later partitions cannot exist yet) and then overwrites only its own
+    partition.  Keeper computation is deterministic given (batch, store
+    minus this batch), so replay converges to the identical partition —
+    the delete-then-append argument of ``ingest_vectors_batch``, expressed
+    as partition overwrite.
+
+    100-TB shape: per micro-batch cost is the incremental funnel (one
+    batch text pass + compact store aggregates — the store contributes
+    keys/counts, never text) plus a keeper-sized partitioned write; the
+    store is never rewritten.  ``batch_id`` partitioning is the standard
+    daily-crawl layout, and doubles as ingest provenance."""
+    from bigdata_rags_spark.pipelines.curation import incremental_curation_keepers
+
+    from pyspark.errors import AnalysisException
+
+    spark = batch_pages.sparkSession
+    try:
+        store = spark.read.parquet(store_path)
+        stored = store.filter(F.col("batch_id") != batch_id).drop("batch_id")
+    except AnalysisException:  # PATH_NOT_FOUND: first batch bootstraps empty
+        stored = spark.createDataFrame([], KEPT_STORE_SCHEMA)
+    keepers = incremental_curation_keepers(batch_pages, stored, **funnel_params)
+    (
+        keepers.withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_pages_into_kept_store(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    **funnel_params,
+):
+    """foreachBatch sink: keep the curated corpus store fresh from a crawl
+    stream of raw pages (doc_id, lang, source, html) — micro-batch
+    arrivals curated against the accumulating kept corpus, the production
+    crawl-pipeline shape.  Returns the started StreamingQuery; stream and
+    batch increments share ``curate_crawl_batch`` (pinned by the
+    stream==batch equivalence test in tests/test_streaming.py)."""
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        curate_crawl_batch(batch_df, store_path, batch_id, **funnel_params)
+
+    return (
+        stream_df.writeStream.foreachBatch(curate)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def cdc_upsert_zone_batch(
     batch: DataFrame,
     zone_path: str,
