@@ -259,6 +259,7 @@ HEADLINE = [
     # r16 additions
     "ann_predicate_serving",
     "video_capstone_retrieval",
+    "dsir_importance_resampling",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

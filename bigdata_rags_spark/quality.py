@@ -340,6 +340,141 @@ def nb_score_docs(
     )
 
 
+#: hashed-bigram feature width of the DSIR importance model — wider than
+#: NB_BUCKETS because bigram space is larger and collisions blur the
+#: target/raw contrast the ratio estimates.
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance_weights(
+    target_docs: DataFrame, raw_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Fit DSIR hashed-ngram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per hashed
+    BIGRAM bucket b, the add-one-smoothed TARGET-distribution rate
+    ``tp = (tc + 1) / (T + B)`` against the RAW-corpus rate ``rp``, stored
+    as the engine-exact tanh-of-half-log-ratio quantization the NB fit
+    uses (``w = (tp - rp) / (tp + rp) == tanh(ln(tp/rp)/2)`` — same sign
+    and ranking as the log importance ratio, no ln() in either engine).
+
+    This is the GENERATIVE counterpart of the discriminative NB gate
+    (`nb_fit_weights`), and differs from it on all three axes that matter:
+    features are word BIGRAMS (domain shows up in collocations — "the
+    court held" vs "stir the sauce" — which unigram stopword buckets
+    cannot see), the contrast is target-domain vs raw-corpus (no labels;
+    the raw marginal replaces the negative class), and the output is a
+    RESAMPLING weight, not a keep/drop boundary.  The planted separation
+    test pins the practical difference: a lexically fluent English doc the
+    NB quality gate keeps is down-weighted by DSIR when its bigrams are
+    foreign to the target domain.
+
+    Returns exactly ``DSIR_BUCKETS`` rows (b, tc, rc, tp_micro, rp_micro,
+    w_micro).  100-TB shape: two explode -> (bucket) hash aggs with
+    map-side partials (DSIR_BUCKETS distinct keys), one spine left-join,
+    one broadcast totals join — dimension-bounded output."""
+    from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+    def bucket_counts(docs: DataFrame, out: str) -> DataFrame:
+        bg = docs.select(
+            F.explode(word_shingles(ws_tokens(F.col(text_col)), 2)).alias("bigram")
+        )
+        return bg.select(_dsir_bucket(F.col("bigram")).alias("b")).groupBy("b").agg(
+            F.count(F.lit(1)).cast("bigint").alias(out)
+        )
+
+    spine = target_docs.sparkSession.range(DSIR_BUCKETS).select(
+        F.col("id").cast("int").alias("b")
+    )
+    full = (
+        spine.join(bucket_counts(target_docs, "tc"), "b", "left")
+        .join(bucket_counts(raw_docs, "rc"), "b", "left")
+        .select(
+            "b",
+            F.coalesce(F.col("tc"), F.lit(0)).cast("bigint").alias("tc"),
+            F.coalesce(F.col("rc"), F.lit(0)).cast("bigint").alias("rc"),
+        )
+    )
+    tot = full.agg(
+        F.sum("tc").cast("bigint").alias("tt"), F.sum("rc").cast("bigint").alias("rt")
+    )
+    rates = full.crossJoin(F.broadcast(tot)).select(
+        "b",
+        "tc",
+        "rc",
+        F.expr(f"({NB_SCALE} * (tc + 1)) div (tt + {DSIR_BUCKETS})")
+        .cast("bigint")
+        .alias("tp_micro"),
+        F.expr(f"({NB_SCALE} * (rc + 1)) div (rt + {DSIR_BUCKETS})")
+        .cast("bigint")
+        .alias("rp_micro"),
+    )
+    return rates.select(
+        "b",
+        "tc",
+        "rc",
+        "tp_micro",
+        "rp_micro",
+        F.expr(f"({2 * NB_SCALE} * tp_micro) div (tp_micro + rp_micro) - {NB_SCALE}")
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+
+
+def _dsir_bucket(bigram: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(bigram), 1, 4), 16, 10).cast("int") % DSIR_BUCKETS
+    )
+
+
+def dsir_doc_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score docs under fitted ``dsir_importance_weights``: per-doc summed
+    and mean bucket weight (the quantized log importance ratio), plus the
+    strictly positive ``weight`` column (= mean + NB_SCALE + 1, in
+    [1, 2e6+1]) that feeds ``operators/sampling.priority_sample`` — a
+    monotone transform of the importance ratio, so higher-ratio docs draw
+    proportionally more priority mass, which is DSIR's importance
+    RESAMPLING step in the repo's deterministic integer form.  Docs with
+    fewer than 2 tokens have no bigrams and produce no row (documented —
+    an importance model over bigrams has no opinion on them).
+
+    100-TB shape: one explode -> broadcast join against DSIR_BUCKETS rows
+    -> (doc) hash agg; text never shuffles."""
+    from bigdata_rags_spark.functions.text import word_shingles, ws_tokens
+
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(ws_tokens(F.col(text_col)), 2)).alias("bigram"),
+    )
+    scored = (
+        bg.select("doc_id", _dsir_bucket(F.col("bigram")).alias("b"))
+        .join(F.broadcast(weights.select("b", "w_micro")), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("w_micro").cast("bigint").alias("imp_micro"),
+        )
+    )
+    return scored.select(
+        F.col("doc_id").alias(id_col),
+        "n_bigrams",
+        "imp_micro",
+        F.expr(f"(imp_micro + {NB_SCALE} * n_bigrams) div n_bigrams - {NB_SCALE}")
+        .cast("bigint")
+        .alias("mean_imp_micro"),
+        F.expr(
+            f"(imp_micro + {NB_SCALE} * n_bigrams) div n_bigrams - {NB_SCALE}"
+            f" + {NB_SCALE} + 1"
+        )
+        .cast("bigint")
+        .alias("weight"),
+    )
+
+
 def ngram_diversity_report(
     docs: DataFrame,
     text_col: str = "text",

@@ -9756,6 +9756,107 @@ def stupid_backoff_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_scores(docs.filter(F.col("doc_id") % 8 == 0), docs)
 
 
+# round-16: DSIR hashed-ngram importance resampling ---------------------------
+
+
+def _dsir_oracle(k: int = 50, n_buckets: int = 1024) -> str:
+    """Replay of the DSIR chain: hashed-bigram buckets, add-one target/raw
+    rates, tanh-quantized importance weights (`quality.
+    dsir_importance_weights`), per-doc mean importance, and the
+    deterministic priority-sampling resample (the `priority_sample_docs`
+    oracle idiom, weight = mean importance shifted positive)."""
+    return f"""
+WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, source, unnest(list_transform(
+    CASE WHEN len(toks) >= 2 THEN range(1, len(toks)) ELSE [] END,
+    i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM t
+),
+bb AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(bigram), 1, 4))::INTEGER % {n_buckets}) AS b
+  FROM bg
+),
+bspine AS (SELECT CAST(range AS INT) AS b FROM range(0, {n_buckets})),
+tcs AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM bb
+        WHERE source = 'src0' GROUP BY 1),
+rcs AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM bb GROUP BY 1),
+fullb AS (
+  SELECT s.b, COALESCE(tc, 0) AS tc, COALESCE(rc, 0) AS rc
+  FROM bspine s LEFT JOIN tcs USING (b) LEFT JOIN rcs USING (b)
+),
+tots AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rt
+         FROM fullb),
+drates AS (
+  SELECT b, CAST((1000000 * (tc + 1)) // (tt + {n_buckets}) AS BIGINT) AS tp,
+         CAST((1000000 * (rc + 1)) // (rt + {n_buckets}) AS BIGINT) AS rp
+  FROM fullb, tots
+),
+dwts AS (SELECT b, CAST((2000000 * tp) // (tp + rp) - 1000000 AS BIGINT) AS w_micro
+         FROM drates),
+ds AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(w_micro) AS BIGINT) AS imp_micro
+  FROM bb JOIN dwts USING (b) GROUP BY 1
+),
+dsc AS (
+  SELECT doc_id, n_bigrams,
+         CAST((imp_micro + 1000000 * n_bigrams) // n_bigrams - 1000000 AS BIGINT)
+           AS mean_imp_micro,
+         CAST((imp_micro + 1000000 * n_bigrams) // n_bigrams + 1 AS BIGINT) AS weight
+  FROM ds
+),
+pr AS (
+  SELECT *, ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+            + 1 AS u
+  FROM dsc
+),
+pp AS (SELECT *, GREATEST(weight, 1) * 1099511627776 // u AS priority FROM pr),
+ptop AS (SELECT * FROM pp ORDER BY priority DESC, doc_id LIMIT {k + 1}),
+pranked AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+            FROM ptop),
+ptau AS (SELECT COALESCE(MIN(CASE WHEN rn = {k + 1} THEN priority END), 0) AS t
+         FROM pranked)
+SELECT doc_id, n_bigrams, mean_imp_micro, CAST(weight AS BIGINT) AS weight,
+       CAST(GREATEST(weight, t) AS BIGINT) AS est_weight
+FROM pranked, ptau WHERE rn <= {k}
+"""
+
+
+@_llm("dsir_importance_resampling", _dsir_oracle())
+def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (VERDICT r15 next #4; Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): the
+    GENERATIVE domain-targeted selector the discriminative NB gate is not
+    — hashed-BIGRAM target-vs-raw rate ratios (`quality.
+    dsir_importance_weights`, tanh-of-half-log-ratio quantization — the
+    engine-exact no-ln trick shared with `nb_fit_weights`), per-doc mean
+    importance (`dsir_doc_scores`), then importance RESAMPLING as the
+    repo's deterministic priority sample (k=50, weight = shifted mean
+    ratio) instead of a keep/drop boundary.  Target = the src0 domain,
+    raw = the whole corpus.  Distinctness from the NB scorer is planted
+    in tests/test_llm_ops.py: a lexically fluent English doc the NB gate
+    KEEPS is down-weighted by DSIR when its collocations are foreign to
+    the target domain — labels can't see domain, bigram ratios can.
+    Scale: two bucket aggs (1024 keys) + one broadcast-weights scoring
+    pass + TakeOrderedAndProject top-(k+1); text never shuffles."""
+    from bigdata_rags_spark.operators.sampling import priority_sample
+    from bigdata_rags_spark.quality import dsir_doc_scores, dsir_importance_weights
+
+    docs = _docs_parallel(spark, sf_dir)
+    weights = dsir_importance_weights(docs.filter(F.col("source") == "src0"), docs)
+    # the scored frame feeds the sampler AND the stat join-back
+    # (multi-branch rule)
+    scored = dsir_doc_scores(docs, weights).localCheckpoint()
+    sample = priority_sample(scored, F.col("doc_id"), F.col("weight"), k=50, salt="dsir")
+    return (
+        sample.select(F.col("key").alias("doc_id"), "est_weight")
+        .join(scored, "doc_id")
+        .select("doc_id", "n_bigrams", "mean_imp_micro", "weight", "est_weight")
+    )
+
+
 # round-15: Rocchio label-coherence audit -------------------------------------
 
 

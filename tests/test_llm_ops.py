@@ -3542,6 +3542,95 @@ def test_score_threshold_ablation_hand_computed(spark):
     assert out[10000]["n_kept"] == 0 and out[10000]["token_share_micro"] == 0
 
 
+def test_dsir_weights_spine_bounds_and_signs(spark):
+    """dsir_importance_weights: complete 1024-bucket spine, weights
+    bounded in (-1e6, 1e6), and signs follow the target/raw contrast —
+    buckets hit only by target bigrams weigh positive, raw-only buckets
+    negative."""
+    import hashlib
+
+    from bigdata_rags_spark.quality import DSIR_BUCKETS, dsir_importance_weights
+
+    target = spark.createDataFrame(
+        [(1, "stir the sauce gently")], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(1, "stir the sauce gently"), (2, "quarterly earnings beat forecasts")],
+        ["doc_id", "text"],
+    )
+    w = dsir_importance_weights(target, raw).collect()
+    assert len(w) == DSIR_BUCKETS
+    assert all(-1_000_000 < r["w_micro"] < 1_000_000 for r in w)
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS
+
+    by_b = {r["b"]: r for r in w}
+    # a target bigram's bucket: tc > 0, and the target corpus is smaller so
+    # its add-one rate dominates -> positive weight
+    assert by_b[bucket("stir the")]["w_micro"] > 0
+    # a raw-only bigram's bucket: tc == 0, rc > 0 -> negative weight
+    assert by_b[bucket("quarterly earnings")]["w_micro"] < 0
+
+
+def test_dsir_downweights_nb_kept_domain_mismatch(spark):
+    """VERDICT r15 next #4's done-criterion — the generative/discriminative
+    separation, planted: a lexically fluent English doc the trained NB
+    quality gate KEEPS (stopword-class evidence) gets a NEGATIVE DSIR mean
+    importance (its bigrams are foreign to the target domain), while a
+    target-domain doc scores positive and outweighs it in the resampling
+    weight."""
+    from bigdata_rags_spark.quality import (
+        dsir_doc_scores,
+        dsir_importance_weights,
+        nb_fit_weights,
+        nb_score_docs,
+    )
+
+    # the test_curation seed convention: bucket-disjoint en/es stopwords
+    seed = spark.createDataFrame(
+        [
+            (1, "the and of to in is it you that"),
+            (0, "la que un ser no se de y en"),
+        ],
+        ["y", "text"],
+    )
+    doc_a = (1, "the and of kiwi mango in to is it cherry")  # fluent, off-domain
+    doc_b = (2, "stir the sauce gently then add the salt now")  # on-domain
+    docs = spark.createDataFrame([doc_a, doc_b], ["doc_id", "text"])
+    # NB keeps doc A: majority class-1 stopword evidence
+    nb = {r["doc_id"]: r for r in nb_score_docs(docs, nb_fit_weights(seed)).collect()}
+    assert nb[1]["keep"] == 1
+
+    target = spark.createDataFrame(
+        [
+            (100, "stir the sauce gently then add the salt now"),
+            (101, "add the salt then stir the sauce gently now"),
+            (102, "simmer the sauce then add the salt and stir"),
+        ],
+        ["doc_id", "text"],
+    )
+    # raw = the broad corpus: the target slice is a small minority (the
+    # realistic shape — DSIR contrasts a narrow target against a big raw
+    # marginal).  The raw bigram mass must also dominate the +DSIR_BUCKETS
+    # smoothing term, or the add-one denominators flatten both rates and
+    # every target⊆raw bigram goes negative (tc <= rc always) — the exact
+    # degenerate regime the first run of this test found.
+    fillers = spark.createDataFrame(
+        [
+            (200 + i, "quarterly earnings beat forecasts as markets rallied today")
+            for i in range(100)
+        ],
+        ["doc_id", "text"],
+    )
+    raw = target.unionByName(docs).unionByName(fillers)
+    w = dsir_importance_weights(target, raw)
+    d = {r["doc_id"]: r for r in dsir_doc_scores(docs, w).collect()}
+    # DSIR: the NB-kept doc is down-weighted, the domain doc is not
+    assert d[1]["mean_imp_micro"] < 0 < d[2]["mean_imp_micro"]
+    assert d[1]["weight"] < d[2]["weight"]
+
+
 def test_binary_agreement_kappa_wide_counts_no_overflow(spark):
     """ADVICE r15 #1: the pe_micro marginal products must survive n large
     enough that bigint arithmetic would overflow ((n-1)^2 * 1e6 > 2^63
