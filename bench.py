@@ -260,6 +260,7 @@ HEADLINE = [
     "ann_predicate_serving",
     "video_capstone_retrieval",
     "dsir_importance_resampling",
+    "embedding_ivfpq_index_merge",
 ]
 
 # the 13 queries BENCH_r01 measured — reported as a stable subtotal so

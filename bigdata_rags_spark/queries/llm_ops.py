@@ -7710,6 +7710,37 @@ def embedding_ivfpq_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_llm("embedding_ivfpq_index_merge", _ivfpq_oracle())
+def embedding_ivfpq_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index MERGE (`similarity/pq.merge_ivfpq_indexes` — FAISS
+    ``merge_from`` for the shard-then-merge build pattern): index two
+    disjoint corpus shards independently under the same frozen quantizers,
+    merge them into one serving index with one co-bucketed write per table
+    (no vector is ever re-encoded), then serve.  The oracle is the SAME
+    full-corpus replay as `embedding_ivfpq_index_serve`, so the driver
+    hash proves merge(A, B) serves value-identical to a rebuild over
+    A ∪ B — the property that makes sharded 100-TB index builds safe:
+    each shard build is bounded, the merge is one exchange-free union
+    into the shared bucket spec, and quantizer/schema/id-disjointness
+    mismatches fail loudly (tests/test_ann_index.py)."""
+    from bigdata_rags_spark.similarity.pq import (
+        build_ivfpq_index,
+        ivfpq_index_serve,
+        merge_ivfpq_indexes,
+    )
+
+    e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    build_ivfpq_index(e.filter(F.col("vec_id") % 3 != 0), table_prefix="bdrs_ivfpq_mra")
+    build_ivfpq_index(e.filter(F.col("vec_id") % 3 == 0), table_prefix="bdrs_ivfpq_mrb")
+    merge_ivfpq_indexes(
+        spark, ["bdrs_ivfpq_mra", "bdrs_ivfpq_mrb"], "bdrs_ivfpq_mrg"
+    )
+    return ivfpq_index_serve(
+        q, k=5, table_prefix="bdrs_ivfpq_mrg", n_probe=4, shortlist=50
+    )
+
+
 def _ivfpq_stats_oracle(n_cells: int = 16, dim: int = 64) -> str:
     from bigdata_rags_spark.similarity.ivf import fixed_centroids
 

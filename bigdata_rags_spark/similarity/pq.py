@@ -987,6 +987,96 @@ def compact_ivfpq_index(
     return removed
 
 
+def merge_ivfpq_indexes(
+    spark,
+    src_prefixes: list[str],
+    dst_prefix: str,
+) -> tuple[str, str]:
+    """Merge persisted IVFPQ indexes built under the SAME quantizers into
+    one index — FAISS ``merge_from`` for the shard-then-merge build
+    pattern: at 100 TB the corpus is indexed as independent shards (each a
+    bounded build over its slice) and merged into the serving index with
+    ONE co-bucketed write per table, never re-encoding a vector.
+
+    Preconditions, each checked and loudly fatal:
+    - every source's ``{prefix}_meta`` quantizers (centroids, codebooks,
+      bucket count) are bit-identical — codes from different code spaces
+      are mutually meaningless, the reason the quantizers travel with the
+      index in the first place;
+    - the sources' codes tables carry the same predicate-column schema
+      (the `build_ivfpq_index(metadata=...)` columns);
+    - source id sets are DISJOINT (the FAISS merge contract) — an id
+      indexed by two shards would double-count its ADC score and surface
+      at two ranks, so the overlap check is worth its one id-level
+      aggregate against an index-sized write.
+
+    Tombstones union: an id deleted in any source stays masked in the
+    merged index (delete survives merge; compact when it suits).  The
+    merged tables keep the shared bucket spec, so cell pruning and vec_id
+    point lookups hold on the merged index unchanged — pinned in
+    tests/test_ann_index.py."""
+    from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
+
+    if len(src_prefixes) < 2:
+        raise ValueError("merge needs at least two source indexes")
+    metas = [_read_index_meta(spark, f"{p}_meta") for p in src_prefixes]
+    cents, books, num_buckets = metas[0]
+    for p, m in zip(src_prefixes[1:], metas[1:]):
+        if m != (cents, books, num_buckets):
+            raise ValueError(
+                f"quantizer mismatch: {src_prefixes[0]} and {p} were built "
+                "under different centroids/codebooks/bucket counts — their "
+                "codes are not in one code space and cannot be merged"
+            )
+    codes_frames = [spark.table(f"{p}_codes") for p in src_prefixes]
+    cols0 = sorted(codes_frames[0].columns)
+    for p, cf in zip(src_prefixes[1:], codes_frames[1:]):
+        if sorted(cf.columns) != cols0:
+            raise ValueError(
+                f"codes schema mismatch: {src_prefixes[0]} stores {cols0}, "
+                f"{p} stores {sorted(cf.columns)} — rebuild with matching "
+                "predicate columns before merging"
+            )
+    # disjointness: m = 0 is the one-row-per-vector slice of each codes table
+    ids = None
+    for cf in codes_frames:
+        s = cf.filter(F.col("m") == 0).select("id")
+        ids = s if ids is None else ids.unionByName(s)
+    dup = ids.groupBy("id").count().filter(F.col("count") > 1)
+    n_dup = dup.count()
+    if n_dup > 0:
+        raise ValueError(
+            f"{n_dup} vector id(s) appear in more than one source index — "
+            "merged serving would double-count them; deduplicate shards first"
+        )
+
+    codes = codes_frames[0].select(*codes_frames[0].columns)
+    for cf in codes_frames[1:]:
+        codes = codes.unionByName(cf)
+    vectors = None
+    for p in src_prefixes:
+        v = spark.table(f"{p}_vectors")
+        vectors = v if vectors is None else vectors.unionByName(v)
+    _write_index_meta(spark, f"{dst_prefix}_meta", cents, books, num_buckets)
+    drop_managed_table(spark, f"{dst_prefix}_codes")
+    write_bucketed(codes, f"{dst_prefix}_codes", "cell", num_buckets)
+    drop_managed_table(spark, f"{dst_prefix}_vectors")
+    write_bucketed(vectors, f"{dst_prefix}_vectors", "vec_id", num_buckets)
+    # deletes survive the merge: union any source tombstones
+    tombs = None
+    for p in src_prefixes:
+        t = f"{p}_tombstones"
+        if spark.catalog.tableExists(t):
+            s = spark.table(t).select("vec_id")
+            tombs = s if tombs is None else tombs.unionByName(s)
+    drop_managed_table(spark, f"{dst_prefix}_tombstones")
+    if tombs is not None:
+        tombs.distinct().write.mode("overwrite").format("parquet").saveAsTable(
+            f"{dst_prefix}_tombstones"
+        )
+    return f"{dst_prefix}_codes", f"{dst_prefix}_vectors"
+
+
 def ivfpq_index_stats(spark, table_prefix: str = "ivfpq_idx") -> DataFrame:
     """Index-health report over a persisted IVFPQ index: per-cell vector
     counts plus occupancy share and the live/tombstoned split — what an

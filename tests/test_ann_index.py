@@ -470,6 +470,52 @@ def test_persisted_index_filtered_serve_matches_filtered_corpus(spark):
     assert all(r["neighbor_id"] % 2 == 0 for r in filtered)
 
 
+def test_merge_indexes_lifecycle_and_guards(spark, sf_smoke, _drop_tables):
+    """merge_ivfpq_indexes: a delete in a source shard survives the merge
+    (tombstone union), bucket pruning holds on the merged index, and the
+    three merge preconditions fail loudly — overlapping shard ids,
+    mismatched quantizers, mismatched predicate-column schemas."""
+    import pytest as _pytest
+
+    from bigdata_rags_spark.similarity.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        merge_ivfpq_indexes,
+    )
+
+    _drop_tables.extend(["t_mrg_a", "t_mrg_b", "t_mrg_out", "t_mrg_bad"])
+    e = read_testdata(spark, sf_smoke, "embeddings")["embeddings"]
+    a, b = e.filter(F.col("vec_id") % 3 != 0), e.filter(F.col("vec_id") % 3 == 0)
+    build_ivfpq_index(a, table_prefix="t_mrg_a")
+    build_ivfpq_index(b, table_prefix="t_mrg_b")
+    # delete an id from shard A BEFORE the merge: must stay masked after
+    dead = a.limit(1).select("vec_id")
+    dead_id = dead.collect()[0]["vec_id"]
+    delete_from_ivfpq_index(dead, table_prefix="t_mrg_a")
+    merge_ivfpq_indexes(spark, ["t_mrg_a", "t_mrg_b"], "t_mrg_out")
+    q = e.filter(F.col("vec_id") < 5)
+    res = ivfpq_index_serve(q, k=5, table_prefix="t_mrg_out").collect()
+    assert len(res) == 25
+    assert all(r["neighbor_id"] != dead_id for r in res)  # delete survived
+    plan = _plan(ivfpq_index_serve(q.limit(1), k=5, table_prefix="t_mrg_out"))
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2))  # pruning holds post-merge
+    # guard 1: overlapping shard ids double-count -> refuse
+    with _pytest.raises(ValueError, match="more than one source index"):
+        merge_ivfpq_indexes(spark, ["t_mrg_a", "t_mrg_a"], "t_mrg_out")
+    # guard 2: different quantizers = different code spaces -> refuse
+    build_ivfpq_index(b, table_prefix="t_mrg_bad", n_cells=8)
+    with _pytest.raises(ValueError, match="quantizer mismatch"):
+        merge_ivfpq_indexes(spark, ["t_mrg_a", "t_mrg_bad"], "t_mrg_out")
+    # guard 3: predicate-column schema drift -> refuse
+    docs = read_testdata(spark, sf_smoke, "documents")["documents"]
+    build_ivfpq_index(
+        b, table_prefix="t_mrg_bad", metadata=docs.select("doc_id", "lang")
+    )
+    with _pytest.raises(ValueError, match="codes schema mismatch"):
+        merge_ivfpq_indexes(spark, ["t_mrg_a", "t_mrg_bad"], "t_mrg_out")
+
+
 def test_predicate_columns_serve_plan_and_parity(spark, sf_smoke, _drop_tables):
     """VERDICT r15 next #2's done-criterion: build with metadata columns,
     serve with predicate="lang = 'en'" — the predicate must appear as a
