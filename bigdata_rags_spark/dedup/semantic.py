@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
-from bigdata_rags_spark.similarity.ivf import assign_cells
+from bigdata_rags_spark.similarity.ivf import attach_cells
 
 
 def _cos6(a: Column, b: Column) -> Column:
@@ -66,12 +66,14 @@ def incremental_semantic_keepers(
     """
 
     def prep(df: DataFrame, cents: list[list[float]]) -> DataFrame:
-        asg = assign_cells(df, cents, id_col, vec_col).withColumnRenamed(
-            "id", id_col
+        # attach_cells, not df ⋈ assign_cells(df): the assignment derives
+        # from the same scan, so the pre-r16 id join was a removable
+        # shuffle (guide §2.4); cell values are bit-identical
+        return attach_cells(
+            df.select(id_col, as_double_array(F.col(vec_col)).alias("__v")),
+            cents,
+            vec_col="__v",
         )
-        return df.select(
-            id_col, as_double_array(F.col(vec_col)).alias("__v")
-        ).join(asg, id_col)
 
     b = prep(batch, centroids)
     ex = prep(existing, centroids).select("cell", F.col("__v").alias("__vex"))

@@ -612,6 +612,23 @@ _RECHECK: tuple[str, ...] = (
     "gate_agreement_kappa",
     "lsh_bucket_skew_preflight",
     "quality_threshold_ablation",
+    # round 16 OPTIMIZATION plan changes (results PARITY-verified at sf0.01
+    # this round; values unchanged by construction): encode+assign fused
+    # into one corpus pass (`similarity/pq._encode_with_cells`,
+    # `similarity/ivf.attach_cells`) — the former same-scan shuffle joins
+    # are gone from build/append/on-the-fly-serve/semantic-dedup plans.
+    "embedding_ivfpq_index_serve",
+    "embedding_ivfpq_index_append",
+    "embedding_ivfpq_index_delete",
+    "embedding_ivfpq_index_stats",
+    "embedding_ivfpq_tuning_planner",
+    "ivfpq_recall_report",
+    "ann_filtered_serving_report",
+    "rag_capstone_retrieval",
+    "embedding_ivfpq_rerank_topk",
+    "text_hashed_ann_topk",
+    "incremental_semantic_dedup",
+    "semantic_dedup_cells",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

@@ -6358,7 +6358,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-local comparisons — no iterative stage at all."""
     from bigdata_rags_spark.functions.vectors import as_double_array, dot, norm
     from bigdata_rags_spark.similarity.ivf import (
-        assign_cells,
+        attach_cells,
         auto_n_cells,
         fixed_centroids,
     )
@@ -6372,9 +6372,9 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-cell pair volume stays O(N * occupancy), not N^2/16 (the fixed-
     # width saturation the LSH probe measured for planes)
     cents = fixed_centroids(64, auto_n_cells(base.count()))
-    asg = base.join(
-        assign_cells(e, cents).withColumnRenamed("id", "vec_id"), "vec_id"
-    )
+    # cell attaches as a projection on the same scan (r16 attach_cells —
+    # the former base ⋈ assign_cells(e) shuffle join is removable)
+    asg = attach_cells(base, cents, vec_col="v")
     a = asg.select(
         F.col("cell"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )

@@ -228,3 +228,59 @@ def assign_cells(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )
     return prepped.mapInPandas(assign, schema="id long, cell int")
+
+
+def attach_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``df`` with a ``cell`` column appended — ``assign_cells`` WITHOUT the
+    id join back (r16, guide §2.4): every pre-r16 consumer that needed the
+    assignment next to other columns ran ``df.join(assign_cells(df), id)``,
+    a shuffle join between two frames derived from the SAME scan.  Cell
+    values are bit-identical to ``assign_cells``:
+
+    - <= 32 centroids: the same codegen'd ``_nearest_cells`` expression,
+      now a plain projection on ``df`` (zero exchanges);
+    - wider codebooks: an Arrow pass with the same explicit left-fold
+      float64 accumulation and tie-to-higher-cell rule, passing every
+      input column through (zero exchanges; the Janino-wall rule).
+    """
+    if len(centroids) <= 32:
+        return df.withColumn(
+            "cell",
+            _nearest_cells(as_double_array(F.col(vec_col)), centroids, 1)[0],
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    cents = [list(c) for c in centroids]
+    k = len(cents)
+    dim = len(cents[0])
+    in_cols = list(df.columns)
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__acv"]],
+                dtype=np.float64,
+            )
+            sims = np.empty((n, k), dtype=np.float64)
+            for ci, c in enumerate(cents):
+                s = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    s = s + vecs[:, i] * c[i]
+                sims[:, ci] = s
+            cells = (k - 1) - sims[:, ::-1].argmax(axis=1)
+            out = pdf[in_cols].copy()
+            out["cell"] = cells.astype(np.int32)
+            yield out
+
+    schema = df.schema.add("cell", "integer")
+    prepped = df.withColumn("__acv", as_double_array(F.col(vec_col)))
+    return prepped.mapInPandas(assign, schema=schema)

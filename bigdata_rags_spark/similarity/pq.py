@@ -121,6 +121,86 @@ def pq_encode(
     return prepped.mapInPandas(enc, schema="id long, m int, code int")
 
 
+def _encode_with_cells(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, code, cell): ``pq_encode`` and the coarse-cell assignment in
+    ONE corpus pass — the build/append/on-the-fly-serve input, which until
+    r16 was ``pq_encode(df).join(assign_cells(df), "id")``: a corpus-sized
+    shuffle join (N*M code rows exchanged against N assignments) between two
+    frames derived from the SAME scan (guide §2.4 — an Exchange you can
+    remove outright).  Values are bit-identical to the join form:
+
+    - <= 32 centroids: the cell is the SAME codegen'd ``_nearest_cells``
+      expression ``assign_cells`` uses, computed on the scan projection and
+      passed THROUGH the Arrow batch (replicated M-fold per id);
+    - wider codebooks: the cell is computed inside the same numpy pass with
+      the EXACT explicit left-fold float64 accumulation and
+      tie-to-higher-cell rule of ``assign_cells``' numpy branch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_rags_spark.similarity.ivf import _nearest_cells
+
+    m, k, sub = len(codebooks), len(codebooks[0]), SUB_DIM
+    half_norms = [[sum(x * x for x in c) / 2.0 for c in book] for book in codebooks]
+    ms = np.arange(m, dtype=np.int32)
+    narrow = len(centroids) <= 32
+    cents = [list(c) for c in centroids]
+    n_cells = len(cents)
+    dim = len(cents[0])
+
+    def enc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]], dtype=np.float64
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            for j, book in enumerate(codebooks):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                scores = np.empty((n, k), dtype=np.float64)
+                for code, c in enumerate(book):
+                    s = np.zeros(n, dtype=np.float64)
+                    for i in range(sub):
+                        s = s + x[:, i] * c[i]
+                    scores[:, code] = s - half_norms[j][code]
+                codes[:, j] = (k - 1) - scores[:, ::-1].argmax(axis=1)
+            if narrow:
+                cells = pdf["cell"].to_numpy()
+            else:
+                sims = np.empty((n, n_cells), dtype=np.float64)
+                for ci, c in enumerate(cents):
+                    s = np.zeros(n, dtype=np.float64)
+                    for i in range(dim):
+                        s = s + vecs[:, i] * c[i]
+                    sims[:, ci] = s
+                cells = ((n_cells - 1) - sims[:, ::-1].argmax(axis=1)).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), m),
+                    "m": np.tile(ms, n),
+                    "code": codes.reshape(-1),
+                    "cell": np.repeat(cells, m),
+                }
+            )
+
+    v = as_double_array(F.col(vec_col))
+    cols = [F.col(id_col).alias("id"), v.alias("v")]
+    if narrow:
+        cols.append(_nearest_cells(v, cents, 1)[0].alias("cell"))
+    return df.select(*cols).mapInPandas(
+        enc, schema="id long, m int, code int, cell int"
+    )
+
+
 def pq_lut(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
@@ -397,11 +477,6 @@ def ivfpq_search_rerank(
     cvec = corpus.select(
         F.col("vec_id").alias("cid"), as_double_array(F.col("embedding")).alias("cv")
     )
-    asg = (
-        assignments
-        if assignments is not None
-        else cvec.select("cid", _nearest_cells(F.col("cv"), cents, 1)[0].alias("cell"))
-    )
     qvec = queries.select(
         F.col("vec_id").alias("query_id"), as_double_array(F.col("embedding")).alias("qv")
     )
@@ -410,9 +485,20 @@ def ivfpq_search_rerank(
         F.explode(_nearest_cells(F.col("qv"), cents, n_probe)).alias("cell"),
     )
 
-    codes = (encoded if encoded is not None else pq_encode(corpus, books)).join(
-        asg.select(F.col("cid").alias("id"), "cell"), "id"
-    )
+    if encoded is None and assignments is None:
+        # one-pass encode+assign (r16): same-scan frames need no join
+        codes = _encode_with_cells(corpus, books, cents)
+    else:
+        asg = (
+            assignments
+            if assignments is not None
+            else cvec.select(
+                "cid", _nearest_cells(F.col("cv"), cents, 1)[0].alias("cell")
+            )
+        )
+        codes = (encoded if encoded is not None else pq_encode(corpus, books)).join(
+            asg.select(F.col("cid").alias("id"), "cell"), "id"
+        )
     lut = pq_lut(queries, books)
     scored = (
         codes.join(F.broadcast(probes), "cell")
@@ -601,7 +687,6 @@ def build_ivfpq_index(
     """
     from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
     from bigdata_rags_spark.similarity.ivf import (
-        assign_cells,
         fixed_centroids,
         train_ivf_centroids,
     )
@@ -628,8 +713,9 @@ def build_ivfpq_index(
 
     _drop(spark, f"{table_prefix}_tombstones")
 
-    asg = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).join(asg, "id")
+    # one-pass encode+assign (r16): both frames derive from the same scan,
+    # so the former pq_encode ⋈ assign_cells shuffle join is removable
+    codes = _encode_with_cells(corpus, books, cents, id_col=id_col, vec_col=vec_col)
     codes = _attach_metadata(codes, metadata)
 
     drop_managed_table(spark, codes_table)
@@ -823,7 +909,6 @@ def append_ivfpq_index(
     on table CONTENT, not file layout.
     """
     from bigdata_rags_spark.io.bucketing import write_bucketed
-    from bigdata_rags_spark.similarity.ivf import assign_cells
 
     spark = batch.sparkSession
     cents, books, num_buckets = _read_index_meta(spark, f"{table_prefix}_meta")
@@ -858,8 +943,7 @@ def append_ivfpq_index(
         if revived.count() > 0:
             _purge_ids(spark, table_prefix, revived, num_buckets)
 
-    asg = assign_cells(batch, cents, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col).join(asg, "id")
+    codes = _encode_with_cells(batch, books, cents, id_col=id_col, vec_col=vec_col)
     codes = _attach_metadata(codes, metadata)
     # the batch must carry exactly the predicate columns the index was
     # built with: a silent schema drift here would leave appended rows
