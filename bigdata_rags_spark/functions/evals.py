@@ -349,7 +349,15 @@ def bradley_terry_ratings(
             .alias("r"),
         )
         # renormalize: mean rating pinned at 1e6 micro (BT is scale-free;
-        # without this the floor divisions drift the scale downward)
+        # without this the floor divisions drift the scale downward).
+        # raw feeds BOTH the total and the rescale, and r feeds BOTH join
+        # sides of the next round — without the per-round materialization
+        # the loop-state lineage doubles twice per iteration (2^(2k)
+        # subtrees: measured r16, a 508-Exchange / 84-BNLJ plan whose
+        # Catalyst planning dwarfed its |models|-row execution; plan
+        # collapsed to 14 Exchanges).  |models| rows — the checkpoint is
+        # free (the CC loop-state rule from bench.py applied to MM).
+        raw = raw.localCheckpoint()
         tot = raw.agg(F.sum("r").cast("bigint").alias("t"))
         r = raw.crossJoin(F.broadcast(tot)).crossJoin(n_models).select(
             "i",

@@ -629,6 +629,9 @@ _RECHECK: tuple[str, ...] = (
     "text_hashed_ann_topk",
     "incremental_semantic_dedup",
     "semantic_dedup_cells",
+    # r16 optimization: MM loop state localCheckpoint'ed per round
+    # (plan was doubling per iteration — 508 Exchanges -> 12)
+    "eval_bradley_terry",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
