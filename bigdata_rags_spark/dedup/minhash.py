@@ -322,8 +322,14 @@ def incremental_minhash_keepers(
         num_hashes, rows_per_band = auto_minhash_params(existing.count())
     need_eq = math.ceil(threshold * num_hashes)
 
-    sig_ex = minhash_signatures(existing, id_col, text_col, num_hashes)
-    sig_b = minhash_signatures(batch, id_col, text_col, num_hashes)
+    # both signature frames are DERIVED (shingle explode + num_hashes
+    # mins) and fan out — sig_b to its band projection (read by the
+    # vs-index join and both sides of the intra-batch join) plus the two
+    # verify joins, sig_ex to bands + verify: without materialization the
+    # signature pass re-executed ~6x / ~2x (measured r16: 60 parquet scans
+    # in one plan; CLAUDE.md multi-branch rule).  One row per doc — small.
+    sig_ex = minhash_signatures(existing, id_col, text_col, num_hashes).localCheckpoint()
+    sig_b = minhash_signatures(batch, id_col, text_col, num_hashes).localCheckpoint()
     bands_ex = lsh_bands(sig_ex, rows_per_band)
     bands_b = lsh_bands(sig_b, rows_per_band)
 

@@ -180,15 +180,23 @@ def incremental_winnow_keepers(
     index.  Docs with < k tokens have no fingerprints and survive by
     construction.
     """
+    # each fingerprint frame is a DERIVED subtree (tokenize -> k-gram hash
+    # -> window min-select) read from multiple branches: capped() reads it
+    # twice (df agg + join) and kb feeds three joins — without the
+    # materialization the fingerprint pass re-executed ~6x for the batch
+    # side (measured r16: 60 parquet scans in one plan; CLAUDE.md
+    # multi-branch rule).  (doc_id, sel_hash) pairs — checkpoints are small.
     fpe = (
         winnow_fingerprints(existing, k, w, id_col, text_col)
         .select("doc_id", "sel_hash")
         .distinct()
+        .localCheckpoint()
     )
     fpb = (
         winnow_fingerprints(batch, k, w, id_col, text_col)
         .select("doc_id", "sel_hash")
         .distinct()
+        .localCheckpoint()
     )
 
     def capped(fp: DataFrame) -> DataFrame:
@@ -197,7 +205,8 @@ def incremental_winnow_keepers(
             "doc_id", "sel_hash"
         )
 
-    ke, kb = capped(fpe), capped(fpb)
+    # kb feeds the vs-index join plus BOTH sides of the intra-batch join
+    ke, kb = capped(fpe), capped(fpb).localCheckpoint()
 
     def drops(pairs: DataFrame) -> DataFrame:
         return (

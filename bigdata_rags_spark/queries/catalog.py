@@ -632,6 +632,12 @@ _RECHECK: tuple[str, ...] = (
     # r16 optimization: MM loop state localCheckpoint'ed per round
     # (plan was doubling per iteration — 508 Exchanges -> 12)
     "eval_bradley_terry",
+    # r16 optimization: incremental dedup derived frames materialized
+    # (fingerprint/signature/prefix subtrees re-executed up to 6x per
+    # plan — 60 -> 4 parquet scans)
+    "incremental_winnow_dedup",
+    "incremental_minhash_dedup",
+    "incremental_ppjoin_dedup",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}
