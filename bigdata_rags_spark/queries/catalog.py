@@ -316,24 +316,14 @@ _DRIVER_CHECKED: dict[str, int] = {
     # --- last driver row: round 8 ---
     "embedding_pq_trained_rerank": 8,
     # --- last driver row: round 9 ---
-    "bm25_keyword_search": 9,
-    "document_chunking": 9,
-    "events_json_extraction": 9,
-    "events_pii_redaction": 9,
-    "events_segment_enrichment": 9,
-    "hybrid_rag_search": 9,
     # --- last driver row: round 10 ---
     "benchmark_decontamination": 10,
     "bpe_merge_training": 10,
     "bpe_subword_stats": 10,
-    "conditional_agg_priority_matrix": 10,
     "correlation_price_quantity": 10,
-    "data_quality_report": 10,
-    "decimal_exact_revenue": 10,
     "dedup_surviving_docs": 10,
     "dup_bigram_fraction_docs": 10,
     "embedding_ivf_probe_fixed": 10,
-    "embedding_ivfpq_index_stats": 10,
     "epoch_shuffle_assignment": 10,
     "events_click_attribution": 10,
     "events_cohort_retention": 10,
@@ -341,33 +331,13 @@ _DRIVER_CHECKED: dict[str, int] = {
     "events_hourly_gapfill": 10,
     "events_unattributed_clicks": 10,
     "exact_dedup_docs": 10,
-    "explode_embedding_dim_stats": 10,
-    "histogram_order_prices": 10,
-    "histogram_quantile_prices": 10,
-    "incremental_minhash_dedup": 10,
-    "incremental_semantic_dedup": 10,
-    "join_key_skew_report": 10,
-    "loglog_distinct_customers": 10,
-    "mad_outlier_orders": 10,
-    "math_functions_lineitem": 10,
     "multimodal_png_features": 10,
     "ngram_jaccard_near_dups": 10,
     "null_safe_join_semantics": 10,
-    "percentiles_by_priority": 10,
-    "pivot_returnflag_by_status": 10,
     "prefix_dup_docs": 10,
-    "range_join_shipments_in_window": 10,
     "retrieval_ranking_eval": 10,
-    "scd2_current_rows": 10,
     "segment_dedup_docs": 10,
     "simhash_fingerprints": 10,
-    "tpch_q2_cheapest_supplier": 10,
-    "tpch_q3_shipping_priority": 10,
-    "tpch_q9_profit_by_nation_year": 10,
-    "unpivot_lineitem_measures": 10,
-    "upsert_current_rows": 10,
-    "window_trailing_7d_range_frame": 10,
-    "zone_snapshot_diff": 10,
     # --- last driver row: round 11 ---
     "balanced_corpus_quota": 11,
     "bigram_lm_doc_scores": 11,
@@ -390,7 +360,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "events_time_weighted_value": 11,
     "fuzzy_dedup_surviving_docs": 11,
     "hash_functions_documents": 11,
-    "incremental_winnow_dedup": 11,
     "multimodal_png_resize_features": 11,
     "near_dup_graph_clustering": 11,
     "near_dup_pagerank": 11,
@@ -463,11 +432,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "embedding_decontamination": 13,
     "embedding_hard_negatives": 13,
     "embedding_int8_quantization": 13,
-    "embedding_ivfpq_index_append": 13,
-    "embedding_ivfpq_index_delete": 13,
-    "embedding_ivfpq_index_serve": 13,
-    "embedding_ivfpq_rerank_topk": 13,
-    "embedding_ivfpq_tuning_planner": 13,
     "embedding_label_centroids": 13,
     "embedding_lsh_topk": 13,
     "embedding_matryoshka_recall": 13,
@@ -489,11 +453,9 @@ _DRIVER_CHECKED: dict[str, int] = {
     "preference_pair_mining": 13,
     "quality_nb_fit": 13,
     "quality_nb_scores": 13,
-    "rag_capstone_retrieval": 13,
     "rrf_fusion_search": 13,
     "simhash64_fingerprints": 13,
     "stratified_sample_docs": 13,
-    "text_hashed_ann_topk": 13,
     "tfidf_top_terms": 13,
     "tpch_q10_returned_items": 13,
     "tpch_q11_important_parts": 13,
@@ -523,9 +485,7 @@ _DRIVER_CHECKED: dict[str, int] = {
     "filter_pushdown_highvalue": 14,
     "flagship_revenue_by_nation": 14,
     "full_outer_join_supplier_customer_nations": 14,
-    "incremental_ppjoin_dedup": 14,
     "intra_doc_repeated_spans": 14,
-    "ivfpq_recall_report": 14,
     "jaccard_prefix_filter_pairs": 14,
     "langid_stopword_heuristic": 14,
     "left_join_customer_orders": 14,
@@ -537,7 +497,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "query_likelihood_search": 14,
     "rm3_expansion_search": 14,
     "rollup_sum_by_supplier": 14,
-    "semantic_dedup_cells": 14,
     "semi_join_customers_with_urgent": 14,
     "sequence_packing_bins": 14,
     "source_token_drift": 14,
@@ -550,7 +509,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "unigram_lm_doc_scores": 14,
     "zone_time_travel_read": 14,
     # --- last driver row: round 15 ---
-    "ann_filtered_serving_report": 15,
     "asof_join_events_orders": 15,
     "audio_capstone_retrieval": 15,
     "audio_fingerprint_near_dups": 15,
@@ -563,18 +521,15 @@ _DRIVER_CHECKED: dict[str, int] = {
     "curriculum_anneal_plan": 15,
     "date_functions_orders": 15,
     "embedding_rocchio_confusion": 15,
-    "eval_bradley_terry": 15,
     "eval_paired_bootstrap_delta": 15,
     "events_decayed_trending": 15,
     "events_sliding_halfhour": 15,
     "events_tumbling_hourly": 15,
     "events_user_sessions": 15,
-    "gate_agreement_kappa": 15,
     "gopher_quality_filters": 15,
     "image_phash_near_dups": 15,
     "incremental_curation_funnel": 15,
     "incremental_dedup_new_docs": 15,
-    "lsh_bucket_skew_preflight": 15,
     "minhash_jaccard_estimates": 15,
     "minhash_lsh_candidates": 15,
     "multimodal_capstone_retrieval": 15,
@@ -582,7 +537,6 @@ _DRIVER_CHECKED: dict[str, int] = {
     "near_dup_candidate_eval": 15,
     "ngram_containment_pairs": 15,
     "proximity_boosted_search": 15,
-    "quality_threshold_ablation": 15,
     "rollup_status_priority": 15,
     "set_ops_nation_membership": 15,
     "string_functions_parts": 15,
@@ -600,44 +554,80 @@ _DRIVER_CHECKED: dict[str, int] = {
     "window_lag_running_sum": 15,
     "window_rank_orders_in_segment": 15,
     "winsorized_price_stats": 15,
+    # --- last driver row: round 16 ---
+    "ann_filtered_serving_report": 16,
+    "ann_predicate_serving": 16,
+    "bm25_keyword_search": 16,
+    "conditional_agg_priority_matrix": 16,
+    "data_quality_report": 16,
+    "decimal_exact_revenue": 16,
+    "document_chunking": 16,
+    "dsir_importance_resampling": 16,
+    "embedding_ivfpq_index_append": 16,
+    "embedding_ivfpq_index_delete": 16,
+    "embedding_ivfpq_index_merge": 16,
+    "embedding_ivfpq_index_serve": 16,
+    "embedding_ivfpq_index_stats": 16,
+    "embedding_ivfpq_rerank_topk": 16,
+    "embedding_ivfpq_tuning_planner": 16,
+    "eval_bradley_terry": 16,
+    "events_json_extraction": 16,
+    "events_pii_redaction": 16,
+    "events_segment_enrichment": 16,
+    "explode_embedding_dim_stats": 16,
+    "gate_agreement_kappa": 16,
+    "histogram_order_prices": 16,
+    "histogram_quantile_prices": 16,
+    "hybrid_rag_search": 16,
+    "incremental_minhash_dedup": 16,
+    "incremental_ppjoin_dedup": 16,
+    "incremental_semantic_dedup": 16,
+    "incremental_winnow_dedup": 16,
+    "ivfpq_recall_report": 16,
+    "join_key_skew_report": 16,
+    "loglog_distinct_customers": 16,
+    "lsh_bucket_skew_preflight": 16,
+    "mad_outlier_orders": 16,
+    "math_functions_lineitem": 16,
+    "percentiles_by_priority": 16,
+    "pivot_returnflag_by_status": 16,
+    "quality_threshold_ablation": 16,
+    "rag_capstone_retrieval": 16,
+    "range_join_shipments_in_window": 16,
+    "scd2_current_rows": 16,
+    "semantic_dedup_cells": 16,
+    "text_hashed_ann_topk": 16,
+    "tpch_q2_cheapest_supplier": 16,
+    "tpch_q3_shipping_priority": 16,
+    "tpch_q9_profit_by_nation_year": 16,
+    "unpivot_lineitem_measures": 16,
+    "upsert_current_rows": 16,
+    "video_capstone_retrieval": 16,
+    "window_trailing_7d_range_frame": 16,
+    "zone_snapshot_diff": 16,
 }
 
 # Checked queries whose semantics/plan changed this round -> re-check first.
+# (All r16 entries were confirmed green by the r16 driver window and are
+# folded into _DRIVER_CHECKED above; this tuple holds the r17 changes.)
 _RECHECK: tuple[str, ...] = (
-    # round 16 ADVICE fixes (expression changes, mirrored in the oracle):
-    # kappa's pe_micro pairwise products widened to DECIMAL(38,0);
-    # skew pre-flight's N^2-scale floor/ratio products widened likewise;
-    # threshold ablation left-joins the ladder so empty input emits
-    # |thresholds| zero rows (docstring contract now literal).
-    "gate_agreement_kappa",
-    "lsh_bucket_skew_preflight",
-    "quality_threshold_ablation",
-    # round 16 OPTIMIZATION plan changes (results PARITY-verified at sf0.01
-    # this round; values unchanged by construction): encode+assign fused
-    # into one corpus pass (`similarity/pq._encode_with_cells`,
-    # `similarity/ivf.attach_cells`) — the former same-scan shuffle joins
-    # are gone from build/append/on-the-fly-serve/semantic-dedup plans.
-    "embedding_ivfpq_index_serve",
-    "embedding_ivfpq_index_append",
-    "embedding_ivfpq_index_delete",
-    "embedding_ivfpq_index_stats",
-    "embedding_ivfpq_tuning_planner",
-    "ivfpq_recall_report",
-    "ann_filtered_serving_report",
-    "rag_capstone_retrieval",
-    "embedding_ivfpq_rerank_topk",
-    "text_hashed_ann_topk",
-    "incremental_semantic_dedup",
-    "semantic_dedup_cells",
-    # r16 optimization: MM loop state localCheckpoint'ed per round
-    # (plan was doubling per iteration — 508 Exchanges -> 12)
-    "eval_bradley_terry",
-    # r16 optimization: incremental dedup derived frames materialized
-    # (fingerprint/signature/prefix subtrees re-executed up to 6x per
-    # plan — 60 -> 4 parquet scans)
+    # r17 optimization: the incremental text-dedup family ingests against
+    # PERSISTED store tables (build_*_store + frozen meta) instead of
+    # re-deriving the store's fingerprints/signatures/prefix order from the
+    # raw documents per call (VERDICT r16 #5) — results identical (pinned by
+    # tests/test_llm_ops.py::test_text_dedup_store_paths_match_inline),
+    # plans now scan the store tables.
     "incremental_winnow_dedup",
     "incremental_minhash_dedup",
     "incremental_ppjoin_dedup",
+    # r17 optimization: both quantizer-sizing counts collapsed into ONE
+    # aggregate action (VERDICT r16 #4) and the batch-side attach_cells
+    # frames materialized (ADVICE r16) — widths and results unchanged.
+    "incremental_semantic_dedup",
+    # r17 optimization: the two shard builds + the merge's four dst writes
+    # and its disjointness aggregate now overlap on driver threads (guide
+    # §2.6, VERDICT r16 #3) — same tables, same serve plan, same rows.
+    "embedding_ivfpq_index_merge",
 )
 
 _TIER_PRIORITY = {TIER_STREAMING: 0, TIER_LLM: 1, TIER_EXTENSION: 2, TIER_REFERENCE: 3}

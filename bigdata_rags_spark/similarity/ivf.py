@@ -281,6 +281,11 @@ def attach_cells(
             out["cell"] = cells.astype(np.int32)
             yield out
 
-    schema = df.schema.add("cell", "integer")
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # DataFrame.schema is cached on the caller's frame — mutating it would
+    # make the ORIGINAL df falsely report a cell column (ADVICE r16)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField("cell", IntegerType())])
     prepped = df.withColumn("__acv", as_double_array(F.col(vec_col)))
     return prepped.mapInPandas(assign, schema=schema)

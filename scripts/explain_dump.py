@@ -31,6 +31,27 @@ def main() -> int:
     from bigdata_rags_spark.queries.catalog import REGISTRY
     from bigdata_rags_spark.session import get_session
 
+    if "--all-heavy" in names:
+        # expand to the bench median set of the latest BENCH_DETAIL file
+        # (ADVICE r16: the flag was advertised but unimplemented)
+        import json
+
+        details = sorted(
+            (
+                f
+                for f in os.listdir(REPO)
+                if f.startswith("BENCH_DETAIL_r") and f.endswith(".json")
+            ),
+            key=lambda f: int(f[len("BENCH_DETAIL_r"):-len(".json")]),
+        )
+        if not details:
+            sys.exit("--all-heavy needs a BENCH_DETAIL_r{N}.json to read the median set")
+        with open(os.path.join(REPO, details[-1])) as fh:
+            heavy = json.load(fh)["heavy_top10"]
+        names = [n for n in names if n != "--all-heavy"] + [
+            n for n in heavy if n in REGISTRY
+        ]
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(
         "explain-dump", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
