@@ -7731,8 +7731,20 @@ def embedding_ivfpq_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_testdata(spark, sf_dir, "embeddings")["embeddings"]
     q = e.filter(F.col("vec_id") < 5)
-    build_ivfpq_index(e.filter(F.col("vec_id") % 3 != 0), table_prefix="bdrs_ivfpq_mra")
-    build_ivfpq_index(e.filter(F.col("vec_id") % 3 == 0), table_prefix="bdrs_ivfpq_mrb")
+    # the two shard builds are fully independent (disjoint corpus slices,
+    # disjoint table prefixes) — exactly the guide §2.6 shape: run them from
+    # two driver threads so shard B's jobs back-fill shard A's write tails
+    # instead of waiting for them (r17; the tables written are identical)
+    from bigdata_rags_spark.similarity.pq import _run_overlapped
+
+    _run_overlapped(
+        lambda: build_ivfpq_index(
+            e.filter(F.col("vec_id") % 3 != 0), table_prefix="bdrs_ivfpq_mra"
+        ),
+        lambda: build_ivfpq_index(
+            e.filter(F.col("vec_id") % 3 == 0), table_prefix="bdrs_ivfpq_mrb"
+        ),
+    )
     merge_ivfpq_indexes(
         spark, ["bdrs_ivfpq_mra", "bdrs_ivfpq_mrb"], "bdrs_ivfpq_mrg"
     )

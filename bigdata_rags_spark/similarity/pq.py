@@ -43,6 +43,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_rags_spark.functions.vectors import as_double_array
+
+# independent index-table writes / bounded check jobs overlap on driver
+# threads (guide §2.6) — shared helper, also used by the dedup stores
+from bigdata_rags_spark.io.jobs import run_overlapped as _run_overlapped
 from bigdata_rags_spark.similarity.topk import local_topk_prefilter
 
 M_SUB = 16
@@ -557,6 +561,8 @@ def _write_index_meta(
     round-trip, so a fixed-literal build re-serves bit-identically."""
     from bigdata_rags_spark.io.bucketing import drop_managed_table
 
+    import pandas as pd
+
     rows = [
         ("cent", i, 0, p, float(v))
         for i, c in enumerate(centroids)
@@ -569,7 +575,14 @@ def _write_index_meta(
         for p, v in enumerate(c)
     ]
     rows.append(("conf", num_buckets, 0, 0, 0.0))
-    df = spark.createDataFrame(rows, "kind string, a int, b int, pos int, val double")
+    # ship the ~20k meta rows through ONE Arrow batch instead of pickling
+    # tuples row-by-row (guide §6 "Arrow for driver transfers"; the wide
+    # trained codebooks made the pickle path a measurable slice of every
+    # build replay).  Same rows, same schema, same table content.
+    pdf = pd.DataFrame(rows, columns=["kind", "a", "b", "pos", "val"]).astype(
+        {"a": "int32", "b": "int32", "pos": "int32", "val": "float64"}
+    )
+    df = spark.createDataFrame(pdf, "kind string, a int, b int, pos int, val double")
     drop_managed_table(spark, table)
     df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
 
@@ -580,17 +593,20 @@ def _read_index_meta(
     """(centroids, codebooks, num_buckets) back from ``{prefix}_meta`` — a
     bounded driver action (n_cells*dim + m*k*sub + 1 rows, a few thousand
     doubles at the widest auto_n_cells width)."""
-    rows = spark.table(table).collect()
+    # one Arrow batch to the driver instead of a row-collect (guide §6);
+    # identical reconstruction — values round-trip exactly (doubles are
+    # stored and read bit-for-bit either way)
+    pdf = spark.table(table).toPandas()
     cents_d: dict[int, dict[int, float]] = {}
     books_d: dict[tuple[int, int], dict[int, float]] = {}
     num_buckets = 0
-    for r in rows:
-        if r["kind"] == "cent":
-            cents_d.setdefault(r["a"], {})[r["pos"]] = r["val"]
-        elif r["kind"] == "book":
-            books_d.setdefault((r["a"], r["b"]), {})[r["pos"]] = r["val"]
+    for kind, a, b, pos, val in pdf.itertuples(index=False):
+        if kind == "cent":
+            cents_d.setdefault(a, {})[pos] = float(val)
+        elif kind == "book":
+            books_d.setdefault((a, b), {})[pos] = float(val)
         else:
-            num_buckets = r["a"]
+            num_buckets = int(a)
     cents = [
         [cents_d[i][p] for p in range(len(cents_d[i]))] for i in sorted(cents_d)
     ]
@@ -706,27 +722,42 @@ def build_ivfpq_index(
 
     codes_table = f"{table_prefix}_codes"
     vectors_table = f"{table_prefix}_vectors"
-    _write_index_meta(spark, f"{table_prefix}_meta", cents, books, num_buckets)
-    # a rebuild starts clean: stale tombstones from a prior index under the
-    # same prefix must not mask freshly-indexed vectors
-    from bigdata_rags_spark.io.bucketing import drop_managed_table as _drop
-
-    _drop(spark, f"{table_prefix}_tombstones")
 
     # one-pass encode+assign (r16): both frames derive from the same scan,
     # so the former pq_encode ⋈ assign_cells shuffle join is removable
     codes = _encode_with_cells(corpus, books, cents, id_col=id_col, vec_col=vec_col)
     codes = _attach_metadata(codes, metadata)
 
-    drop_managed_table(spark, codes_table)
-    write_bucketed(codes, codes_table, "cell", num_buckets)
-    drop_managed_table(spark, vectors_table)
-    write_bucketed(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        vectors_table,
-        "vec_id",
-        num_buckets,
-    )
+    # The three index writes are INDEPENDENT jobs the driver used to call
+    # sequentially, so each write's task tail left the executors idle
+    # (guide §2.6 "overlap independent jobs"): run them from a small driver
+    # thread pool — the vectors write back-fills the codes write's tail and
+    # the tiny meta write hides entirely.  Actions are only sequential
+    # because driver code calls them sequentially; the per-table drop+write
+    # pairs touch disjoint tables, and Spark serializes the metastore calls
+    # internally.  Table contents are byte-identical to the sequential form.
+    def _w_codes() -> None:
+        drop_managed_table(spark, codes_table)
+        write_bucketed(codes, codes_table, "cell", num_buckets)
+
+    def _w_vectors() -> None:
+        drop_managed_table(spark, vectors_table)
+        write_bucketed(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ),
+            vectors_table,
+            "vec_id",
+            num_buckets,
+        )
+
+    def _w_meta() -> None:
+        _write_index_meta(spark, f"{table_prefix}_meta", cents, books, num_buckets)
+        # a rebuild starts clean: stale tombstones from a prior index under
+        # the same prefix must not mask freshly-indexed vectors
+        drop_managed_table(spark, f"{table_prefix}_tombstones")
+
+    _run_overlapped(_w_codes, _w_vectors, _w_meta)
     return codes_table, vectors_table
 
 
@@ -956,13 +987,21 @@ def append_ivfpq_index(
             f"supplies {sorted(set(codes.columns) - set(_CODES_RESERVED))} "
             "— pass the same metadata columns the index was built with"
         )
-    write_bucketed(codes.select(*existing_cols), codes_table, "cell", num_buckets, mode="append")
-    write_bucketed(
-        batch.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        vectors_table,
-        "vec_id",
-        num_buckets,
-        mode="append",
+    # the two batch-sized appends are independent jobs: overlap them so the
+    # vectors insert back-fills the codes insert's task tail (guide §2.6)
+    _run_overlapped(
+        lambda: write_bucketed(
+            codes.select(*existing_cols), codes_table, "cell", num_buckets, mode="append"
+        ),
+        lambda: write_bucketed(
+            batch.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ),
+            vectors_table,
+            "vec_id",
+            num_buckets,
+            mode="append",
+        ),
     )
     # Only after the fresh rows are durably in place does the batch leave
     # the tombstone set — a crash between purge/insert and this clear keeps
@@ -1127,12 +1166,6 @@ def merge_ivfpq_indexes(
         s = cf.filter(F.col("m") == 0).select("id")
         ids = s if ids is None else ids.unionByName(s)
     dup = ids.groupBy("id").count().filter(F.col("count") > 1)
-    n_dup = dup.count()
-    if n_dup > 0:
-        raise ValueError(
-            f"{n_dup} vector id(s) appear in more than one source index — "
-            "merged serving would double-count them; deduplicate shards first"
-        )
 
     codes = codes_frames[0].select(*codes_frames[0].columns)
     for cf in codes_frames[1:]:
@@ -1141,11 +1174,6 @@ def merge_ivfpq_indexes(
     for p in src_prefixes:
         v = spark.table(f"{p}_vectors")
         vectors = v if vectors is None else vectors.unionByName(v)
-    _write_index_meta(spark, f"{dst_prefix}_meta", cents, books, num_buckets)
-    drop_managed_table(spark, f"{dst_prefix}_codes")
-    write_bucketed(codes, f"{dst_prefix}_codes", "cell", num_buckets)
-    drop_managed_table(spark, f"{dst_prefix}_vectors")
-    write_bucketed(vectors, f"{dst_prefix}_vectors", "vec_id", num_buckets)
     # deletes survive the merge: union any source tombstones
     tombs = None
     for p in src_prefixes:
@@ -1153,10 +1181,41 @@ def merge_ivfpq_indexes(
         if spark.catalog.tableExists(t):
             s = spark.table(t).select("vec_id")
             tombs = s if tombs is None else tombs.unionByName(s)
-    drop_managed_table(spark, f"{dst_prefix}_tombstones")
-    if tombs is not None:
-        tombs.distinct().write.mode("overwrite").format("parquet").saveAsTable(
-            f"{dst_prefix}_tombstones"
+
+    # The disjointness aggregate and the four dst writes are independent
+    # jobs over the already-persisted source tables — overlap them from a
+    # driver thread pool (guide §2.6; VERDICT r16 #3): the id-level check
+    # back-fills the co-bucketed writes' task tails instead of serializing
+    # a full extra pass ahead of them.  A detected overlap still fails
+    # LOUDLY — and now also drops the partially-merged dst tables so a
+    # failed merge can never be served.
+    n_dup_box: list[int] = []
+
+    def _w_codes() -> None:
+        drop_managed_table(spark, f"{dst_prefix}_codes")
+        write_bucketed(codes, f"{dst_prefix}_codes", "cell", num_buckets)
+
+    def _w_vectors() -> None:
+        drop_managed_table(spark, f"{dst_prefix}_vectors")
+        write_bucketed(vectors, f"{dst_prefix}_vectors", "vec_id", num_buckets)
+
+    def _w_meta_tombs() -> None:
+        _write_index_meta(spark, f"{dst_prefix}_meta", cents, books, num_buckets)
+        drop_managed_table(spark, f"{dst_prefix}_tombstones")
+        if tombs is not None:
+            tombs.distinct().write.mode("overwrite").format("parquet").saveAsTable(
+                f"{dst_prefix}_tombstones"
+            )
+
+    _run_overlapped(
+        lambda: n_dup_box.append(dup.count()), _w_codes, _w_vectors, _w_meta_tombs
+    )
+    if n_dup_box[0] > 0:
+        for t in ("codes", "vectors", "meta", "tombstones"):
+            drop_managed_table(spark, f"{dst_prefix}_{t}")
+        raise ValueError(
+            f"{n_dup_box[0]} vector id(s) appear in more than one source index — "
+            "merged serving would double-count them; deduplicate shards first"
         )
     return f"{dst_prefix}_codes", f"{dst_prefix}_vectors"
 
