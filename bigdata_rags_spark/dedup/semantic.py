@@ -75,7 +75,12 @@ def incremental_semantic_keepers(
             vec_col="__v",
         )
 
-    b = prep(batch, centroids)
+    # b feeds drop_ex, keep, and (when intra_centroids is None) both sides
+    # of drop_intra via bi — a derived attach_cells subtree (an Arrow pass
+    # at >32 centroids) read from up to 4 plan branches, so materialize it
+    # (ADVICE r16; the CLAUDE.md multi-branch rule this same family applies
+    # in minhash/ppjoin/winnow).  ex is read once: leave lazy.
+    b = prep(batch, centroids).localCheckpoint()
     ex = prep(existing, centroids).select("cell", F.col("__v").alias("__vex"))
     drop_ex = (
         b.join(ex, "cell")
@@ -83,7 +88,13 @@ def incremental_semantic_keepers(
         .select(id_col)
         .distinct()
     )
-    bi = b if intra_centroids is None else prep(batch, intra_centroids)
+    bi = (
+        b
+        if intra_centroids is None
+        # a distinct intra-batch quantizer makes bi its own derived subtree
+        # feeding BOTH sides of drop_intra — materialize it too (ADVICE r16)
+        else prep(batch, intra_centroids).localCheckpoint()
+    )
     lo = bi.select(
         "cell", F.col(id_col).alias("__lo_id"), F.col("__v").alias("__vlo")
     )

@@ -7174,9 +7174,19 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at build from the stored-corpus size); rule (b) is index-free, so its
     # quantizer self-scales with the BATCH (both resolve to 16 cells on the
     # driver fixtures — one shared oracle assignment — but a backfill-sized
-    # batch stays O(batch * occupancy) instead of quadratic, SCALE.md r10)
-    cents = fixed_centroids(64, auto_n_cells(existing.count()))
-    intra = fixed_centroids(64, auto_n_cells(batch.count()))
+    # batch stays O(batch * occupancy) instead of quadratic, SCALE.md r10).
+    # Both sizing counts come from ONE aggregate action over the embeddings
+    # scan (r17, VERDICT r16 #4 — two full-frame count() jobs collapsed;
+    # batch = rest ∪ rekeyed-every-7th, so its size is the sum below).  In a
+    # production store the frozen width lives in the index meta — this
+    # replay derives it from the same data the build would have seen.
+    sizes = e.agg(
+        F.count(F.when(F.col("vec_id") % 5 == 0, 1)).alias("n_store"),
+        F.count(F.when(F.col("vec_id") % 5 != 0, 1)).alias("n_rest"),
+        F.count(F.when(F.col("vec_id") % 7 == 0, 1)).alias("n_rekeyed"),
+    ).first()
+    cents = fixed_centroids(64, auto_n_cells(sizes["n_store"]))
+    intra = fixed_centroids(64, auto_n_cells(sizes["n_rest"] + sizes["n_rekeyed"]))
     return incremental_semantic_keepers(
         batch, existing, cents, threshold=0.4, intra_centroids=intra
     ).select("vec_id", "cell", "label")
