@@ -277,14 +277,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def build_minhash_store(
+    existing: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
+    shingle_k: int = 5,
+    num_buckets: int = 8,
+) -> tuple[str, str]:
+    """Persist the stored corpus's MinHash signature index — the build-once
+    half of the build-once/ingest-many dedup lifecycle (VERDICT r16 #5; the
+    `similarity/pq.build_ivfpq_index` split for text).  Until r17 every
+    incremental call re-shingled and re-hashed the whole stored corpus —
+    a full corpus pass per ingest batch for a table that only changes at
+    build time.
+
+    Writes and returns two managed tables:
+
+    - ``{prefix}_sig`` (doc_id, h0..h{n-1}): the wide signature matrix,
+      bucketed AND sorted on ``doc_id`` — the verify join key, so the
+      collision-verification point lookups read co-located buckets.  Band
+      keys derive from the signature columns with a cheap stack (no raw
+      text needed), so one table serves both the band join and the verify.
+    - ``{prefix}_meta`` (param, val): num_hashes, rows_per_band, shingle_k,
+      num_buckets — the FROZEN banding (ingest reloads it and never
+      re-derives it from a count; re-deriving per batch would key new
+      bands incompatibly with the stored band table).
+
+    ``num_hashes``/``rows_per_band`` default to ``auto_minhash_params`` on
+    the stored-corpus count — evaluated ONCE, at build time, which is the
+    lifecycle the two-widths doctrine (SCALE.md #5) prescribes.
+    """
+    if (num_hashes is None) != (rows_per_band is None):
+        raise ValueError(
+            "pass BOTH num_hashes and rows_per_band or NEITHER "
+            "(auto-derived from the stored corpus count at build time)"
+        )
+    from bigdata_rags_spark.dedup.stores import write_store_meta
+    from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
+    from bigdata_rags_spark.io.jobs import run_overlapped
+
+    spark = existing.sparkSession
+    if num_hashes is None:
+        num_hashes, rows_per_band = auto_minhash_params(existing.count())
+    sig = minhash_signatures(existing, id_col, text_col, num_hashes, shingle_k)
+    sig_table, meta_table = f"{table_prefix}_sig", f"{table_prefix}_meta"
+
+    def _w_sig() -> None:
+        drop_managed_table(spark, sig_table)
+        write_bucketed(sig, sig_table, "doc_id", num_buckets)
+
+    run_overlapped(
+        _w_sig,
+        lambda: write_store_meta(
+            spark,
+            meta_table,
+            {
+                "num_hashes": num_hashes,
+                "rows_per_band": rows_per_band,
+                "shingle_k": shingle_k,
+                "num_buckets": num_buckets,
+            },
+        ),
+    )
+    return sig_table, meta_table
+
+
 def incremental_minhash_keepers(
     batch: DataFrame,
-    existing: DataFrame,
+    existing: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int | None = None,
     rows_per_band: int | None = None,
     threshold: float = 0.5,
+    store_prefix: str | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` that survive MinHash near-dedup against the stored
     corpus and against lower-id batch members — the TEXT near-dup member of
@@ -310,25 +379,46 @@ def incremental_minhash_keepers(
     """
     import math
 
-    # the two parameters are a unit (the stored index's frozen banding):
-    # half-specifying them would silently key batch bands incompatibly
-    # with the stored band table, so it is an explicit error (ADVICE r10 #4)
-    if (num_hashes is None) != (rows_per_band is None):
+    if (existing is None) == (store_prefix is None):
         raise ValueError(
-            "pass BOTH num_hashes and rows_per_band (the stored index's frozen "
-            "parameters) or NEITHER to auto-derive them from the stored corpus count"
+            "pass exactly one of existing (inline store derivation) or "
+            "store_prefix (persisted signature index)"
         )
-    if num_hashes is None:
-        num_hashes, rows_per_band = auto_minhash_params(existing.count())
+    if store_prefix is not None:
+        # the PERSISTED store path (build_minhash_store): the stored side is
+        # one bucketed-table scan — zero scans of the raw store documents —
+        # and the banding is reloaded from the store's frozen meta (caller
+        # banding literals are ignored; the frozen-parameter rule)
+        from bigdata_rags_spark.dedup.stores import read_store_meta
+
+        spark = batch.sparkSession
+        meta = read_store_meta(spark, f"{store_prefix}_meta")
+        num_hashes = int(meta["num_hashes"])
+        rows_per_band = int(meta["rows_per_band"])
+        sig_ex = spark.table(f"{store_prefix}_sig")
+    else:
+        # the two parameters are a unit (the stored index's frozen banding):
+        # half-specifying them would silently key batch bands incompatibly
+        # with the stored band table, so it is an explicit error (ADVICE r10 #4)
+        if (num_hashes is None) != (rows_per_band is None):
+            raise ValueError(
+                "pass BOTH num_hashes and rows_per_band (the stored index's frozen "
+                "parameters) or NEITHER to auto-derive them from the stored corpus count"
+            )
+        if num_hashes is None:
+            num_hashes, rows_per_band = auto_minhash_params(existing.count())
+        # sig_ex is DERIVED (shingle explode + num_hashes mins) and feeds
+        # bands + verify: materialize (r16; CLAUDE.md multi-branch rule)
+        sig_ex = minhash_signatures(
+            existing, id_col, text_col, num_hashes
+        ).localCheckpoint()
     need_eq = math.ceil(threshold * num_hashes)
 
-    # both signature frames are DERIVED (shingle explode + num_hashes
-    # mins) and fan out — sig_b to its band projection (read by the
-    # vs-index join and both sides of the intra-batch join) plus the two
-    # verify joins, sig_ex to bands + verify: without materialization the
-    # signature pass re-executed ~6x / ~2x (measured r16: 60 parquet scans
-    # in one plan; CLAUDE.md multi-branch rule).  One row per doc — small.
-    sig_ex = minhash_signatures(existing, id_col, text_col, num_hashes).localCheckpoint()
+    # the batch signature frame is DERIVED and fans out — sig_b to its band
+    # projection (read by the vs-index join and both sides of the
+    # intra-batch join) plus the two verify joins: without materialization
+    # the signature pass re-executed ~6x (measured r16: 60 parquet scans in
+    # one plan; CLAUDE.md multi-branch rule).  One row per doc — small.
     sig_b = minhash_signatures(batch, id_col, text_col, num_hashes).localCheckpoint()
     bands_ex = lsh_bands(sig_ex, rows_per_band)
     bands_b = lsh_bands(sig_b, rows_per_band)

@@ -140,15 +140,87 @@ def winnowed_shared_pairs(
     )
 
 
+def _capped_fingerprints(
+    df: DataFrame, k: int, w: int, max_df: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The boilerplate-capped distinct fingerprint set of ``df``:
+    (doc_id, sel_hash) with hashes selected by > max_df of df's OWN docs
+    dropped.  The fingerprint subtree is materialized first — it feeds the
+    df aggregate AND the join (the CLAUDE.md multi-branch rule)."""
+    fp = (
+        winnow_fingerprints(df, k, w, id_col, text_col)
+        .select("doc_id", "sel_hash")
+        .distinct()
+        .localCheckpoint()
+    )
+    dfreq = fp.groupBy("sel_hash").agg(F.count(F.lit(1)).alias("dfh"))
+    return fp.join(dfreq.filter(F.col("dfh") <= max_df), "sel_hash").select(
+        "doc_id", "sel_hash"
+    )
+
+
+def build_winnow_store(
+    existing: DataFrame,
+    table_prefix: str,
+    k: int = 4,
+    w: int = 5,
+    max_df: int = 64,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """Persist the stored corpus's winnow fingerprint index — the
+    build-once half of the build-once/ingest-many text-dedup lifecycle
+    (VERDICT r16 #5; `similarity/pq.build_ivfpq_index` is the same split
+    for ANN).  Until r17 every incremental call re-derived the store's
+    fingerprints from the raw documents — at 100 TB that is a full corpus
+    tokenize+fingerprint pass per ingest batch for a table that never
+    changes between builds.
+
+    Writes and returns two managed tables:
+
+    - ``{prefix}_fp`` (doc_id, sel_hash): the boilerplate-capped distinct
+      fingerprint set, bucketed AND sorted on ``sel_hash`` — the vs-index
+      join key, so every ingest's band join reads co-located buckets with
+      no store-side exchange.  The cap (df > max_df dropped) is a FROZEN
+      property of the stored population, pre-applied here exactly as the
+      inline path applies it.
+    - ``{prefix}_meta`` (param, val): k, w, max_df, num_buckets — ingest
+      reloads these and never re-derives them (`dedup/stores.py`).
+    """
+    from bigdata_rags_spark.dedup.stores import write_store_meta
+    from bigdata_rags_spark.io.bucketing import drop_managed_table, write_bucketed
+    from bigdata_rags_spark.io.jobs import run_overlapped
+
+    spark = existing.sparkSession
+    ke = _capped_fingerprints(existing, k, w, max_df, id_col, text_col)
+    fp_table, meta_table = f"{table_prefix}_fp", f"{table_prefix}_meta"
+
+    def _w_fp() -> None:
+        drop_managed_table(spark, fp_table)
+        write_bucketed(ke, fp_table, "sel_hash", num_buckets)
+
+    run_overlapped(
+        _w_fp,
+        lambda: write_store_meta(
+            spark,
+            meta_table,
+            {"k": k, "w": w, "max_df": max_df, "num_buckets": num_buckets},
+        ),
+    )
+    return fp_table, meta_table
+
+
 def incremental_winnow_keepers(
     batch: DataFrame,
-    existing: DataFrame,
+    existing: DataFrame | None = None,
     k: int = 4,
     w: int = 5,
     min_shared: int = 2,
     max_df: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    store_prefix: str | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` that survive winnowing-fingerprint dedup against
     the stored corpus and against lower-id batch members — the winnowing
@@ -174,39 +246,33 @@ def incremental_winnow_keepers(
     boilerplate is evidence of template reuse, not of being the same
     document, which is the same judgement the banded families make.
 
-    At 100 TB the existing side is the PERSISTED winnow index (doc_id,
-    sel_hash — the output of ``winnow_fingerprints`` written at corpus
-    build); it is recomputed here only because the testdata has no stored
-    index.  Docs with < k tokens have no fingerprints and survive by
-    construction.
+    Pass ``store_prefix`` (a ``build_winnow_store`` prefix) INSTEAD of
+    ``existing`` to ingest against the PERSISTED fingerprint index: the
+    store side becomes one bucketed-table scan — zero scans of the raw
+    store documents — with k/w/max_df reloaded from the store's meta (the
+    frozen-parameter rule; caller literals are ignored on the store path).
+    Docs with < k tokens have no fingerprints and survive by construction.
     """
-    # each fingerprint frame is a DERIVED subtree (tokenize -> k-gram hash
-    # -> window min-select) read from multiple branches: capped() reads it
-    # twice (df agg + join) and kb feeds three joins — without the
-    # materialization the fingerprint pass re-executed ~6x for the batch
-    # side (measured r16: 60 parquet scans in one plan; CLAUDE.md
-    # multi-branch rule).  (doc_id, sel_hash) pairs — checkpoints are small.
-    fpe = (
-        winnow_fingerprints(existing, k, w, id_col, text_col)
-        .select("doc_id", "sel_hash")
-        .distinct()
-        .localCheckpoint()
-    )
-    fpb = (
-        winnow_fingerprints(batch, k, w, id_col, text_col)
-        .select("doc_id", "sel_hash")
-        .distinct()
-        .localCheckpoint()
-    )
-
-    def capped(fp: DataFrame) -> DataFrame:
-        dfreq = fp.groupBy("sel_hash").agg(F.count(F.lit(1)).alias("dfh"))
-        return fp.join(dfreq.filter(F.col("dfh") <= max_df), "sel_hash").select(
-            "doc_id", "sel_hash"
+    if (existing is None) == (store_prefix is None):
+        raise ValueError(
+            "pass exactly one of existing (inline store derivation) or "
+            "store_prefix (persisted fingerprint index)"
         )
+    if store_prefix is not None:
+        from bigdata_rags_spark.dedup.stores import read_store_meta
 
-    # kb feeds the vs-index join plus BOTH sides of the intra-batch join
-    ke, kb = capped(fpe), capped(fpb).localCheckpoint()
+        spark = batch.sparkSession
+        meta = read_store_meta(spark, f"{store_prefix}_meta")
+        k, w, max_df = int(meta["k"]), int(meta["w"]), int(meta["max_df"])
+        ke = spark.table(f"{store_prefix}_fp")
+    else:
+        ke = _capped_fingerprints(existing, k, w, max_df, id_col, text_col)
+    # the batch fingerprint frame is a DERIVED subtree (tokenize -> k-gram
+    # hash -> window min-select) read from multiple branches — without the
+    # materialization the fingerprint pass re-executed ~6x (measured r16:
+    # 60 parquet scans in one plan; CLAUDE.md multi-branch rule); kb then
+    # feeds the vs-index join plus BOTH sides of the intra-batch join
+    kb = _capped_fingerprints(batch, k, w, max_df, id_col, text_col).localCheckpoint()
 
     def drops(pairs: DataFrame) -> DataFrame:
         return (

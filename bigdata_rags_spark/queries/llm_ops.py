@@ -270,7 +270,10 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose identical signatures exercise both drop paths non-vacuously
     (copies of stored docs die vs the index, copies of batch docs die
     intra-batch)."""
-    from bigdata_rags_spark.dedup.minhash import incremental_minhash_keepers
+    from bigdata_rags_spark.dedup.minhash import (
+        build_minhash_store,
+        incremental_minhash_keepers,
+    )
 
     docs = read_testdata(spark, sf_dir, "documents")["documents"]
     rekeyed = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -278,9 +281,15 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     existing = docs.filter(F.col("doc_id") % 5 == 0)
     batch = docs.filter(F.col("doc_id") % 5 != 0).unionByName(rekeyed)
-    return incremental_minhash_keepers(batch, existing, threshold=0.5).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    # build-once/ingest-many (r17, VERDICT r16 #5): the stored corpus's
+    # signature index is a PERSISTED bucketed table + frozen meta; the
+    # ingest call scans the store tables — zero scans of the raw stored
+    # documents in the keepers plan (the replay builds the store first
+    # because the testdata ships none; production builds it once)
+    build_minhash_store(existing, table_prefix="bdrs_minhash_store")
+    return incremental_minhash_keepers(
+        batch, threshold=0.5, store_prefix="bdrs_minhash_store"
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @_llm(
@@ -532,7 +541,10 @@ def incremental_ppjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles rank at df 0) — the dedup-index analogue of the two-widths
     doctrine.  The oracle is the definitional all-shared-shingle drop
     rule, so the hash is again a no-missed-pairs proof."""
-    from bigdata_rags_spark.dedup.ppjoin import incremental_prefix_filter_keepers
+    from bigdata_rags_spark.dedup.ppjoin import (
+        build_ppjoin_store,
+        incremental_prefix_filter_keepers,
+    )
 
     docs = _docs_parallel(spark, sf_dir)
     existing = docs.filter(F.col("doc_id") % 5 == 0)
@@ -542,7 +554,13 @@ def incremental_ppjoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").unionByName(
         planted
     )
-    return incremental_prefix_filter_keepers(batch, existing, k=5, threshold=0.5)
+    # build-once/ingest-many (r17, VERDICT r16 #5): the frozen df order,
+    # stored prefixes and shingle sets persist as bucketed tables + meta;
+    # the ingest plan scans them — zero raw-store-document scans
+    build_ppjoin_store(existing, table_prefix="bdrs_ppjoin_store", k=5, threshold=0.5)
+    return incremental_prefix_filter_keepers(
+        batch, store_prefix="bdrs_ppjoin_store"
+    )
 
 
 @_llm(
@@ -2941,7 +2959,10 @@ def incremental_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at max_df^2 (see the library docstring).  Fixture roles
     mirror the family: stored = doc_id % 5 == 0; batch = the rest plus
     re-keyed (+1e9) copies of every 7th doc exercising both drop paths."""
-    from bigdata_rags_spark.dedup.winnow import incremental_winnow_keepers
+    from bigdata_rags_spark.dedup.winnow import (
+        build_winnow_store,
+        incremental_winnow_keepers,
+    )
 
     docs = _docs_parallel(spark, sf_dir)
     rekeyed = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -2949,7 +2970,11 @@ def incremental_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     existing = docs.filter(F.col("doc_id") % 5 == 0)
     batch = docs.filter(F.col("doc_id") % 5 != 0).unionByName(rekeyed)
-    return incremental_winnow_keepers(batch, existing)
+    # build-once/ingest-many (r17, VERDICT r16 #5): the capped store
+    # fingerprint index persists bucketed on sel_hash + frozen meta; the
+    # ingest plan scans the store table — zero raw-store-document scans
+    build_winnow_store(existing, table_prefix="bdrs_winnow_store")
+    return incremental_winnow_keepers(batch, store_prefix="bdrs_winnow_store")
 
 
 @_llm(
