@@ -1875,6 +1875,67 @@ def test_assign_cells_numpy_path_matches_expression_path(spark, sf_oracle):
     assert got == expr
 
 
+def test_encode_with_cells_wide_codebook_matches_join_form(spark, sf_oracle):
+    """ADVICE r16: the >32-centroid numpy branch of ``_encode_with_cells``
+    (the one that actually runs at probe scale, where ``auto_n_cells``
+    resolves to 256) must equal the pre-r16 ``pq_encode(df) ⋈
+    assign_cells(df)`` join form code-for-code and cell-for-cell — the
+    same parity pin the narrow path inherits from the shared expression."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.ivf import assign_cells, fixed_centroids
+    from bigdata_rags_spark.similarity.pq import (
+        _encode_with_cells,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    books = pq_codebooks()
+    cents = fixed_centroids(64, 64)  # > 32 -> numpy cell branch
+    fused = {
+        (r["id"], r["m"]): (r["code"], r["cell"])
+        for r in _encode_with_cells(e, books, cents).collect()
+    }
+    joined = {
+        (r["id"], r["m"]): (r["code"], r["cell"])
+        for r in pq_encode(e, books)
+        .join(assign_cells(e, cents), "id")
+        .collect()
+    }
+    assert fused == joined
+
+
+def test_attach_cells_wide_codebook_matches_join_form(spark, sf_oracle):
+    """ADVICE r16: ``attach_cells``' >32-centroid numpy branch must equal
+    the df ⋈ assign_cells(df) form it replaced (per-id cell AND untouched
+    passthrough columns), mirroring the assign_cells parity pin above."""
+    from bigdata_rags_spark.io.readers import read_testdata
+    from bigdata_rags_spark.similarity.ivf import (
+        assign_cells,
+        attach_cells,
+        fixed_centroids,
+    )
+
+    e = read_testdata(spark, sf_oracle, "embeddings")["embeddings"]
+    cents = fixed_centroids(64, 64)  # > 32 -> numpy branch
+    got = {
+        r["vec_id"]: (r["cell"], r["label"])
+        for r in attach_cells(e, cents).select("vec_id", "cell", "label").collect()
+    }
+    joined = {
+        r["vec_id"]: (r["cell"], r["label"])
+        for r in e.join(
+            assign_cells(e, cents).withColumnRenamed("id", "vec_id"), "vec_id"
+        )
+        .select("vec_id", "cell", "label")
+        .collect()
+    }
+    assert got == joined
+    # the schema fix (ADVICE r16): attaching must NOT mutate the caller's
+    # cached schema — the original frame still has no cell column
+    assert "cell" not in e.columns
+
+
 def test_incremental_semantic_keepers_planted_paths(spark):
     """Both drop rules fire, exactly and only where planted: (a) near-dup of
     a STORED vector dies vs the index, (b) intra-batch near-dup dies against
@@ -2324,6 +2385,115 @@ def test_incremental_minhash_keepers_planted_paths(spark):
         batch, existing, num_hashes=12, rows_per_band=2, threshold=0.5
     ).collect()
     assert sorted(r["doc_id"] for r in out) == [11, 13]
+
+
+def _store_equivalence_fixture(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    third = "red orange yellow green blue indigo violet black white grey"
+    existing = spark.createDataFrame(
+        [(1, base), (2, third)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, other), (12, other), (13, "tiny doc"), (14, third)],
+        ["doc_id", "text"],
+    )
+    return existing, batch
+
+
+def test_text_dedup_store_paths_match_inline(spark):
+    """r17 (VERDICT r16 #5): for each text-dedup family, ingesting against
+    the PERSISTED store (build_*_store + store_prefix) returns exactly the
+    rows the inline existing-frame path returns — the store is a
+    materialization of the same derivation, frozen params included."""
+    from bigdata_rags_spark.dedup.minhash import (
+        build_minhash_store,
+        incremental_minhash_keepers,
+    )
+    from bigdata_rags_spark.dedup.ppjoin import (
+        build_ppjoin_store,
+        incremental_prefix_filter_keepers,
+    )
+    from bigdata_rags_spark.dedup.winnow import (
+        build_winnow_store,
+        incremental_winnow_keepers,
+    )
+    from bigdata_rags_spark.io.bucketing import drop_managed_table
+
+    existing, batch = _store_equivalence_fixture(spark)
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    build_minhash_store(
+        existing, "t_mh_store", num_hashes=12, rows_per_band=2
+    )
+    assert ids(
+        incremental_minhash_keepers(batch, store_prefix="t_mh_store", threshold=0.5)
+    ) == ids(
+        incremental_minhash_keepers(
+            batch, existing, num_hashes=12, rows_per_band=2, threshold=0.5
+        )
+    )
+
+    build_winnow_store(existing, "t_win_store")
+    assert ids(
+        incremental_winnow_keepers(batch, store_prefix="t_win_store")
+    ) == ids(incremental_winnow_keepers(batch, existing))
+
+    build_ppjoin_store(existing, "t_ppj_store", k=5, threshold=0.5)
+    assert ids(
+        incremental_prefix_filter_keepers(batch, store_prefix="t_ppj_store")
+    ) == ids(
+        incremental_prefix_filter_keepers(batch, existing, k=5, threshold=0.5)
+    )
+
+    for t in (
+        "t_mh_store_sig", "t_mh_store_meta",
+        "t_win_store_fp", "t_win_store_meta",
+        "t_ppj_store_df", "t_ppj_store_prefix", "t_ppj_store_sets",
+        "t_ppj_store_meta",
+    ):
+        drop_managed_table(spark, t)
+
+
+def test_text_dedup_store_params_frozen_from_meta(spark):
+    """The store path reloads k/w/banding/threshold from ``{prefix}_meta``
+    and IGNORES caller literals (the frozen-parameter rule — serving with
+    drifted params against a store built otherwise would silently
+    mis-join); passing both existing and store_prefix is a loud error."""
+    import pytest as _pytest
+
+    from bigdata_rags_spark.dedup.stores import read_store_meta
+    from bigdata_rags_spark.dedup.winnow import (
+        build_winnow_store,
+        incremental_winnow_keepers,
+    )
+    from bigdata_rags_spark.io.bucketing import drop_managed_table
+
+    existing, batch = _store_equivalence_fixture(spark)
+    build_winnow_store(existing, "t_win_meta", k=4, w=5, max_df=64)
+    meta = read_store_meta(spark, "t_win_meta_meta")
+    assert meta == {"k": 4, "w": 5, "max_df": 64, "num_buckets": 8}
+    # caller literals disagree with the frozen meta -> meta wins: results
+    # equal the store-built parameters' inline run
+    via_store = sorted(
+        r["doc_id"]
+        for r in incremental_winnow_keepers(
+            batch, k=9, w=9, max_df=1, store_prefix="t_win_meta"
+        ).collect()
+    )
+    inline = sorted(
+        r["doc_id"]
+        for r in incremental_winnow_keepers(batch, existing, k=4, w=5, max_df=64).collect()
+    )
+    assert via_store == inline
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_winnow_keepers(batch, existing, store_prefix="t_win_meta")
+    with _pytest.raises(ValueError, match="exactly one"):
+        incremental_winnow_keepers(batch)
+    for t in ("t_win_meta_fp", "t_win_meta_meta"):
+        drop_managed_table(spark, t)
 
 
 def test_epoch_shuffle_plan_properties(spark):
