@@ -86,6 +86,7 @@ def _drop_tables(spark):
             drop_managed_table(spark, f"{prefix}{suffix}")
 
 
+@pytest.mark.slow  # ~70 s measured r17
 def test_append_serve_equals_rebuild_from_union(spark, sf_smoke, _drop_tables):
     """Serve after append == serve after a full rebuild over the unioned
     corpus: ingest is a batch write, never a corpus rewrite."""
@@ -110,6 +111,7 @@ def test_append_serve_equals_rebuild_from_union(spark, sf_smoke, _drop_tables):
     assert m and int(m.group(1)) < int(m.group(2)), plan[:3000]
 
 
+@pytest.mark.slow  # ~49 s measured r17
 def test_trained_index_serves_its_own_quantizers(spark, sf_smoke, _drop_tables):
     """build(train=True) freezes the TRAINED quantizers into {prefix}_meta
     and serving reloads them: serve == on-the-fly with the same quantizers
@@ -193,6 +195,7 @@ def test_delete_then_compact_lifecycle(spark, sf_smoke, _drop_tables):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2)), plan[:3000]
 
+@pytest.mark.slow  # ~35 s measured r17
 def test_reappend_revives_deleted_id(spark, sf_smoke, _drop_tables):
     """Appending a previously deleted id clears its tombstone (ADVICE r10
     #1): the vector is visible at serve time again, and a later compact
@@ -239,6 +242,7 @@ def test_reappend_revives_deleted_id(spark, sf_smoke, _drop_tables):
     assert 7 in neighbors("t_ann_rev")
 
 
+@pytest.mark.slow  # ~20 s measured r17
 def test_reappend_without_compact_clears_tombstone(spark, sf_smoke, _drop_tables):
     """Append directly over a live tombstone (no compact in between): the
     batch's ids leave the tombstone set, others stay masked — AND the
@@ -284,6 +288,7 @@ def test_reappend_without_compact_clears_tombstone(spark, sf_smoke, _drop_tables
     assert codes2.filter(F.col("id") == 12).count() == 0
 
 
+@pytest.mark.slow  # ~14 s measured r17
 def test_compact_preserves_bucket_spec(spark, sf_smoke, _drop_tables):
     """The write-then-swap compact (ADVICE r10 #2) must leave the renamed
     tables with their bucket metadata: serving still prunes unprobed cell
@@ -344,6 +349,7 @@ def test_tuning_report_monotone_and_complete(spark, sf_smoke, _drop_tables):
     assert 0 < recalls[0] < 1_000_000    # partial probing is genuinely partial
 
 
+@pytest.mark.slow  # ~18 s measured r17
 def test_compact_recovers_from_drop_rename_crash_window(spark, sf_smoke, _drop_tables):
     """Simulate a crash between compact's drop and rename (codes table
     gone, fully-written staging left behind): a compact rerun must finish
@@ -392,6 +398,7 @@ def test_compact_recovers_from_drop_rename_crash_window(spark, sf_smoke, _drop_t
         drop_managed_table(spark, "t_ann_crash_codes__compacting")
 
 
+@pytest.mark.slow  # ~16 s measured r17
 def test_filtered_serving_postfilter_starves_prefilter_does_not(spark):
     """VERDICT r14 next #3's done-criterion: under a selective predicate
     whose eligible vectors are NOT in the unfiltered top-k, postfilter
@@ -434,6 +441,7 @@ def test_filtered_serving_postfilter_starves_prefilter_does_not(spark):
     assert rep["prefilter"]["recall_micro"] == 1_000_000
 
 
+@pytest.mark.slow  # ~26 s measured r17
 def test_persisted_index_filtered_serve_matches_filtered_corpus(spark):
     """ivfpq_index_serve(eligible_ids=...) — pre-filter on the PERSISTED
     index — must equal serving an index built over only the eligible

@@ -182,6 +182,7 @@ def test_lsh_bucketed_topk_recalls_near_identical(vectors):
     assert out and out[0]["neighbor_id"] == 100
 
 
+@pytest.mark.slow  # ~12 s measured r17
 def test_lsh_recall_at_5_on_real_embeddings(spark, sf_oracle):
     # VERDICT r1 #7: recall measured against brute force on the REAL
     # embeddings table (sf0.01: 500 x 64-dim), not toy vectors.  The
@@ -490,6 +491,7 @@ def test_ivf_probe_all_cells_equals_brute_force(spark, sf_oracle):
     assert full == exact
 
 
+@pytest.mark.slow  # ~30 s measured r17
 def test_ivf_recall_at_5_on_real_embeddings(spark, sf_oracle):
     from bigdata_rags_spark.io.readers import read_testdata
     from bigdata_rags_spark.similarity.ivf import ivf_topk, train_ivf_centroids
@@ -1224,6 +1226,7 @@ def test_auto_n_planes_calibration():
         prev = cur
 
 
+@pytest.mark.slow  # ~14 s measured r17
 def test_lsh_auto_planes_matches_pinned_default(spark, sf_oracle):
     """With n_planes omitted, lsh_verified_pairs must resolve to the exact
     historical 8-plane result on the driver fixture — the property that
@@ -2337,6 +2340,7 @@ def test_hashed_doc_features_match_python_replay(spark):
         assert dense[d] == [float(expected.get((d, i), 0)) for i in range(dim)]
 
 
+@pytest.mark.slow  # ~17 s measured r17
 def test_text_hashed_near_dups_end_to_end(spark):
     """Raw text -> hashed vectors -> LSH near-dup: a planted near-copy pair
     is found, unrelated docs are not, invariant to partitioning."""
@@ -3077,6 +3081,7 @@ def test_quality_weighted_mixing_prefers_small_high_quality_domain(spark):
     assert plan["sludge"]["alloc"] == min(100, 52 * 1_000_000 // 2_800_000)
 
 
+@pytest.mark.slow  # ~14 s measured r17
 def test_text_hashed_ann_topk_finds_planted_neighbor(spark):
     """End-to-end text ANN: querying with a doc that has a planted
     near-copy must return that copy at rank 1 with high exact cosine,
@@ -3612,6 +3617,7 @@ def _skew_vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
 
+@pytest.mark.slow  # ~11 s measured r17
 def test_lsh_skew_preflight_prices_pair_join_exactly(spark):
     """The histogram-times-mask formula must equal the brute-force count of
     (a < b) pairs at signature Hamming <= probe_bits, per table."""

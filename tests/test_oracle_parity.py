@@ -13,13 +13,47 @@ from bigdata_rags_spark.testing import run_parity
 
 ORACLE_SPECS = sorted(n for n, s in REGISTRY.items() if s.oracle)
 
+# Parity cases measured >= ~10 s each (r17 --durations baseline) ride the
+# slow tier (VERDICT r16 #1: the driver's verify timed out at ~80% of the
+# full 58-min suite).  Nothing is deleted — `-m slow` runs them all — and
+# every operator family keeps faster parity siblings in the default run
+# (e.g. the IVFPQ lifecycle keeps the on-the-fly rerank + index tests, the
+# tokenizer family keeps subword stats/training parity).
+_SLOW_PARITY = {
+    "ann_filtered_serving_report",
+    "ann_predicate_serving",
+    "bpe_byte_encode_docs",
+    "bpe_byte_roundtrip",
+    "bpe_decode_roundtrip",
+    "bpe_encode_docs",
+    "cross_modal_dedup_gate",
+    "curation_funnel_capstone",
+    "embedding_ivfpq_index_append",
+    "embedding_ivfpq_index_delete",
+    "embedding_ivfpq_index_merge",
+    "embedding_ivfpq_index_serve",
+    "embedding_ivfpq_tuning_planner",
+    "incremental_curation_funnel",
+    "lsh_bucket_skew_preflight",
+    "rag_capstone_retrieval",
+    "retrieval_mmr_rerank",
+    "tokenizer_fertility_report",
+}
 
-@pytest.mark.parametrize("name", ORACLE_SPECS)
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+        for n in ORACLE_SPECS
+    ],
+)
 def test_oracle_parity(spark, sf_oracle, name):
     problems = run_parity(REGISTRY[name], spark, sf_oracle)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+@pytest.mark.slow  # executes EVERY registry query (486 s measured r17)
 def test_all_queries_return_rows(spark, sf_smoke):
     for name, spec in REGISTRY.items():
         df = spec.spark(spark, sf_smoke)

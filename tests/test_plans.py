@@ -179,6 +179,7 @@ def test_late_tpch_analogs_have_scale_safe_plans(spark, sf_smoke):
         assert pred(p), f"{name} plan regressed:\n{p[:2000]}"
 
 
+@pytest.mark.slow  # plans EVERY registry query (330 s measured r17)
 def test_full_registry_has_no_cartesian_products(spark, sf_smoke):
     """Global guard: building EVERY registered query's physical plan (no
     execution) and asserting none falls back to CartesianProduct.

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -47,6 +48,7 @@ def test_rollup_sum_matches_pandas(spark, rows):
     keys_c=st.sets(KEYS, min_size=1),
 )
 @_SETTINGS
+@pytest.mark.slow  # ~12 s measured r17
 def test_multi_join_keeps_exactly_key_intersection(spark, keys_a, keys_b, keys_c):
     """Inner multi-join output keys == intersection of all input key sets
     (the reference's drop semantics, dag-transform.py:171-181)."""
@@ -232,6 +234,7 @@ def test_upsert_apply_matches_python_reference(spark, old, new):
 
 @given(old=_MAINT_OLD, new=_MAINT_NEW)
 @_SETTINGS
+@pytest.mark.slow  # ~20 s measured r17
 def test_scd2_apply_invariants(spark, old, new):
     """After two merges: exactly one current row per key; changed keys have
     a closed first version whose valid_to equals the new valid_from;

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from bigdata_rags_spark.streaming.events import NS, read_events_stream
 from bigdata_rags_spark.streaming.stateful import running_user_totals
 
@@ -37,6 +39,7 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     finally:
         q.stop()
 
+@pytest.mark.slow  # ~16 s measured r17
 def test_sequence_detection_matches_across_batches(spark, tmp_path):
     """detect_sequences must match an A event from batch 1 against a B
     event arriving in batch 2 (state crosses micro-batches), must NOT
@@ -105,6 +108,7 @@ def _write_time_split_batches(spark, path, batches):
         spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(path)
 
 
+@pytest.mark.slow  # ~23 s measured r17
 def test_cep_batch_form_equals_stream_across_batches(spark, tmp_path):
     """detect_sequences_batch (the window-function form behind the
     events_cep_view_purchase driver query) must emit EXACTLY the rows the

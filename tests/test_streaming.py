@@ -92,6 +92,7 @@ def test_foreachbatch_lands_results_in_zone(spark, event_files, tmp_path):
     assert "__batch_id" in landed.columns and "window_start_sec" in landed.columns
 
 
+@pytest.mark.slow  # ~19 s measured r17
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append-mode watermarked aggregation: a row arriving far behind the
     watermark is dropped, one within the allowance is kept."""
@@ -699,6 +700,7 @@ def test_new_vs_returning_planted(spark, tmp_path):
     assert out == {0: (1, 0), 1: (2, 1), 2: (0, 1)}
 
 
+@pytest.mark.slow  # ~36 s measured r17
 def test_stream_ingest_into_ivfpq_equals_batch_append(spark, sf_smoke, tmp_path):
     """VERDICT r12 #5 — stream==batch equivalence: serving after
     foreachBatch stream ingest must be value-identical to serving after
@@ -893,6 +895,7 @@ def _crawl_pages(spark, rows):
     )
 
 
+@pytest.mark.slow  # ~34 s measured r17
 def test_stream_curation_into_kept_store_equals_batch_increments(spark, tmp_path):
     """VERDICT r15 next #2 — streaming incremental curation: foreachBatch
     over two crawl micro-batches must leave the SAME kept store as the two
