@@ -307,15 +307,16 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    def run_query(name: str) -> float:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        clear_persisted()
+        return dt
+
     def run_pass(names: list[str]) -> dict[str, float]:
-        times: dict[str, float] = {}
-        for name in names:
-            spec = REGISTRY[name]
-            t0 = time.perf_counter()
-            spec.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            times[name] = round(time.perf_counter() - t0, 3)
-            clear_persisted()
-        return times
+        return {name: run_query(name) for name in names}
 
     # Measurement isolation (VERDICT r5 #1): the round-over-round shared-13
     # subtotal is measured in its OWN cold+warm phase before any heavyweight
@@ -336,16 +337,13 @@ def main() -> None:
     warm = warm_passes[
         [round(sum(p.values()), 3) for p in warm_passes].index(warm_totals[1])
     ]
-    times.update(run_pass(rest))
-    warm.update(run_pass(rest))
 
     # Per-query warm MEDIANS (VERDICT r10 #7): single warm samples made the
     # heavy tail's round-over-round comparison unreadable under the ±35%
     # host-noise band (SCALE.md).  The shared-13 medians come free from the
-    # 3 warm passes above; the 10 heaviest remaining queries earn 2 extra
-    # passes each.  Comparison rule (SCALE.md "Bench measurement variance"):
-    # compare rounds per-query ONLY through queries_warm_med; everything
-    # else is subtotal-level.
+    # 3 warm passes above.  Comparison rule (SCALE.md "Bench measurement
+    # variance"): compare rounds per-query ONLY through queries_warm_med;
+    # everything else is subtotal-level.
     warm_med = {n: sorted(p[n] for p in warm_passes)[1] for n in SHARED_R1}
     # WATCH set (VERDICT r12 #7): three small queries showed >1.5x single-
     # observation upticks in r12 that could not be adjudicated because they
@@ -360,25 +358,36 @@ def main() -> None:
     # r14 #8): next round's per-query comparisons then start from medians
     # instead of single warm samples for every query newer than the r13
     # baseline window.
-    recent = HEADLINE[HEADLINE.index("rm3_expansion_search"):]
-    heavy = sorted(rest, key=lambda n: warm[n], reverse=True)[:10]
-    heavy = list(
-        dict.fromkeys(
-            [
-                *heavy,
-                *(n for n in watch if n in rest),
-                *(n for n in recent if n in rest),
-                # VERDICT r15 #5: EVERY query whose warm pass reads >= 4 s
-                # rides median-of-3 — r15 burned judge cycles proving two
-                # 1.5-1.6x single-pass deltas (eval_bradley_terry,
-                # rag_capstone) were host noise; medians make that free
-                *(n for n in rest if warm[n] >= 4.0),
-            ]
-        )
-    )
-    extra_passes = [run_pass(heavy) for _ in range(2)]
-    for n in heavy:
-        warm_med[n] = sorted([warm[n], extra_passes[0][n], extra_passes[1][n]])[1]
+    recent = set(HEADLINE[HEADLINE.index("rm3_expansion_search"):])
+    # MEDIAN-TAIL PROTOCOL FIX (r17, VERDICT r16 #2 — measurement-only
+    # change, fields unchanged): the median re-passes for the heavy set
+    # used to run in ONE block at the END of the ~190-query process, where
+    # accumulated JVM/metastore state inflated every sample ~2-5x on a
+    # loaded host (measured r16: lsh_bucket_skew_preflight 22.6 s in-bench
+    # at position ~190 vs 4.0 s warm in a fresh serialized process) —
+    # making BENCH_DETAIL medians incomparable across rounds.  Now each
+    # rest-tier query runs cold -> warm -> (if median-eligible) 2 extra
+    # passes IMMEDIATELY, so all three median samples see the same process
+    # state as the query's own warm pass.  Eligibility per VERDICT r15 #5:
+    # warm >= 4 s, the WATCH set, every recent addition — plus a top-10-by-
+    # warm supplement after the loop for sub-4 s queries that turn out to
+    # lead the tier (cheap by construction, so tail position moves them
+    # little).
+    heavy: list[str] = []
+    for name in rest:
+        times[name] = run_query(name)
+        warm[name] = run_query(name)
+        if name in watch or name in recent or warm[name] >= 4.0:
+            heavy.append(name)
+            warm_med[name] = sorted(
+                [warm[name], run_query(name), run_query(name)]
+            )[1]
+    for name in sorted(rest, key=lambda n: warm[n], reverse=True)[:10]:
+        if name not in warm_med:
+            heavy.append(name)
+            warm_med[name] = sorted(
+                [warm[name], run_query(name), run_query(name)]
+            )[1]
 
     def ivfpq_phase_timings() -> dict[str, float]:
         # VERDICT r11 #7: the index-family headline numbers conflate one-time
